@@ -1,0 +1,164 @@
+"""WPL golden tests against the reference's own fixture corpus.
+
+Fixtures: /root/reference/tests/sample/* and tests/instance/wpl/* — the same
+inputs the reference engine's integration tests consume (SURVEY.md §5).
+"""
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.wpl import MultiParser, compile_rule, parse_wpl
+
+REF = "/root/reference"
+
+NGINX_WPL = open(f"{REF}/tests/instance/wpl/example/simple/parse.wpl").read()
+NGINX_LINE = (
+    '192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] "GET /nginx-logo.png HTTP/1.1" '
+    '200 368 "http://119.122.1.4/" "Mozilla/5.0 (Macintosh)" "-"'
+)
+
+
+def test_parse_wpl_ast():
+    rules = parse_wpl(NGINX_WPL)
+    assert len(rules) == 1
+    r = rules[0]
+    assert r.key == "/example/simple/nginx"
+    fields = r.groups[0].items
+    assert fields[0].dtype == "ip" and fields[0].name == "sip"
+    assert fields[1].dtype == "_" and fields[1].repeat == 2
+    assert fields[2].fmt == ("[", "]")
+
+
+def test_nginx_golden(spark):
+    cr = compile_rule(parse_wpl(NGINX_WPL)[0])
+    df = spark.createDataFrame([(NGINX_LINE,)], ["value"])
+    row = cr.extract(df).collect()[0]
+    assert row["sip"] == "192.168.1.2"
+    assert str(row["recv_time"]) == "2019-08-06 04:12:19"  # UTC from +0800
+    assert row["http_request"]["method"] == "GET"
+    assert row["http_request"]["uri"] == "/nginx-logo.png"
+    assert row["http_request"]["proto"] == "HTTP/1.1"
+    assert row["http_status"] == 200
+    assert row["digit"] == 368
+    assert row["chars"] == "http://119.122.1.4/"
+    assert row["http_agent"] == "Mozilla/5.0 (Macintosh)"
+    assert row["_disposition"] == "success"
+    assert row["_rule"] == "/example/simple/nginx"
+
+
+def test_nginx_sample_dat(spark):
+    cr = compile_rule(parse_wpl(NGINX_WPL)[0])
+    df = spark.read.text(f"{REF}/tests/sample/nginx/sample.dat")
+    out = cr.extract(df)
+    assert out.where(F.col("_disposition") == "success").count() == df.count()
+
+
+def test_miss_and_residue(spark):
+    cr = compile_rule(parse_wpl(NGINX_WPL)[0])
+    ok = NGINX_LINE
+    partial = NGINX_LINE + " tail"  # short tail (<20%) -> partial
+    garbage = "not an access log line at all ..................."
+    blank = "   "
+    df = spark.createDataFrame([(ok,), (partial,), (garbage,), (blank,)], ["value"])
+    extracted = cr.extract(df, keep=["value"]).collect()
+    rows = {r["value"]: r["_disposition"] for r in extracted}
+    assert rows[ok] == "success"
+    assert rows[garbage] == "miss"
+    assert rows[blank] == "blank"
+    prow = [r for r in extracted if r["_disposition"] == "partial"]
+    assert len(prow) == 1 and prow[0]["_residue"].strip() == "tail"
+
+
+def test_h3c_waf_base64_kv(spark):
+    """F3: base64 preprocessor + scope fmt + bulk kv repeat."""
+    wpl = open(f"{REF}/tests/sample/h3c_waf/parse.wpl").read()
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.read.text(f"{REF}/tests/sample/h3c_waf/sample.dat")
+    row = cr.extract(df).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["digit"] == 188
+    assert row["sn"] == "KMDLDLH3CW2020G2WAFA01"
+    kv = row["kv"]
+    assert kv["dip"] == "10.180.39.12"
+    assert kv["url"] == "/OMS/uploadFile.action"
+    assert kv["method"] == "POST"
+    assert kv["rule_id"] == "70001"
+    assert kv["action"] == "REJECT"
+
+
+def test_huawei_partial_corpus(spark):
+    """F4: POLICYPERMIT lines match; SESSION_* lines miss (no CID= segment)."""
+    wpl = open(f"{REF}/tests/sample/huawei_zhuru/parse.wpl").read()
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.read.text(f"{REF}/tests/sample/huawei_zhuru/sample.dat")
+    out = cr.extract(df)
+    counts = {r["_disposition"]: r["count"] for r in out.groupBy("_disposition").count().collect()}
+    assert counts.get("success") == 2
+    assert counts.get("miss") == 6
+    ok = out.where(F.col("_disposition") == "success").collect()[0]
+    assert ok["kv"]["CID"].startswith("0x")
+    assert ok["kv_2"]["vsys"] == "CSG_Security"
+
+
+def test_benchmark_multirule_dispatch(spark):
+    """F2: two comma-separated rules; first-match-wins labeling."""
+    wpl = open(f"{REF}/tests/instance/wpl/benchmark/parse.wpl").read()
+    mp = MultiParser(wpl)
+    df = spark.read.text(f"{REF}/tests/instance/wpl/benchmark/sample.dat")
+    labeled = mp.label(df)
+    got = {
+        (r["_rule"], r["_disposition"]): r["count"]
+        for r in labeled.groupBy("_rule", "_disposition").count().collect()
+    }
+    assert got[("/benchmark/benchmark_1", "success")] == 1
+    assert got[("/benchmark/benchmark_2", "success")] == 1
+    parsed = mp.parse(df)
+    b2 = parsed["/benchmark/benchmark_2"].collect()[0]
+    assert b2["src_ip"] == "72.239.155.6"
+    assert b2["port"] == 1649
+    assert b2["http_request"]["method"] == "GET"
+
+
+def test_preproc_base64_failure_is_miss(spark):
+    wpl = "rule b64 { |base64|(chars:x) }"
+    cr = compile_rule(parse_wpl(wpl)[0])
+    good = base64.b64encode(b"hello").decode()
+    df = spark.createDataFrame([(good,), ("!!!not-base64!!!",)], ["value"])
+    rows = cr.extract(df).collect()
+    by_disp = {r["_disposition"]: r for r in rows}
+    assert by_disp["success"]["x"] == "hello"
+    assert "miss" in by_disp
+
+
+def test_wpl_guard_pipes(spark):
+    wpl = 'rule g { (chars:lvl|chars_in([info,warn]),digit:code|digit_range(100,599)) }'
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.createDataFrame(
+        [("info 200",), ("debug 200",), ("warn 999",)], ["value"]
+    )
+    rows = cr.extract(df).collect()
+    disp = {r["lvl"]: r["_disposition"] for r in rows}
+    assert disp["info"] == "success"
+    assert disp["debug"] == "miss"
+    assert disp["warn"] == "miss"
+
+
+def test_tag_annotation(spark):
+    wpl = '#[tag(env:"prod")] rule t { (digit:n) }'
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.createDataFrame([("42",)], ["value"])
+    row = cr.extract(df).collect()[0]
+    assert row["n"] == 42
+    assert row["env"] == "prod"
+
+
+def test_alt_group(spark):
+    wpl = "rule a { (alt((ip:addr),(digit:num)),chars:rest) }"
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.createDataFrame([("1.2.3.4 x",), ("77 y",)], ["value"])
+    rows = {r["rest"]: r for r in cr.extract(df).collect()}
+    assert rows["x"]["addr"] == "1.2.3.4"
+    assert rows["y"]["num"] == 77
+    assert rows["y"]["addr"] is None

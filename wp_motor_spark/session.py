@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for correctness-vs-oracle (UTC session timezone, deterministic) and for
+the 100TB design point (AQE on, skew-join handling, sane shuffle sizing).
+On a real cluster only ``shuffle_partitions`` / memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wp_motor_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("WP_SHUFFLE_PARTITIONS", str(max(cpus, 32)))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism / oracle parity
+        .config("spark.sql.session.timeZone", "UTC")
+        # Runtime re-planning: coalesce small shuffle partitions, split skewed
+        # ones — essential at 100TB where static planning is always wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the few pandas-UDF paths (batched, columnar transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast dims up to 64MB — KnowDB-style enrichment tables are small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("WP_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

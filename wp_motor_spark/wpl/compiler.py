@@ -1,0 +1,673 @@
+"""WPL AST -> Spark extraction plan.
+
+Design (SURVEY.md §2.3-2.4, §7): each rule compiles to ONE anchored Java
+regex. Extraction is a single regex pass per row:
+
+    parts = split(regexp_replace(value, pattern, "$1\\x01$2\\x01..."), "\\x01")
+
+then per-field typed casts over ``parts[i]`` — all JVM-side, whole-stage
+codegen, no UDFs, map-only (no shuffle): safe at any scale. This replaces the
+reference's winnow combinator VM (crates/wp-lang/src/eval/value/parser/) with
+the idiomatic-Spark equivalent of how one parses CLF logs.
+
+Multi-rule dispatch mirrors src/core/parser/wpl_engine/parser.rs:26-114:
+first-match-wins rule cascade, miss routing, and the ≤20%-tail residue rule
+(parser.rs:55-79). Dispositions: success / partial / miss / blank.
+
+Non-participating regex groups substitute as '' in Java replacement, so
+alt/opt groups degrade to empty -> null after cast (verified behavior).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from wp_motor_spark.wpl.ast import FunCall, WplField, WplGroup, WplRule, WplSubfield
+from wp_motor_spark.wpl.parser import parse_wpl
+from wp_motor_spark.wpl.preproc import apply_preprocs
+
+DELIM = "\x01"
+PAIR_DELIM = "\x02"
+
+# Residue acceptance threshold: unparsed tail <= 20% of line is "partial"
+# (reference: src/core/parser/wpl_engine/parser.rs:55-79).
+RESIDUE_FRAC = 0.2
+
+_WS = r"\s+"
+_KEYCLS = r"[\w.\-]"
+
+
+@dataclass
+class FieldOutput:
+    group: int  # 1-based regex group index
+    name: str
+    dtype: str
+    quoted: bool = False  # regex can match empty (quoted/scope fmt) -> keep ''
+    kv_run: bool = False  # group holds a whole run of k=v pairs
+    kv_sep: str | None = None  # regex splitting pairs inside a kv run
+    pipes: list[FunCall] = dc_field(default_factory=list)
+    subfields: list[WplSubfield] = dc_field(default_factory=list)
+
+
+class WplCompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- fragments
+
+_TIME_PATTERNS: list[tuple[str, str]] = [
+    # (regex fragment, spark datetime format or special key)
+    (r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{1,2}:\d{1,2}\.\d+(?:Z|[+-]\d{2}:?\d{2})?", "iso_frac"),
+    (r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{1,2}:\d{1,2}(?:Z|[+-]\d{2}:?\d{2})?", "iso"),
+    (r"\d{4}/\d{1,2}/\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}", "slash"),
+    (r"[A-Z][a-z]{2} +\d{1,2} \d{4} \d{2}:\d{2}:\d{2}", "syslog_year"),
+    (r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}", "syslog"),
+    (r"\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}", "clf"),
+]
+
+_TIME_AUTO_RE = "(?:" + "|".join(p for p, _ in _TIME_PATTERNS) + ")"
+
+
+def _neg_class(sep: str | None) -> str:
+    """Character class matching anything but the separator (first char)."""
+    if sep is None or sep.strip() == "" or sep == _WS:
+        return r"[^\s]"
+    return "[^" + re.escape(sep[0]) + "]"
+
+
+def _sep_regex(sep_lit: str | None, pattern_sep: str | None) -> str:
+    if pattern_sep is not None:
+        return _compile_pattern_sep(pattern_sep)
+    if sep_lit is None:
+        return _WS
+    if sep_lit.strip() == "":
+        return _WS
+    # literal separators tolerate surrounding whitespace ("k=v, k=v")
+    return r"\s*" + re.escape(sep_lit) + r"\s*"
+
+
+def _compile_pattern_sep(content: str) -> str:
+    """Pattern separator {glob} -> regex (docs/design/wpl_sep_pattern.md).
+
+    '*' non-greedy any, '?' one char, macros \\s \\S \\h \\H \\0 \\n \\t \\r,
+    trailing preserve group (...) -> lookahead (match, don't consume).
+    """
+    out: list[str] = []
+    i = 0
+    n = len(content)
+    while i < n:
+        ch = content[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = content[i + 1]
+            macro = {
+                "s": r"[ \t\r\n]+",
+                "S": r"[^ \t\r\n]+",
+                "h": r"[ \t]+",
+                "H": r"[^ \t]+",
+                "0": r"\x00",
+                "n": r"\n",
+                "t": r"\t",
+                "r": r"\r",
+            }
+            out.append(macro.get(nxt, re.escape(nxt)))
+            i += 2
+        elif ch == "*":
+            out.append(r".*?")
+            i += 1
+        elif ch == "?":
+            out.append(r".")
+            i += 1
+        elif ch == "(":
+            # preserve group: match but don't consume -> lookahead
+            end = content.rfind(")")
+            inner = _compile_pattern_sep(content[i + 1 : end])
+            out.append(f"(?={inner})")
+            i = end + 1
+        else:
+            out.append(re.escape(ch))
+            i += 1
+    return "".join(out)
+
+
+def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
+    """Regex fragment (uncaptured) for one field's content."""
+    ncls = _neg_class(sep)
+    if length is not None:
+        return ".*" if length == 0 else ".{1,%d}" % length
+    table = {
+        "ip": r"(?:\d{1,3}(?:\.\d{1,3}){3}|(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})",
+        "ip_net": r"\d{1,3}(?:\.\d{1,3}){3}/\d{1,2}",
+        "digit": r"[+-]?\d+",
+        "port": r"\d{1,5}",
+        "http/status": r"\d{3}",
+        "float": r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?",
+        "bool": r"(?i:true|false)",
+        "hex": r"[0-9A-Fa-f]+",
+        "domain": r"(?:[A-Za-z0-9-]+\.)+[A-Za-z]{2,11}",
+        "email": r"[^@\s]+@[^@\s]+\.[A-Za-z]{2,11}",
+        "url": r"[A-Za-z][A-Za-z0-9+.-]*://" + ncls + "+",
+        "time": _TIME_AUTO_RE,
+        "time/clf": r"\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+        "time_iso": r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+        "time_3339": r"\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[Zz]|[+-]\d{2}:\d{2})",
+        "time_2822": r"(?:[A-Z][a-z]{2}, )?\d{1,2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} (?:[+-]\d{4}|[A-Z]{2,4})",
+        "time_timestamp": r"\d{10}(?:\d{3}){0,2}",
+        "http/request": r"[A-Za-z]+ \S+ [A-Za-z]+/[0-9.]+",
+        "http/method": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
+        "json": r"\{.*\}|\[.*\]",
+        "exact_json": r"\{.*\}|\[.*\]",
+        "mobile_phone": r"1[3-9]\d{9}",
+        "id_card": r"\d{17}[\dXx]|\d{15}",
+    }
+    if dtype in table:
+        return table[dtype]
+    if dtype.startswith("array"):
+        return r"\[.*?\]"
+    # chars / sn / symbol-ish / auto / agent / obj / kv-handled-elsewhere
+    return ncls + "+"
+
+
+# ---------------------------------------------------------------- compiler
+
+
+class _Ctx:
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.group_idx = 0
+        self.outputs: list[FieldOutput] = []
+        self.pending_sep: str | None = None  # regex to emit before next field
+        # separator declared by the most recent field (field > group > default)
+        self.next_sep: str | None = None
+        # previous field self-delimits (scope/quote fmt or symbol) -> the
+        # separator before the next field becomes optional ("<188>May ...")
+        self.last_self_delim: bool = False
+
+
+def compile_rule(rule: WplRule) -> "CompiledRule":
+    ctx = _Ctx()
+    default_sep = _WS
+    for gi, grp in enumerate(rule.groups):
+        if gi > 0:
+            ctx.pending_sep = default_sep
+        _emit_group(ctx, grp, None, None)
+    ctx.group_idx += 1
+    residue_group = ctx.group_idx
+    pattern = "^" + "".join(ctx.parts) + r"(.*)$"
+    _dedupe_names(ctx.outputs)
+    return CompiledRule(rule, pattern, ctx.group_idx, ctx.outputs, residue_group)
+
+
+def _dedupe_names(outputs: list[FieldOutput]) -> None:
+    seen: dict[str, int] = {}
+    # single-kv fields all merge into ONE map column; reserve its name once
+    merged_kv = [o for o in outputs if o.dtype == "kv" and not o.kv_run]
+    if merged_kv:
+        named = [o.name for o in merged_kv if o.name != "kv"]
+        seen[named[0] if named else "kv"] = 1
+    for o in outputs:
+        if o.dtype == "kv" and not o.kv_run:
+            continue
+        n = seen.get(o.name, 0) + 1
+        seen[o.name] = n
+        if n > 1:
+            o.name = f"{o.name}_{n}"
+
+
+def _emit_group(ctx: _Ctx, grp: WplGroup, parent_sep: str | None, parent_pat: str | None) -> None:
+    # group's own separator applies between its fields (field > group > upstream)
+    gsep_lit = grp.sep if grp.sep is not None else parent_sep
+    gsep_pat = grp.pattern_sep if grp.pattern_sep is not None else parent_pat
+
+    if grp.meta in ("opt", "not", "alt", "some_of"):
+        sub = _Ctx()
+        sub.group_idx = ctx.group_idx
+        if grp.meta == "alt":
+            branches = []
+            for item in grp.items:
+                b = _Ctx()
+                b.group_idx = sub.group_idx
+                _emit_item(b, item, gsep_lit, gsep_pat)
+                sub.group_idx = b.group_idx
+                sub.outputs.extend(b.outputs)
+                branches.append("".join(b.parts))
+            body = "(?:" + "|".join(branches) + ")"
+        elif grp.meta == "some_of":
+            segs = []
+            for item in grp.items:
+                b = _Ctx()
+                b.group_idx = sub.group_idx
+                _emit_item(b, item, gsep_lit, gsep_pat)
+                sub.group_idx = b.group_idx
+                sub.outputs.extend(b.outputs)
+                sep_rx = _sep_regex(gsep_lit, gsep_pat)
+                segs.append(f"(?:(?:{sep_rx})?" + "".join(b.parts) + ")?")
+            body = "".join(segs)
+        else:  # opt / not / seq-in-group
+            for i, item in enumerate(grp.items):
+                if i > 0:
+                    sub.pending_sep = _sep_regex(gsep_lit, gsep_pat)
+                _emit_item(sub, item, gsep_lit, gsep_pat)
+            inner = "".join(sub.parts)
+            body = f"(?!{inner})" if grp.meta == "not" else f"(?:{inner})?"
+        if ctx.pending_sep:
+            body = (
+                f"(?:{ctx.pending_sep})?" + body
+                if grp.meta in ("opt", "some_of")
+                else f"(?:{ctx.pending_sep})" + body
+            )
+            ctx.pending_sep = None
+        ctx.parts.append(body)
+        ctx.group_idx = sub.group_idx
+        ctx.outputs.extend(sub.outputs)
+        return
+
+    # seq: the separator between item i-1 and i is item i-1's own declared
+    # separator when present, else the group/default one (field > group).
+    for i, item in enumerate(grp.items):
+        if i > 0:
+            ctx.pending_sep = ctx.next_sep or _sep_regex(gsep_lit, gsep_pat)
+        _emit_item(ctx, item, gsep_lit, gsep_pat)
+
+
+def _emit_item(ctx: _Ctx, item, sep_lit: str | None, sep_pat: str | None) -> None:
+    if isinstance(item, WplGroup):
+        _emit_group(ctx, item, sep_lit, sep_pat)
+    else:
+        _emit_field(ctx, item, sep_lit, sep_pat)
+
+
+def _emit_field(ctx: _Ctx, fld: WplField, gsep_lit: str | None, gsep_pat: str | None) -> None:
+    # effective separator AFTER this field: field's own > group's > whitespace
+    sep_lit = fld.sep if fld.sep is not None else gsep_lit
+    sep_pat = fld.pattern_sep if fld.pattern_sep is not None else gsep_pat
+    eff_sep_rx = _sep_regex(sep_lit, sep_pat)
+
+    n = fld.repeat
+    if n is None:  # unbounded '*type'
+        _emit_unbounded(ctx, fld, sep_lit, eff_sep_rx)
+    else:
+        for k in range(n):
+            _emit_single(ctx, fld, sep_lit, eff_sep_rx, k, n)
+    ctx.next_sep = eff_sep_rx if (fld.sep is not None or fld.pattern_sep is not None) else None
+
+
+def _flush_sep(ctx: _Ctx) -> None:
+    if ctx.pending_sep:
+        sep = ctx.pending_sep
+        if ctx.last_self_delim:
+            sep = r"\s*" if sep == _WS else f"(?:{sep})?"
+        ctx.parts.append(f"(?:{sep})" if not sep.endswith("?") and sep != r"\s*" else sep)
+        ctx.pending_sep = None
+    ctx.last_self_delim = False
+
+
+def _default_name(fld: WplField) -> str:
+    # unnamed fields take the type's name (reference:
+    # crates/wp-lang/src/eval/value/parser/auto.rs:38)
+    return (fld.name or fld.dtype).replace("/", "_")
+
+
+def _emit_single(
+    ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str, k: int, n: int
+) -> None:
+    dtype = fld.dtype
+    if k > 0:
+        ctx.pending_sep = sep_rx
+
+    if dtype == "peek_symbol":
+        _flush_sep(ctx)
+        ctx.parts.append(f"(?={re.escape(fld.symbol or '')})")
+        return
+    if dtype == "symbol":
+        _flush_sep(ctx)
+        ctx.parts.append(re.escape(fld.symbol or ""))
+        ctx.last_self_delim = True
+        return
+
+    if dtype == "kv":
+        _flush_sep(ctx)
+        ctx.group_idx += 1
+        key_rx = _KEYCLS + "+"
+        val_rx = _neg_class(sep_lit) + "*"
+        ctx.parts.append(f"({key_rx}={val_rx})")
+        ctx.outputs.append(
+            FieldOutput(ctx.group_idx, fld.name or "kv", "kv", pipes=fld.pipes,
+                        subfields=fld.subfields)
+        )
+        return
+
+    if dtype == "kvarr":
+        _flush_sep(ctx)
+        ctx.group_idx += 1
+        key_rx = _KEYCLS + "+"
+        pair = f"{key_rx}=" + _neg_class(sep_lit) + "*"
+        run = f"({pair}(?:(?:{sep_rx}){pair})*)"
+        ctx.parts.append(run)
+        ctx.outputs.append(
+            FieldOutput(
+                ctx.group_idx,
+                fld.name or "kvarr",
+                "kvarr",
+                kv_run=True,
+                kv_sep=sep_rx,
+                pipes=fld.pipes,
+                subfields=fld.subfields,
+            )
+        )
+        return
+
+    content = _content_regex(dtype, sep_lit, fld.length)
+    quoted = False
+    # Under a quote/scope format the delimiters self-delimit the field, so a
+    # permissive content class is both faster and more faithful (the reference
+    # parses the scope first, then the value). Numeric-shaped types keep their
+    # typed content so garbage still misses the rule.
+    keep_typed = dtype in ("digit", "port", "http/status", "float", "bool", "hex")
+    if fld.fmt == ('"', '"'):
+        if not keep_typed:
+            content = '[^"]*'
+        body = f'"({content})"'
+        quoted = True
+    elif fld.fmt is not None:
+        b, e = fld.fmt
+        if not keep_typed:
+            content = "[^" + re.escape(e[0]) + "]*"
+        body = re.escape(b) + f"({content})" + re.escape(e)
+        quoted = True
+    else:
+        body = f"({content})"
+
+    _flush_sep(ctx)
+    ctx.group_idx += 1
+    ctx.parts.append(body)
+    ctx.last_self_delim = fld.fmt is not None
+    name = _default_name(fld)
+    ctx.outputs.append(
+        FieldOutput(
+            ctx.group_idx,
+            name,
+            dtype,
+            quoted=quoted,
+            pipes=fld.pipes,
+            subfields=fld.subfields,
+        )
+    )
+
+
+def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) -> None:
+    """'*type' unbounded repeat: capture the whole run in one group."""
+    dtype = fld.dtype
+    _flush_sep(ctx)
+    ctx.group_idx += 1
+    if dtype in ("kv", "kvarr"):
+        key_rx = _KEYCLS + "+"
+        pair = f"{key_rx}=" + _neg_class(sep_lit) + "*"
+        split_rx = sep_rx
+        ctx.parts.append(f"({pair}(?:(?:{sep_rx}){pair})*)")
+        ctx.outputs.append(
+            FieldOutput(
+                ctx.group_idx,
+                fld.name or "kv",
+                "kvarr",
+                kv_run=True,
+                kv_sep=split_rx,
+                pipes=fld.pipes,
+            )
+        )
+        return
+    content = _content_regex(dtype, sep_lit, fld.length)
+    ctx.parts.append(f"((?:{content})(?:(?:{sep_rx})(?:{content}))*)")
+    out_dtype = "_" if dtype == "_" else f"run/{dtype}"
+    ctx.outputs.append(
+        FieldOutput(
+            ctx.group_idx,
+            _default_name(fld),
+            out_dtype,
+            kv_run=False,
+            kv_sep=sep_rx,
+            pipes=fld.pipes,
+        )
+    )
+
+
+# ---------------------------------------------------------------- runtime
+
+
+def _time_cast(col: Column, dtype: str) -> Column:
+    """Typed timestamp parse; try_* keeps ANSI mode safe."""
+    if dtype == "time/clf":
+        return F.try_to_timestamp(col, F.lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    if dtype == "time_timestamp":
+        digits = F.length(col)
+        secs = col.try_cast("long")
+        return (
+            F.when(digits >= 16, F.timestamp_micros(secs))
+            .when(digits >= 13, F.timestamp_millis(secs))
+            .otherwise(F.timestamp_seconds(secs))
+        )
+    if dtype == "time_2822":
+        return F.coalesce(
+            F.try_to_timestamp(col, F.lit("EEE, d MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(col, F.lit("EEE, d MMM yyyy HH:mm:ss zzz")),
+        )
+    # time (auto) / time_iso / time_3339: ordered cascade
+    c = F.regexp_replace(col, r"\s+", " ")
+    return F.coalesce(
+        F.try_to_timestamp(col),
+        F.try_to_timestamp(F.regexp_replace(col, "T", " ")),
+        F.try_to_timestamp(c, F.lit("yyyy/M/d H:mm:ss")),
+        F.try_to_timestamp(c, F.lit("MMM d yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("MMM d HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+    )
+
+
+def _typed_column(out: FieldOutput, raw: Column) -> Column:
+    dtype = out.dtype
+    s = raw if out.quoted else F.nullif(raw, F.lit(""))
+    if dtype in ("digit", "port", "http/status"):
+        return s.try_cast("long")
+    if dtype == "float":
+        return s.try_cast("double")
+    if dtype == "bool":
+        return F.lower(s).try_cast("boolean")
+    if dtype.startswith("time"):
+        return _time_cast(s, dtype)
+    if dtype == "http/request":
+        p = F.split(F.trim(s), r"\s+", 3)
+        return F.when(
+            s.isNotNull(),
+            F.struct(
+                p.getItem(0).alias("method"),
+                p.getItem(1).alias("uri"),
+                p.getItem(2).alias("proto"),
+            ),
+        )
+    if dtype == "kvarr" and out.kv_run:
+        return F.str_to_map(s, F.lit(out.kv_sep), F.lit("="))
+    if dtype == "kv":
+        return s  # merged into a shared map later
+    if dtype.startswith("run/"):
+        return F.split(s, out.kv_sep)
+    if dtype.startswith("array/"):
+        sub = dtype.split("/", 1)[1]
+        spark_t = {"digit": "bigint", "float": "double", "bool": "boolean"}.get(sub, "string")
+        return F.from_json(s, f"array<{spark_t}>")
+    if dtype == "array":
+        return F.from_json(s, "array<string>")
+    return s
+
+
+class CompiledRule:
+    """One WPL rule compiled to a single-pass regex extraction plan."""
+
+    def __init__(
+        self,
+        rule: WplRule,
+        pattern: str,
+        n_groups: int,
+        outputs: list[FieldOutput],
+        residue_group: int,
+    ):
+        self.rule = rule
+        self.pattern = pattern
+        self.n_groups = n_groups
+        self.outputs = outputs
+        self.residue_group = residue_group
+        self.key = rule.key
+
+    # -- plan builders ------------------------------------------------------
+
+    def parts_col(self, value: Column) -> Column:
+        repl = DELIM.join(f"${i}" for i in range(1, self.n_groups + 1))
+        pre = apply_preprocs(value, self.rule.preprocs)
+        return F.split(F.regexp_replace(pre, self.pattern, repl), DELIM, -1)
+
+    def matched_col(self, parts: Column) -> Column:
+        return F.size(parts) == F.lit(self.n_groups)
+
+    def residue_col(self, parts: Column) -> Column:
+        return F.try_element_at(parts, F.lit(self.residue_group))
+
+    def disposition_col(self, value: Column, parts: Column) -> Column:
+        """success / partial / miss / blank (processor.rs:35-54)."""
+        pre = apply_preprocs(value, self.rule.preprocs)
+        residue = self.residue_col(parts)
+        frac_ok = F.length(residue) <= F.length(pre) * F.lit(RESIDUE_FRAC)
+        return (
+            F.when(F.trim(F.coalesce(value, F.lit(""))) == "", F.lit("blank"))
+            .when(~self.matched_col(parts), F.lit("miss"))
+            .when(F.length(residue) == 0, F.lit("success"))
+            .when(frac_ok, F.lit("partial"))
+            .otherwise(F.lit("miss"))
+        )
+
+    def field_columns(self, parts: Column) -> list[tuple[str, Column]]:
+        """(name, typed Column) for every non-ignore output + merged kv map."""
+        cols: list[tuple[str, Column]] = []
+        kv_parts: list[Column] = []
+        kv_name = "kv"
+        for out in self.outputs:
+            raw = F.try_element_at(parts, F.lit(out.group))
+            if out.dtype == "_":
+                continue
+            if out.dtype == "kv" and not out.kv_run:
+                kv_parts.append(F.nullif(raw, F.lit("")))
+                if out.name != "kv":
+                    kv_name = out.name
+                continue
+            cols.append((out.name, _typed_column(out, raw)))
+        if kv_parts:
+            joined = F.nullif(F.concat_ws(PAIR_DELIM, *kv_parts), F.lit(""))
+            cols.append((kv_name, F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit("="))))
+        # rule-level tag annotations -> constant columns (wpl_anno.rs:28-54)
+        for k, v in self.rule.tags.items():
+            cols.append((k, F.lit(v)))
+        return cols
+
+    def guard_col(self, cols: dict[str, Column]) -> Column | None:
+        """WPL pipe functions are rule-match guards (pipe_fun.rs:17-451)."""
+        from wp_motor_spark.wpl.functions import compile_guards
+
+        return compile_guards(self.outputs, cols)
+
+    # -- user-facing --------------------------------------------------------
+
+    def extract(self, df: DataFrame, col: str = "value", keep: list[str] | None = None) -> DataFrame:
+        """Parse ``col``; returns typed columns + _rule/_disposition/_residue."""
+        value = F.col(col)
+        parts = self.parts_col(value)
+        tmp = df.withColumn("__parts", parts)
+        pcol = F.col("__parts")
+        named = self.field_columns(pcol)
+        keep_cols = [F.col(c) for c in (keep or [])]
+        if self.rule.copy_raw:
+            keep_cols.append(value.alias(self.rule.copy_raw))
+        out = tmp.select(
+            *keep_cols,
+            *[c.alias(n) for n, c in named],
+            F.lit(self.key).alias("_rule"),
+            self.disposition_col(value, pcol).alias("_disposition"),
+            self.residue_col(pcol).alias("_residue"),
+        )
+        guard = self.guard_col({n: F.col(n) for n, _ in named})
+        if guard is not None:
+            out = out.withColumn(
+                "_disposition",
+                F.when(F.col("_disposition").isin("success", "partial") & ~guard, "miss")
+                .otherwise(F.col("_disposition")),
+            )
+        from wp_motor_spark.wpl.functions import compile_transforms
+
+        repl = compile_transforms(self.outputs, {n: F.col(n) for n, _ in named})
+        if repl:
+            out = out.withColumns(repl)
+        return out
+
+
+class MultiParser:
+    """First-match-wins rule cascade (parser.rs:26-114).
+
+    ``label`` stamps _rule/_disposition/_residue; ``parse`` returns one
+    typed DataFrame per rule plus the miss branch. CASE WHEN evaluates
+    conditions sequentially inside codegen, so later rules' regexes never run
+    for rows already claimed by an earlier rule — same short-circuit the
+    reference's cascade has, without adaptive reordering (SURVEY.md §2.4).
+    """
+
+    def __init__(self, rules: list[CompiledRule | WplRule] | str):
+        if isinstance(rules, str):
+            rules = parse_wpl(rules)
+        self.rules = [r if isinstance(r, CompiledRule) else compile_rule(r) for r in rules]
+
+    def label(self, df: DataFrame, col: str = "value") -> DataFrame:
+        value = F.col(col)
+        rule_c: Column | None = None
+        disp_c: Column | None = None
+        res_c: Column | None = None
+        for cr in self.rules:
+            parts = cr.parts_col(value)
+            disp = cr.disposition_col(value, parts)
+            hit = disp.isin("success", "partial")
+            rule_c = (
+                F.when(hit, F.lit(cr.key)) if rule_c is None else rule_c.when(hit, F.lit(cr.key))
+            )
+            disp_c = F.when(hit, disp) if disp_c is None else disp_c.when(hit, disp)
+            res_c = (
+                F.when(hit, cr.residue_col(parts))
+                if res_c is None
+                else res_c.when(hit, cr.residue_col(parts))
+            )
+        blank = F.trim(F.coalesce(value, F.lit(""))) == ""
+        return df.select(
+            "*",
+            F.coalesce(rule_c, F.lit(None)).alias("_rule"),
+            F.when(blank, "blank").otherwise(F.coalesce(disp_c, F.lit("miss"))).alias(
+                "_disposition"
+            ),
+            res_c.alias("_residue"),
+        )
+
+    def parse(self, df: DataFrame, col: str = "value") -> dict[str, DataFrame]:
+        """Split into per-rule typed DataFrames + '__miss__' branch.
+
+        Reuses one labeled scan; per-rule extraction filters to that rule's
+        rows first so each regex re-runs only on its own subset.
+        """
+        labeled = self.label(df, col)
+        out: dict[str, DataFrame] = {}
+        claimed: list[str] = []
+        for cr in self.rules:
+            sub = labeled.where(F.col("_rule") == cr.key).drop(
+                "_rule", "_disposition", "_residue"
+            )
+            out[cr.key] = cr.extract(sub, col)
+            claimed.append(cr.key)
+        out["__miss__"] = labeled.where(
+            F.col("_disposition") == "miss"
+        )
+        return out

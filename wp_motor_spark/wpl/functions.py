@@ -1,0 +1,127 @@
+"""WPL pipe functions -> rule-match guard Columns.
+
+Reference semantics (crates/wp-lang/src/eval/builtins/pipe_fun.rs:17-451,
+SURVEY.md §2.3): a failing check makes the whole rule MISS — so pipes compile
+into one conjunction predicate evaluated after extraction; rows failing it
+are re-routed to the miss branch. `f_`-prefixed variants name the target
+field; bare variants apply to the field the pipe is attached to.
+
+Transform pipes (json_unescape/base64_decode/chars_replace) mutate the field
+value instead; compile_transforms returns per-field replacement Columns.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, functions as F
+
+from wp_motor_spark.wpl.ast import FunCall
+
+
+def _parse_array(arg: str) -> list[str]:
+    arg = arg.strip()
+    if arg.startswith("["):
+        try:
+            return [str(x) for x in json.loads(arg.replace("'", '"'))]
+        except json.JSONDecodeError:
+            inner = arg[1:-1]
+            return [s.strip().strip("\"'") for s in inner.split(",") if s.strip()]
+    return [arg]
+
+
+def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Column | None:
+    name = call.name
+    a = call.args
+
+    def fcol(key: str) -> Column:
+        return cols.get(key, F.lit(None))
+
+    if name == "not":
+        inner = _guard_expr(call.inner, active, cols)
+        return ~inner if inner is not None else None
+    if name == "has":
+        return active.isNotNull()
+    if name == "f_has":
+        return fcol(a[0]).isNotNull()
+    if name == "chars_has":
+        return active == F.lit(a[0])
+    if name == "f_chars_has":
+        return fcol(a[0]) == F.lit(a[1])
+    if name == "chars_not_has":
+        return active != F.lit(a[0])
+    if name == "f_chars_not_has":
+        return fcol(a[0]) != F.lit(a[1])
+    if name == "chars_in":
+        return active.isin(_parse_array(a[0]))
+    if name == "f_chars_in":
+        return fcol(a[0]).isin(_parse_array(a[1]))
+    if name == "starts_with":
+        return active.startswith(a[0])
+    if name == "regex_match":
+        return active.rlike(a[0])
+    if name == "digit_has":
+        return active == F.lit(int(a[0]))
+    if name == "f_digit_has":
+        return fcol(a[0]) == F.lit(int(a[1]))
+    if name == "digit_in":
+        return active.isin([int(x) for x in _parse_array(a[0])])
+    if name == "f_digit_in":
+        return fcol(a[0]).isin([int(x) for x in _parse_array(a[1])])
+    if name == "digit_range":
+        return active.between(int(a[0]), int(a[1]))
+    if name == "ip_in":
+        return active.isin(_parse_array(a[0]))
+    if name == "f_ip_in":
+        return fcol(a[0]).isin(_parse_array(a[1]))
+    return None  # selector / transform pipes are not guards
+
+
+def _transform_expr(call: FunCall, col: Column) -> Column:
+    if call.name == "json_unescape":
+        # undo JSON string escaping: \" \\ \n \t \r \/ \uXXXX
+        c = F.regexp_replace(col, r'\\(["/\\])', "$1")
+        c = F.regexp_replace(c, r"\\n", "\n")
+        c = F.regexp_replace(c, r"\\t", "\t")
+        return F.regexp_replace(c, r"\\r", "\r")
+    if call.name == "base64_decode":
+        return F.when(
+            col.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"),
+            F.unbase64(F.regexp_replace(col, r"\s+", "")),
+        ).cast("string")
+    if call.name == "chars_replace":
+        return F.replace(col, F.lit(call.args[0]), F.lit(call.args[1]))
+    return col
+
+
+def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
+    """AND together all guard pipes over extracted columns; None if no guards."""
+    guard: Column | None = None
+    for out in outputs:
+        active = cols.get(out.name, F.lit(None))
+        for call in out.pipes:
+            if call.name in ("take", "last"):
+                nxt = call.args[0] if call.args else out.name
+                active = cols.get(nxt, active)
+                continue
+            g = _guard_expr(call, active, cols)
+            if g is not None:
+                guard = g if guard is None else (guard & g)
+    return guard
+
+
+def compile_transforms(outputs, cols: dict[str, Column]) -> dict[str, Column]:
+    """Per-field value replacements from transform pipes."""
+    repl: dict[str, Column] = {}
+    for out in outputs:
+        c = cols.get(out.name)
+        if c is None:
+            continue
+        changed = False
+        for call in out.pipes:
+            if call.name in ("json_unescape", "base64_decode", "chars_replace"):
+                c = _transform_expr(call, c)
+                changed = True
+        if changed:
+            repl[out.name] = c
+    return repl
