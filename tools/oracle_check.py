@@ -1,0 +1,114 @@
+"""Driver-style correctness harness: run every queries() entry on Spark and
+its oracle_sql() on DuckDB over the same parquet, compare row count +
+columns + order-insensitive values. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def frame_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from wp_motor_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"{name:28s} rows-only    {len(srows)} rows")
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} DUCKDB-ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        sc, sv = frame_to_set(scols, [list(r) for r in srows])
+        dc, dv = frame_to_set(dcols, [list(r) for r in drows])
+        status = []
+        if sc != dc:
+            status.append(f"cols {sc} != {dc}")
+        if len(sv) != len(dv):
+            status.append(f"rowcount {len(sv)} != {len(dv)}")
+        elif sc == dc and sv != dv:
+            bad = sum(1 for a, b in zip(sv, dv) if a != b)
+            status.append(f"values differ in {bad}/{len(sv)} rows")
+            for a, b in list(zip(sv, dv))[:2000]:
+                if a != b:
+                    status.append(f"  spark={a}")
+                    status.append(f"  duck ={b}")
+                    break
+        if status:
+            print(f"{name:28s} MISMATCH  " + "; ".join(status[:3]))
+            failures.append(name)
+        else:
+            print(f"{name:28s} OK        {len(sv)} rows")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()

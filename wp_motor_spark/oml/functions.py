@@ -1,0 +1,268 @@
+"""OML pipe-function library: each reference pipe fn as a Column transform.
+
+Reference: complete PipeFun enum
+crates/wp-oml/src/language/syntax/functions/pipe/mod.rs:18-43; eval impls
+crates/wp-oml/src/core/evaluator/transform/pipe/*.rs (SURVEY.md §2.5).
+
+Ignore-propagation: the reference's `Value::Ignore` soft-null maps to SQL
+NULL — every fn here propagates NULL and fns documented as "-> Ignore on
+failure" return NULL on failure. Output formatting drops NULLs, matching the
+reference's drop-on-output behavior.
+
+All are JVM-side built-ins except html escape/unescape and str_escape,
+which use small deterministic expression chains (no Python row loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# ------------------------------------------------------------ encode/decode
+
+
+def base64_encode(col: Column) -> Column:
+    """transform/pipe/base64.rs — chars -> base64."""
+    return F.base64(col.cast("binary"))
+
+
+def base64_decode(col: Column, charset: str = "Utf8") -> Column:
+    """transform/pipe/base64.rs — base64 -> chars (Utf8|Gbk)."""
+    raw = F.when(
+        col.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"),
+        F.unbase64(F.regexp_replace(col, r"\s+", "")),
+    )
+    if charset.lower() == "gbk":
+        return F.decode(raw, "gbk")
+    return raw.cast("string")
+
+
+def html_escape(col: Column) -> Column:
+    """transform/pipe/escape.rs — & < > " ' -> entities."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return F.replace(c, F.lit("'"), F.lit("&#x27;"))
+
+
+def html_unescape(col: Column) -> Column:
+    c = F.replace(col, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&#x27;"), F.lit("'"))
+    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def json_escape(col: Column) -> Column:
+    """transform/pipe/escape.rs — escape for embedding in a JSON string."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def json_unescape(col: Column) -> Column:
+    c = F.regexp_replace(col, r'\\(["/])', "$1")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    return F.regexp_replace(c, r"\\\\", "\\\\")
+
+
+def str_escape(col: Column) -> Column:
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("'"), F.lit("\\'"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
+
+
+# ------------------------------------------------------------ time
+
+# Reference Time::to_ts defaults to UTC+8 when the input has no zone
+# (docs/usage/zh/04-oml/functions/function_index.md time table).
+DEFAULT_TZ = "Asia/Shanghai"
+
+
+def to_ts(col: Column, tz: str = DEFAULT_TZ) -> Column:
+    """transform/pipe/time.rs — timestamp/string -> epoch seconds.
+
+    Session TZ is UTC, so a naive timestamp is a UTC wall-clock; the
+    reference interprets zoneless inputs in ``tz`` (default UTC+8), which
+    is exactly to_utc_timestamp(ts, tz).
+    """
+    ts = F.coalesce(F.try_to_timestamp(col.cast("string")), col.try_cast("timestamp"))
+    return F.unix_timestamp(F.to_utc_timestamp(ts, tz))
+
+
+def to_ts_ms(col: Column, tz: str = DEFAULT_TZ) -> Column:
+    return to_ts(col, tz) * 1000
+
+
+def to_ts_us(col: Column, tz: str = DEFAULT_TZ) -> Column:
+    return to_ts(col, tz) * 1000000
+
+
+def to_ts_zone(col: Column, zone: str, unit: str = "sec") -> Column:
+    base = to_ts(col, zone)
+    return {"sec": base, "ms": base * 1000, "us": base * 1000000}[unit]
+
+
+def now_time() -> Column:
+    """Now::time() builtin (functions/mod.rs:7)."""
+    return F.current_timestamp()
+
+
+def now_date() -> Column:
+    return F.date_format(F.current_timestamp(), "yyyyMMdd")
+
+
+def now_hour() -> Column:
+    return F.date_format(F.current_timestamp(), "yyyyMMddHH")
+
+
+# ------------------------------------------------------------ array / obj
+
+
+def nth(col: Column, i: int) -> Column:
+    """transform/pipe/array_obj.rs — 0-based element access."""
+    return F.try_element_at(col, F.lit(i + 1))
+
+
+def get_path(col: Column, path: str) -> Column:
+    """transform/pipe/array_obj.rs — nested access 'a/b/c' over JSON/struct.
+
+    For JSON string columns uses get_json_object (JVM, no parse UDF);
+    path segments may include [i] indexes: 'details[0]/process_name'.
+    """
+    jp = "$." + path.replace("/", ".")
+    return F.get_json_object(col, jp)
+
+
+# ------------------------------------------------------------ string / misc
+
+
+def starts_with_or_ignore(col: Column, prefix: str) -> Column:
+    """other.rs — keep value if prefix matches else Ignore(NULL)."""
+    return F.when(col.startswith(prefix), col)
+
+
+def map_to(col: Column, value) -> Column:
+    """other.rs:53 MapValue — non-Ignore input -> constant."""
+    return F.when(col.isNotNull(), F.lit(value))
+
+
+def to_str(col: Column) -> Column:
+    return col.cast("string")
+
+
+def to_json(col: Column) -> Column:
+    return F.to_json(col)
+
+
+def skip_empty(col: Column) -> Column:
+    """other.rs — empty string -> Ignore(NULL)."""
+    return F.nullif(col, F.lit(""))
+
+
+def path_name(col: Column) -> Column:
+    """path_url.rs PathType::Name — last path component."""
+    return F.substring_index(col, "/", -1)
+
+
+def path_path(col: Column) -> Column:
+    """path_url.rs PathType::Path — directory part."""
+    return F.when(col.contains("/"), F.regexp_extract(col, r"^(.*)/[^/]*$", 1))
+
+
+def url_part(col: Column, part: str) -> Column:
+    """path_url.rs UrlType — domain|host|uri|path|params via parse_url."""
+    part = part.lower()
+    if part in ("domain", "host"):
+        return F.parse_url(col, F.lit("HOST"))
+    if part == "path":
+        return F.parse_url(col, F.lit("PATH"))
+    if part in ("params", "query"):
+        return F.parse_url(col, F.lit("QUERY"))
+    if part == "uri":
+        p = F.parse_url(col, F.lit("PATH"))
+        q = F.parse_url(col, F.lit("QUERY"))
+        return F.when(q.isNotNull(), F.concat(p, F.lit("?"), q)).otherwise(p)
+    raise ValueError(f"unknown url part {part!r}")
+
+
+def ip4_to_int(col: Column) -> Column:
+    """net.rs ip4_to_int — dotted quad -> u32 (pure expression, no UDF)."""
+    o = F.split(col, r"\.")
+    return (
+        F.try_element_at(o, F.lit(1)).try_cast("long") * 16777216
+        + F.try_element_at(o, F.lit(2)).try_cast("long") * 65536
+        + F.try_element_at(o, F.lit(3)).try_cast("long") * 256
+        + F.try_element_at(o, F.lit(4)).try_cast("long")
+    )
+
+
+def fmt(template: str, *cols: Column) -> Column:
+    """operations/fmt.rs — '{a}:{b}' interpolation -> format_string."""
+    import re as _re
+
+    java_tpl = _re.sub(r"\{[^}]*\}", "%s", template)
+    return F.format_string(java_tpl, *cols)
+
+
+# ------------------------------------------------------------ semantic (UDF)
+
+
+def extract_main_word(col: Column) -> Column:
+    """extract_word.rs — jieba tokenize + POS filter + stopword removal.
+
+    jieba isn't available in this environment; provide a deterministic
+    whitespace/ASCII fallback with the same shape (longest non-stopword
+    token). Gate: swap in a jieba pandas_udf when the library is present.
+    """
+    try:
+        import jieba  # noqa: F401
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _jieba_main(s):  # pragma: no cover - env without jieba
+            import jieba as _j
+            import pandas as pd
+
+            def one(x):
+                if x is None:
+                    return None
+                toks = [t for t in _j.cut(x) if len(t.strip()) > 1]
+                return max(toks, key=len) if toks else None
+
+            return s.map(one)
+
+        return _jieba_main(col)
+    except ImportError:
+        stop = "the a an of to in and or for on at is are was be this that with"
+        words = F.filter(
+            F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
+            lambda w: (F.length(w) > 1) & ~w.isin(*stop.split()),
+        )
+        return F.array_max(F.transform(words, lambda w: F.struct(F.length(w), w))).getField("w")
+
+
+def extract_subject_object(col: Column) -> Column:
+    """extract_word.rs — Subject-Action-Object-Status struct from log text.
+
+    Heuristic expression version: first token = subject, first verb-ish
+    token = action, token after it = object, trailing status word if any.
+    """
+    toks = F.split(F.trim(col), r"\s+")
+    return F.struct(
+        F.try_element_at(toks, F.lit(1)).alias("subject"),
+        F.try_element_at(toks, F.lit(2)).alias("action"),
+        F.try_element_at(toks, F.lit(3)).alias("object"),
+        F.when(
+            F.try_element_at(toks, F.lit(-1)).rlike(
+                "(?i)^(success|failed?|ok|error|denied|rejected|permitted)$"
+            ),
+            F.try_element_at(toks, F.lit(-1)),
+        ).alias("status"),
+    )

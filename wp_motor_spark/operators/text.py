@@ -1,0 +1,109 @@
+"""Text analysis operators for corpus curation — all pure JVM expressions.
+
+Language ID (stopword-profile heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+Every one is a Column fn usable map-side at any scale (no UDFs, no state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Small stopword profiles per language — heuristic n-gram/stopword LID.
+_PROFILES: dict[str, list[str]] = {
+    "en": "the of and to in is was for on that with as are at this".split(),
+    "de": "der die das und ist von zu den mit nicht ein eine im".split(),
+    "fr": "le la les de des et est dans que pour une sur pas au".split(),
+    "es": "el la los de y que en un una es por con para del".split(),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subword count: word chunks of <=4 chars + punctuation marks.
+
+    Approximates a byte-pair tokenizer's token count with a regex —
+    ceil(len/4) per word plus one per non-space punctuation.
+    """
+    words = F.split(F.trim(col), r"\s+")
+    word_toks = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(F.regexp_replace(w, r"[^\p{L}\p{N}]", "")) / 4.0).cast("int")
+        + F.length(F.regexp_replace(w, r"[\p{L}\p{N}]", "")),
+    )
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(word_toks)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda w: w.isin(*_PROFILES[lang])))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def detect_language(col: Column) -> Column:
+    """Best stopword-profile match; 'und' (undetermined) when no profile
+    scores above a floor."""
+    t = tokens(col)
+    total = F.greatest(F.size(t), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(t, lambda w, sw=sw: w.isin(*sw))) / total).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in _PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("score") >= 0.08, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.greatest(F.length(col), F.lit(1))
+    return F.length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")) / total
+
+
+def mean_word_length(col: Column) -> Column:
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs, low
+    punctuation, normal word lengths, and presence of stopwords (prose
+    rather than keyword spam). Deterministic, SQL-mirrorable."""
+    n_tok = token_count_ws(col).cast("double")
+    len_score = F.least(n_tok / 20.0, F.lit(1.0)) * F.when(n_tok > 1000, 0.5).otherwise(1.0)
+    punct_pen = F.when(punct_ratio(col) > 0.2, 0.5).otherwise(1.0)
+    wl = mean_word_length(col)
+    wl_score = F.when((wl >= 3) & (wl <= 10), 1.0).otherwise(0.6)
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw >= 0.05, 1.0).otherwise(0.7)
+    return F.round(len_score * punct_pen * wl_score * sw_score, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text —
+    stable content identity for exact-dup detection and joins."""
+    return F.xxhash64(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def rolling_fingerprints(col: Column, window: int = 8) -> Column:
+    """Rolling hashes over word windows (winnowing-style): array of
+    xxhash64 for every `window`-word span — input to plagiarism-style
+    overlap detection."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - window, F.lit(0)))
+    return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))))

@@ -1,0 +1,513 @@
+"""Headline query suite: every entry pairs a Spark DataFrame builder with an
+ANSI-SQL oracle (DuckDB) over the same parquet tables.
+
+Conventions for oracle hash-parity:
+- Aggregates over float columns go through DECIMAL(18,2) so both engines
+  sum exactly, then cast the result to DOUBLE (deterministic in both).
+- Every computed column is aliased identically in Spark and SQL.
+- Ratios divide exact ints/decimals as doubles and round(…, 4).
+- Session TZ is UTC; DuckDB timestamps are naive → equal wall-clocks.
+
+Queries marked sql=None are engine-specific (xxhash64-based sketches) and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from wp_motor_spark.conditions import compile_condition
+from wp_motor_spark.knowdb import KnowDB
+from wp_motor_spark.operators import dedup, similarity, text
+from wp_motor_spark.operators.stats import windowed_counts
+from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from wp_motor_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Relational core (the SQL surface a reference user gets by moving to Spark)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: grouped pricing summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec(F.lit(1.0) - F.col("l_discount"))
+    tax = _dec(F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * disc * tax).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order for BUILDING-segment customers (TPC-H Q3 shape).
+
+    Dim side (customer) broadcasts; lineitem->orders join shuffles on the
+    key both sides already share.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+        .where(F.col("revenue") > 100000)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) > 100000
+"""
+
+
+def enrich_customer_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnowDB-style enrichment: customer -> nation -> region broadcast
+    joins (SURVEY.md §2.8), aggregated per region."""
+    kdb = KnowDB(spark)
+    kdb.register("nation", _t(spark, sf_dir, "nation"))
+    kdb.register("region", _t(spark, sf_dir, "region"))
+    cust = _t(spark, sf_dir, "customer")
+    enriched = kdb.enrich(cust, "nation", on={"n_nationkey": "c_nationkey"})
+    enriched = kdb.enrich(enriched, "region", on={"r_regionkey": "n_regionkey"})
+    return enriched.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+    )
+
+
+ENRICH_SQL = """
+SELECT r_name AS region, COUNT(*) AS customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+def supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide 4-way join: revenue by part brand and supplier nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    disc = _dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+SUPPLIER_PART_SQL = """
+SELECT p_brand AS brand, n_name AS supp_nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Engine-surface queries (WPL / routing / enrichment / stats re-expressed)
+# --------------------------------------------------------------------------
+
+_CLF_RULE = """
+rule clf {
+  (ip:sip,2*_,time/clf:recv_time<[,]>,http/request",http/status:status,digit:bytes)
+}
+"""
+
+
+def wpl_parse_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WPL end-to-end under the oracle: synthesize CLF lines from `events`,
+    parse with the compiled rule, return typed fields.
+
+    The oracle derives the same fields relationally — equality proves the
+    regex extraction + typed casts round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '10.0.%d.%d - - [%s] "GET /e/%d HTTP/1.1" %d %d',
+        F.floor(F.col("user_id") / 256).cast("int"),
+        F.col("user_id") % 256,
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss +0000"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(parse_wpl(_CLF_RULE)[0])
+    parsed = cr.extract(lines, keep=["event_id"])
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id",
+        "sip",
+        "recv_time",
+        F.col("http_request").getField("uri").alias("uri"),
+        "status",
+        "bytes",
+    )
+
+
+WPL_CLF_SQL = """
+SELECT event_id,
+       '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS sip,
+       date_trunc('second', ts) AS recv_time,
+       '/e/' || CAST(event_id AS VARCHAR) AS uri,
+       CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+       CAST(round(value * 100) AS BIGINT) AS bytes
+FROM events
+"""
+
+
+def sink_route_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-condition routing (§2.6): the expression language compiled to a
+    pushed-down filter."""
+    ev = _t(spark, sf_dir, "events")
+    cond = compile_condition('value >= 5.0 && event_type != "error" || event_type =* "log*"')
+    return ev.where(cond).select("event_id", "event_type", "value")
+
+
+SINK_ROUTE_SQL = """
+SELECT event_id, event_type, value
+FROM events
+WHERE (value >= 5.0 AND event_type <> 'error') OR event_type LIKE 'log%'
+"""
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WPL json()/OML get() analog: project a key out of a JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_num"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_id,
+       props ->> '$.k' AS k_str,
+       TRY_CAST(props ->> '$.k' AS BIGINT) AS k_num
+FROM events
+"""
+
+
+def events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference stats subsystem (§2.9): tumbling window x dimension
+    counters with total/success/suc_rate/speed measures."""
+    ev = _t(spark, sf_dir, "events")
+    return windowed_counts(
+        ev,
+        ts_col="ts",
+        dims=["event_type"],
+        window_sec=3600,
+        top_n=None,
+        success_pred=F.col("value") > 5.0,
+    )
+
+
+WINDOW_STATS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS total,
+       COUNT(*) FILTER (WHERE value > 5.0) AS success,
+       ROUND(CAST(COUNT(*) FILTER (WHERE value > 5.0) AS DOUBLE) / COUNT(*), 4) AS suc_rate,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / 3600, 4) AS speed
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-N per dimension (stats top_n cap, model/dimension.rs)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+TOP_USERS_SQL = """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 5
+"""
+
+
+def enrich_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnowDB ip4_between range-band lookup as a broadcast range join."""
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.format_string(
+            "10.0.%d.%d", F.floor(F.col("user_id") / 256).cast("int"), F.col("user_id") % 256
+        ).alias("ip"),
+    )
+    bands = spark.createDataFrame(
+        [
+            ("10.0.0.0", "10.0.0.255", "zone-a"),
+            ("10.0.1.0", "10.0.1.255", "zone-b"),
+            ("10.0.2.0", "10.0.3.255", "zone-c"),
+        ],
+        ["lo", "hi", "zone"],
+    )
+    kdb = KnowDB(spark).register("ip_bands", bands)
+    out = kdb.enrich_ip_range(fact, "ip_bands", ip_col="ip", select=["zone"])
+    return out.select("event_id", "ip", "zone")
+
+
+IP_RANGE_SQL = """
+WITH bands(lo, hi, zone) AS (
+  VALUES ('10.0.0.0', '10.0.0.255', 'zone-a'),
+         ('10.0.1.0', '10.0.1.255', 'zone-b'),
+         ('10.0.2.0', '10.0.3.255', 'zone-c')
+),
+fact AS (
+  SELECT event_id,
+         '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS ip,
+         CAST(floor(user_id / 256) AS BIGINT) * 256 + user_id % 256 AS ip_low
+  FROM events
+)
+SELECT event_id, ip, zone
+FROM fact
+LEFT JOIN bands
+  ON 167772160 + ip_low >= 167772160 + CAST(string_split(lo, '.')[3] AS BIGINT) * 256 + CAST(string_split(lo, '.')[4] AS BIGINT)
+ AND 167772160 + ip_low <= 167772160 + CAST(string_split(hi, '.')[3] AS BIGINT) * 256 + CAST(string_split(hi, '.')[4] AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents
+  GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+)
+"""
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+NGRAM_JACCARD_SQL = """
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT id, string_split(t, ' ') AS w, t FROM norm
+), sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [t] END) AS grams
+  FROM words
+), sizes AS (
+  SELECT id, len(grams) AS n FROM sh
+), inv AS (
+  SELECT id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (xxhash64 signatures — engine-specific, so the
+    driver runs the rows-only check; ngram_jaccard_dups is the exact-oracle
+    twin of this operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (engine-specific hash -> rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality heuristics, SQL-mirrored."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(text.mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_calc,
+       ROUND(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS mean_word_len,
+       ROUND(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','was','for','on','that','with','as','are','at','this'))) AS DOUBLE)
+             / greatest(len(toks), 1), 4) AS stopword_ratio
+FROM t
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint via sha256 of normalized text (oracle-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.content_digest(F.col("text")).alias("digest"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+FROM documents
+"""
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+COSINE_TOPK_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# CAST(... AS DOUBLE[]): DuckDB computes list_cosine_similarity on FLOAT[]
+# in float32; Spark computes in double — cast so both use float64 math.
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (approximate -> rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = similarity.lsh_topk(emb, queries, dim=dim, k=5, planes=8)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
+    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
+    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
+    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
+    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
+    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
+    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "minhash_lsh_dups": (minhash_lsh_dups, None),
+    "simhash_dups": (simhash_dups, None),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+}

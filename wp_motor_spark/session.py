@@ -27,6 +27,9 @@ def get_spark(
         .master(master)
         # Determinism / oracle parity
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert at the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Runtime re-planning: coalesce small shuffle partitions, split skewed
         # ones — essential at 100TB where static planning is always wrong.
         .config("spark.sql.adaptive.enabled", "true")

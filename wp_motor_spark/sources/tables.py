@@ -1,0 +1,26 @@
+"""Parquet table loader with schema normalization.
+
+The driver's testdata stores `events.ts` as parquet TIMESTAMP(NANOS), which
+Spark reads only via spark.sql.legacy.parquet.nanosAsLong — the column
+arrives as LongType nanoseconds. Normalize such columns back to
+TimestampType (floor-truncate ns -> us, matching how DuckDB/pandas read the
+same file at microsecond precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+# columns we know carry epoch-nanos when read with nanosAsLong
+_NANO_TS_COLUMNS = {"ts"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
+            )
+    return df
