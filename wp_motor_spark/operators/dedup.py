@@ -15,6 +15,8 @@ toolbox for training-data pipelines. All are pure DataFrame ops:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -50,14 +52,92 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Entirely JVM expressions, map-side."""
-    sh = shingles(col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes. Hashing the strings ONCE up front
+    means every downstream step (minhash permutations, shuffles, joins,
+    set-intersections) moves fixed-width longs, never text."""
+    return F.array_distinct(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+
+
+def minhash_signature(sh_hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over pre-hashed shingles.
+
+    Arrow-batched pandas UDF: all permutations of one batch are a single
+    numpy uint64 broadcast (xor-seed + two murmur3-finalizer multiply/xor
+    rounds), ~100x faster than evaluating a nested higher-order expression
+    tree per element, and deterministic across runs/partitions."""
+    from pyspark.sql.functions import pandas_udf
+
+    # splitmix64 stream as per-permutation seeds (deterministic)
+    seeds = np.empty(num_hashes, dtype=np.uint64)
+    x = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(num_hashes):
+        x = np.uint64((int(x) + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = x
+        z = np.uint64((int(z) ^ int(z >> np.uint64(30))) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF)
+        z = np.uint64((int(z) ^ int(z >> np.uint64(27))) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF)
+        seeds[i] = z ^ (z >> np.uint64(31))
+
+    c1 = np.uint64(0xFF51AFD7ED558CCD)
+    c2 = np.uint64(0xC4CEB9FE1A85EC53)
+    s33 = np.uint64(33)
+
+    @pandas_udf("array<long>")
+    def _sig(batch: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in batch:
+                if arr is None or len(arr) == 0:
+                    out.append(np.full(num_hashes, np.iinfo(np.int64).max))
+                    continue
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                m = h[None, :] ^ seeds[:, None]
+                m = (m ^ (m >> s33)) * c1
+                m = (m ^ (m >> s33)) * c2
+                m ^= m >> s33
+                out.append(m.min(axis=1).view(np.int64))
+        return pd.Series(out)
+
+    return _sig(sh_hashes)
+
+
+def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Project to `cols` and, if the input arrives in fewer partitions than
+    the cluster has slots (e.g. one small file locally), repartition so the
+    downstream map-side shingle/signature compute parallelizes. At scale the
+    input already has >= slots partitions and this is a no-op projection."""
+    out = df.select(*cols)
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < slots:
+        out = out.repartition(slots)
+    return out
+
+
+def _bucket_pairs(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(bucket-key, id) rows -> distinct candidate (id_a, id_b) pairs.
+
+    groupBy + in-bucket pairwise expansion instead of a self-join: one
+    shuffle on the bucket key, no recomputation of the (expensive) lineage
+    on a second join branch. Bucket members are near-dup candidates, so
+    group sizes stay small; the quadratic expansion is per-bucket local.
+    """
+    ids = bucketed.groupBy(*key_cols).agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+    pairs = ids.where(F.size("ids") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids")),
+                        lambda b: F.struct(
+                            F.element_at(F.col("ids"), i).alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def minhash_lsh_pairs(
@@ -69,56 +149,49 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash LSH, verified with
-    exact shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale shape: rows explode into `bands` bucket keys (small constant),
-    shuffle on the band hash, join within buckets only, then verification
-    touches candidate pairs instead of the full cross product.
+    Scale shape (100TB-safe): map-side signature (longs only) -> explode to
+    `bands` (band, bucket) keys -> ONE shuffle on the bucket key ->
+    in-bucket pair expansion -> verification joins only candidate ids back
+    to the (id, shingle-hash-set) table. Documents themselves never shuffle.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), n).alias("__sh"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("__sig"),
+    # (id, hash-set) is consumed 3x (signature + both verification sides);
+    # persist so the text->shingle->hash pipeline runs once. The persisted
+    # slice is ids + long arrays — a small fraction of the document bytes.
+    sets = (
+        _spread(df, [id_col, text_col])
+        .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh"))
+        .persist()
     )
+    sig = sets.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     banded = sig.select(
         "__id",
-        "__sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)), b
+                        F.concat_ws(
+                            ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ),
+                        b,
                     ).alias("bucket"),
                 ),
             )
         ).alias("bk"),
-    ).select("__id", "__sh", "bk.band", "bk.bucket")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("__id", "bk.band", "bk.bucket")
+    cand = _bucket_pairs(banded, ["band", "bucket"])
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = (inter / union).alias("jaccard")
     return (
-        cand.select("id_a", "id_b", jac)
+        verified.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -132,22 +205,42 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via an inverted shingle index.
 
-    explode -> groupBy(shingle) -> pair counts -> |A∩B| / (|A|+|B|-|A∩B|).
-    SQL-expressible (the DuckDB oracle mirrors it); heaviest shuffle of the
-    dedup family — prefer minhash_lsh_pairs at scale.
+    Shingles hash to longs map-side, so the inverted index shuffles
+    (long, long) rows only. groupBy(gram) -> in-bucket pair expansion ->
+    per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
+    SQL-expressible (the DuckDB oracle mirrors it); inherently the heaviest
+    shuffle of the dedup family — prefer minhash_lsh_pairs at scale.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # consumed by both the size table and the inverted index — persist so
+    # the text->shingle->hash pipeline runs once (ids + long arrays only)
+    sh = (
+        _spread(df, [id_col, text_col])
+        .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("sh"))
+        .persist()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    sizes = sh.select(F.col("__id"), F.size("sh").alias("n_sh"))
+    inv = sh.select("__id", F.explode("sh").alias("g"))
+    # pairwise expansion per gram (not distinct — multiplicity IS the
+    # intersection count), then count occurrences of each (id_a, id_b)
+    grouped = inv.groupBy("g").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+    pairs = grouped.where(F.size("ids") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids")),
+                        lambda b: F.struct(
+                            F.element_at(F.col("ids"), i).alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.id_a", "p.id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -161,28 +254,30 @@ def ngram_jaccard_pairs(
 
 
 def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint: per-token xxhash64, bit-vote, sign -> bit.
+    """SimHash fingerprint: per-token xxhash64 (JVM), then an Arrow-batched
+    bit-vote: unpack each 64-bit token hash into a bit matrix, sum per bit
+    position, majority-sign packs back into one LongType fingerprint."""
+    from pyspark.sql.functions import pandas_udf
 
-    Pure expressions, one pass over tokens: each token hash becomes a
-    64-slot ±1 array (bits via its base-2 string — shifts by a column
-    aren't expressible), vote arrays are summed element-wise, and the
-    sign vector packs back into one LongType fingerprint.
-    """
-    toks = F.array_distinct(F.split(normalize_text(col), " "))
-    token_bits = lambda t: F.transform(  # noqa: E731 — array<int> of ±1, MSB first
-        F.filter(F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""), lambda c: c != ""),
-        lambda c: F.when(c == "1", 1).otherwise(-1),
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _simhash(batch: pd.Series) -> pd.Series:
+        out = np.zeros(len(batch), dtype=np.int64)
+        for i, arr in enumerate(batch):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            bitset = (ones * 2 > len(h)).astype(np.uint64)
+            fp = (bitset << shifts).sum(dtype=np.uint64)
+            out[i] = np.array([fp], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    toks = F.array_distinct(
+        F.transform(F.split(normalize_text(col), " "), lambda t: F.xxhash64(t))
     )
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, b: a + b),
-    )
-    return F.aggregate(
-        votes,
-        F.lit(0).cast("long"),
-        lambda acc, v: F.shiftleft(acc, 1) + F.when(v > 0, 1).otherwise(0),
-    )
+    return _simhash(toks)
 
 
 def simhash_pairs(
@@ -197,8 +292,11 @@ def simhash_pairs(
     (pigeonhole: distance<=3 => at least one block equal), join per block,
     verify with bit_count(xor). One shuffle per block on a 16-bit key.
     """
-    f = df.select(
-        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__fp")
+    # persisted: consumed by all 4 block-join branches (fingerprints only)
+    f = (
+        _spread(df, [id_col, text_col])
+        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__fp"))
+        .persist()
     )
     blocks = f.select(
         "__id",
@@ -241,17 +339,66 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold)
+    via block-matrix self-comparison.
 
-    Brute self-join; for scale, pre-bucket with similarity.hyperplane_lsh.
+    Rows hash into `n_blocks` blocks; each unordered block pair (i<=j)
+    becomes one task whose members arrive via a single shuffle, and the
+    all-pairs cosine inside the task is one numpy float64 GEMM (vectorized,
+    no per-pair expression eval). The O(n^2) work is inherent to exact
+    near-dup — this shape spreads it over n_blocks*(n_blocks+1)/2 evenly
+    sized tasks, which is the standard way to scale it out; each row
+    replicates n_blocks times (cheap: vectors, not documents).
     """
-    from wp_motor_spark.operators.similarity import cosine
+    n_blocks = max(1, n_blocks)
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    pair_structs = [
+        F.struct(F.lit(i).alias("pi"), F.lit(j).alias("pj"))
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    ]
+    part = tagged.select(
+        "id", "v", "blk", F.explode(F.array(*pair_structs)).alias("p")
+    ).where((F.col("blk") == F.col("p.pi")) | (F.col("blk") == F.col("p.pj")))
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        left = pdf[pdf["blk"] == pi]
+        right = pdf[pdf["blk"] == pj] if pi != pj else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+        def mat(rows):
+            m = np.vstack(rows["v"].to_numpy())
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return m / norms, rows["id"].to_numpy()
+
+        la, ia = mat(left)
+        rb, ib = mat(right)
+        sims = la @ rb.T
+        hot = sims >= threshold
+        if pi == pj:  # same block: upper triangle = each unordered pair once
+            hot = np.triu(hot, k=1)
+        ai, bi = np.nonzero(hot)
+        xa, xb = ia[ai], ib[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cosine": sims[ai, bi],
+            }
+        )
+
+    flat = part.select("id", "v", "blk", "p.pi", "p.pj")
+    return flat.groupBy("pi", "pj").applyInPandas(
+        gemm, schema="id_a long, id_b long, cosine double"
     )
