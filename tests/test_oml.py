@@ -1,0 +1,200 @@
+"""OML parser + compiler tests against the reference's own fixtures.
+
+Golden sources: tests/instance/oml/*.oml, the T4 complete example
+(docs/usage/zh/04-oml/07-complete-example.md), and the static-blocks doc
+(docs/usage/en/04-oml/functions/static_blocks.md) — SURVEY.md §5.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.oml.compiler import compile_oml
+from wp_motor_spark.oml.parser import parse_oml
+from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def test_parse_reference_fixtures():
+    bench = parse_oml(open(f"{REF}/tests/instance/oml/benchmark.oml").read())
+    assert bench.name == "benchmark"
+    assert bench.rule_patterns == ["/benchmark/*"]
+    assert len(bench.statements) == 11
+
+    adm = parse_oml(open(f"{REF}/tests/instance/oml/example_adm.oml").read())
+    assert adm.rule_patterns == ["/example/simple/nginx"]
+    assert adm.statements[-1].targets == ["*"]
+
+
+def test_parse_t4_complete_example():
+    doc = open(f"{REF}/docs/usage/zh/04-oml/07-complete-example.md").read()
+    oml_text = re.search(r"```oml\n(.*?)```", doc, re.S).group(1)
+    m = parse_oml(oml_text)
+    assert len(m.statements) == 63
+
+
+# --------------------------------------------------------------- compiling
+
+
+def test_benchmark_model(spark):
+    tr = compile_oml(open(f"{REF}/tests/instance/oml/benchmark.oml").read())
+    assert tr.matches("benchmark/benchmark_1")
+    assert not tr.matches("other/rule")
+    df = spark.createDataFrame(
+        [("2023-05-15 07:09:12", "SN1", "devA", "1.2.3.4", "/u", "200", "512", "cs", "x")],
+        ["time", "sn", "dev-name", "ip", "chars", "requ_status", "resp_len", "src_city", "extra"],
+    )
+    row = tr.apply(df).collect()[0]
+    assert str(row["occur_time"]) == "2023-05-15 07:09:12"
+    assert row["sn"] == "SN1"
+    assert row["dev_name"] == "devA"
+    assert row["sip"] == "1.2.3.4"
+    assert row["from_zone"] == "work_zone"  # literal
+    assert row["from_ip"] == "127.0.0.1"
+    assert row["requ_status"] == 200
+    assert row["extra"] == "x"  # * = take() passthrough
+
+
+def test_benchmark_defaults(spark):
+    tr = compile_oml(open(f"{REF}/tests/instance/oml/benchmark.oml").read())
+    df = spark.createDataFrame([("SN1",)], ["sn"])
+    row = tr.apply(df).collect()[0]
+    assert row["requ_status"] == 404  # { _ : digit(404) }
+    assert row["resp_len"] == 2048
+    assert row["src_city"] == "changsha"
+
+
+def test_static_blocks(spark):
+    text = """
+name : example
+---
+static {
+    error_tpl = object {
+        id = chars(E1);
+        tpl = chars('jk2_init() Found child <*>');
+    };
+}
+target = match read(Content) {
+    starts_with('jk2_init()') => error_tpl;
+    _ => error_tpl;
+};
+EventId = read(target) | get(id);
+EventTemplate = read(target) | get(tpl);
+"""
+    df = spark.createDataFrame([("jk2_init() Found child 123",)], ["Content"])
+    row = compile_oml(text).apply(df).collect()[0]
+    assert row["EventId"] == "E1"
+    assert row["EventTemplate"] == "jk2_init() Found child <*>"
+
+
+@pytest.fixture(scope="module")
+def t4_result(spark):
+    doc = open(f"{REF}/docs/usage/zh/04-oml/07-complete-example.md").read()
+    raw_line = re.search(r"## 原始数据\n\n```\n(.*?)\n```", doc, re.S).group(1)
+    wpl_text = re.search(r"```wpl\n(.*?)```", doc, re.S).group(1)
+    oml_text = re.search(r"```oml\n(.*?)```", doc, re.S).group(1)
+    # the doc line carries a k:v tail the WPL rule doesn't model; the OML
+    # reads those fields, so synthesize them like the record would carry them
+    line, _, tail = raw_line.partition(" sport:")
+    extra = dict(p.split(":", 1) for p in ("sport:" + tail).split(" "))
+    cr = compile_rule(parse_wpl(wpl_text)[0])
+    parsed = cr.extract(spark.createDataFrame([(line,)], ["value"]))
+    assert parsed.first()["_disposition"] == "success"
+    for k, v in extra.items():
+        parsed = parsed.withColumn(k, F.lit(v))
+    parsed = parsed.drop("value", "_rule", "_disposition", "_residue")
+    out = compile_oml(oml_text).apply(parsed)
+    return out.columns, out.collect()[0]
+
+
+T4_EXPECT = {
+    # §1 base ops
+    "direct_chars": "13",
+    "direct_digit": 13,
+    "simple_chars": "simple_chars",
+    "simple_port": 80,
+    "simple_ip": "192.168.1.10",
+    "select_chars": "select_one",
+    "field_with_default": "exists",
+    "version_fallback": "v1.0.0",
+    "field_taken": "data",
+    "field_taken_again": "already_taken",  # 2nd take -> default
+    "field_read1": "value",
+    "field_read2": "value",  # read is repeatable
+    # §3 match forms
+    "match_chars": "1",
+    "num_range": 500,
+    "location": "east_region",
+    "region_by_ip": "internal",
+    "valid_status": "ok",
+    "city_tier": "tier1",
+    "priority": "high",
+    # §4 pipes
+    "file_name": "file.txt",
+    "file_path": "/home/user",
+    "url_domain": "example.com",
+    "url_host": "example.com",
+    "url_path": "/path/to/resource",
+    "url_params": "foo=1&bar=2",
+    "url_uri": "/path/to/resource?foo=1&bar=2",
+    "base64_encoded": "aGVsbG8gd29ybGQ=",
+    "array_first": "val1",
+    "obj_nested": "nested",
+    "ip_to_int": 3232235786,
+    # §5 fmt
+    "splice": "foo:bar|baz:qux",
+}
+
+
+def test_t4_outputs(t4_result):
+    cols, row = t4_result
+    bad = {}
+    for k, v in T4_EXPECT.items():
+        got = row[k] if k in cols else "<missing>"
+        if str(got) != str(v):
+            bad[k] = (v, got)
+    assert not bad, bad
+
+
+def test_t4_collect_wildcards(t4_result):
+    cols, row = t4_result
+    assert row["collected_ports"] == ["8080", "9090"]
+    assert row["wildcard_items"] == ["proc1", "proc2"]
+
+
+def test_sql_enrichment(spark):
+    from wp_motor_spark.knowdb import KnowDB
+
+    text = """
+name : enrich
+---
+city, vend = select city, vendor from devices where dev_id = read(sn) ;
+zone = select zone from zones where lo <= ip4_int(read(sip)) and hi >= ip4_int(read(sip)) ;
+"""
+    kdb = KnowDB(spark)
+    kdb.register(
+        "devices",
+        spark.createDataFrame([("SN1", "beijing", "h3c"), ("SN2", "xian", "hw")],
+                              ["dev_id", "city", "vendor"]),
+    )
+    kdb.register(
+        "zones",
+        spark.createDataFrame([(167772160, 167772415, "dmz")], ["lo", "hi", "zone"]),
+    )
+    df = spark.createDataFrame([("SN1", "10.0.0.7"), ("SN9", "11.1.1.1")], ["sn", "sip"])
+    out = compile_oml(text).apply(df, knowdb=kdb).orderBy(F.desc("city"))
+    rows = out.collect()
+    assert rows[0]["city"] == "beijing" and rows[0]["vend"] == "h3c"
+    assert rows[0]["zone"] == "dmz"
+    assert rows[1]["city"] is None and rows[1]["zone"] is None  # left join miss
+
+
+def test_ignore_model_passthrough(spark):
+    tr = compile_oml(open(f"{REF}/tests/instance/oml/ignore.oml").read())
+    df = spark.createDataFrame([("a", "b")], ["f1", "f2"])
+    assert tr.apply(df).columns == ["f1", "f2"]

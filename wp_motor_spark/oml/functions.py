@@ -26,11 +26,17 @@ def base64_encode(col: Column) -> Column:
 
 
 def base64_decode(col: Column, charset: str = "Utf8") -> Column:
-    """transform/pipe/base64.rs — base64 -> chars (Utf8|Gbk)."""
-    raw = F.when(
-        col.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"),
-        F.unbase64(F.regexp_replace(col, r"\s+", "")),
-    )
+    """transform/pipe/base64.rs — base64 -> chars (Utf8|Gbk).
+
+    Invalid input -> Ignore(NULL) instead of a task failure. Validity
+    matches the reference's strict engine (canonical padding required), so
+    unpadded length%4 != 0 strings are rejected, not garbage-decoded.
+    """
+    cleaned = F.regexp_replace(col, r"\s+", "")
+    valid = cleaned.rlike(
+        r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+    ) & (F.length(cleaned) > 0)
+    raw = F.when(valid, F.unbase64(cleaned))
     if charset.lower() == "gbk":
         return F.decode(raw, "gbk")
     return raw.cast("string")

@@ -43,6 +43,8 @@ class WplField:
     sep: str | None = None  # explicit separator AFTER this field
     pattern_sep: str | None = None  # raw pattern-separator content (inside {})
     pipes: list[FunCall] = field(default_factory=list)
+    # decode-then-subparse: `base64 | (chars:x)` (protocol/base64.rs)
+    subgroup: "WplGroup | None" = None
 
 
 @dataclass

@@ -50,6 +50,11 @@ class FieldOutput:
     kv_sep: str | None = None  # regex splitting pairs inside a kv run
     pipes: list[FunCall] = dc_field(default_factory=list)
     subfields: list[WplSubfield] = dc_field(default_factory=list)
+    # decode-then-subparse (`base64 | (chars:x)`, protocol/base64.rs):
+    decode: str | None = None  # "base64" | "hex"
+    sub_pattern: str | None = None  # anchored regex over the decoded text
+    sub_ngroups: int = 0
+    sub_outputs: list["FieldOutput"] = dc_field(default_factory=list)
 
 
 class WplCompileError(ValueError):
@@ -186,9 +191,36 @@ class _Ctx:
         self.last_self_delim: bool = False
 
 
+def _mark_tail_field(groups: list[WplGroup]) -> None:
+    """Mark the rule's final field: a trailing bare chars/auto consumes to
+    end-of-input (the reference's chars parser takes the rest when no
+    separator follows)."""
+    node = None
+    items: list = list(groups)
+    while items:
+        last = items[-1]
+        if isinstance(last, WplGroup):
+            if last.meta != "seq":
+                break
+            items = last.items
+            continue
+        node = last
+        break
+    if (
+        node is not None
+        and node.dtype in ("chars", "auto", "sn")
+        and node.fmt is None
+        and node.length is None
+        and node.sep is None
+        and node.pattern_sep is None
+    ):
+        node._is_tail = True
+
+
 def compile_rule(rule: WplRule) -> "CompiledRule":
     ctx = _Ctx()
     default_sep = _WS
+    _mark_tail_field(rule.groups)
     for gi, grp in enumerate(rule.groups):
         if gi > 0:
             ctx.pending_sep = default_sep
@@ -207,7 +239,10 @@ def _dedupe_names(outputs: list[FieldOutput]) -> None:
     if merged_kv:
         named = [o.name for o in merged_kv if o.name != "kv"]
         seen[named[0] if named else "kv"] = 1
+    flat: list[FieldOutput] = []
     for o in outputs:
+        flat.extend(o.sub_outputs if o.sub_pattern is not None else [o])
+    for o in flat:
         if o.dtype == "kv" and not o.kv_run:
             continue
         n = seen.get(o.name, 0) + 1
@@ -360,6 +395,8 @@ def _emit_single(
         return
 
     content = _content_regex(dtype, sep_lit, fld.length)
+    if getattr(fld, "_is_tail", False) and k == n - 1:
+        content = ".*"
     quoted = False
     # Under a quote/scope format the delimiters self-delimit the field, so a
     # permissive content class is both faster and more faithful (the reference
@@ -380,21 +417,32 @@ def _emit_single(
     else:
         body = f"({content})"
 
+    if fld.subgroup is not None and dtype in ("base64", "hex"):
+        content = r"[A-Za-z0-9+/]+={0,2}" if dtype == "base64" else r"[0-9A-Fa-f]+"
+        body = f"({content})"
     _flush_sep(ctx)
     ctx.group_idx += 1
     ctx.parts.append(body)
     ctx.last_self_delim = fld.fmt is not None
     name = _default_name(fld)
-    ctx.outputs.append(
-        FieldOutput(
-            ctx.group_idx,
-            name,
-            dtype,
-            quoted=quoted,
-            pipes=fld.pipes,
-            subfields=fld.subfields,
-        )
+    out = FieldOutput(
+        ctx.group_idx,
+        name,
+        dtype,
+        quoted=quoted,
+        pipes=fld.pipes,
+        subfields=fld.subfields,
     )
+    if fld.subgroup is not None:
+        sub = _Ctx()
+        _mark_tail_field([fld.subgroup])
+        _emit_group(sub, fld.subgroup, None, None)
+        sub.group_idx += 1
+        out.decode = "hex" if dtype == "hex" else "base64"
+        out.sub_pattern = "^" + "".join(sub.parts) + r"(.*)$"
+        out.sub_ngroups = sub.group_idx
+        out.sub_outputs = sub.outputs
+    ctx.outputs.append(out)
 
 
 def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) -> None:
@@ -464,6 +512,19 @@ def _time_cast(col: Column, dtype: str) -> Column:
         F.try_to_timestamp(c, F.lit("MMM d HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
     )
+
+
+def _cast_subfield(col: Column, dtype: str) -> Column:
+    """Typed cast for a composite subfield ((type@ref:name) forms)."""
+    if dtype in ("digit", "port", "http/status"):
+        return col.try_cast("long")
+    if dtype == "float":
+        return col.try_cast("double")
+    if dtype == "bool":
+        return F.lower(col).try_cast("boolean")
+    if dtype.startswith("time"):
+        return _time_cast(col, dtype)
+    return col
 
 
 def _typed_column(out: FieldOutput, raw: Column) -> Column:
@@ -560,7 +621,51 @@ class CompiledRule:
                 if out.name != "kv":
                     kv_name = out.name
                 continue
-            cols.append((out.name, _typed_column(out, raw)))
+            if out.dtype in ("json", "exact_json") and out.subfields:
+                # json(chars@msg:alias) subfield refs -> get_json_object
+                for sf in out.subfields:
+                    ref = (sf.ref or "*").strip()
+                    nm = sf.name or (ref.replace("/", "_") if ref != "*" else out.name)
+                    if ref == "*":
+                        cols.append((nm, F.nullif(raw, F.lit(""))))
+                        continue
+                    jp = "$." + ref.replace("/", ".")
+                    sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
+                    cols.append((nm, _cast_subfield(sub, sf.dtype)))
+                continue
+            if out.sub_pattern is not None:
+                # decode-then-subparse: unbase64/unhex the captured token,
+                # then run the subgroup's regex over the decoded text
+                decoded = (
+                    F.unhex(raw).cast("string")
+                    if out.decode == "hex"
+                    else F.unbase64(raw).cast("string")
+                )
+                repl = DELIM.join(f"${i}" for i in range(1, out.sub_ngroups + 1))
+                sub_parts = F.split(
+                    F.regexp_replace(decoded, out.sub_pattern, repl), DELIM, -1
+                )
+                ok = F.size(sub_parts) == F.lit(out.sub_ngroups)
+                for so in out.sub_outputs:
+                    if so.dtype == "_":
+                        continue
+                    sraw = F.when(ok, F.try_element_at(sub_parts, F.lit(so.group)))
+                    cols.append((so.name, _typed_column(so, sraw)))
+                continue
+            typed = _typed_column(out, raw)
+            cols.append((out.name, typed))
+            if out.dtype == "kvarr" and out.subfields:
+                # kvarr(chars@key:alias, ...) subfield extraction from the map
+                for sf in out.subfields:
+                    if sf.ref and sf.ref != "*":
+                        cols.append(
+                            (
+                                sf.name or sf.ref.replace("/", "_"),
+                                _cast_subfield(
+                                    F.try_element_at(typed, F.lit(sf.ref)), sf.dtype
+                                ),
+                            )
+                        )
         if kv_parts:
             joined = F.nullif(F.concat_ws(PAIR_DELIM, *kv_parts), F.lit(""))
             cols.append((kv_name, F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit("="))))

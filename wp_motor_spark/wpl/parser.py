@@ -347,13 +347,17 @@ def _parse_field(cur: _Cursor) -> WplField:
     # separator
     sep, pat = _try_parse_sep(cur)
     fld.sep, fld.pattern_sep = sep, pat
-    # pipes
+    # pipes, or decode-then-subparse `base64 | (chars:x)`
     while True:
         save = cur.pos
         cur.skip_ws()
         if cur.peek() == "|":
             cur.pos += 1
-            fld.pipes.append(_parse_fun_call(cur))
+            cur.skip_ws()
+            if cur.peek() == "(":
+                fld.subgroup = _parse_group(cur)
+            else:
+                fld.pipes.append(_parse_fun_call(cur))
         else:
             cur.pos = save
             break
