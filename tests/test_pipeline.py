@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests over the reference's instance workspace
+(tests/instance/: parse.wpl + example_adm.oml + sample.dat) and the
+sample corpus — the same fixtures the reference's integration tests use.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.pipeline import Pipeline, read_lines
+from wp_motor_spark.sinks import SinkSpec
+from wp_motor_spark.sinks.formats import format_lines
+
+REF = "/root/reference/tests/instance"
+
+
+@pytest.fixture(scope="module")
+def nginx_pipe():
+    return Pipeline(
+        wpl=open(f"{REF}/wpl/example/simple/parse.wpl").read(),
+        omls=[open(f"{REF}/oml/example_adm.oml").read()],
+        sinks=[
+            SinkSpec(name="kvout", format="kv"),
+            SinkSpec(name="ok200", format="json", condition="http_status == 200"),
+            SinkSpec(name="err", format="json", condition="http_status >= 400"),
+            SinkSpec(name="miss", format="raw"),
+        ],
+        tags={"dev_src_ip": "10.0.0.1"},
+    )
+
+
+def test_nginx_instance_end_to_end(spark, nginx_pipe):
+    raw = read_lines(spark, f"{REF}/wpl/example/simple/sample.dat")
+    res = nginx_pipe.run_batch(raw)
+    assert res.branches["/example/simple/nginx"].count() == 1
+    assert res.branches["miss"].count() == 0
+
+    kv = res.sink_lines["kvout"].collect()[0]["line"]
+    assert "src_ip=222.133.52.20" in kv  # take(option:[src-ip,sip,...])
+    assert "recv_time=2019-08-06 04:12:19" in kv  # +0800 -> UTC
+    assert "dev_src_ip=10.0.0.1" in kv  # source tag via * = take()
+    assert "from_ip=" not in kv  # Ignore (absent option) dropped
+
+    assert res.sink_lines["ok200"].count() == 1  # condition routing
+    assert res.sink_lines["err"].count() == 0
+
+
+def test_miss_routing(spark, nginx_pipe):
+    raw = spark.createDataFrame([("totally unparseable ???",)], ["value"])
+    res = nginx_pipe.run_batch(raw)
+    assert res.branches["miss"].count() == 1
+    assert res.sink_lines["miss"].collect()[0]["line"] == "totally unparseable ???"
+
+
+def test_stream_mode(spark, tmp_path, nginx_pipe):
+    """Daemon mode: same plan via foreachBatch over a file stream."""
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{REF}/wpl/example/simple/sample.dat", src / "a.dat")
+    out = tmp_path / "out"
+    pipe = Pipeline(
+        wpl=open(f"{REF}/wpl/example/simple/parse.wpl").read(),
+        omls=[open(f"{REF}/oml/example_adm.oml").read()],
+        sinks=[SinkSpec(name="kvout", format="kv", kind="file", path=str(out))],
+    )
+    stream = spark.readStream.format("text").load(str(src))
+    q = pipe.run_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    lines = spark.read.text(str(out)).collect()
+    assert len(lines) == 1 and "src_ip=222.133.52.20" in lines[0]["value"]
+
+
+# ------------------------------------------------------------------ formats
+
+
+def test_format_lines(spark):
+    df = spark.createDataFrame([(1, "a b", None)], "n long, s string, missing string")
+    assert format_lines(df, "json").collect()[0]["line"] == '{"n":1,"s":"a b"}'
+    assert format_lines(df, "kv").collect()[0]["line"] == "n=1 s=a b"
+    assert format_lines(df, "csv").collect()[0]["line"] == "1,a b,"
+    assert format_lines(df, "show").collect()[0]["line"] == "n: 1 | s: a b"
+    assert format_lines(df, "proto-text").collect()[0]["line"] == 'n: "1" s: "a b"'
+
+
+def test_csv_quoting(spark):
+    df = spark.createDataFrame([('say "hi", ok',)], ["s"])
+    assert format_lines(df, "csv").collect()[0]["line"] == '"say ""hi"", ok"'
+
+
+def test_condition_missing_field(spark):
+    from wp_motor_spark.conditions import compile_condition
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    cond = compile_condition("nope == 5 || a == 1", df.columns)
+    assert df.where(cond).count() == 1
+    cond2 = compile_condition("nope == 5", df.columns)
+    assert df.where(cond2).count() == 0

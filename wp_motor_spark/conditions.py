@@ -66,52 +66,57 @@ class _P:
         return t
 
 
-def compile_condition(text: str) -> Column:
-    """Parse a sink condition into a boolean Column (missing field -> false)."""
+def compile_condition(text: str, columns: list[str] | None = None) -> Column:
+    """Parse a sink condition into a boolean Column (missing field -> false).
+
+    ``columns``: the target schema, when known — a field absent from it
+    compiles to NULL (=> false) instead of an unresolved-column error,
+    matching the reference's dynamic-record lookup (conditions.rs:14-16).
+    """
     p = _P(_tokenize(text))
-    col = _or(p)
+    col = _or(p, columns)
     if p.peek()[0] is not None:
         raise ConditionSyntaxError(f"trailing tokens: {p.toks[p.i:]}")
     # compare.rs:28-44 — missing/NULL operand means the condition is false
     return F.coalesce(col, F.lit(False))
 
 
-def _or(p: _P) -> Column:
-    left = _and(p)
+def _or(p: _P, columns=None) -> Column:
+    left = _and(p, columns)
     while p.peek()[0] == "or":
         p.pop()
-        left = left | _and(p)
+        left = left | _and(p, columns)
     return left
 
 
-def _and(p: _P) -> Column:
-    left = _unary(p)
+def _and(p: _P, columns=None) -> Column:
+    left = _unary(p, columns)
     while p.peek()[0] == "and":
         p.pop()
-        left = left & _unary(p)
+        left = left & _unary(p, columns)
     return left
 
 
-def _unary(p: _P) -> Column:
+def _unary(p: _P, columns=None) -> Column:
     kind, _ = p.peek()
     if kind == "not":
         p.pop()
         # NULL (missing field) compares false; !false must be true
-        return ~F.coalesce(_unary(p), F.lit(False))
+        return ~F.coalesce(_unary(p, columns), F.lit(False))
     if kind == "lpar":
         p.pop()
-        inner = _or(p)
+        inner = _or(p, columns)
         if p.pop()[0] != "rpar":
             raise ConditionSyntaxError("expected )")
         return inner
-    return _compare(p)
+    return _compare(p, columns)
 
 
 def _glob_to_like(pat: str) -> str:
     return pat.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
 
 
-def _compare(p: _P) -> Column:
+def _compare(p: _P, columns=None) -> Column:
     kind, field = p.pop()
     if kind != "word":
         raise ConditionSyntaxError(f"expected field name, got {field!r}")
@@ -119,7 +124,10 @@ def _compare(p: _P) -> Column:
     if opk != "op":
         raise ConditionSyntaxError(f"expected operator after {field!r}, got {op!r}")
     vk, val = p.pop()
-    col = F.col(field)
+    if columns is not None and field not in columns:
+        col = F.lit(None).cast("string")  # missing field => false
+    else:
+        col = F.col(field)
     if vk == "str":
         lit = val[1:-1]
         value = F.lit(lit)

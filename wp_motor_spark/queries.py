@@ -209,6 +209,59 @@ FROM events
 """
 
 
+_CLF_OML = """
+name : clf
+rule : clf
+---
+event_id : digit = read(event_id);
+sip = read(sip);
+ts : digit = pipe read(recv_time) | Time::to_ts_zone(0, s);
+uri = pipe read(http_request) | get(uri);
+status : digit = read(status);
+size_class = match read(bytes) {
+    in (digit(0), digit(499)) => chars(small);
+    _ => chars(large);
+};
+host = read(sip) { _ : chars(unknown) };
+"""
+
+
+def wpl_oml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path under the oracle: WPL parse -> OML transform
+    (typed reads, pipe fns, struct get, match range, default clause)."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        '10.0.%d.%d - - [%s] "GET /e/%d HTTP/1.1" %d %d',
+        F.floor(F.col("user_id") / 256).cast("int"),
+        F.col("user_id") % 256,
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss +0000"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(parse_wpl(_CLF_RULE)[0])
+    parsed = cr.extract(lines, keep=["event_id"]).where(
+        F.col("_disposition") == "success"
+    )
+    model = compile_oml(_CLF_OML)
+    return model.apply(parsed.drop("value", "_rule", "_disposition", "_residue"))
+
+
+WPL_OML_SQL = """
+SELECT event_id,
+       '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS sip,
+       epoch(date_trunc('second', ts)) AS ts,
+       '/e/' || CAST(event_id AS VARCHAR) AS uri,
+       CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+       CASE WHEN CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 499 THEN 'small' ELSE 'large' END AS size_class,
+       '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS host
+FROM events
+"""
+
+
 def sink_route_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink-condition routing (§2.6): the expression language compiled to a
     pushed-down filter."""
@@ -496,6 +549,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),

@@ -1,0 +1,22 @@
+"""Sink declarations: routing condition + format + destination.
+
+Reference: per-sink condition & filter_expect (src/sinks/routing/
+dispatcher/oml.rs:351-363), format whitelist (src/sinks/backends/
+file.rs:64), blackhole (backends/blackhole.rs), kafka connector
+(connectors/sink.d/30-kafka.toml).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    kind: str = "file"  # file | blackhole | kafka | memory
+    path: str | None = None  # file: output dir
+    format: str = "json"  # json | csv | kv | raw | show | proto-text
+    condition: str | None = None  # routing condition expression (§2.6)
+    filter_expect: bool = True  # keep records where condition == this
+    options: dict = field(default_factory=dict)  # connector passthrough

@@ -765,13 +765,14 @@ class MultiParser:
         """
         labeled = self.label(df, col)
         out: dict[str, DataFrame] = {}
-        claimed: list[str] = []
+        extra = [c for c in df.columns if c != col]
         for cr in self.rules:
             sub = labeled.where(F.col("_rule") == cr.key).drop(
                 "_rule", "_disposition", "_residue"
             )
-            out[cr.key] = cr.extract(sub, col)
-            claimed.append(cr.key)
+            parsed_names = {o.name for o in cr.outputs}
+            keep = [c for c in extra if c not in parsed_names]
+            out[cr.key] = cr.extract(sub, col, keep=keep)
         out["__miss__"] = labeled.where(
             F.col("_disposition") == "miss"
         )
