@@ -1,0 +1,132 @@
+"""Source tests: RFC6587 framing, RFC3164 parsing, UDP/TCP collectors
+(loopback), syslog encode round-trip."""
+
+import socket
+import time
+
+from pyspark.sql import functions as F
+
+from wp_motor_spark.sources.net import TcpCollector, UdpCollector
+from wp_motor_spark.sources.syslog import (
+    encode_rfc3164,
+    frame_buffer,
+    parse_rfc3164,
+)
+
+
+# ------------------------------------------------------------------ framing
+
+
+def test_octet_counting():
+    msgs, tail = frame_buffer(b"5 hello6 world!")
+    assert msgs == [b"hello", b"world!"]
+    assert tail == b""
+
+
+def test_newline_fallback():
+    msgs, tail = frame_buffer(b"line one\nline two\npartial")
+    assert msgs == [b"line one", b"line two"]
+    assert tail == b"partial"
+
+
+def test_mixed_auto_detect():
+    # octet frame followed by newline frames (RFC6587_FRAMING.md mixed mode)
+    msgs, tail = frame_buffer(b"12 <34>octetmsgplain line\n")
+    assert msgs == [b"<34>octetmsg", b"plain line"]
+    assert tail == b""
+
+
+def test_incomplete_octet_frame_waits():
+    msgs, tail = frame_buffer(b"100 only-a-bit")
+    assert msgs == []
+    assert tail == b"100 only-a-bit"
+
+
+def test_crlf_stripped():
+    msgs, _ = frame_buffer(b"msg a\r\nmsg b\r\n")
+    assert msgs == [b"msg a", b"msg b"]
+
+
+# ------------------------------------------------------------------ parsing
+
+
+def test_parse_rfc3164(spark):
+    lines = [
+        "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+        "<190>May 15 2023 07:09:12 KM-KJY-DC-USG12004-B02 POLICY: CID=1",
+        "not syslog at all",
+    ]
+    df = parse_rfc3164(spark.createDataFrame([(x,) for x in lines], ["value"]))
+    rows = df.collect()
+    assert rows[0]["pri"] == 34 and rows[0]["facility"] == 4 and rows[0]["severity"] == 2
+    assert rows[0]["host"] == "mymachine" and rows[0]["app"] == "su" and rows[0]["pid"] == 230
+    assert rows[0]["msg"] == "'su root' failed"
+    assert rows[1]["pri"] == 190 and str(rows[1]["ts"]).startswith("2023-05-15")
+    assert rows[2]["_syslog_ok"] is False
+
+
+def test_encode_round_trip(spark):
+    df = spark.createDataFrame([(34, "host1", "app1", "hello world")], "pri int, h string, a string, m string")
+    line = df.select(
+        encode_rfc3164(F.col("pri"), F.lit(None), F.col("h"), F.col("a"), F.col("m")).alias("value")
+    )
+    back = parse_rfc3164(line).collect()[0]
+    assert back["pri"] == 34 and back["host"] == "host1"
+    assert back["app"] == "app1" and back["msg"] == "hello world"
+
+
+# ---------------------------------------------------------------- collectors
+
+
+def test_udp_collector(spark, tmp_path):
+    spool = str(tmp_path / "udp")
+    c = UdpCollector("127.0.0.1", 0, spool).start()
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for i in range(5):
+        s.sendto(f"<13>Oct 11 22:14:0{i} h app: m{i}".encode(), ("127.0.0.1", c.port))
+    time.sleep(0.5)
+    c.stop()
+    df = spark.read.text(spool)
+    assert df.count() == 5
+    parsed = parse_rfc3164(df)
+    assert parsed.where(F.col("_syslog_ok")).count() == 5
+
+
+def test_wp_socket_datasource(spark):
+    """spark.readStream.format('wp_socket') end-to-end over loopback TCP."""
+    from wp_motor_spark.sources import datasource
+
+    datasource.register(spark)
+    port = 15515
+    df = (
+        spark.readStream.format("wp_socket")
+        .option("port", port)
+        .option("mode", "tcp")
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("sockt").start()
+    try:
+        time.sleep(2)  # listener binds on first offset request
+        s = socket.create_connection(("127.0.0.1", port))
+        s.sendall(b"5 hello")
+        s.sendall(b"plain\n")
+        s.close()
+        time.sleep(1)
+        q.processAllAvailable()
+        got = sorted(r["value"] for r in spark.sql("select * from sockt").collect())
+        assert got == ["hello", "plain"]
+    finally:
+        q.stop()
+
+
+def test_tcp_collector_framing(spark, tmp_path):
+    spool = str(tmp_path / "tcp")
+    c = TcpCollector("127.0.0.1", 0, spool).start()
+    s = socket.create_connection(("127.0.0.1", c.port))
+    s.sendall(b"5 hello")          # octet counting
+    s.sendall(b"newline msg\n")    # non-transparent
+    s.close()
+    time.sleep(0.7)
+    c.stop()
+    vals = sorted(r["value"] for r in spark.read.text(spool).collect())
+    assert vals == ["hello", "newline msg"]

@@ -1,0 +1,123 @@
+"""Syslog source: RFC6587 TCP framing + RFC3164 message parsing.
+
+Reference: src/sources/syslog/{RFC6587_FRAMING.md,tcp_source.rs,
+udp_source.rs} and the encoder src/protocol/syslog/encoder.rs:36-48.
+
+Spark-first split of responsibilities:
+- framing (byte-stream -> messages) is connection-local imperative logic —
+  plain Python used by the socket collectors (sources/net.py) and by
+  `frame_file` for batch re-parsing of captured streams;
+- message parsing (RFC3164 header -> typed fields) is pure Column
+  expressions, map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MAX_FRAME = 10_000_000  # sanity cap, tcp.rs framing (0 < len < 10MB)
+
+
+# ------------------------------------------------------------------ framing
+
+
+def frame_buffer(buf: bytes) -> tuple[list[bytes], bytes]:
+    """RFC6587 framing with auto-detection (RFC6587_FRAMING.md).
+
+    Octet counting (`<len> <msg>`) is tried first — a digit run before a
+    space within the first 10 bytes, value in (0, 10MB); otherwise falls
+    back to newline-delimited (non-transparent framing). Returns
+    (complete messages, unconsumed tail).
+    """
+    out: list[bytes] = []
+    while buf:
+        consumed = _try_octet(buf)
+        if consumed is not None:
+            msg, buf = consumed
+            out.append(msg)
+            continue
+        nl = buf.find(b"\n")
+        if nl < 0:
+            break
+        line = buf[:nl].rstrip(b"\r")
+        buf = buf[nl + 1 :]
+        if line:
+            out.append(line)
+    return out, buf
+
+
+def _try_octet(buf: bytes) -> tuple[bytes, bytes] | None:
+    head = buf[:10]
+    sp = head.find(b" ")
+    if sp <= 0:
+        return None
+    prefix = buf[:sp]
+    if not prefix.isdigit():
+        return None
+    n = int(prefix)
+    if not (0 < n < MAX_FRAME):
+        return None
+    start = sp + 1
+    if len(buf) < start + n:
+        return None  # incomplete — wait for more data
+    return buf[start : start + n], buf[start + n :]
+
+
+def frame_file(path: str) -> list[bytes]:
+    """Frame a captured TCP byte stream from a file (batch re-parse)."""
+    with open(path, "rb") as f:
+        msgs, tail = frame_buffer(f.read())
+    if tail:
+        msgs.append(tail)
+    return msgs
+
+
+# ------------------------------------------------------------------ parsing
+
+# RFC3164: <pri>MMM dd HH:mm:ss host tag[pid]: msg   (+ RFC5424-ish year form)
+_R3164 = r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2}(?:\s+\d{4})?\s+\d{2}:\d{2}:\d{2}|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.\d]*)?(?:Z|[+-]\d{2}:?\d{2})?)\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s(.*)$"
+
+
+def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
+    """RFC3164 lines -> typed columns: pri, facility, severity, ts, host,
+    app, pid, msg (+ _syslog_ok flag). Pure regexp extraction."""
+    v = F.col(col)
+    pri = F.regexp_extract(v, _R3164, 1).try_cast("int")
+    raw_ts = F.nullif(F.regexp_extract(v, _R3164, 2), F.lit(""))
+    squashed = F.regexp_replace(raw_ts, r"\s+", " ")
+    ts = F.coalesce(
+        F.try_to_timestamp(squashed, F.lit("MMM d HH:mm:ss")),
+        F.try_to_timestamp(squashed, F.lit("MMM d yyyy HH:mm:ss")),
+        F.try_to_timestamp(F.regexp_replace(squashed, "T", " ")),
+    )
+    return df.select(
+        v.alias("value"),
+        pri.alias("pri"),
+        F.floor(pri / 8).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        ts.alias("ts"),
+        F.nullif(F.regexp_extract(v, _R3164, 3), F.lit("")).alias("host"),
+        F.nullif(F.regexp_extract(v, _R3164, 4), F.lit("")).alias("app"),
+        F.regexp_extract(v, _R3164, 5).try_cast("long").alias("pid"),
+        F.nullif(F.regexp_extract(v, _R3164, 6), F.lit("")).alias("msg"),
+        v.rlike(_R3164).alias("_syslog_ok"),
+    )
+
+
+def encode_rfc3164(
+    pri: Column, ts: Column, host: Column, app: Column, msg: Column
+) -> Column:
+    """RFC3164 line: `<pri>MMM dd HH:mm:ss host app: msg`
+    (encoder.rs:36-48; defaults match the reference)."""
+    return F.concat(
+        F.lit("<"),
+        F.coalesce(pri.cast("string"), F.lit("13")),
+        F.lit(">"),
+        F.date_format(F.coalesce(ts, F.current_timestamp()), "MMM dd HH:mm:ss"),
+        F.lit(" "),
+        F.coalesce(host, F.lit("localhost")),
+        F.lit(" "),
+        F.coalesce(app, F.lit("wp-engine")),
+        F.lit(": "),
+        F.coalesce(msg, F.lit("")),
+    )
