@@ -1,0 +1,87 @@
+"""Stats subsystem tests: windowed counters, streaming form, alerting,
+pipeline monitor channel."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from wp_motor_spark.operators.stats import (
+    alert,
+    streaming_windowed_counts,
+    windowed_counts,
+)
+
+
+def _events(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(seconds=i), "a" if i % 3 else "b", float(i % 10))
+        for i in range(120)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, kind string, v double")
+
+
+def test_windowed_counts(spark):
+    df = _events(spark)
+    out = windowed_counts(
+        df, "ts", ["kind"], window_sec=60, success_pred=F.col("v") > 4.0
+    )
+    rows = {(str(r["window_start"]), r["kind"]): r for r in out.collect()}
+    r = rows[("2024-01-01 00:00:00", "a")]
+    assert r["total"] == 40
+    assert r["suc_rate"] == round(r["success"] / r["total"], 4)
+    assert r["speed"] == round(r["total"] / 60, 4)
+
+
+def test_top_n_cap(spark):
+    df = _events(spark)
+    out = windowed_counts(df, "ts", ["kind"], window_sec=60, top_n=1)
+    per_window = out.groupBy("window_start").count().collect()
+    assert all(r["count"] == 1 for r in per_window)
+
+
+def test_alert(spark):
+    df = _events(spark)
+    stats = windowed_counts(df, "ts", ["kind"], window_sec=60)
+    fired = alert(stats, "total", 35, ">=").collect()
+    assert fired and all(r["total"] >= 35 for r in fired)
+    assert "total >= 35" in fired[0]["alert"]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    df = _events(spark)
+    src = str(tmp_path / "in")
+    df.select(F.col("ts").cast("string"), "kind", "v").write.json(src)
+    stream = (
+        spark.readStream.schema("ts string, kind string, v double")
+        .json(src)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "kind", "v")
+    )
+    out = streaming_windowed_counts(stream, "ts", ["kind"], 60, watermark_sec=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("statsout")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from statsout").collect()
+        got = {(str(r["window_start"]), r["kind"]): r["total"] for r in rows}
+        assert got[("2024-01-01 00:00:00", "a")] == 40
+        assert got[("2024-01-01 00:01:00", "b")] == 20
+    finally:
+        q.stop()
+
+
+def test_pipeline_monitor(spark):
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = open("/root/reference/tests/instance/wpl/example/simple/parse.wpl").read()
+    pipe = Pipeline(wpl=wpl)
+    good = open("/root/reference/tests/instance/wpl/example/simple/sample.dat").read().strip()
+    raw = spark.createDataFrame([(good,), ("garbage ???",), ("",)], ["value"])
+    rows = {(r["rule"], r["disposition"]): r["total"] for r in pipe.monitor(raw).collect()}
+    assert rows[("/example/simple/nginx", "success")] == 1
+    assert rows[("<none>", "miss")] == 1
+    assert rows[("<none>", "blank")] == 1

@@ -1,0 +1,98 @@
+"""CLI entries mirroring the reference's binaries (SURVEY.md §3):
+wparse batch/daemon, wpgen, wprescue.
+
+Usage (python -m wp_motor_spark.cli ...):
+    wparse  --wpl parse.wpl --oml model.oml --input data/ \
+            --sink out=./out/data:json --sink miss=./out/miss:raw
+    daemon  ... same flags + --checkpoint ./ckpt (file stream source)
+    wpgen   --wpl parse.wpl -n 1000 --out ./gen
+    wprescue --wpl parse.wpl --oml model.oml --from ./out/miss --sink ...
+
+wprescue (docs/usage/en/01-cli/05-wprescue.md) is the batch re-run of
+failed raw data: point the same pipeline at the miss/error output dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from wp_motor_spark.session import get_spark
+
+
+def _build_pipeline(args):
+    from wp_motor_spark.pipeline import Pipeline
+    from wp_motor_spark.sinks import SinkSpec
+
+    wpl = open(args.wpl).read()
+    omls = [open(p).read() for p in (args.oml or [])]
+    sinks = []
+    for s in args.sink or []:
+        name, _, rest = s.partition("=")
+        path, _, fmt = rest.rpartition(":")
+        sinks.append(SinkSpec(name=name, kind="file", path=path or rest, format=fmt or "json"))
+    knowdb = None
+    if args.knowdb:
+        from wp_motor_spark.knowdb import KnowDB
+
+        knowdb = KnowDB(get_spark()).load_csv_dir(args.knowdb)
+    return Pipeline(wpl=wpl, omls=omls, sinks=sinks, knowdb=knowdb)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="wp-motor-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for cmd in ("wparse", "daemon", "wprescue"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--wpl", required=True)
+        p.add_argument("--oml", action="append")
+        p.add_argument("--sink", action="append", help="name=path:format")
+        p.add_argument("--knowdb", help="CSV dimension dir")
+        if cmd == "wprescue":
+            p.add_argument("--from", dest="input", required=True)
+        else:
+            p.add_argument("--input", required=True)
+        if cmd == "daemon":
+            p.add_argument("--checkpoint", required=True)
+            p.add_argument("--trigger-seconds", type=int, default=None)
+
+    g = sub.add_parser("wpgen")
+    g.add_argument("--wpl", required=True)
+    g.add_argument("-n", type=int, default=1000)
+    g.add_argument("--out", required=True)
+    g.add_argument("--seed", type=int, default=0)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"wp_motor_spark_{args.cmd}")
+
+    if args.cmd == "wpgen":
+        from wp_motor_spark.wpl.generator import generate_lines
+
+        rule = open(args.wpl).read()
+        generate_lines(spark, rule, args.n, seed=args.seed).write.mode(
+            "overwrite"
+        ).text(args.out)
+        print(f"wpgen: {args.n} lines -> {args.out}")
+        return 0
+
+    pipe = _build_pipeline(args)
+    if args.cmd == "daemon":
+        from wp_motor_spark.pipeline import stream_lines
+
+        stream = stream_lines(spark, args.input)
+        q = pipe.run_stream(
+            stream, checkpoint=args.checkpoint, trigger_seconds=args.trigger_seconds
+        )
+        q.awaitTermination()
+        return 0
+
+    raw = spark.read.text(args.input)
+    counts = pipe.write_batch(raw)
+    for name, n in counts.items():
+        print(f"{args.cmd}: sink {name}: {n} lines")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

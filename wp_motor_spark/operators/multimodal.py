@@ -1,0 +1,200 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+Training-pipeline shape for a 100TB corpus: media bytes ride in a
+`binary` column next to a metadata struct; every transform is a
+mapInPandas pass (Arrow transfer, no per-row Python overhead), map-only
+unless the caller groups/joins. The actual codec work (PIL/ffmpeg/
+torchaudio) is NOT available in this environment, so each decode step is
+gated: a real library if importable, else a clearly-marked deterministic
+fake with the same schema and batch shape — the Spark-side plumbing
+(schemas, batch iteration, partition behavior) is real and tested.
+
+Schema conventions:
+    media:     binary            -- raw payload
+    media_meta struct<kind:string, mime:string, width:int, height:int,
+                      duration_ms:long, sample_rate:int>
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+META_SCHEMA = (
+    "kind string, mime string, width int, height int, duration_ms long, sample_rate int"
+)
+
+_FEATURE_DIM = 16
+
+
+def attach_meta(
+    df: DataFrame,
+    media_col: str = "media",
+    kind: str = "image",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Wrap a binary column with the standard metadata struct (unknown
+    dimensions until probed)."""
+    return df.withColumn(
+        f"{media_col}_meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - env lacks PIL
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload))
+    return np.asarray(img.convert("RGB")), img.width, img.height
+
+
+def _decode_image_fake(payload: bytes):
+    """STUB decoder (no PIL in this container): deterministic 8x8 RGB
+    derived from the payload bytes — same shapes/types as the real path."""
+    h = np.frombuffer(
+        np.array([hash(payload) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64).tobytes()
+        * 24,
+        dtype=np.uint8,
+    )[: 8 * 8 * 3]
+    return h.reshape(8, 8, 3), 8, 8
+
+
+try:  # gate: real decode when the library exists
+    from PIL import Image  # noqa: F401
+
+    _decode_image = _decode_image_real
+    DECODER = "pil"
+except ImportError:
+    _decode_image = _decode_image_fake
+    DECODER = "stub"
+
+
+def probe_images(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Decode headers and fill width/height in the metadata struct.
+    mapInPandas: one Arrow batch in, one out; schema preserved + probed."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload, meta in zip(pdf[media_col], pdf[f"{media_col}_meta"]):
+                m = dict(meta) if meta is not None else {}
+                if payload is not None:
+                    try:
+                        _, w, h = _decode_image(bytes(payload))
+                        m["width"], m["height"] = w, h
+                    except Exception:
+                        pass
+                metas.append(m)
+            pdf = pdf.copy()
+            pdf[f"{media_col}_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(probe, schema=df.schema)
+
+
+def image_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode -> fixed-dim feature vector (channel-pooled intensity
+    histogram). Real numpy math over the decoded array; only the decode
+    itself is stubbed without PIL. Output: (id, features array<float>)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None:
+                    continue
+                arr, _w, _h = _decode_image(bytes(payload))
+                gray = arr.astype(np.float32).mean(axis=2)
+                hist, _ = np.histogram(gray, bins=_FEATURE_DIM, range=(0, 255))
+                total = max(hist.sum(), 1)
+                ids.append(rid)
+                vecs.append((hist / total).astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: ids, "features": vecs})
+
+    return df.mapInPandas(feats, schema=f"{id_col} long, features array<float>")
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, media_col: str = "media"
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-emit raw RGB bytes + updated
+    meta. The resize math is real (numpy index sampling); encode-back is
+    raw RGB since no codec is present."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf[media_col], pdf[f"{media_col}_meta"]):
+                m = dict(meta) if meta is not None else {}
+                if payload is None:
+                    payloads.append(None)
+                else:
+                    arr, w, h = _decode_image(bytes(payload))
+                    yi = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
+                    xi = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
+                    out = arr[yi][:, xi]
+                    payloads.append(out.astype(np.uint8).tobytes())
+                    m.update({"width": width, "height": height, "mime": "image/raw-rgb"})
+                metas.append(m)
+            pdf = pdf.copy()
+            pdf[media_col] = payloads
+            pdf[f"{media_col}_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(resize, schema=df.schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    Without a real demuxer the payload is treated as a concatenation of
+    fixed-size pseudo-frames (STUB, deterministic); the Spark plumbing —
+    row explosion, frame indices, timestamps — is the real contract.
+    """
+    frame_bytes = 64
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf[media_col], pdf[f"{media_col}_meta"]
+            ):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                dur = (dict(meta) if meta is not None else {}).get("duration_ms")
+                n_frames = max(len(buf) // frame_bytes, 1)
+                frame_ms = (dur or n_frames * 40) / n_frames  # 25fps default
+                step = max(int(round(every_ms / frame_ms)), 1)
+                for i in range(0, n_frames, step):
+                    ids.append(rid)
+                    idxs.append(i)
+                    ts.append(int(i * frame_ms))
+                    frames.append(buf[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_ms": ts, "frame": frames}
+            )
+
+    return df.mapInPandas(
+        sample, schema=f"{id_col} long, frame_idx int, frame_ms long, frame binary"
+    )

@@ -58,6 +58,45 @@ def windowed_counts(
     return out
 
 
+def streaming_windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    window_sec: int = 60,
+    watermark_sec: int | None = None,
+    success_pred: Column | None = None,
+) -> DataFrame:
+    """Streaming form of the stats window. The reference is purely
+    processing-time (SURVEY.md §2.9 — no event-time reasoning); passing
+    watermark_sec adds event-time lateness handling as an extension.
+
+    No top-N here: ranking inside an unfinished window isn't defined for
+    append-mode streams — cap in the sink query or on the completed batch.
+    """
+    if watermark_sec:
+        stream = stream.withWatermark(ts_col, f"{watermark_sec} seconds")
+    win = F.window(F.col(ts_col), f"{window_sec} seconds")
+    agg = [
+        F.count(F.lit(1)).alias("total"),
+        (
+            F.count_if(success_pred) if success_pred is not None else F.count(F.lit(1))
+        ).alias("success"),
+    ]
+    return (
+        stream.groupBy(win.alias("w"), *dims)
+        .agg(*agg)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *dims,
+            "total",
+            "success",
+            F.round(F.col("success") / F.col("total"), 4).alias("suc_rate"),
+            F.round(F.col("total") / F.lit(window_sec), 4).alias("speed"),
+        )
+    )
+
+
 def alert(
     stats_df: DataFrame, measure: str, threshold: float, op: str = ">="
 ) -> DataFrame:

@@ -104,6 +104,20 @@ class Pipeline:
             branches["residue"] = res.where(F.length("value") > 0)
         return branches
 
+    def monitor(self, raw: DataFrame, col: str = "value") -> DataFrame:
+        """Parse-stage stats: counts per (rule, disposition) — the monitor
+        sink's report rows (crates/wp-stats; stat_report.rs). One labeled
+        scan, one aggregation."""
+        labeled = self.parser.label(raw, col)
+        return (
+            labeled.groupBy(
+                F.coalesce(F.col("_rule"), F.lit("<none>")).alias("rule"),
+                F.col("_disposition").alias("disposition"),
+            )
+            .agg(F.count(F.lit(1)).alias("total"))
+            .withColumn("stage", F.lit("parse"))
+        )
+
     # ---------------------------------------------------------------- batch
 
     def run_batch(self, raw: DataFrame, col: str = "value") -> PipelineResult:
