@@ -106,8 +106,15 @@ def test_wp_socket_datasource(spark):
     )
     q = df.writeStream.format("memory").queryName("sockt").start()
     try:
-        time.sleep(2)  # listener binds on first offset request
-        s = socket.create_connection(("127.0.0.1", port))
+        # listener binds lazily on the first offset request — retry connect
+        s = None
+        for _ in range(60):
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=1)
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert s is not None, "wp_socket listener never bound"
         s.sendall(b"5 hello")
         s.sendall(b"plain\n")
         s.close()
