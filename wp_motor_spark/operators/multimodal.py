@@ -63,13 +63,14 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - env lacks PIL
 
 def _decode_image_fake(payload: bytes):
     """STUB decoder (no PIL in this container): deterministic 8x8 RGB
-    derived from the payload bytes — same shapes/types as the real path."""
-    h = np.frombuffer(
-        np.array([hash(payload) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64).tobytes()
-        * 24,
-        dtype=np.uint8,
-    )[: 8 * 8 * 3]
-    return h.reshape(8, 8, 3), 8, 8
+    derived from the payload bytes — same shapes/types as the real path.
+    Uses a stable digest (NOT builtin hash(), which is salted per-process
+    and would differ across executors)."""
+    import hashlib
+
+    seed = hashlib.sha256(payload).digest()  # 32 bytes
+    h = np.frombuffer(seed * 6, dtype=np.uint8)[: 8 * 8 * 3]
+    return h.reshape(8, 8, 3).copy(), 8, 8
 
 
 try:  # gate: real decode when the library exists

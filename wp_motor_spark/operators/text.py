@@ -55,10 +55,15 @@ def detect_language(col: Column) -> Column:
     scores above a floor."""
     t = tokens(col)
     total = F.greatest(F.size(t), F.lit(1))
+
+    def hits(words: list[str]) -> Column:
+        # one-arg lambda: a 2-arg lambda would be treated as (value, index)
+        return F.size(F.filter(t, lambda w: w.isin(*words)))
+
     scored = F.array(
         *[
             F.struct(
-                (F.size(F.filter(t, lambda w, sw=sw: w.isin(*sw))) / total).alias("score"),
+                (hits(sw) / total).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, sw in _PROFILES.items()

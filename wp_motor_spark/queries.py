@@ -482,6 +482,107 @@ FROM t
 """
 
 
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID + punctuation ratio, SQL-mirrored."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.detect_language(F.col("text")).alias("lang_detected"),
+        F.round(text.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+def _lang_sql_score(lang: str, words: list[str]) -> str:
+    inlist = ",".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(toks, w -> w IN ({inlist}))) AS DOUBLE)"
+        " / greatest(len(toks), 1)"
+    )
+
+
+def _language_id_sql() -> str:
+    from wp_motor_spark.operators.text import _PROFILES
+
+    struct_rows = ", ".join(
+        "{'score': %s, 'lang': '%s'}" % (_lang_sql_score(lang, words), lang)
+        for lang, words in _PROFILES.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, list_max([{struct_rows}]) AS best
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN best.score >= 0.08 THEN best.lang ELSE 'und' END AS lang_detected,
+       ROUND(CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM scored
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting, SQL-mirrored."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_ws"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_ws,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+         CAST(list_sum(list_transform(toks, w ->
+           CAST(ceil(length(regexp_replace(w, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS INT)
+           + length(regexp_replace(w, '[\p{L}\p{N}]', '', 'g')))) AS BIGINT)
+       END AS n_bpe
+FROM t
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (rows-only: the composite is
+    engine-defined; its components are oracle-checked in text_stats,
+    language_id, and token_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (approximate -> rows-only; exact twin: cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver contract: text bytes as an
+    opaque media column -> metadata struct -> mapInPandas feature pass
+    (stub decode; deterministic sha-derived pixels). Rows-only check."""
+    from wp_motor_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
+    media = mm.attach_meta(media, kind="image", mime="application/octet-stream")
+    feats = mm.image_features(media)
+    return feats.select(
+        "doc_id", F.round(F.try_element_at("features", F.lit(1)), 4).alias("f0")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint via sha256 of normalized text (oracle-exact)."""
     docs = _t(spark, sf_dir, "documents")
@@ -560,7 +661,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_lsh_dups": (minhash_lsh_dups, None),
     "simhash_dups": (simhash_dups, None),
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "language_id": (language_id, _language_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "multimodal_features": (multimodal_features, None),
+    "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),
