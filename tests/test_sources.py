@@ -137,3 +137,35 @@ def test_tcp_collector_framing(spark, tmp_path):
     c.stop()
     vals = sorted(r["value"] for r in spark.read.text(spool).collect())
     assert vals == ["hello", "newline msg"]
+
+
+# ------------------------------------------------------------- net sinks
+
+
+def test_tcp_sink_roundtrip(spark, tmp_path):
+    """write_tcp -> TcpCollector: frames survive the wire both framings."""
+    from wp_motor_spark.sinks.net import write_tcp
+
+    spool = str(tmp_path / "sink_tcp")
+    c = TcpCollector("127.0.0.1", 0, spool).start()
+    df = spark.createDataFrame([("alpha",), ("beta gamma",)], ["line"]).coalesce(1)
+    write_tcp(df, "127.0.0.1", c.port, framing="octet")
+    time.sleep(0.7)
+    c.stop()
+    vals = sorted(r["value"] for r in spark.read.text(spool).collect())
+    assert vals == ["alpha", "beta gamma"]
+
+
+def test_syslog_sink_roundtrip(spark, tmp_path):
+    """syslog_lines -> write_syslog(udp) -> UdpCollector -> parse_rfc3164."""
+    from wp_motor_spark.sinks.net import syslog_lines, write_syslog
+
+    spool = str(tmp_path / "sink_udp")
+    c = UdpCollector("127.0.0.1", 0, spool).start()
+    df = spark.createDataFrame([("hello world",)], ["msg"])
+    lines = syslog_lines(df, F.col("msg"), pri=F.lit(34), host=F.lit("h1"), app=F.lit("a1"))
+    write_syslog(lines, "127.0.0.1", c.port, proto="udp")
+    time.sleep(0.5)
+    c.stop()
+    back = parse_rfc3164(spark.read.text(spool)).collect()[0]
+    assert back["pri"] == 34 and back["host"] == "h1" and back["msg"] == "hello world"

@@ -166,6 +166,24 @@ class Pipeline:
                     .options(**spec.options)
                     .save()
                 )
+            elif spec.kind == "tcp":
+                from wp_motor_spark.sinks.net import write_tcp
+
+                write_tcp(
+                    lines,
+                    spec.options.get("host", "127.0.0.1"),
+                    int(spec.options["port"]),
+                    framing=spec.options.get("framing", "newline"),
+                )
+            elif spec.kind == "syslog":
+                from wp_motor_spark.sinks.net import write_syslog
+
+                write_syslog(
+                    lines,
+                    spec.options.get("host", "127.0.0.1"),
+                    int(spec.options["port"]),
+                    proto=spec.options.get("proto", "udp"),
+                )
             elif spec.kind == "blackhole":
                 lines.write.format("noop").mode("append").save()
             counts[spec.name] = lines.count()
