@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the scale-critical properties must survive
+refactors — pushdown/pruning at the scan, broadcast (not shuffle) joins
+for dims, map-only parse/transform paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.queries import QUERIES
+
+
+def _plan(spark, sf001_dir, name):
+    return (
+        QUERIES[name][0](spark, sf001_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q1_scan_prunes_columns(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "q1_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # 7 needed columns; the 16-column lineitem table must not be read whole
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+    assert "l_quantity" in scan and "l_shipdate" in scan
+
+
+def test_q3_dims_broadcast(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    # the BUILDING filter must be pushed into the customer scan
+    cust_scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "c_mktsegment" in l
+    )
+    assert "BUILDING" in cust_scan
+
+
+def test_enrichment_is_broadcast(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "enrich_customer_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ip_range_broadcasts_small_dim(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "enrich_ip_range")
+    assert "BroadcastNestedLoopJoin" in plan  # dim side only is broadcast
+
+
+def test_wpl_parse_is_map_only(spark, sf001_dir):
+    """WPL parse + OML transform: no shuffle anywhere (SURVEY.md §3.1 —
+    the whole reference pipeline is map-only)."""
+    plan = _plan(spark, sf001_dir, "wpl_oml_pipeline")
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_pipeline_transform_map_only(spark):
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = open("/root/reference/tests/instance/wpl/example/simple/parse.wpl").read()
+    oml = open("/root/reference/tests/instance/oml/example_adm.oml").read()
+    pipe = Pipeline(wpl=wpl, omls=[oml])
+    raw = spark.createDataFrame([("x",)], ["value"])
+    out = pipe.transform(raw)["/example/simple/nginx"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
