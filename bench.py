@@ -45,6 +45,12 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Throughput probe comparable to BASELINE.md's per-record numbers:
+    # generate nginx-style lines, run the full WPL parse + OML transform,
+    # report events/s (BASELINE: WPL ~300-500 MB/s, OML ~2.7M rec/s/core).
+    throughput = _throughput_probe(spark)
+
     print(
         json.dumps(
             {
@@ -53,10 +59,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "throughput": throughput,
             }
         )
     )
     spark.stop()
+
+
+def _throughput_probe(spark, n: int = 2_000_000) -> dict:
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.oml.compiler import compile_oml
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+    from wp_motor_spark.wpl.generator import generate_lines
+
+    wpl = open("/root/reference/tests/instance/wpl/example/simple/parse.wpl").read()
+    oml = open("/root/reference/tests/instance/oml/example_adm.oml").read()
+    rule = parse_wpl(wpl)[0]
+    lines = generate_lines(spark, rule, n).persist()
+    lines.count()  # materialize inputs so the probe times parse, not gen
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cr = compile_rule(rule)
+    om = compile_oml(oml)
+
+    def full_pass() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        parsed = cr.extract(lines)
+        n_ok = parsed.where(F.col("_disposition") == "success").count()
+        out = om.apply(parsed.drop("value", "_rule", "_disposition", "_residue"))
+        out.select(F.count(F.lit(1))).collect()
+        return time.perf_counter() - t0, n_ok
+
+    full_pass()  # warm codegen/JIT — steady-state is what BASELINE measures
+    full_pass()  # C2 tiers up on the second pass
+    wall, n_ok = full_pass()
+    lines.unpersist()
+
+    return {
+        "rows": n,
+        "parse_ok": n_ok,
+        "wpl_oml_events_per_s": round(n / wall),
+        "events_per_s_per_core": round(n / wall / cores),
+    }
 
 
 if __name__ == "__main__":
