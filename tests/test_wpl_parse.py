@@ -162,3 +162,37 @@ def test_alt_group(spark):
     assert rows["x"]["addr"] == "1.2.3.4"
     assert rows["y"]["num"] == 77
     assert rows["y"]["addr"] is None
+
+
+def test_h3c_waf_golden(spark):
+    """Base64-wrapped kv syslog (tests/sample/h3c_waf): preproc decode +
+    scope digit + double timestamps + merged kv runs."""
+    wpl = open(f"{REF}/tests/sample/h3c_waf/parse.wpl").read()
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.read.text(f"{REF}/tests/sample/h3c_waf/sample.dat")
+    row = cr.extract(df).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["digit"] == 188  # <188> priority via scope format
+    assert row["sn"] == "KMDLDLH3CW2020G2WAFA01"
+    assert str(row["time_2"]) == "2023-05-17 08:54:06"
+    kv = row["kv"]
+    assert kv["method"] == "POST" and kv["rule_id"] == "70001"
+    assert kv["url"] == "/OMS/uploadFile.action"
+    assert kv["action"] == "REJECT"
+
+
+def test_huawei_zhuru_golden(spark):
+    """Huawei USG base64 syslog (tests/sample/huawei_zhuru): only the two
+    POLICY lines satisfy the kv(@CID) guard; SECLOG lines miss — the same
+    accept/miss split the reference's rule produces."""
+    wpl = open(f"{REF}/tests/sample/huawei_zhuru/parse.wpl").read()
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.read.text(f"{REF}/tests/sample/huawei_zhuru/sample.dat")
+    out = cr.extract(df)
+    ok = out.where(F.col("_disposition") == "success")
+    assert df.count() == 8
+    assert ok.count() == 2
+    rows = ok.collect()
+    assert all(r["sn"] == "KM-KJY-DC-USG12004-B02" for r in rows)
+    assert all(r["kv"]["CID"] == "0x814f041e" for r in rows)  # the guard key
+    assert all(r["kv_2"]["vsys"] == "CSG_Security" for r in rows)
