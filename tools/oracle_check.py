@@ -48,9 +48,13 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from wp_motor_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="oracle_check")
+    # a VANILLA session, like the round driver builds — queries must set
+    # any runtime confs they need themselves (sources/tables.py)
+    spark = (
+        SparkSession.builder.master("local[32]").appName("oracle_check").getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -16,7 +16,20 @@ from pyspark.sql import types as T
 _NANO_TS_COLUMNS = {"ts"}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """The driver calls queries() with ITS OWN SparkSession — make the
+    runtime-settable confs we depend on hold there too: nanos-timestamp
+    parquet reads (events.ts is TIMESTAMP(NANOS)) and UTC wall-clocks
+    (oracle parity for every timestamp-valued comparison)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # static-conf locked sessions keep their builder values
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
