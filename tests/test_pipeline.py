@@ -97,3 +97,24 @@ def test_condition_missing_field(spark):
     assert df.where(cond).count() == 1
     cond2 = compile_condition("nope == 5", df.columns)
     assert df.where(cond2).count() == 0
+
+
+def test_error_branch_empty_oml(spark):
+    """A model producing zero output fields routes records to the error
+    channel with __err_kind (dispatcher/oml.rs:83-98)."""
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = open(f"{REF}/wpl/example/simple/parse.wpl").read()
+    empty_oml = """
+name : broken
+rule : /example/simple/nginx
+---
+_ = read(sip);
+"""
+    pipe = Pipeline(wpl=wpl, omls=[empty_oml], sinks=[SinkSpec(name="error", format="json")])
+    raw = read_lines(spark, f"{REF}/wpl/example/simple/sample.dat")
+    res = pipe.run_batch(raw)
+    err = res.branches["error"]
+    assert err.columns == ["__err_kind"]
+    assert err.count() == 1
+    assert res.sink_lines["error"].count() == 1
