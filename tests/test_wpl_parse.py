@@ -196,3 +196,16 @@ def test_huawei_zhuru_golden(spark):
     assert all(r["sn"] == "KM-KJY-DC-USG12004-B02" for r in rows)
     assert all(r["kv"]["CID"] == "0x814f041e" for r in rows)  # the guard key
     assert all(r["kv_2"]["vsys"] == "CSG_Security" for r in rows)
+
+
+def test_proto_text_field(spark):
+    """proto_text tail field -> map of k: v pairs (protocol/proto_text.rs)."""
+    wpl = 'rule pt { (digit:code,proto_text:body) }'
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.createDataFrame(
+        [('7 name: "alpha beta" count: 3 ok: true',)], ["value"]
+    )
+    row = cr.extract(df).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["code"] == 7
+    assert row["body"] == {"name": "alpha beta", "count": "3", "ok": "true"}

@@ -208,7 +208,7 @@ def _mark_tail_field(groups: list[WplGroup]) -> None:
         break
     if (
         node is not None
-        and node.dtype in ("chars", "auto", "sn")
+        and node.dtype in ("chars", "auto", "sn", "proto_text")
         and node.fmt is None
         and node.length is None
         and node.sep is None
@@ -552,6 +552,15 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         return F.str_to_map(s, F.lit(out.kv_sep), F.lit("="))
     if dtype == "kv":
         return s  # merged into a shared map later
+    if dtype == "proto_text":
+        # protobuf text format `k: "v" k2: v2` -> map (protocol/proto_text.rs)
+        pair_rx = r'(\w+)\s*:\s*("(?:[^"\\]|\\.)*"|\S+)'
+        keys = F.regexp_extract_all(s, F.lit(pair_rx), 1)
+        vals = F.transform(
+            F.regexp_extract_all(s, F.lit(pair_rx), 2),
+            lambda v: F.regexp_replace(v, r'^"|"$', ""),
+        )
+        return F.when(s.isNotNull(), F.map_from_arrays(keys, vals))
     if dtype.startswith("run/"):
         return F.split(s, out.kv_sep)
     if dtype.startswith("array/"):
