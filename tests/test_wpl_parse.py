@@ -209,3 +209,29 @@ def test_proto_text_field(spark):
     assert row["_disposition"] == "success"
     assert row["code"] == 7
     assert row["body"] == {"name": "alpha beta", "count": "3", "ok": "true"}
+
+
+def test_miss_diagnostics(spark):
+    """Deepest-failure diagnostics (parser.rs:82-113): missed rows carry
+    the best-matching rule and how many leading fields it consumed."""
+    wpl = """
+rule a { (ip:sip,digit:code,chars:msg) }
+rule b { (time_3339:ts,digit:n) }
+"""
+    mp = MultiParser(wpl)
+    df = spark.createDataFrame(
+        [
+            ("1.2.3.4 200 hello",),        # parses (rule a)
+            ("1.2.3.4 not-a-digit x",),    # rule a depth 1
+            ("2024-01-01T00:00:00Z oops",),# rule b depth 1
+        ],
+        ["value"],
+    )
+    rows = {r["value"]: r for r in mp.diagnose(df).collect()}
+    ok = rows["1.2.3.4 200 hello"]
+    assert ok["_disposition"] == "success" and ok["_best_rule"] is None
+    m1 = rows["1.2.3.4 not-a-digit x"]
+    assert m1["_disposition"] == "miss"
+    assert m1["_best_rule"] == "a" and m1["_parse_depth"] == 1
+    m2 = rows["2024-01-01T00:00:00Z oops"]
+    assert m2["_best_rule"] == "b" and m2["_parse_depth"] == 1

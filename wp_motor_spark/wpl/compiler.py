@@ -723,6 +723,37 @@ class CompiledRule:
         return out
 
 
+def _prefix_rules(rule: WplRule, max_depth: int) -> list["CompiledRule"]:
+    """Cumulative field-prefix sub-rules of a flat seq rule (for miss
+    diagnostics). Rules with non-seq top-level structure contribute a
+    single full-rule prefix."""
+    fields: list[WplField] = []
+    flat = True
+    for grp in rule.groups:
+        if grp.meta != "seq":
+            flat = False
+            break
+        for item in grp.items:
+            if isinstance(item, WplGroup):
+                flat = False
+                break
+            fields.append(item)
+        if not flat:
+            break
+    if not flat or not fields:
+        return [compile_rule(rule)]
+    out = []
+    for i in range(1, min(len(fields), max_depth) + 1):
+        sub = WplRule(
+            name=rule.name,
+            preprocs=list(rule.preprocs),
+            groups=[WplGroup(meta="seq", items=list(fields[:i]))],
+            package=rule.package,
+        )
+        out.append(compile_rule(sub))
+    return out
+
+
 class MultiParser:
     """First-match-wins rule cascade (parser.rs:26-114).
 
@@ -764,6 +795,35 @@ class MultiParser:
                 "_disposition"
             ),
             res_c.alias("_residue"),
+        )
+
+    def diagnose(self, df: DataFrame, col: str = "value", max_depth: int = 8) -> DataFrame:
+        """Deepest-failure diagnostics for missed rows (parser.rs:82-113):
+        adds `_best_rule` (rule that consumed the most fields) and
+        `_parse_depth` (how many leading fields matched).
+
+        Debug-mode tool: compiles cumulative field-prefix regexes per rule
+        (capped at ``max_depth``), so cost is O(rules x depth) extra
+        regexes over the missed rows only.
+        """
+        labeled = self.label(df, col)
+        value = F.col(col)
+        best_rule: Column = F.lit(None).cast("string")
+        best_depth: Column = F.lit(0)
+        for cr in self.rules:
+            depth: Column = F.lit(0)
+            for pr in _prefix_rules(cr.rule, max_depth):
+                parts = pr.parts_col(value)
+                depth = depth + pr.matched_col(parts).cast("int")
+            deeper = depth > best_depth
+            best_rule = F.when(deeper, F.lit(cr.key)).otherwise(best_rule)
+            best_depth = F.when(deeper, depth).otherwise(best_depth)
+        is_miss = F.col("_disposition") == "miss"
+        return labeled.withColumns(
+            {
+                "_best_rule": F.when(is_miss, best_rule),
+                "_parse_depth": F.when(is_miss, best_depth),
+            }
         )
 
     def parse(self, df: DataFrame, col: str = "value") -> dict[str, DataFrame]:
