@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -35,6 +37,7 @@ def main() -> None:
 
     # Warm the JVM/codegen path so query 1 doesn't absorb session startup.
     next(iter(QUERIES.values()))[0](spark, sf_dir).limit(1).count()
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
@@ -64,6 +67,23 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _warm_python_workers(spark) -> None:
+    """Spin up one Arrow python worker per core (numpy/pandas imported) so
+    the first pandas-UDF query measures compute, not worker fork+import."""
+    import os
+
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F401 — preload into the worker
+
+        return s
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cores * 10).repartition(cores).select(_noop(col("id"))).count()
 
 
 def _throughput_probe(spark, n: int = 2_000_000) -> dict:
