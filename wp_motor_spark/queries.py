@@ -158,6 +158,115 @@ GROUP BY p_brand, n_name
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by returned-item revenue (TPC-H Q10 shape): join +
+    agg + ranked top-N."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    disc = _dec(F.lit(1.0) - F.col("l_discount"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, revenue, rank FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) DESC, c_custkey) AS rank
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+) WHERE rank <= 20
+"""
+
+
+def orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: orders having at least one high-quantity line item."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-minute
+    inactivity boundary) — lag window + cumulative session ids."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
+    )
+
+
+SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+)
+SELECT user_id, sess_no, COUNT(*) AS n_events,
+       date_trunc('second', MIN(ts)) AS session_start,
+       date_trunc('second', MAX(ts)) AS session_end
+FROM numbered
+GROUP BY user_id, sess_no
+"""
+
+
+def events_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting over windowed stats (src/stat/alert_system.rs)."""
+    from wp_motor_spark.operators.stats import alert
+
+    stats = events_window_stats(spark, sf_dir)
+    return alert(stats, "total", 5, ">=").select(
+        "window_start", "event_type", "total", "alert"
+    )
+
+
+ALERTS_SQL = """
+WITH stats AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, total,
+       'total >= 5: ' || CAST(total AS VARCHAR) AS alert
+FROM stats WHERE total >= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Engine-surface queries (WPL / routing / enrichment / stats re-expressed)
 # --------------------------------------------------------------------------
@@ -647,6 +756,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
+    "user_sessions": (user_sessions, SESSIONS_SQL),
+    "events_alerts": (events_alerts, ALERTS_SQL),
     "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
