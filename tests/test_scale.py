@@ -1,0 +1,54 @@
+"""Scale-utility tests: salted joins produce identical results to plain
+joins, and bucketed tables join without an exchange."""
+
+from pyspark.sql import functions as F
+
+from wp_motor_spark.operators import scale
+
+
+def test_salted_join_matches_plain(spark):
+    # heavily skewed big side: 90% of rows share key 1
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (10, "ten"), (20, "twenty")], ["k", "name"])
+    plain = big.join(small, "k").groupBy("name").count()
+    salted = scale.salted_join(big, small, "k", salt_n=8).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(500)] + [("b", 99)], ["k", "v"]
+    )
+    out = {r["k"]: sorted(r["v_set"]) for r in scale.two_phase_agg(df, ["k"], "v").collect()}
+    assert out["a"] == [0, 1, 2, 3, 4, 5, 6]
+    assert out["b"] == [99]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    orders = spark.range(1000).select(
+        F.col("id").alias("okey"), (F.col("id") % 5).alias("status")
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("okey"), F.col("id").alias("item")
+    )
+    scale.write_bucketed(orders, "b_orders", "okey", 8, path=str(tmp_path / "bo"))
+    scale.write_bucketed(items, "b_items", "okey", 8, path=str(tmp_path / "bi"))
+    # force the merge-join path (tiny test tables would broadcast and the
+    # planner would skip bucketing entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = scale.bucketed_table(spark, "b_orders").join(
+            scale.bucketed_table(spark, "b_items"), "okey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+        assert j.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")

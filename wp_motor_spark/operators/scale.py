@@ -1,0 +1,81 @@
+"""Scale utilities: skew salting and bucketed co-located joins.
+
+These are the two knobs the 100TB design reaches for when AQE alone
+isn't enough (SCALE.md):
+
+- `salted_join`: a hot key (one device spamming logs, one null-ish id)
+  overloads a single shuffle partition in a non-broadcastable join.
+  Salting replicates the SMALL side `salt_n` times and scatters the big
+  side uniformly, so the hot key spreads over `salt_n` partitions.
+  (AQE's skew-join split handles sort-merge cases; salting is the
+  explicit, planner-independent form that also fixes aggregations.)
+- `two_phase_agg`: partial aggregation on (key, salt), then final on key.
+  Spark's hash aggregate already does map-side partials for sums/counts;
+  the explicit form matters for `collect_set`/`approx_count_distinct`-
+  style aggs where one key's state would otherwise concentrate.
+- `write_bucketed` / `bucketed_table`: pre-shuffle fact tables on their
+  join key at write time; repeated joins on that key then run with NO
+  exchange on either side (bucket-local).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join on `key` with the big side's hot keys scattered over `salt_n`
+    sub-keys. `small` is replicated salt_n times (use only when it's too
+    big to broadcast but small enough to replicate)."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("__salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
+    )
+    out = big_salted.join(small_rep, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg_col: str,
+    salt_n: int = 32,
+) -> DataFrame:
+    """Skew-safe distinct-collect: partial collect_set on (keys, salt),
+    then merge — one hot key's set is built by salt_n tasks, not one."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(agg_col)), F.lit(salt_n))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.collect_set(agg_col).alias("__part")
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.array_distinct(F.flatten(F.collect_list("__part"))).alias(f"{agg_col}_set"))
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist `df` bucketed+sorted by `key`: joins/aggs on `key` against
+    other tables bucketed the same way need no exchange at read time."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
