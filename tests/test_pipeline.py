@@ -118,3 +118,23 @@ _ = read(sip);
     assert err.columns == ["__err_kind"]
     assert err.count() == 1
     assert res.sink_lines["error"].count() == 1
+
+
+def test_sink_model_selection(spark):
+    """Sink groups select their OML models (sink.toml oml = [...] globs)."""
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = open(f"{REF}/wpl/example/simple/parse.wpl").read()
+    oml = open(f"{REF}/oml/example_adm.oml").read()  # name: example/simple
+    pipe = Pipeline(
+        wpl=wpl,
+        omls=[oml],
+        sinks=[
+            SinkSpec(name="wants", format="json", models=["example/*"]),
+            SinkSpec(name="other_models", format="json", models=["nomatch*"]),
+        ],
+    )
+    raw = read_lines(spark, f"{REF}/wpl/example/simple/sample.dat")
+    res = pipe.run_batch(raw)
+    assert res.sink_lines["wants"].count() == 1
+    assert "other_models" not in res.sink_lines  # selected no model

@@ -140,7 +140,9 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
             return os.path.join(out_root, os.path.basename(path))
         return os.path.join(root, path)
 
-    def add_group(name: str, sinks: list[dict], condition: str | None) -> None:
+    def add_group(
+        name: str, sinks: list[dict], condition: str | None, models: list[str] | None
+    ) -> None:
         for s in sinks:
             if "params" in s:  # v2: use = file_raw_sink, params {base, file}
                 params = s["params"]
@@ -156,6 +158,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     path=path,
                     format=fmt,
                     condition=condition or s.get("condition"),
+                    models=list(models) if models is not None else ["*"],
                 )
             )
 
@@ -165,11 +168,13 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
         t = _toml(p)
         if "sink_group" in t:
             g = t["sink_group"]
-            add_group(g.get("name", "data"), g.get("sinks", []), g.get("condition"))
+            add_group(
+                g.get("name", "data"), g.get("sinks", []), g.get("condition"), g.get("oml")
+            )
         else:  # framework.toml: one section per infra group
             for name, g in t.items():
                 if isinstance(g, dict) and "sinks" in g:
-                    add_group(g.get("name", name), g["sinks"], g.get("condition"))
+                    add_group(g.get("name", name), g["sinks"], g.get("condition"), g.get("oml"))
 
     # dedupe by (group, path): framework.toml and infra.d describe the same
     # channels in the two config generations

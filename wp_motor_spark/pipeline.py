@@ -33,6 +33,14 @@ from wp_motor_spark.sinks.spec import SinkSpec
 from wp_motor_spark.wpl.compiler import MultiParser
 
 
+def _model_selected(globs: list[str], model_name: str) -> bool:
+    import fnmatch
+
+    if not globs:
+        return False  # e.g. the monitor group: oml = []
+    return any(fnmatch.fnmatch(model_name, g) for g in globs)
+
+
 @dataclass
 class PipelineResult:
     """Named output branches (pre-format) + formatted line DataFrames."""
@@ -73,6 +81,7 @@ class Pipeline:
         parsed = self.parser.parse(raw, col)
         branches: dict[str, DataFrame] = {}
         residue_parts: list[DataFrame] = []
+        self._branch_model: dict[str, str] = {}  # branch -> OML model name
         for key, df in parsed.items():
             if key == "__miss__":
                 branches["miss"] = df
@@ -97,6 +106,7 @@ class Pipeline:
                 branches["error"] = out
             else:
                 branches[key] = out
+                self._branch_model[key] = model.model.name
         if residue_parts:
             res = residue_parts[0]
             for r in residue_parts[1:]:
@@ -137,6 +147,11 @@ class Pipeline:
                 continue
             parts = []
             for key, df in data_branches.items():
+                # sink groups select which OML models feed them
+                # (sink.toml `oml = [...]`, dispatcher/oml.rs:59-70)
+                model_name = getattr(self, "_branch_model", {}).get(key, "")
+                if not _model_selected(spec.models, model_name):
+                    continue
                 sub = df
                 if spec.condition:
                     cond = compile_condition(spec.condition, df.columns)

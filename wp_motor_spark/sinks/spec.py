@@ -19,4 +19,5 @@ class SinkSpec:
     format: str = "json"  # json | csv | kv | raw | show | proto-text
     condition: str | None = None  # routing condition expression (§2.6)
     filter_expect: bool = True  # keep records where condition == this
+    models: list[str] = field(default_factory=lambda: ["*"])  # OML model globs
     options: dict = field(default_factory=dict)  # connector passthrough
