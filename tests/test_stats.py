@@ -85,3 +85,35 @@ def test_pipeline_monitor(spark):
     assert rows[("/example/simple/nginx", "success")] == 1
     assert rows[("<none>", "miss")] == 1
     assert rows[("<none>", "blank")] == 1
+
+
+def test_metrics_listener(spark, tmp_path):
+    """Streaming progress -> Prometheus exposition (the monitor/prometheus
+    sink role)."""
+    from wp_motor_spark.sinks import metrics
+
+    listener = metrics.attach(spark)
+    try:
+        src = str(tmp_path / "in")
+        spark.range(100).selectExpr("cast(id as string) as value").write.text(src)
+        q = (
+            spark.readStream.schema("value string").text(src)
+            .writeStream.format("noop").queryName("metrics_probe").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener delivery is async — poll briefly
+        import time as _t
+
+        for _ in range(20):
+            if listener.progress:
+                break
+            _t.sleep(0.25)
+        assert listener.progress, "no progress events received"
+        text = listener.prometheus_text()
+        assert 'wp_num_input_rows{query="metrics_probe"}' in text
+        out = tmp_path / "metrics.prom"
+        listener.write_exposition(str(out))
+        assert out.read_text().startswith("# TYPE")
+    finally:
+        spark.streams.removeListener(listener)
