@@ -198,3 +198,38 @@ def test_ignore_model_passthrough(spark):
     tr = compile_oml(open(f"{REF}/tests/instance/oml/ignore.oml").read())
     df = spark.createDataFrame([("a", "b")], ["f1", "f2"])
     assert tr.apply(df).columns == ["f1", "f2"]
+
+
+def test_match_condition_functions(spark):
+    """docs match_functions.md: eq/iequals/gt/lt/in_range/is_empty/contains."""
+    text = """
+name : m
+---
+a = match read(s) { iequals(HELLO) => chars(yes); _ => chars(no); };
+b = match read(n) { gt(10) => chars(big); lt(5) => chars(small); _ => chars(mid); };
+c = match read(n) { in_range(6, 8) => chars(band); _ => chars(out); };
+d = match read(e) { is_empty() => chars(empty); _ => chars(full); };
+f = match read(s) { contains(ell) => chars(has); _ => chars(not); };
+"""
+    df = spark.createDataFrame([("hello", 7, "")], "s string, n long, e string")
+    row = compile_oml(text).apply(df).collect()[0]
+    assert row["a"] == "yes"
+    assert row["b"] == "mid"
+    assert row["c"] == "band"
+    assert row["d"] == "empty"
+    assert row["f"] == "has"
+
+
+def test_base64_decode_charsets(spark):
+    from wp_motor_spark.oml import functions as ofn
+
+    # GBK bytes for 中文
+    import base64 as b64
+
+    gbk_payload = b64.b64encode("中文".encode("gbk")).decode()
+    df = spark.createDataFrame([(gbk_payload,)], ["x"])
+    out = df.select(
+        ofn.base64_decode(F.col("x"), "Gbk").alias("g"),
+        ofn.base64_decode(F.col("x"), "Utf8").alias("u"),
+    ).collect()[0]
+    assert out["g"] == "中文"

@@ -371,6 +371,7 @@ class _State:
             lhs = col.try_cast(cast) if cast else col
             return lhs.between(_typed_lit(atom.lo), _typed_lit(atom.hi))
         if isinstance(atom, FunCall):
+            # docs/usage/en/04-oml/functions/match_functions.md
             name = atom.name
             args = atom.args
             if name == "starts_with":
@@ -383,6 +384,18 @@ class _State:
                 return col.rlike(args[0])
             if name == "has":
                 return col.isNotNull()
+            if name == "eq":
+                return col.cast("string") == F.lit(args[0])
+            if name == "iequals":
+                return F.lower(col) == F.lit(args[0].lower())
+            if name == "gt":
+                return col.try_cast("double") > float(args[0])
+            if name == "lt":
+                return col.try_cast("double") < float(args[0])
+            if name == "in_range":
+                return col.try_cast("double").between(float(args[0]), float(args[1]))
+            if name == "is_empty":
+                return col.isNull() | (F.length(col.cast("string")) == 0)
             raise OmlCompileError(f"unknown match condition fn {name}")
         raise OmlCompileError(f"bad condition atom {atom!r}")
 

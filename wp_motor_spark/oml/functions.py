@@ -15,6 +15,7 @@ which use small deterministic expression chains (no Python row loop).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 from pyspark.sql import Column, functions as F
 
 # ------------------------------------------------------------ encode/decode
@@ -25,8 +26,24 @@ def base64_encode(col: Column) -> Column:
     return F.base64(col.cast("binary"))
 
 
+# base64_decode charset arg -> JVM charset name (pipe_functions.md list)
+_CHARSETS = {
+    "utf8": None,  # fast path: plain cast
+    "gbk": "gbk",
+    "gb18030": "GB18030",
+    "big5": "Big5",
+    "eucjp": "EUC-JP",
+    "euckr": "EUC-KR",
+    "latin1": "ISO-8859-1",
+    "shiftjis": "Shift_JIS",
+    "utf16le": "UTF-16LE",
+    "utf16be": "UTF-16BE",
+}
+
+
 def base64_decode(col: Column, charset: str = "Utf8") -> Column:
-    """transform/pipe/base64.rs — base64 -> chars (Utf8|Gbk).
+    """transform/pipe/base64.rs — base64 -> chars (charset list per
+    docs/usage/en/04-oml/functions/pipe_functions.md).
 
     Invalid input -> Ignore(NULL) instead of a task failure. Validity
     matches the reference's strict engine (canonical padding required), so
@@ -37,9 +54,30 @@ def base64_decode(col: Column, charset: str = "Utf8") -> Column:
         r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
     ) & (F.length(cleaned) > 0)
     raw = F.when(valid, F.unbase64(cleaned))
-    if charset.lower() == "gbk":
-        return F.decode(raw, "gbk")
-    return raw.cast("string")
+    cs = _CHARSETS.get(charset.lower().replace("-", "").replace("_", ""), None)
+    if cs is None:
+        return raw.cast("string")
+    if cs.lower() in ("iso-8859-1", "utf-16le", "utf-16be"):
+        return F.decode(raw, cs)  # Spark 4 charset whitelist
+    # GBK/Big5/EUC/Shift_JIS are outside Spark's decode whitelist —
+    # Arrow-batched Python decode (cold path; fails soft to NULL)
+    from pyspark.sql.functions import pandas_udf
+
+    py_cs = cs
+
+    @pandas_udf("string")
+    def _decode(b: "pd.Series") -> "pd.Series":
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return bytes(x).decode(py_cs.replace("-", "_").lower())
+            except (UnicodeDecodeError, LookupError):
+                return None
+
+        return b.map(one)
+
+    return _decode(raw)
 
 
 def html_escape(col: Column) -> Column:
