@@ -26,10 +26,10 @@ def test_q1_scan_prunes_columns(spark, sf001_dir):
     assert "l_quantity" in scan and "l_shipdate" in scan
 
 
-def test_q3_dims_broadcast(spark, sf001_dir):
+def test_q3_filter_pushdown(spark, sf001_dir):
+    # the BUILDING filter must be pushed into the customer scan; join
+    # strategy is left to AQE (customer grows with SF — no static hint)
     plan = _plan(spark, sf001_dir, "q3_top_orders")
-    assert "BroadcastHashJoin" in plan
-    # the BUILDING filter must be pushed into the customer scan
     cust_scan = next(
         l for l in plan.splitlines() if "FileScan parquet" in l and "c_mktsegment" in l
     )

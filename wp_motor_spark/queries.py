@@ -74,8 +74,10 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per order for BUILDING-segment customers (TPC-H Q3 shape).
 
-    Dim side (customer) broadcasts; lineitem->orders join shuffles on the
-    key both sides already share.
+    No explicit broadcast hints on SF-scaling tables (customer grows with
+    the corpus): AQE broadcasts when the filtered side is actually small
+    and falls back to shuffle joins at scale. Only fixed-cardinality dims
+    (nation/region) ever carry hints.
     """
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
@@ -83,7 +85,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _dec(F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
         .where(F.col("revenue") > 100000)
@@ -135,8 +137,8 @@ def supplier_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     disc = _dec(F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
         .agg(
@@ -168,13 +170,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _dec(F.lit(1.0) - F.col("l_discount"))
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_dec(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
     )
+    # top-N first (TakeOrderedAndProject — per-partition heaps, no global
+    # sort), then rank the 20 survivors; a bare global row_number would
+    # single-partition the whole aggregate
+    top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 20)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 Q10_SQL = """
