@@ -28,7 +28,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass  # static-conf locked sessions keep their builder values
 
 
+# (applicationId, sf_dir, name) -> DataFrame: file listing + schema read
+# happen once per session instead of once per query
+_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
@@ -36,4 +44,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
             )
-    return df
+    _CACHE[key] = df
+    return _CACHE[key]
