@@ -668,11 +668,42 @@ FROM t
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (rows-only: the composite is
-    engine-defined; its components are oracle-checked in text_stats,
-    language_id, and token_counts)."""
+    """Composite quality heuristic, SQL-mirrored (same closed formula as
+    operators/text.py quality_score: length, punctuation, word-length and
+    stopword components multiplied)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+def _quality_scores_sql() -> str:
+    from wp_motor_spark.operators.text import _PROFILES
+
+    stopwords = ",".join(f"'{w}'" for w in _PROFILES["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS wl,
+         CAST(len(list_filter(toks, w -> w IN ({stopwords}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw
+  FROM t
+)
+SELECT doc_id,
+       ROUND(least(n_tok / 20.0, 1.0)
+             * (CASE WHEN n_tok > 1000 THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+             * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.6 END)
+             * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS quality
+FROM m
+"""
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +813,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "language_id": (language_id, _language_id_sql()),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "quality_scores": (quality_scores, None),
+    "quality_scores": (quality_scores, _quality_scores_sql()),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
