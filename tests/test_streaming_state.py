@@ -1,0 +1,193 @@
+"""Stateful streaming extensions: gap sessionization via
+applyInPandasWithState and watermark-bounded streaming dedup.
+
+Drives multi-microbatch runs (maxFilesPerTrigger=1 + availableNow) so
+state genuinely carries across batches and event-time timeouts fire as
+the watermark advances.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wp_motor_spark.streaming import dedup_stream, sessionize_stream
+
+T0 = "2026-01-01T10:00:00"
+
+
+def _write(path: str, rows: list[dict], order: int = 0) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # the file source orders batches by mtime — make the order explicit
+    # (same-second writes would otherwise be picked up nondeterministically)
+    t = 1_000_000_000 + order * 100
+    os.utime(path, (t, t))
+
+
+def _run_stream(spark, src, schema, transform, name, tmpdir):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_sessionize_stream_multibatch(spark, tmp_path):
+    """Three microbatches: a gap inside batch 2 closes u1's first session;
+    the batch-3 watermark (19:00) times out u1's and u2's open sessions;
+    u9's 23:00 session stays open (not emitted)."""
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    _write(
+        str(src / "b1.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T10:00:00"},
+            {"user_id": 1, "ts": "2026-01-01T10:05:00"},
+            {"user_id": 2, "ts": "2026-01-01T10:00:00"},
+        ],
+        order=1,
+    )
+    _write(
+        str(src / "b2.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T13:00:00"},
+            {"user_id": 9, "ts": "2026-01-01T20:00:00"},
+        ],
+        order=2,
+    )
+    # batch-3 watermark = 20:00 - 1h = 19:00 > every pending timeout;
+    # u9's 23:00 event also gap-closes its own 20:00 session
+    _write(str(src / "b3.json"), [{"user_id": 9, "ts": "2026-01-01T23:00:00"}], order=3)
+
+    out = _run_stream(
+        spark,
+        str(src),
+        schema,
+        lambda s: sessionize_stream(s, gap_sec=1800, watermark_sec=3600),
+        "sessions_test",
+        str(tmp_path),
+    )
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2026-01-01 10:00:00", "2026-01-01 10:05:00", 2),
+        (1, "2026-01-01 13:00:00", "2026-01-01 13:00:00", 1),
+        (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1),
+        (9, "2026-01-01 20:00:00", "2026-01-01 20:00:00", 1),
+    }
+
+
+def test_sessionize_matches_batch_query_shape(spark, tmp_path):
+    """Within one batch the closed sessions match the batch query's
+    boundaries (same 30-min gap rule)."""
+    src = tmp_path / "ev2"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    _write(
+        str(src / "b1.json"),
+        [
+            {"user_id": 5, "ts": "2026-01-01T08:00:00"},
+            {"user_id": 5, "ts": "2026-01-01T08:10:00"},
+            {"user_id": 5, "ts": "2026-01-01T09:30:00"},  # closes 08:00 session
+        ],
+    )
+    out = _run_stream(
+        spark,
+        str(src),
+        schema,
+        lambda s: sessionize_stream(s, gap_sec=1800, watermark_sec=3600),
+        "sessions_shape_test",
+        str(tmp_path),
+    )
+    rows = [
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    ]
+    assert rows == [("2026-01-01 08:00:00", "2026-01-01 08:10:00", 2)]
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """A duplicate text arriving in a later microbatch (inside the
+    watermark horizon) is dropped; state carries across batches."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    _write(
+        str(src / "b1.json"),
+        [
+            {"doc_id": 1, "ts": T0, "text": "alpha beta"},
+            {"doc_id": 2, "ts": T0, "text": "gamma delta"},
+        ],
+        order=1,
+    )
+    _write(
+        str(src / "b2.json"),
+        [
+            {"doc_id": 3, "ts": "2026-01-01T10:10:00", "text": "Alpha   BETA"},  # dup of 1
+            {"doc_id": 4, "ts": "2026-01-01T10:10:00", "text": "epsilon"},
+        ],
+        order=2,
+    )
+    out = _run_stream(
+        spark,
+        str(src),
+        schema,
+        lambda s: dedup_stream(s, watermark="2 hours"),
+        "dedup_test",
+        str(tmp_path),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+    assert "__digest" not in out.columns
+
+
+def test_streaming_windowed_counts_still_batch_compatible(spark, sf001_dir):
+    """The windowed-stats shape used by streams runs identically on a
+    batch frame (foreachBatch reuse contract)."""
+    from wp_motor_spark.operators.stats import windowed_counts
+    from wp_motor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf001_dir, "events")
+    out = windowed_counts(ev, "ts", ["event_type"], window_sec=3600, top_n=5)
+    assert out.count() > 0
+    assert {"window_start", "window_end", "event_type", "total", "suc_rate"} <= set(
+        out.columns
+    )

@@ -1,0 +1,13 @@
+"""Stateful streaming extensions.
+
+The reference engine is purely processing-time and has NO stateful
+streaming operators (SURVEY.md §2.9 — no event-time, no stream dedup, no
+sessionization). This package is the Spark-native extension surface the
+north star asks for on top of parity: event-time sessionization with
+bounded state (`applyInPandasWithState`) and watermark-bounded streaming
+dedup. Batch twins live in queries.user_sessions / operators.dedup.
+"""
+
+from wp_motor_spark.streaming.state import dedup_stream, sessionize_stream
+
+__all__ = ["dedup_stream", "sessionize_stream"]

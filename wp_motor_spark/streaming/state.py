@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators.
+
+`sessionize_stream` mirrors the batch gap-sessionization query
+(queries.user_sessions: 30-min inactivity boundary) over an unbounded
+stream: per-user open-session state, closed sessions emitted as soon as
+either (a) a later event proves the gap, or (b) the event-time watermark
+passes last_event + gap (EventTimeTimeout). State is three longs per
+active user — bounded by the watermark, so a 1000-executor job holds
+|active users| * 24 bytes of state, independent of history length.
+
+`dedup_stream` is exact streaming dedup on the content digest:
+`dropDuplicatesWithinWatermark` keeps one digest per watermark horizon,
+so state is bounded while late duplicates inside the horizon still drop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+from wp_motor_spark.operators.dedup import content_digest
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_sec: int = 1800,
+    watermark_sec: int = 3600,
+) -> DataFrame:
+    """Gap sessionization over a stream; emits one row per CLOSED session:
+    (user, n_events, session_start, session_end), append mode.
+
+    Same session boundaries as the batch user_sessions query; an open
+    session closes when the watermark (event time minus `watermark_sec`)
+    passes its last event + `gap_sec`.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    user_field = stream.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(user_col, user_field.dataType),
+            StructField("n_events", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_s", LongType()),
+            StructField("last_s", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _emit(user, sessions) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: [user] * len(sessions),
+                "n_events": [n for (_, _, n) in sessions],
+                "session_start": [pd.to_datetime(s, unit="s") for (s, _, _) in sessions],
+                "session_end": [pd.to_datetime(e, unit="s") for (_, e, _) in sessions],
+            }
+        )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        if state.hasTimedOut:
+            start_s, last_s, n = state.get
+            state.remove()
+            yield _emit(user, [(start_s, last_s, n)])
+            return
+        secs: list[int] = []
+        for pdf in pdfs:
+            col = pd.to_datetime(pdf[ts_col]).astype("datetime64[s]").astype("int64")
+            secs.extend(int(v) for v in col)
+        secs.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in secs:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_sec:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((int(start), int(last), int(n)))
+        # timeout must stay ahead of the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max((int(last) + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _emit(user, closed)
+
+    return (
+        stream.withWatermark(ts_col, f"{watermark_sec} seconds")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key: Column | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content digest wins;
+    duplicates arriving within the watermark horizon are dropped with
+    bounded state (one 64-hex digest per distinct text per horizon)."""
+    keyed = stream.withColumn(
+        "__digest", key if key is not None else content_digest(F.col(text_col))
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
