@@ -1,0 +1,99 @@
+"""Dedup operator family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Planted near-duplicates with hand-computed expected Jaccard values, so
+these guard the algorithms themselves (the driver oracle for minhash and
+simhash is rows-only — the hash families are engine-specific).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.operators import dedup
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog again and again today"),
+    (2, "The quick brown fox leaps over the lazy dog again and again today"),
+    (3, "the  QUICK brown fox jumps over the lazy dog again and again today"),
+    (4, "completely unrelated content about spark shuffles and parquet files"),
+    (5, ""),
+]
+
+
+def _norm(s):
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _sh(s, n=3):
+    w = _norm(s).split(" ")
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _jac(a, b):
+    sa, sb = _sh(a), _sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalized(spark, docs):
+    # 3 is a whitespace/case variant of 1 -> lowest id (1) wins
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 2, 4, 5]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 3)] == pytest.approx(1.0)
+    assert out[(1, 2)] == pytest.approx(_jac(DOCS[0][1], DOCS[1][1]))
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    # identical pair must collide in every band; verified jaccard is exact
+    assert (1, 3) in out and out[(1, 3)] == pytest.approx(1.0)
+    # one-word-substitution pair: high jaccard, expect banding to catch it
+    assert (1, 2) in out
+    assert out[(1, 2)] == pytest.approx(_jac(DOCS[0][1], DOCS[1][1]))
+    # no cross pairs with the unrelated or empty doc
+    assert all(4 not in p and 5 not in p for p in out)
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    sig = docs.select(
+        "doc_id",
+        dedup.minhash_signature(
+            dedup.shingle_hashes(F.col("text"), 3), num_hashes=16
+        ).alias("sig"),
+    )
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert all(len(s) == 16 for s in rows.values())
+    rows2 = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert rows == rows2  # deterministic across runs
+    # identical normalized texts -> identical signatures
+    assert rows[1] == rows[3]
+    # signatures of near-dups agree on most permutations (J ~ 0.77)
+    agree = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert agree >= 8
+    # empty doc hashes its single empty shingle -> valid signature that
+    # collides only with other empty docs, never with real content
+    assert rows[5] != rows[4] and rows[5] != rows[1]
+
+
+def test_simhash_finds_identical_pair(spark, docs):
+    out = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert (1, 3) in out
+    assert all(4 not in p and 5 not in p for p in out)

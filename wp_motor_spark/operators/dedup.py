@@ -60,45 +60,19 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(sh_hashes: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature over pre-hashed shingles.
+    """MinHash signature over pre-hashed shingles — pure JVM expression.
 
-    Arrow-batched pandas UDF: all permutations of one batch are a single
-    numpy uint64 broadcast (xor-seed + two murmur3-finalizer multiply/xor
-    rounds), ~100x faster than evaluating a nested higher-order expression
-    tree per element, and deterministic across runs/partitions."""
-    from pyspark.sql.functions import pandas_udf
-
-    # splitmix64 stream as per-permutation seeds (deterministic)
-    seeds = np.empty(num_hashes, dtype=np.uint64)
-    x = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(num_hashes):
-        x = np.uint64((int(x) + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-        z = x
-        z = np.uint64((int(z) ^ int(z >> np.uint64(30))) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF)
-        z = np.uint64((int(z) ^ int(z >> np.uint64(27))) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF)
-        seeds[i] = z ^ (z >> np.uint64(31))
-
-    c1 = np.uint64(0xFF51AFD7ED558CCD)
-    c2 = np.uint64(0xC4CEB9FE1A85EC53)
-    s33 = np.uint64(33)
-
-    @pandas_udf("array<long>")
-    def _sig(batch: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for arr in batch:
-                if arr is None or len(arr) == 0:
-                    out.append(np.full(num_hashes, np.iinfo(np.int64).max))
-                    continue
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                m = h[None, :] ^ seeds[:, None]
-                m = (m ^ (m >> s33)) * c1
-                m = (m ^ (m >> s33)) * c2
-                m ^= m >> s33
-                out.append(m.min(axis=1).view(np.int64))
-        return pd.Series(out)
-
-    return _sig(sh_hashes)
+    Permutation p's hash family is `xxhash64(shingle_hash, p)` (the extra
+    column acts as the seed), so the whole signature stays inside
+    whole-stage codegen: no Python workers, and — the part that matters at
+    100TB — the shingle arrays never cross the JVM/Arrow boundary. Empty
+    docs get a max-long signature (matches no non-empty band)."""
+    empty = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda p: F.array_min(F.transform(sh_hashes, lambda h: F.xxhash64(h, p))),
+    )
+    return F.when(F.size(sh_hashes) > 0, sig).otherwise(empty)
 
 
 def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -316,20 +290,33 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("__id", "__fp", "bk.blk", "bk.key")
     a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))
+    xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    # first-matching-block predicate: every block before the join block must
+    # differ, so each qualifying pair is emitted by exactly ONE block branch.
+    # Identical fingerprints (the common case in template-heavy corpora)
+    # would otherwise be compared in all 4 branches and need a full
+    # dedup shuffle over the pair set afterwards.
+    earlier_differs = F.col("a.blk") == 0
+    for blk in range(1, 4):
+        cond = F.lit(True)
+        for prev in range(blk):
+            cond = cond & (
+                F.shiftright(xor, prev * 16).bitwiseAND(F.lit(0xFFFF)) != 0
+            )
+        earlier_differs = F.when(F.col("a.blk") == blk, cond).otherwise(earlier_differs)
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & earlier_differs,
         )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            ham.alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 
