@@ -106,18 +106,23 @@ def _throughput_probe(spark, n: int = 2_000_000) -> dict:
     cr = compile_rule(rule)
     om = compile_oml(oml)
 
-    def full_pass() -> tuple[float, int]:
+    parsed = cr.extract(lines)
+    out = om.apply(parsed.drop("value", "_rule", "_disposition", "_residue"))
+    # untimed correctness checksum — the timed pass measures the workload
+    n_ok = parsed.where(F.col("_disposition") == "success").count()
+    # max(hash of every output column) defeats column pruning: a bare
+    # count() lets Catalyst drop the whole OML projection, timing only the
+    # scan. This forces parse + transform of every row in ONE job.
+    forced = F.max(F.xxhash64(*[F.col(c).cast("string") for c in out.columns]))
+
+    def full_pass() -> float:
         t0 = time.perf_counter()
-        parsed = cr.extract(lines)
-        n_ok = parsed.where(F.col("_disposition") == "success").count()
-        out = om.apply(parsed.drop("value", "_rule", "_disposition", "_residue"))
-        out.select(F.count(F.lit(1))).collect()
-        return time.perf_counter() - t0, n_ok
+        out.select(forced).collect()
+        return time.perf_counter() - t0
 
     full_pass()  # warm codegen/JIT — steady-state is what BASELINE measures
     # best of 2 measured passes: the box is shared, min filters out noise
-    (w1, n_ok), (w2, _) = full_pass(), full_pass()
-    wall = min(w1, w2)
+    wall = min(full_pass(), full_pass())
     lines.unpersist()
 
     return {

@@ -502,15 +502,34 @@ def _time_cast(col: Column, dtype: str) -> Column:
             F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm:ss Z")),
             F.try_to_timestamp(col, F.lit("EEE, d MMM yyyy HH:mm:ss zzz")),
         )
-    # time (auto) / time_iso / time_3339: ordered cascade
+    # time (auto) / time_iso / time_3339: ordered cascade. A cheap anchored
+    # sniff picks the single matching parser per row first — the common
+    # formats (CLF, ISO) would otherwise pay several FAILED DateTimeFormatter
+    # parses per row, which shows up as ~2x on the whole-pipeline bench.
+    # CASE WHEN evaluates lazily per row, so each row runs ONE parse;
+    # the full cascade stays as the fallback, preserving precedence.
     c = F.regexp_replace(col, r"\s+", " ")
-    return F.coalesce(
+    cascade = F.coalesce(
         F.try_to_timestamp(col),
         F.try_to_timestamp(F.regexp_replace(col, "T", " ")),
         F.try_to_timestamp(c, F.lit("yyyy/M/d H:mm:ss")),
         F.try_to_timestamp(c, F.lit("MMM d yyyy HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("MMM d HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+    )
+    return (
+        F.when(
+            col.rlike(r"^\d{4}-\d{2}-\d{2}[T ]"),
+            F.coalesce(
+                F.try_to_timestamp(col),
+                F.try_to_timestamp(F.regexp_replace(col, "T", " ")),
+            ),
+        )
+        .when(
+            col.rlike(r"^\d{1,2}/[A-Za-z]{3}/\d{4}:"),
+            F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+        )
+        .otherwise(cascade)
     )
 
 
