@@ -187,13 +187,15 @@ def ngram_jaccard_pairs(
     """
     # consumed by both the size table and the inverted index — persist so
     # the text->shingle->hash pipeline runs once (ids + long arrays only)
+    # the alias matches minhash_lsh_pairs' persisted plan EXACTLY, so when
+    # both run in one session the CacheManager shares one materialization
     sh = (
         _spread(df, [id_col, text_col])
-        .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("sh"))
+        .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh"))
         .persist()
     )
-    sizes = sh.select(F.col("__id"), F.size("sh").alias("n_sh"))
-    inv = sh.select("__id", F.explode("sh").alias("g"))
+    sizes = sh.select(F.col("__id"), F.size("__sh").alias("n_sh"))
+    inv = sh.select("__id", F.explode("__sh").alias("g"))
     # pairwise expansion per gram (not distinct — multiplicity IS the
     # intersection count), then count occurrences of each (id_a, id_b)
     grouped = inv.groupBy("g").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
@@ -228,30 +230,33 @@ def ngram_jaccard_pairs(
 
 
 def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint: per-token xxhash64 (JVM), then an Arrow-batched
-    bit-vote: unpack each 64-bit token hash into a bit matrix, sum per bit
-    position, majority-sign packs back into one LongType fingerprint."""
-    from pyspark.sql.functions import pandas_udf
+    """SimHash fingerprint — pure JVM expression, no Python stage.
 
-    shifts = np.arange(bits, dtype=np.uint64)
-
-    @pandas_udf("long")
-    def _simhash(batch: pd.Series) -> pd.Series:
-        out = np.zeros(len(batch), dtype=np.int64)
-        for i, arr in enumerate(batch):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            ones = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
-            bitset = (ones * 2 > len(h)).astype(np.uint64)
-            fp = (bitset << shifts).sum(dtype=np.uint64)
-            out[i] = np.array([fp], dtype=np.uint64).view(np.int64)[0]
-        return pd.Series(out)
-
+    Per-token xxhash64, then a per-bit majority vote folded with
+    `aggregate` over precomputed single-bit masks: bit b of the
+    fingerprint is set when most token hashes have `h & (1<<b)` set.
+    Masks instead of variable shifts keep every op a JVM bitwise
+    primitive inside whole-stage codegen (and ANSI-safe: OR, not add)."""
+    masks = F.array(
+        *[
+            F.lit((1 << b) - ((1 << 64) if b == 63 else 0)).cast("long")
+            for b in range(bits)
+        ]
+    )
     toks = F.array_distinct(
         F.transform(F.split(normalize_text(col), " "), lambda t: F.xxhash64(t))
     )
-    return _simhash(toks)
+    n = F.size(toks)
+    fp = F.aggregate(
+        masks,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc.bitwiseOR(
+            F.when(
+                F.size(F.filter(toks, lambda h: h.bitwiseAND(p) != 0)) * 2 > n, p
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+    )
+    return F.when(n > 0, fp).otherwise(F.lit(0).cast("long"))
 
 
 def simhash_pairs(
