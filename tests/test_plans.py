@@ -65,3 +65,24 @@ def test_pipeline_transform_map_only(spark):
     out = pipe.transform(raw)["/example/simple/nginx"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_minhash_and_simhash_are_jvm_only(spark, sf001_dir):
+    """The dedup hot paths must stay inside whole-stage codegen: no
+    Arrow/Python eval stages (signature + bit-vote are JVM expressions)."""
+    for name in ("minhash_lsh_dups", "simhash_dups"):
+        plan = _plan(spark, sf001_dir, name)
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_dedup_exact_shuffles_digests_not_documents(spark, sf001_dir):
+    """The exchange before the digest groupBy must carry (digest, id) only
+    — never the document text column."""
+    plan = _plan(spark, sf001_dir, "dedup_exact")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(__digest" in line:
+            assert "text" not in line
+            break
+    else:
+        pytest.fail("no digest exchange found")
