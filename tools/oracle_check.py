@@ -20,6 +20,15 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# --exact: reproduce the round driver's stricter comparison. The driver
+# materializes the DuckDB side through pandas/Arrow, where HUGEINT
+# (SUM(...) OVER) and epoch() become float64 — so an int-typed Spark column
+# vs a float-typed oracle column hash-differ even when numerically equal
+# (str(5) != str(5.0)). Exact mode fetches the oracle via .df() and compares
+# full-precision reprs with no rounding, so those type drifts fail locally
+# exactly as they fail in CORRECTNESS_r{N}.json.
+EXACT = False
+
 
 def norm_cell(v):
     if v is None:
@@ -27,11 +36,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return repr(v) if EXACT else round(v, 6)
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if EXACT:
+        return repr(v)
     return v
 
 
@@ -44,8 +55,11 @@ def frame_to_set(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -82,7 +96,24 @@ def main():
         try:
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            if EXACT:
+                # driver-style: through pandas, so HUGEINT/epoch -> float64
+                import numpy as np
+
+                def _py(v):
+                    if isinstance(v, np.generic):
+                        return v.item()
+                    if isinstance(v, np.ndarray):
+                        return v.tolist()
+                    return v
+
+                pdf = cur.df()
+                drows = [
+                    [_py(v) for v in row]
+                    for row in pdf.itertuples(index=False, name=None)
+                ]
+            else:
+                drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} DUCKDB-ERROR {type(e).__name__}: {e}")
             failures.append(name)

@@ -220,8 +220,10 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactivity boundary) — lag window + cumulative session ids."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact integer microsecond gap math — events carry sub-second ts, and
+    # second-truncating here would sessionize differently from the oracle
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
     return sess.groupBy("user_id", "sess_no").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -234,14 +236,14 @@ SESSIONS_SQL = """
 WITH marked AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_no
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
   FROM marked
 )
 SELECT user_id, sess_no, COUNT(*) AS n_events,
@@ -318,7 +320,7 @@ SELECT event_id,
        '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS sip,
        date_trunc('second', ts) AS recv_time,
        '/e/' || CAST(event_id AS VARCHAR) AS uri,
-       CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+       CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS BIGINT) AS status,
        CAST(round(value * 100) AS BIGINT) AS bytes
 FROM events
 """
@@ -368,9 +370,9 @@ def wpl_oml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 WPL_OML_SQL = """
 SELECT event_id,
        '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS sip,
-       epoch(date_trunc('second', ts)) AS ts,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts,
        '/e/' || CAST(event_id AS VARCHAR) AS uri,
-       CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+       CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS BIGINT) AS status,
        CASE WHEN CAST(round(value * 100) AS BIGINT) BETWEEN 0 AND 499 THEN 'small' ELSE 'large' END AS size_class,
        '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR) || '.' || CAST(user_id % 256 AS VARCHAR) AS host
 FROM events
