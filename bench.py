@@ -29,6 +29,8 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    from pyspark.sql import functions as F
+
     from wp_motor_spark.queries import QUERIES
     from wp_motor_spark.session import get_spark
 
@@ -49,8 +51,14 @@ def main() -> None:
         for name, (fn, _sql) in QUERIES.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            # force full execution; cheap result channel (count of all rows)
-            df.count()
+            # force FULL execution of every output column: a bare count()
+            # lets Catalyst prune computed projections entirely (the
+            # projection-only queries would time a parquet row-count scan,
+            # not the operator) — same anti-pruning action as the
+            # throughput probe below
+            df.select(
+                F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
+            ).collect()
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed

@@ -233,3 +233,18 @@ def test_base64_decode_charsets(spark):
         ofn.base64_decode(F.col("x"), "Utf8").alias("u"),
     ).collect()[0]
     assert out["g"] == "中文"
+
+
+def test_json_unescape_escaped_backslash(spark):
+    """`\\n` in the wire bytes (escaped backslash + 'n') must stay a literal
+    backslash + 'n', never collapse into a newline; real escapes unescape."""
+    from wp_motor_spark.oml import functions as ofn
+
+    df = spark.createDataFrame(
+        [(r"a\\nb",), (r"a\nb",), (r"say \"hi\"",), (r"p\\\\q",)], ["x"]
+    )
+    vals = [r["y"] for r in df.select(ofn.json_unescape(F.col("x")).alias("y")).collect()]
+    assert vals[0] == "a\\nb"      # \\n -> backslash + n
+    assert vals[1] == "a\nb"       # \n -> newline
+    assert vals[2] == 'say "hi"'   # \" -> quote
+    assert vals[3] == "p\\\\q"     # \\\\ -> two backslashes

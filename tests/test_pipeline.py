@@ -120,6 +120,28 @@ _ = read(sip);
     assert res.sink_lines["error"].count() == 1
 
 
+def test_default_branch_unions_all_modelless_rules(spark):
+    """Two rules with no OML model: BOTH rules' rows must reach the default
+    branch — the reference routes every unmatched record to the default
+    sink, not just the first rule's (processor.rs default channel)."""
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = """
+rule alpha {
+  (symbol(A):tag_a,chars:rest)
+}
+rule beta {
+  (symbol(B):tag_b,chars:rest)
+}
+"""
+    pipe = Pipeline(wpl=wpl, omls=[], sinks=[SinkSpec(name="default", format="json")])
+    raw = spark.createDataFrame([("A one",), ("B two",), ("B three",)], ["value"])
+    res = pipe.run_batch(raw)
+    assert res.branches["default"].count() == 3
+    rules = {r["_rule"] for r in res.branches["default"].select("_rule").collect()}
+    assert rules == {"alpha", "beta"}
+
+
 def test_sink_model_selection(spark):
     """Sink groups select their OML models (sink.toml oml = [...] globs)."""
     from wp_motor_spark.pipeline import Pipeline

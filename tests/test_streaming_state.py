@@ -105,6 +105,48 @@ def test_sessionize_stream_multibatch(spark, tmp_path):
     }
 
 
+def test_sessionize_stream_late_event_merge(spark, tmp_path):
+    """A late-but-inside-watermark event from an earlier wall-clock time
+    (t < state's last) must merge without moving the session end backwards
+    or losing the earlier start: u1 gets ONE session 09:50→10:20 with 3
+    events, not a session whose start ignores the late 09:50 arrival."""
+    src = tmp_path / "late"
+    src.mkdir()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    _write(str(src / "b1.json"), [{"user_id": 1, "ts": "2026-01-01T10:00:00"}], order=1)
+    # batch 2: one late event (09:50 < state.last 10:00) + one on-time event
+    _write(
+        str(src / "b2.json"),
+        [
+            {"user_id": 1, "ts": "2026-01-01T09:50:00"},
+            {"user_id": 1, "ts": "2026-01-01T10:20:00"},
+        ],
+        order=2,
+    )
+    # batch 3: u9 at 13:00 pushes the watermark to 12:00 > u1's timeout
+    _write(str(src / "b3.json"), [{"user_id": 9, "ts": "2026-01-01T13:00:00"}], order=3)
+
+    out = _run_stream(
+        spark,
+        str(src),
+        schema,
+        lambda s: sessionize_stream(s, gap_sec=1800, watermark_sec=3600),
+        "sessions_late_test",
+        str(tmp_path),
+    )
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+        if r["user_id"] == 1
+    }
+    assert rows == {(1, "2026-01-01 09:50:00", "2026-01-01 10:20:00", 3)}
+
+
 def test_sessionize_matches_batch_query_shape(spark, tmp_path):
     """Within one batch the closed sessions match the batch query's
     boundaries (same 30-min gap rule)."""

@@ -108,11 +108,18 @@ def json_escape(col: Column) -> Column:
 
 
 def json_unescape(col: Column) -> Column:
-    c = F.regexp_replace(col, r'\\(["/])', "$1")
-    c = F.regexp_replace(c, r"\\n", "\n")
-    c = F.regexp_replace(c, r"\\t", "\t")
-    c = F.regexp_replace(c, r"\\r", "\r")
-    return F.regexp_replace(c, r"\\\\", "\\\\")
+    # Escaped backslashes must be resolved FIRST (via a sentinel) or the
+    # leftover `\` pairs with the next char: input `\\n` (backslash + 'n')
+    # would otherwise become a newline. Mirrors transform/pipe/escape.rs's
+    # single-pass scan with literal (non-regex) replaces.
+    sent = "\x00"
+    c = F.replace(col, F.lit("\\\\"), F.lit(sent))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\\/"), F.lit("/"))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
+    return F.replace(c, F.lit(sent), F.lit("\\"))
 
 
 def str_escape(col: Column) -> Column:

@@ -99,7 +99,14 @@ class Pipeline:
             )
             model = self._model_for(key)
             if model is None:
-                branches.setdefault("default", ok)
+                # every model-less rule's rows reach the default sink — the
+                # reference routes ALL unmatched records there, not just the
+                # first rule's (processor.rs default-channel semantics)
+                branches["default"] = (
+                    branches["default"].unionByName(ok, allowMissingColumns=True)
+                    if "default" in branches
+                    else ok
+                )
                 continue
             out = model.apply(ok.drop("_rule", "_disposition", "_residue"), self.knowdb)
             if out.columns == ["__err_kind"]:

@@ -41,8 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
+            # integer division: epoch-nanos (~1.7e18) exceed double's 2^53
+            # exact range, so float divide + floor can land 1µs off DuckDB's
+            # exact truncation and break oracle hash parity
             df = df.withColumn(
-                f.name, F.timestamp_micros(F.floor(F.col(f.name) / 1000).cast("long"))
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
     _CACHE[key] = df
     return _CACHE[key]

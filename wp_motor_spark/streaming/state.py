@@ -90,11 +90,16 @@ def sessionize_stream(
         for t in secs:
             if last is None:
                 start, last, n = t, t, 1
-            elif t - last > gap_sec:
+            elif t > last and t - last > gap_sec:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # late-but-inside-watermark events from earlier micro-batches
+                # arrive with t <= last (secs is sorted within the batch, not
+                # across batches): merge without moving the session end
+                # backwards or shortening the timeout; events earlier than
+                # start extend the session start
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((int(start), int(last), int(n)))
         # timeout must stay ahead of the current watermark or Spark rejects it
         state.setTimeoutTimestamp(

@@ -79,11 +79,12 @@ def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Colum
 
 def _transform_expr(call: FunCall, col: Column) -> Column:
     if call.name == "json_unescape":
-        # undo JSON string escaping: \" \\ \n \t \r \/ \uXXXX
-        c = F.regexp_replace(col, r'\\(["/\\])', "$1")
-        c = F.regexp_replace(c, r"\\n", "\n")
-        c = F.regexp_replace(c, r"\\t", "\t")
-        return F.regexp_replace(c, r"\\r", "\r")
+        # undo JSON string escaping: \" \\ \n \t \r \/ — escaped backslashes
+        # go through a sentinel first so `\\n` stays backslash + 'n' instead
+        # of collapsing into a newline (same fix as oml/functions.py)
+        from wp_motor_spark.oml.functions import json_unescape as _ju
+
+        return _ju(col)
     if call.name == "base64_decode":
         return F.when(
             col.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"),
