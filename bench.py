@@ -110,7 +110,10 @@ def _warm_python_workers(spark) -> None:
     ).count()
 
 
-def _throughput_probe(spark, n: int = 2_000_000) -> dict:
+def _throughput_probe(spark, n: int = 8_000_000) -> dict:
+    # 8M rows (not 2M): at 2M the fixed per-job cost (~0.25 s of task
+    # scheduling + AQE stage setup) is ~30% of wall and understates
+    # steady-state throughput by that much; 8M amortizes it to <7%.
     import os
     import time
 

@@ -558,15 +558,45 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
     if dtype.startswith("time"):
         return _time_cast(s, dtype)
     if dtype == "http/request":
-        p = F.split(F.trim(s), r"\s+", 3)
-        return F.when(
-            s.isNotNull(),
-            F.struct(
-                p.getItem(0).alias("method"),
-                p.getItem(1).alias("uri"),
-                p.getItem(2).alias("proto"),
-            ),
+        # Hot path: request lines are almost always single-space separated
+        # ("GET /x HTTP/1.1"), where substring_index (memchr-style scan) is
+        # ~6x cheaper than a \s+ regex split (profiled: 2.05 -> 0.3 us/row
+        # single-thread). Rows with runs of whitespace / tabs fall back to
+        # the exact regex-split semantics via a lazy CASE WHEN, so only
+        # those rows pay the regex.
+        t = F.trim(s)
+        simple = (
+            (F.instr(t, "  ") == 0)
+            & (F.instr(t, "\t") == 0)
+            & (F.instr(t, "\r") == 0)
+            & (F.instr(t, "\n") == 0)
         )
+        fast = F.struct(
+            F.substring_index(t, " ", 1).alias("method"),
+            F.when(
+                F.instr(t, " ") > 0,
+                F.substring_index(F.substring_index(t, " ", 2), " ", -1),
+            ).alias("uri"),
+            F.when(
+                F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) >= 2,
+                # rest-of-string after the 2nd space (split-limit-3 keeps the
+                # tail in the 3rd element, so mirror that, not last-token)
+                F.substring(
+                    t,
+                    F.length(F.substring_index(t, " ", 2)) + 2,
+                    F.length(t),
+                ),
+            ).alias("proto"),
+        )
+        p = F.split(t, r"\s+", 3)
+        # F.get (not getItem): short arrays must yield NULL, not an ANSI
+        # out-of-bounds error, for requests like "GET" with no uri/proto
+        slow = F.struct(
+            F.get(p, 0).alias("method"),
+            F.get(p, 1).alias("uri"),
+            F.get(p, 2).alias("proto"),
+        )
+        return F.when(s.isNotNull(), F.when(simple, fast).otherwise(slow))
     if dtype == "kvarr" and out.kv_run:
         return F.str_to_map(s, F.lit(out.kv_sep), F.lit("="))
     if dtype == "kv":
@@ -612,6 +642,11 @@ class CompiledRule:
     # -- plan builders ------------------------------------------------------
 
     def parts_col(self, value: Column) -> Column:
+        """Single-pass regex tokenizer: ONE anchored regex evaluation per
+        row, then a literal split. A memchr-style separator-scan plan (the
+        reference's approach) was built and measured at ~10% SLOWER once
+        its semantics-preserving validity checks are included — see
+        tools/fastpath_experiment.py and PROFILE.md §3."""
         repl = DELIM.join(f"${i}" for i in range(1, self.n_groups + 1))
         pre = apply_preprocs(value, self.rule.preprocs)
         return F.split(F.regexp_replace(pre, self.pattern, repl), DELIM, -1)
@@ -777,10 +812,16 @@ class MultiParser:
     """First-match-wins rule cascade (parser.rs:26-114).
 
     ``label`` stamps _rule/_disposition/_residue; ``parse`` returns one
-    typed DataFrame per rule plus the miss branch. CASE WHEN evaluates
-    conditions sequentially inside codegen, so later rules' regexes never run
-    for rows already claimed by an earlier rule — same short-circuit the
-    reference's cascade has, without adaptive reordering (SURVEY.md §2.4).
+    typed DataFrame per rule plus the miss branch. Each rule's tokenizing
+    regex is MATERIALIZED once per row as a ``__parts_i`` column before the
+    first-match CASE chains run: codegen subexpression elimination does NOT
+    dedupe an expression repeated across the three when-chains (measured
+    4.7x slower for a 3-rule cascade when parts is inlined — every chain
+    re-ran every rule's regex). The trade-off vs the reference's
+    short-circuiting scanner: all R regexes run for every row, but each
+    exactly once — predictable R evals beats the chains' up-to-3R, and
+    anchored patterns fail fast on non-matching rows. No adaptive
+    reordering, by design (SURVEY.md §2.4).
     """
 
     def __init__(self, rules: list[CompiledRule | WplRule] | str):
@@ -790,11 +831,19 @@ class MultiParser:
 
     def label(self, df: DataFrame, col: str = "value") -> DataFrame:
         value = F.col(col)
+        # stage 1: one regex evaluation per rule per row, materialized
+        tmp = df.select(
+            "*",
+            *[
+                cr.parts_col(value).alias(f"__parts_{i}")
+                for i, cr in enumerate(self.rules)
+            ],
+        )
         rule_c: Column | None = None
         disp_c: Column | None = None
         res_c: Column | None = None
-        for cr in self.rules:
-            parts = cr.parts_col(value)
+        for i, cr in enumerate(self.rules):
+            parts = F.col(f"__parts_{i}")
             disp = cr.disposition_col(value, parts)
             hit = disp.isin("success", "partial")
             rule_c = (
@@ -807,8 +856,8 @@ class MultiParser:
                 else res_c.when(hit, cr.residue_col(parts))
             )
         blank = F.trim(F.coalesce(value, F.lit(""))) == ""
-        return df.select(
-            "*",
+        return tmp.select(
+            *df.columns,
             F.coalesce(rule_c, F.lit(None)).alias("_rule"),
             F.when(blank, "blank").otherwise(F.coalesce(disp_c, F.lit("miss"))).alias(
                 "_disposition"
