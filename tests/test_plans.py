@@ -86,3 +86,24 @@ def test_dedup_exact_shuffles_digests_not_documents(spark, sf001_dir):
             break
     else:
         pytest.fail("no digest exchange found")
+
+
+def test_lsh_ann_is_bucketed_broadcast_join(spark, sf001_dir):
+    """Banded LSH must candidate-join on (band, key) equality with the
+    query side broadcast — never a nested-loop/cartesian over the corpus —
+    and its one exchange (the candidate dedup) must carry id/score triples,
+    not embedding vectors."""
+    plan = _plan(spark, sf001_dir, "lsh_ann_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(query_id" in line:
+            assert "_v#" not in line  # no vector columns in the dedup shuffle
+            break
+
+
+def test_ivf_ann_no_cartesian(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "ivf_ann_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

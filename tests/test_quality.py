@@ -1,0 +1,167 @@
+"""Quantitative quality gates for the approximate / rows-only operators.
+
+VERDICT r2 item 2: the 5 queries the driver can only rows-check
+(minhash_lsh_dups, simhash_dups, lsh_ann_topk, ivf_ann_topk,
+multimodal_features) get numeric quality evidence here, each graded
+against an exact twin computed independently:
+
+- minhash:    pairs SUBSET-OF exact n-gram Jaccard pairs at the same
+              threshold, recall >= 0.9 vs ngram_jaccard_pairs.
+- simhash:    pair set EXACTLY equal to a DuckDB recomputation of
+              hamming(bit_count(xor)) <= 3 over the exported fingerprints
+              (validates the pigeonhole blocking + first-matching-block
+              dedup logic end to end).
+- lsh_topk:   recall@5 >= 0.9 vs brute_force_topk (banded + multi-probe).
+- ivf_topk:   recall@5 >= 0.8 vs brute_force_topk, and k-means refinement
+              strictly improves recall over unrefined centroids.
+- multimodal: feature vectors EXACTLY equal to a driver-side pure-Python
+              recomputation of the documented stub-decode spec.
+
+All inputs are the deterministic driver fixtures (sf0.001) and every
+operator is RNG-free, so the printed recall numbers are stable, not
+flaky thresholds.
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wp_motor_spark.operators import dedup, multimodal as mm, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_top5(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return {(r.query_id, r.neighbor_id) for r in out.collect()}
+
+
+def _recall(got: set, exact: set) -> float:
+    return len(got & exact) / len(exact)
+
+
+def test_lsh_recall_at_5(emb, exact_top5):
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = emb.select(F.size("embedding")).first()[0]
+    out = similarity.lsh_topk(
+        emb, queries, dim=dim, k=5, planes=32, bands=8, probe_bits=1
+    )
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    recall = _recall(got, exact_top5)
+    print(f"\nlsh_topk recall@5 = {recall:.3f} (gate >= 0.9)")
+    assert recall >= 0.9
+
+
+def test_ivf_recall_at_5_and_kmeans_improves(emb, exact_top5):
+    queries = emb.where(F.col("vec_id") < 10)
+    recalls = {}
+    for iters in (0, 5):
+        out = similarity.ivf_topk(
+            emb, queries, k=5, n_cells=16, n_probe=8, kmeans_iters=iters
+        )
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        recalls[iters] = _recall(got, exact_top5)
+    print(
+        f"\nivf_topk recall@5 unrefined={recalls[0]:.3f} "
+        f"refined={recalls[5]:.3f} (gate: refined >= 0.8 and > unrefined)"
+    )
+    assert recalls[5] >= 0.8
+    assert recalls[5] > recalls[0]
+
+
+def test_minhash_subset_of_exact_and_recall(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    mh_rows = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    mh = {(r.id_a, r.id_b) for r in mh_rows}
+    assert exact, "fixture must contain planted near-dups"
+    # verification step computes exact Jaccard, so no false positives ever
+    assert mh <= exact, f"minhash produced non-dup pairs: {sorted(mh - exact)[:5]}"
+    recall = len(mh) / len(exact)
+    print(f"\nminhash_lsh_pairs recall = {recall:.3f} over {len(exact)} exact pairs")
+    assert recall >= 0.9
+
+
+def test_simhash_pairs_match_duckdb_exact_recompute(docs):
+    fps = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.simhash(F.col("text")).alias("fp"),
+            F.length(dedup.normalize_text(F.col("text"))).alias("n_norm"),
+        )
+        .toPandas()
+    )
+    # exact all-pairs recompute in DuckDB from the exported fingerprints;
+    # empty docs carry the 0 sentinel fingerprint and are excluded on both
+    # sides (simhash_pairs never emits them because blocking keys require a
+    # non-empty token vote — mirror that via n_norm > 0)
+    con = duckdb.connect()
+    con.register("fps", fps[fps["n_norm"] > 0][["id", "fp"]])
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            """
+            SELECT x.id, y.id FROM fps x JOIN fps y ON x.id < y.id
+            WHERE bit_count(xor(x.fp, y.fp)) <= 3
+            """
+        ).fetchall()
+    }
+    got_rows = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    # each pair must appear exactly once (first-matching-block dedup)
+    assert len(got_rows) == len(got)
+    print(f"\nsimhash_pairs = {len(got)} pairs, DuckDB exact = {len(want)}")
+    assert got == want
+
+
+def test_multimodal_features_match_pure_python_recompute(spark):
+    rows = [(i, bytes([i % 251]) * (64 * (1 + i % 3))) for i in range(20)]
+    df = mm.attach_meta(spark.createDataFrame(rows, "doc_id long, media binary"))
+    got = {r["doc_id"]: r["features"] for r in mm.image_features(df).collect()}
+
+    def expected(payload: bytes) -> list:
+        # independent recomputation of the documented stub-decode spec:
+        # sha256(payload) bytes tiled to 8x8x3, channel-mean, 16-bin
+        # histogram over [0,255], normalized
+        seed = hashlib.sha256(payload).digest()
+        arr = np.frombuffer(seed * 6, dtype=np.uint8)[: 8 * 8 * 3].reshape(8, 8, 3)
+        gray = arr.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+        return (hist / max(hist.sum(), 1)).astype(np.float32).tolist()
+
+    assert set(got) == {i for i, _ in rows}
+    for i, payload in rows:
+        assert got[i] == pytest.approx(expected(payload)), f"doc {i}"
+
+
+def test_ngram_df_cap_bounds_buckets(docs):
+    # with the cap forced below the fixture's max document frequency the
+    # widest inverted-index bucket must shrink accordingly, and the oracle
+    # default (1000) must leave the sf0.001 result untouched
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=2)
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=None)
+    default = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs_def = {(r.id_a, r.id_b) for r in default.collect()}
+    pairs_unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    pairs_cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs_def == pairs_unc  # fixture df never exceeds the default cap
+    # the cap only removes evidence, never invents it
+    assert pairs_cap <= pairs_unc

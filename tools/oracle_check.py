@@ -108,6 +108,11 @@ def main():
                     return v
 
                 pdf = cur.df()
+                # pandas promotes nullable int columns to float64, turning
+                # DuckDB NULL into NaN ("nan" after normalization) while the
+                # Spark side normalizes None to "NULL" — map NaN back to None
+                # so exact mode doesn't raise false local failures
+                pdf = pdf.astype(object).where(pdf.notna(), None)
                 drows = [
                     [_py(v) for v in row]
                     for row in pdf.itertuples(index=False, name=None)

@@ -108,18 +108,38 @@ def json_escape(col: Column) -> Column:
 
 
 def json_unescape(col: Column) -> Column:
+    """transform/pipe/escape.rs (escape8259::unescape) equivalent.
+
+    Primary path: wrap the content in a one-element JSON array and let the
+    JSON parser decode it — handles \\uXXXX, \\b, \\f, surrogate pairs
+    exactly like escape8259. Rows the parser rejects (raw quotes/control
+    chars in the content, invalid escapes) fall back to a literal replace
+    chain; the reference returns input unchanged on invalid escapes, which
+    the fallback approximates for the common escapes.
+    """
+    decoded = F.get(
+        F.from_json(
+            F.concat(F.lit('["'), col, F.lit('"]')), "array<string>"
+        ),
+        0,
+    )
     # Escaped backslashes must be resolved FIRST (via a sentinel) or the
     # leftover `\` pairs with the next char: input `\\n` (backslash + 'n')
-    # would otherwise become a newline. Mirrors transform/pipe/escape.rs's
-    # single-pass scan with literal (non-regex) replaces.
-    sent = "\x00"
+    # would otherwise become a newline. Multi-char sentinel (NUL+ESC framed)
+    # so a literal NUL byte in the data is never rewritten.
+    sent = "\x00\x1bWP_BSLASH\x1b\x00"
     c = F.replace(col, F.lit("\\\\"), F.lit(sent))
     c = F.replace(c, F.lit('\\"'), F.lit('"'))
     c = F.replace(c, F.lit("\\/"), F.lit("/"))
     c = F.replace(c, F.lit("\\n"), F.lit("\n"))
     c = F.replace(c, F.lit("\\t"), F.lit("\t"))
     c = F.replace(c, F.lit("\\r"), F.lit("\r"))
-    return F.replace(c, F.lit(sent), F.lit("\\"))
+    c = F.replace(c, F.lit("\\b"), F.lit("\b"))
+    c = F.replace(c, F.lit("\\f"), F.lit("\f"))
+    fallback = F.replace(c, F.lit(sent), F.lit("\\"))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(decoded, fallback)
+    )
 
 
 def str_escape(col: Column) -> Column:

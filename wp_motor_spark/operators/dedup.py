@@ -82,7 +82,13 @@ def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
     input already has >= slots partitions and this is a no-op projection."""
     out = df.select(*cols)
     slots = df.sparkSession.sparkContext.defaultParallelism
-    if out.rdd.getNumPartitions() < slots:
+    try:
+        # JVM-side partition count (no Python RDD wrapper: df.rdd builds a
+        # javaToPython conversion stage per call just to ask a number)
+        n_parts = out._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # noqa: BLE001 - internal API; fall back to public path
+        n_parts = out.rdd.getNumPartitions()
+    if n_parts < slots:
         out = out.repartition(slots)
     return out
 
@@ -170,12 +176,45 @@ def minhash_lsh_pairs(
     )
 
 
+def _observe_dropped_grams(grouped: DataFrame, max_df: int) -> DataFrame:
+    """Attach an Observation counting grams the df-cap will drop, and log
+    the count when the first action on the returned plan completes. Uses
+    the observe API (metrics ride the existing job) instead of a separate
+    count() job; the waiter is a daemon thread so an unexecuted plan leaks
+    nothing but one parked thread."""
+    import logging
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = grouped.observe(
+        obs,
+        F.sum(F.when(F.size("ids") > max_df, 1).otherwise(0)).alias("dropped_grams"),
+        F.count(F.lit(1)).alias("total_grams"),
+    )
+
+    def _wait() -> None:
+        try:
+            m = obs.get  # blocks until an action runs on `out`
+            logging.getLogger(__name__).info(
+                "ngram_df_cap: dropped %s of %s grams with df > %d",
+                m.get("dropped_grams"), m.get("total_grams"), max_df,
+            )
+        except Exception:  # noqa: BLE001 - session teardown etc.
+            pass
+
+    threading.Thread(target=_wait, name="ngram-df-cap-log", daemon=True).start()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via an inverted shingle index.
 
@@ -184,6 +223,18 @@ def ngram_jaccard_pairs(
     per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
     SQL-expressible (the DuckDB oracle mirrors it); inherently the heaviest
     shuffle of the dedup family — prefer minhash_lsh_pairs at scale.
+
+    `max_df` caps the document frequency of a gram: a gram present in more
+    than `max_df` docs is dropped from the inverted index BEFORE the
+    quadratic in-bucket pair expansion (a single ubiquitous 3-gram at
+    corpus scale would otherwise make one unbounded collect_set bucket and
+    df^2 pairs). The worst bucket is bounded at max_df^2/2 pairs. Effect on
+    exactness: intersection counts lose only the dropped (stopword-like)
+    grams, so near-threshold pairs whose overlap rides on ubiquitous grams
+    score conservatively lower — the standard CCNet-style cap. Set
+    max_df=None to disable; the number of dropped grams is published as
+    observed metric `ngram_df_cap.dropped_grams` and logged when the query
+    completes.
     """
     # consumed by both the size table and the inverted index — persist so
     # the text->shingle->hash pipeline runs once (ids + long arrays only)
@@ -199,6 +250,9 @@ def ngram_jaccard_pairs(
     # pairwise expansion per gram (not distinct — multiplicity IS the
     # intersection count), then count occurrences of each (id_a, id_b)
     grouped = inv.groupBy("g").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+    if max_df is not None:
+        grouped = _observe_dropped_grams(grouped, max_df)
+        grouped = grouped.where(F.size("ids") <= max_df)
     pairs = grouped.where(F.size("ids") >= 2).select(
         F.explode(
             F.flatten(

@@ -99,32 +99,111 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    planes: int = 12,
+    planes: int = 16,
+    bands: int = 4,
+    probe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket (or differ in one
-    rotated band), exact cosine rerank inside buckets. Trades recall for a
-    bucket-local join — the 100TB shape where brute force is quadratic."""
-    sig = lambda df, n: df.select(  # noqa: E731
-        F.col(id_col).alias(n),
-        F.col(vec_col).alias(f"__{n}_v"),
-        hyperplane_signature(F.col(vec_col), dim, planes).alias(f"__{n}_sig"),
+    """Approximate top-k via BANDED hyperplane LSH with query-side
+    multi-probe (same (band,bucket) shuffle shape as minhash_lsh_pairs):
+    the `planes`-bit signature is split into `bands` bands of
+    planes//bands bits; a corpus row is a candidate for a query when ANY
+    band's bits agree with the query's band key OR with a probe key within
+    `probe_bits` bit-flips of it. Exact cosine rerank over the deduped
+    candidate set.
+
+    Full-signature equality (the r2 shape) needs all `planes` bits to
+    agree — recall collapses as planes grows and every bucket holds
+    ~n/2^planes rows. Banding keeps buckets small (2^(planes/bands) keys
+    per band) with candidate probability 1-(1-p^r)^b; multi-probe flips
+    bits on the QUERY side only (queries are the broadcast-small side), so
+    each band contributes 1 + C(r, <=probe_bits) keys per query but the
+    corpus still explodes exactly `bands` times. Scale shape: queries
+    broadcast, corpus explodes x bands (vectors, not documents), map-side
+    hash join, ONE shuffle on (query_id, neighbor_id) to dedup band/probe
+    collisions carrying id/score triples only.
+    """
+    rows = max(1, planes // bands)
+    key_mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, n: str, probes: bool) -> DataFrame:
+        sig = hyperplane_signature(F.col(vec_col), dim, planes)
+        structs = []
+        for b in range(bands):
+            key = F.shiftright(F.col("__sig"), b * rows).bitwiseAND(F.lit(key_mask))
+            keys = [key]
+            if probes and probe_bits >= 1:
+                keys += [key.bitwiseXOR(F.lit(1 << bit)) for bit in range(rows)]
+            # probe_bits > 1 intentionally unsupported: key fan-out grows
+            # combinatorially; raise bands instead
+            structs += [
+                F.struct(F.lit(b).alias("band"), kc.alias("key")) for kc in keys
+            ]
+        return (
+            df.select(
+                F.col(id_col).alias(n),
+                F.col(vec_col).alias(f"__{n}_v"),
+                sig.alias("__sig"),
+            )
+            .select(n, f"__{n}_v", F.explode(F.array(*structs)).alias("bk"))
+            .select(n, f"__{n}_v", "bk.band", "bk.key")
+        )
+
+    c = banded(corpus, "neighbor_id", probes=False)
+    q = banded(queries, "query_id", probes=True)
+    cand = c.join(F.broadcast(q), ["band", "key"]).where(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    c = sig(corpus, "neighbor_id")
-    q = sig(queries, "query_id")
-    cand = c.join(
-        F.broadcast(q),
-        (F.col("__neighbor_id_sig") == F.col("__query_id_sig"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    )
+    # score map-side (cheap re-compute per band collision), then dedup on the
+    # id pair so the one shuffle moves (long, long, double) — never vectors
     scored = cand.select(
         "query_id",
         "neighbor_id",
         cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("score"),
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    iters: int = 5,
+    sample_n: int = 4096,
+) -> np.ndarray:
+    """Spherical k-means centroids refined over a bounded deterministic
+    sample. Collect is capped at `sample_n` rows (dim-64 float64 x 4096 =
+    2 MB — driver-safe at any corpus size); seeds are the first `n_cells`
+    sample rows in xxhash64 order, so the whole thing is reproducible with
+    no RNG state. Lloyd iterations run on the driver in numpy; the
+    expensive per-row cell assignment over the full corpus stays
+    distributed (Arrow-batched GEMM in the caller).
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    X = X / xn
+    C = X[: min(n_cells, len(X))].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for i in range(len(C)):
+            members = X[assign == i]
+            if len(members):  # empty cell keeps its previous centroid
+                c = members.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    C[i] = c / nrm
+    return C
 
 
 def ivf_topk(
@@ -133,12 +212,14 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic corpus sample (every row is
-    assigned to its nearest centroid map-side); queries probe the n_probe
-    nearest cells and rerank exactly within them.
+    """IVF ANN: k-means-refined centroids (bounded driver sample, see
+    _kmeans_centroids); every corpus row is assigned to its nearest
+    centroid map-side; queries probe the n_probe nearest cells and rerank
+    exactly within them.
 
     Cell assignment is one numpy GEMM per Arrow batch against the
     broadcast centroid matrix — a literal-expression version of the same
@@ -146,18 +227,10 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid")))
-        .orderBy("__h")
-        .limit(n_cells)
-        .collect()
-    )  # n_cells rows only — driver-safe
-    cids = np.array([r["cid"] for r in cent_rows])
-    cmat = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cnorm[cnorm == 0] = 1.0
-    cmat = cmat / cnorm
+    cmat = _kmeans_centroids(
+        corpus, vec_col, id_col, n_cells, iters=kmeans_iters
+    )
+    cids = np.arange(len(cmat))
 
     def _nearest(batch: pd.Series, n: int) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])

@@ -709,10 +709,14 @@ FROM m
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (approximate -> rows-only; exact twin: cosine_topk)."""
+    """IVF-cell ANN (approximate -> rows-only; exact twin: cosine_topk;
+    recall@5 gate vs cosine_topk in tests/test_quality.py). n_probe=8 of 16
+    cells: the synthetic embeddings have no cluster structure (uniform
+    directions), the worst case for IVF — real embedding corpora cluster,
+    so fewer probes reach the same recall there."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    out = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    out = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=8)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -779,12 +783,29 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality, probed once per (session, sf_dir) — the
+    array<float> schema doesn't carry a length, so one single-row job is
+    unavoidable; the cache keeps it off every subsequent query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _EMB_DIM_CACHE[key] = emb.select(F.size("embedding").alias("d")).first()["d"]
+    return _EMB_DIM_CACHE[key]
+
+
+_EMB_DIM_CACHE: dict = {}
+
+
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (approximate -> rows-only check)."""
+    """Banded hyperplane-LSH ANN (approximate -> rows-only check; recall@5
+    gate vs cosine_topk in tests/test_quality.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    dim = len(emb.select("embedding").first()["embedding"])
-    out = similarity.lsh_topk(emb, queries, dim=dim, k=5, planes=8)
+    dim = _emb_dim(spark, sf_dir)
+    out = similarity.lsh_topk(
+        emb, queries, dim=dim, k=5, planes=32, bands=8, probe_bits=1
+    )
     return out.select("query_id", "neighbor_id", "rank")
 
 

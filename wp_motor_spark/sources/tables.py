@@ -43,9 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
             # integer division: epoch-nanos (~1.7e18) exceed double's 2^53
             # exact range, so float divide + floor can land 1µs off DuckDB's
-            # exact truncation and break oracle hash parity
+            # exact truncation and break oracle hash parity. `div` truncates
+            # toward zero; the CASE corrects to floor semantics so pre-1970
+            # (negative) nanos round the same way DuckDB's epoch math does.
             df = df.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                f.name,
+                F.timestamp_micros(
+                    F.expr(
+                        f"`{f.name}` div 1000 - "
+                        f"(CASE WHEN `{f.name}` < 0 AND `{f.name}` % 1000 != 0 "
+                        f"THEN 1 ELSE 0 END)"
+                    )
+                ),
             )
     _CACHE[key] = df
     return _CACHE[key]

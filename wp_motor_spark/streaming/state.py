@@ -90,6 +90,18 @@ def sessionize_stream(
         for t in secs:
             if last is None:
                 start, last, n = t, t, 1
+            elif t < start - gap_sec:
+                # late-but-inside-watermark event more than gap_sec BEFORE the
+                # open session (possible when watermark_sec > gap_sec): batch
+                # semantics (user_sessions) puts it in its own earlier session,
+                # so emit it closed instead of stretching the open session's
+                # start across a gap. Consecutive such events within gap_sec of
+                # each other coalesce into one closed session (secs is sorted).
+                if closed and closed[-1][1] <= t <= closed[-1][1] + gap_sec:
+                    s0, l0, n0 = closed[-1]
+                    closed[-1] = (s0, max(l0, t), n0 + 1)
+                else:
+                    closed.append((t, t, 1))
             elif t > last and t - last > gap_sec:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
@@ -97,8 +109,8 @@ def sessionize_stream(
                 # late-but-inside-watermark events from earlier micro-batches
                 # arrive with t <= last (secs is sorted within the batch, not
                 # across batches): merge without moving the session end
-                # backwards or shortening the timeout; events earlier than
-                # start extend the session start
+                # backwards or shortening the timeout; events within gap_sec
+                # before start extend the session start
                 start, last, n = min(start, t), max(last, t), n + 1
         state.update((int(start), int(last), int(n)))
         # timeout must stay ahead of the current watermark or Spark rejects it
