@@ -235,3 +235,38 @@ rule b { (time_3339:ts,digit:n) }
     assert m1["_best_rule"] == "a" and m1["_parse_depth"] == 1
     m2 = rows["2024-01-01T00:00:00Z oops"]
     assert m2["_best_rule"] == "b" and m2["_parse_depth"] == 1
+
+
+def test_auto_typed_cascade(spark):
+    """factory.rs:28-39: `auto` tries Json -> Time -> IP -> KV -> Float ->
+    Digit -> Hex -> Chars per VALUE. Each token below pins the winning
+    parser's tag and the typed variant value. Integer tokens classify
+    float (winnow's `float` accepts integer forms and precedes Digit,
+    base/digit.rs:76-78); bare hex words classify hex (base/hex.rs:24)."""
+    cr = compile_rule(parse_wpl("rule t { (digit:id,auto:val) }")[0])
+    toks = [
+        ('{"a":1}', "json", '{"a":1}'),
+        ("2019-08-06 12:00:00", "time", '"2019-08-06 12:00:00+00:00"'),
+        ("10.0.0.1", "ip", '"10.0.0.1"'),
+        ("k=v", "kv", '{"k":"v"}'),
+        ("a=1 b=2", "kv", '{"a":"1","b":"2"}'),
+        ("3.14", "float", "3.14"),
+        ("42", "float", "42.0"),       # winnow float shadows digit
+        ("-1.5e3", "float", "-1500.0"),
+        ("cafe", "hex", "51966"),      # bare hex word
+        ("0xFF", "hex", "255"),
+        ("hello-world", "chars", '"hello-world"'),
+        ("GET", "chars", '"GET"'),     # 'G' not hex
+    ]
+    df = spark.createDataFrame(
+        [(f"{i} {t}",) for i, (t, _, _) in enumerate(toks)], ["value"]
+    )
+    out = (
+        cr.extract(df)
+        .select("id", F.col("val.t").alias("t"), F.to_json("val.v").alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    for row, (tok, want_t, want_v) in zip(out, toks):
+        assert row["t"] == want_t, f"{tok}: tag {row['t']} != {want_t}"
+        assert row["v"] == want_v, f"{tok}: value {row['v']} != {want_v}"

@@ -54,7 +54,11 @@ SPARK_TYPE_FOR: dict[str, T.DataType] = {
             T.StructField("proto", T.StringType()),
         ]
     ),
-    "auto": T.StringType(),
+    # auto runs the reference's typed cascade (factory.rs:28-39): tag +
+    # per-row dynamic value (wpl/compiler.py::_auto_cascade)
+    "auto": T.StructType(
+        [T.StructField("t", T.StringType()), T.StructField("v", T.VariantType())]
+    ),
     "_": T.StringType(),
 }
 

@@ -809,6 +809,86 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def wpl_auto_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `auto` typed cascade under the oracle (factory.rs:28-39 order
+    Json->Time->IP->KV->Float->Digit->Hex->Chars).
+
+    Synthesizes one token per `events` row cycling through the cascade's
+    branches, parses "<event_id> <token>" with a `(digit:eid,auto:val)`
+    rule, and projects the winning tag plus per-type variant extractions.
+    The oracle derives tag and values relationally from the same columns —
+    equality proves detection order AND typed values. Note event_id%8==5
+    emits a bare integer and asserts tag=float, NOT digit: the reference's
+    Float parser (winnow `float`) accepts integer forms and precedes
+    Digit, so integers classify float there and here."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    m = F.col("event_id") % 8
+    token = (
+        F.when(m == 0, F.format_string('{"id":%d}', F.col("event_id")))
+        .when(m == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(
+            m == 2,
+            F.format_string(
+                "10.0.%d.%d", F.floor(u / 256).cast("int"), (u % 256).cast("int")
+            ),
+        )
+        .when(m == 3, F.format_string("user=%d", u))
+        .when(
+            m == 4,
+            F.concat(F.round(F.col("value") * 100).cast("long").cast("string"), F.lit(".5")),
+        )
+        .when(m == 5, F.round(F.col("value") * 100).cast("long").cast("string"))
+        .when(m == 6, F.concat(F.lit("0x"), F.lower(F.hex(u))))
+        .otherwise(F.format_string("evt-%s-%d", F.col("event_type"), u))
+    )
+    lines = ev.select(
+        F.col("event_id"),
+        F.format_string("%d %s", F.col("event_id"), token).alias("value"),
+    )
+    cr = compile_rule(parse_wpl("rule auto_t { (digit:eid,auto:val) }")[0])
+    parsed = cr.extract(lines, keep=["event_id"])
+    v = F.col("val.v")
+    t = F.col("val.t")
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id",
+        t.alias("tag"),
+        F.when(
+            t.isin("float", "digit", "hex"),
+            F.try_variant_get(v, "$", "double"),
+        ).alias("v_num"),
+        F.when(t == "time", F.try_variant_get(v, "$", "timestamp")).alias("v_ts"),
+        F.when(t.isin("ip", "chars"), F.try_variant_get(v, "$", "string")).alias(
+            "v_str"
+        ),
+        F.when(t.isin("json", "kv"), F.to_json(v)).alias("v_json"),
+    )
+
+
+WPL_AUTO_SQL = """
+SELECT event_id,
+       CASE event_id % 8
+           WHEN 0 THEN 'json' WHEN 1 THEN 'time' WHEN 2 THEN 'ip'
+           WHEN 3 THEN 'kv' WHEN 4 THEN 'float' WHEN 5 THEN 'float'
+           WHEN 6 THEN 'hex' ELSE 'chars' END AS tag,
+       CASE WHEN event_id % 8 = 4 THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '.5'
+            WHEN event_id % 8 = 5 THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+            WHEN event_id % 8 = 6 THEN CAST(user_id AS VARCHAR)
+            END :: DOUBLE AS v_num,
+       CASE WHEN event_id % 8 = 1 THEN date_trunc('second', ts) END AS v_ts,
+       CASE WHEN event_id % 8 = 2
+                THEN '10.0.' || CAST(CAST(floor(user_id / 256) AS INT) AS VARCHAR)
+                     || '.' || CAST(user_id % 256 AS VARCHAR)
+            WHEN event_id % 8 = 7
+                THEN 'evt-' || event_type || '-' || CAST(user_id AS VARCHAR)
+            END AS v_str,
+       CASE WHEN event_id % 8 = 0 THEN '{"id":' || CAST(event_id AS VARCHAR) || '}'
+            WHEN event_id % 8 = 3 THEN '{"user":"' || CAST(user_id AS VARCHAR) || '"}'
+            END AS v_json
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -824,6 +904,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
     "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
+    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),

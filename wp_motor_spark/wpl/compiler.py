@@ -75,6 +75,8 @@ _TIME_PATTERNS: list[tuple[str, str]] = [
 
 _TIME_AUTO_RE = "(?:" + "|".join(p for p, _ in _TIME_PATTERNS) + ")"
 
+_IP_RE = r"(?:\d{1,3}(?:\.\d{1,3}){3}|(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})"
+
 
 def _neg_class(sep: str | None) -> str:
     """Character class matching anything but the separator (first char)."""
@@ -143,7 +145,7 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
     if length is not None:
         return ".*" if length == 0 else ".{1,%d}" % length
     table = {
-        "ip": r"(?:\d{1,3}(?:\.\d{1,3}){3}|(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})",
+        "ip": _IP_RE,
         "ip_net": r"\d{1,3}(?:\.\d{1,3}){3}/\d{1,2}",
         "digit": r"[+-]?\d+",
         "port": r"\d{1,5}",
@@ -533,6 +535,76 @@ def _time_cast(col: Column, dtype: str) -> Column:
     )
 
 
+def _auto_cascade(s: Column) -> Column:
+    """Typed cascade for `auto` fields -> struct<t: string, v: variant>.
+
+    Mirrors the reference CombinedParser order Json -> Time -> IP -> KV ->
+    Float -> Digit -> Hex -> Chars (crates/wp-lang/src/eval/value/parser/
+    factory.rs:28-39), re-expressed per row as JVM expressions over the
+    extracted token, with VARIANT (Spark's per-row dynamic type) carrying
+    the typed value and `t` the winning parser's tag.
+
+    Fidelity notes — each mirrors the reference parsers, not idealized
+    types:
+    - Float precedes Digit and winnow's `float` accepts integer forms and
+      inf/nan (base/digit.rs:76-78), so "42" classifies float there and
+      here; the digit branch stays in cascade order for completeness.
+    - Hex takes an optional 0x prefix and bare hex words (base/hex.rs:24),
+      so all-hex-letter words ("cafe") classify hex. Values past 16 hex
+      digits overflow long and carry a null `v` (the reference holds
+      u128).
+    - The reference parses a PREFIX and leaves residue to the following
+      separator check; this engine tokenizes first (separator-bounded
+      regex) and the cascade classifies the FULL token — "42abc" is chars
+      here but a Float(42)-then-rule-miss there. Same deviation class as
+      SCALE.md's tokenize-then-type design note.
+    - Subfield `auto` refs inside json/kv containers keep their container
+      value type (string) — the cascade applies to field-level `auto`
+      only; golden fixtures pin the container behavior.
+    """
+    low = F.lower(s)
+    fl = (
+        F.when(low.rlike(r"^\+?inf(inity)?$"), F.lit(float("inf")))
+        .when(low.rlike(r"^-inf(inity)?$"), F.lit(float("-inf")))
+        .when(low.rlike(r"^[+-]?nan$"), F.lit(float("nan")))
+        .otherwise(s.try_cast("double"))
+    )
+    jv = F.try_parse_json(s)
+    tv = _time_cast(s, "time")
+    kvv = F.parse_json(F.to_json(F.str_to_map(F.trim(s), F.lit(" "), F.lit("="))))
+    hexv = F.conv(F.regexp_replace(s, r"^0[xX]", ""), 16, 10).try_cast("long")
+    cases = [
+        (s.rlike(r"^[\{\[]") & jv.isNotNull(), "json", jv),
+        (
+            s.rlike("^" + _TIME_AUTO_RE + "$") & tv.isNotNull(),
+            "time",
+            tv.cast("variant"),
+        ),
+        (s.rlike("^" + _IP_RE + "$"), "ip", s.cast("variant")),
+        (
+            s.rlike(r"^[A-Za-z_][\w.-]*=\S*(?: +[A-Za-z_][\w.-]*=\S*)*$"),
+            "kv",
+            kvv,
+        ),
+        (
+            s.rlike(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+            | low.rlike(r"^[+-]?(?:inf(?:inity)?|nan)$"),
+            "float",
+            fl.cast("variant"),
+        ),
+        (s.rlike(r"^[+-]?\d+$"), "digit", s.try_cast("long").cast("variant")),
+        (s.rlike(r"^(?:0[xX])?[0-9A-Fa-f]{1,16}$"), "hex", hexv.cast("variant")),
+    ]
+    t: Column | None = None
+    v: Column | None = None
+    for cond, tag, val in cases:
+        t = F.when(cond, F.lit(tag)) if t is None else t.when(cond, F.lit(tag))
+        v = F.when(cond, val) if v is None else v.when(cond, val)
+    t = t.otherwise(F.lit("chars"))
+    v = v.otherwise(s.cast("variant"))
+    return F.when(s.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+
+
 def _cast_subfield(col: Column, dtype: str) -> Column:
     """Typed cast for a composite subfield ((type@ref:name) forms)."""
     if dtype in ("digit", "port", "http/status"):
@@ -618,6 +690,8 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         return F.from_json(s, f"array<{spark_t}>")
     if dtype == "array":
         return F.from_json(s, "array<string>")
+    if dtype == "auto":
+        return _auto_cascade(s)
     return s
 
 
