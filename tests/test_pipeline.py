@@ -160,3 +160,71 @@ def test_sink_model_selection(spark):
     res = pipe.run_batch(raw)
     assert res.sink_lines["wants"].count() == 1
     assert "other_models" not in res.sink_lines  # selected no model
+
+
+def test_rescue_round_trip(spark, tmp_path):
+    """Sink failure -> rescue spool -> wprescue replay (src/sinks/rescue.rs,
+    backends/test_rescue.rs, 05-wprescue.md). The test_rescue sink is the
+    reference's failure-injection proxy: unhealthy -> write raises, the
+    pipeline spools the formatted lines as versioned RescueEntry JSONL;
+    after healing, replay_rescue re-delivers them verbatim and drains the
+    spool. A second batch while healthy must NOT touch the spool."""
+    import json
+    import os
+
+    from wp_motor_spark.pipeline import Pipeline
+    from wp_motor_spark.sinks import rescue as rsc
+
+    sink_dir = str(tmp_path / "out")
+    rescue_dir = str(tmp_path / "rescue")
+    wpl = "rule r { (ip:sip,digit:code,chars:msg) }"
+    oml = """
+name : m
+rule : r
+---
+sip = read(sip);
+code : digit = read(code);
+msg = read(msg);
+"""
+    pipe = Pipeline(
+        wpl=wpl,
+        omls=[oml],
+        sinks=[SinkSpec(name="out", kind="test_rescue", path=sink_dir, format="json")],
+        rescue_dir=rescue_dir,
+    )
+    raw = spark.createDataFrame(
+        [("1.2.3.4 200 hello",), ("5.6.7.8 404 oops",)], ["value"]
+    )
+
+    # 1. unhealthy: write fails, lines spool to the rescue dir
+    rsc.set_healthy(sink_dir, False)
+    counts = pipe.write_batch(raw)
+    assert counts["out"] == 0
+    spooled = [
+        json.loads(r["value"])
+        for r in spark.read.text(f"{rescue_dir}/out").collect()
+    ]
+    assert len(spooled) == 2
+    assert all(e["version"] == 1 and e["kind"] == "raw" for e in spooled)
+    want_lines = {e["raw"] for e in spooled}
+    assert all('"sip":' in ln for ln in want_lines)  # formatted, not raw input
+
+    # 2. heal + replay: lines delivered verbatim, spool drained
+    rsc.set_healthy(sink_dir, True)
+    replayed = pipe.replay_rescue(spark)
+    assert replayed == {"out": 2}
+    delivered = {r["value"] for r in spark.read.text(sink_dir).collect()}
+    assert delivered == want_lines
+    assert rsc.pending_sinks(rescue_dir) == []
+
+    # 3. healthy write goes straight through, no new spool
+    counts = pipe.write_batch(raw)
+    assert counts["out"] == 2
+    assert rsc.pending_sinks(rescue_dir) == []
+    assert spark.read.text(sink_dir).count() == 4
+
+    # 4. still-unhealthy replay keeps the spool for the next run
+    rsc.set_healthy(sink_dir, False)
+    pipe.write_batch(raw)
+    assert pipe.replay_rescue(spark) == {}
+    assert rsc.pending_sinks(rescue_dir) == ["out"]

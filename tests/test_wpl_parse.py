@@ -270,3 +270,65 @@ def test_auto_typed_cascade(spark):
     for row, (tok, want_t, want_v) in zip(out, toks):
         assert row["t"] == want_t, f"{tok}: tag {row['t']} != {want_t}"
         assert row["v"] == want_v, f"{tok}: value {row['v']} != {want_v}"
+
+
+def test_id_card_checksum(spark):
+    """physical/id_card.rs: Identity::is_valid — GB 11643 ISO 7064 MOD 11-2
+    check char + real birth date; invalid tokens make the rule MISS (the
+    reference parser backtracks)."""
+    cr = compile_rule(parse_wpl("rule t { (id_card:id,chars:tail) }")[0])
+    rows = [
+        ("310104202002299069 ok", "success"),   # reference test vector (leap day)
+        ("310104202002299068 bad", "miss"),     # wrong check digit
+        ("310104202102299069 bad", "miss"),     # 2021-02-29 not a real date
+        ("31010420200229906X bad", "miss"),     # X where 9 expected
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in rows], ["value"])
+    got = {r["value"]: r["_disposition"] for r in cr.extract(df, keep=["value"]).collect()}
+    for v, want in rows:
+        assert got[v] == want, f"{v}: {got[v]} != {want}"
+
+
+def test_exact_json_strict_schema(spark):
+    """protocol/json_exact.rs test_json: exact_json(digit@a) must FAIL on
+    {"a":1,"b":2} (undeclared key), while the full declaration parses;
+    nested refs declare containers level by level."""
+    data = '{"a":1,"b":2}'
+    full = compile_rule(parse_wpl("rule t { (exact_json(digit@a,digit@b)) }")[0])
+    part = compile_rule(parse_wpl("rule t { (exact_json(digit@a)) }")[0])
+    df = spark.createDataFrame([(data,)], ["value"])
+    assert full.extract(df).first()["_disposition"] == "success"
+    assert part.extract(df).first()["_disposition"] == "miss"
+    # nested: exact_json(digit@a,digit@b,digit@c/a) on {"a":1,"b":2,"c":{"a":1}}
+    nested = compile_rule(
+        parse_wpl("rule t { (exact_json(digit@a,digit@b,digit@c/a)) }")[0]
+    )
+    ok = spark.createDataFrame([('{"a":1,"b":2,"c":{"a":1}}',)], ["value"])
+    extra = spark.createDataFrame([('{"a":1,"b":2,"c":{"a":1,"x":9}}',)], ["value"])
+    assert nested.extract(ok).first()["_disposition"] == "success"
+    assert nested.extract(extra).first()["_disposition"] == "miss"
+    # plain json() stays lenient
+    lenient = compile_rule(parse_wpl("rule t { (json(digit@a)) }")[0])
+    assert lenient.extract(df).first()["_disposition"] == "success"
+
+
+def test_some_of_any_order(spark):
+    """group/some_of.rs test_some_of_group1/3: members match in ANY input
+    order and any count; the group never fails (zero matches ok)."""
+    wpl = "rule t { (some_of(ip:sip,digit:id),chars:tail) }"
+    cr = compile_rule(parse_wpl(wpl)[0])
+    rows = [
+        "192.168.1.2 2002 end",   # declared order
+        "2002 192.168.1.2 end",   # reversed order
+        "2004 192.168.1.2 2002 end",  # repeat: digit twice, last wins
+        "end",                    # zero members
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], ["value"])
+    got = {r["value"]: r for r in cr.extract(df, keep=["value"]).collect()}
+    for v in rows:
+        assert got[v]["_disposition"] == "success", (v, got[v])
+        assert got[v]["tail"] == "end", (v, got[v])
+    assert got[rows[0]]["sip"] == "192.168.1.2" and got[rows[0]]["id"] == 2002
+    assert got[rows[1]]["sip"] == "192.168.1.2" and got[rows[1]]["id"] == 2002
+    assert got[rows[2]]["id"] == 2002  # last occurrence
+    assert got[rows[3]]["sip"] is None and got[rows[3]]["id"] is None

@@ -36,7 +36,13 @@ def _build_pipeline(args):
         from wp_motor_spark.knowdb import KnowDB
 
         knowdb = KnowDB(get_spark()).load_csv_dir(args.knowdb)
-    return Pipeline(wpl=wpl, omls=omls, sinks=sinks, knowdb=knowdb)
+    return Pipeline(
+        wpl=wpl,
+        omls=omls,
+        sinks=sinks,
+        knowdb=knowdb,
+        rescue_dir=getattr(args, "rescue_dir", None),
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -49,8 +55,11 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--oml", action="append")
         p.add_argument("--sink", action="append", help="name=path:format")
         p.add_argument("--knowdb", help="CSV dimension dir")
+        p.add_argument("--rescue-dir", help="failed-write spool dir (rescue.rs)")
         if cmd == "wprescue":
-            p.add_argument("--from", dest="input", required=True)
+            # --from re-parses raw miss/error lines; --rescue-dir replays
+            # already-formatted RescueEntry spools (05-wprescue.md)
+            p.add_argument("--from", dest="input")
         else:
             p.add_argument("--input", required=True)
         if cmd == "daemon":
@@ -85,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
             stream, checkpoint=args.checkpoint, trigger_seconds=args.trigger_seconds
         )
         q.awaitTermination()
+        return 0
+
+    if args.cmd == "wprescue" and args.input is None:
+        if not args.rescue_dir:
+            print("wprescue: need --from or --rescue-dir", file=sys.stderr)
+            return 2
+        counts = pipe.replay_rescue(spark)
+        for name, n in counts.items():
+            print(f"wprescue: replayed {n} lines -> sink {name}")
         return 0
 
     raw = spark.read.text(args.input)

@@ -60,12 +60,16 @@ class Pipeline:
         sinks: list[SinkSpec] | None = None,
         knowdb=None,
         tags: dict[str, str] | None = None,
+        rescue_dir: str | None = None,
     ):
         self.parser = MultiParser(wpl)
         self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
         self.sinks = sinks or [SinkSpec(name="default", kind="memory")]
         self.knowdb = knowdb
         self.tags = tags or {}
+        # failed sink writes spool here as RescueEntry JSONL for wprescue
+        # (src/sinks/rescue.rs); None = fail fast, no rescue
+        self.rescue_dir = rescue_dir
 
     # ------------------------------------------------------------- assembly
 
@@ -171,44 +175,90 @@ class Pipeline:
                 result.sink_lines[spec.name] = lines
         return result
 
+    def _write_sink(self, spec: SinkSpec, lines: DataFrame) -> None:
+        """One sink write (no rescue handling — the caller wraps)."""
+        if spec.kind == "file" and spec.path:
+            lines.write.mode("append").text(spec.path)
+        elif spec.kind == "test_rescue":
+            # failure-injection file sink (backends/test_rescue.rs): fails
+            # while its health marker is down
+            from wp_motor_spark.sinks import rescue as rsc
+
+            rsc.write_or_raise(lines, spec.path)
+        elif spec.kind == "kafka":
+            (
+                lines.selectExpr("CAST(line AS STRING) AS value")
+                .write.format("kafka")
+                .options(**spec.options)
+                .save()
+            )
+        elif spec.kind == "tcp":
+            from wp_motor_spark.sinks.net import write_tcp
+
+            write_tcp(
+                lines,
+                spec.options.get("host", "127.0.0.1"),
+                int(spec.options["port"]),
+                framing=spec.options.get("framing", "newline"),
+            )
+        elif spec.kind == "syslog":
+            from wp_motor_spark.sinks.net import write_syslog
+
+            write_syslog(
+                lines,
+                spec.options.get("host", "127.0.0.1"),
+                int(spec.options["port"]),
+                proto=spec.options.get("proto", "udp"),
+            )
+        elif spec.kind == "blackhole":
+            lines.write.format("noop").mode("append").save()
+
     def write_batch(self, raw: DataFrame, col: str = "value") -> dict[str, int]:
-        """Run and append to each sink's destination; returns line counts."""
+        """Run and append to each sink's destination; returns line counts.
+
+        With ``rescue_dir`` set, a failing sink write spools its formatted
+        lines as RescueEntry JSONL instead of failing the batch
+        (src/sinks/rescue.rs); ``replay_rescue`` re-delivers them."""
         res = self.run_batch(raw, col)
         counts: dict[str, int] = {}
         for spec in self.sinks:
             lines = res.sink_lines.get(spec.name)
             if lines is None:
                 continue
-            if spec.kind == "file" and spec.path:
-                lines.write.mode("append").text(spec.path)
-            elif spec.kind == "kafka":
-                (
-                    lines.selectExpr("CAST(line AS STRING) AS value")
-                    .write.format("kafka")
-                    .options(**spec.options)
-                    .save()
-                )
-            elif spec.kind == "tcp":
-                from wp_motor_spark.sinks.net import write_tcp
+            try:
+                self._write_sink(spec, lines)
+            except Exception:
+                if self.rescue_dir is None:
+                    raise
+                from wp_motor_spark.sinks import rescue as rsc
 
-                write_tcp(
-                    lines,
-                    spec.options.get("host", "127.0.0.1"),
-                    int(spec.options["port"]),
-                    framing=spec.options.get("framing", "newline"),
-                )
-            elif spec.kind == "syslog":
-                from wp_motor_spark.sinks.net import write_syslog
-
-                write_syslog(
-                    lines,
-                    spec.options.get("host", "127.0.0.1"),
-                    int(spec.options["port"]),
-                    proto=spec.options.get("proto", "udp"),
-                )
-            elif spec.kind == "blackhole":
-                lines.write.format("noop").mode("append").save()
+                rsc.rescue_lines(lines, self.rescue_dir, spec.name)
+                counts[spec.name] = 0
+                continue
             counts[spec.name] = lines.count()
+        return counts
+
+    def replay_rescue(self, spark: SparkSession) -> dict[str, int]:
+        """wprescue flow (05-wprescue.md): read every sink's rescue spool,
+        re-deliver to the configured sink, drain the spool on success.
+        Still-failing sinks keep their spool for the next run."""
+        from wp_motor_spark.sinks import rescue as rsc
+
+        if self.rescue_dir is None:
+            return {}
+        by_name = {s.name: s for s in self.sinks}
+        counts: dict[str, int] = {}
+        for name in rsc.pending_sinks(self.rescue_dir):
+            spec = by_name.get(name)
+            if spec is None:
+                continue  # no routing for this spool; leave it in place
+            lines = rsc.read_rescued(spark, self.rescue_dir, name)
+            try:
+                self._write_sink(spec, lines)
+            except Exception:
+                continue  # still unhealthy; retry on the next wprescue
+            counts[name] = lines.count()
+            rsc.drain(self.rescue_dir, name)
         return counts
 
     # ------------------------------------------------------------ streaming

@@ -272,16 +272,24 @@ def _emit_group(ctx: _Ctx, grp: WplGroup, parent_sep: str | None, parent_pat: st
                 branches.append("".join(b.parts))
             body = "(?:" + "|".join(branches) + ")"
         elif grp.meta == "some_of":
-            segs = []
+            # greedy any-order loop (eval/runtime/group/some_of.rs:20-38):
+            # repeatedly try every member in DECLARED order (alternation
+            # order), consume on any success, stop when all members fail —
+            # members may appear in any input order and any count. A
+            # repeated member's capture group keeps the LAST occurrence
+            # (the reference emits one DataField per occurrence; the
+            # columnar schema keeps one column per member — documented
+            # deviation). Zero matches is fine: the group never fails.
+            alts = []
             for item in grp.items:
                 b = _Ctx()
                 b.group_idx = sub.group_idx
                 _emit_item(b, item, gsep_lit, gsep_pat)
                 sub.group_idx = b.group_idx
                 sub.outputs.extend(b.outputs)
-                sep_rx = _sep_regex(gsep_lit, gsep_pat)
-                segs.append(f"(?:(?:{sep_rx})?" + "".join(b.parts) + ")?")
-            body = "".join(segs)
+                alts.append("".join(b.parts))
+            sep_rx = _sep_regex(gsep_lit, gsep_pat)
+            body = f"(?:(?:{sep_rx})?(?:" + "|".join(alts) + "))*"
         else:  # opt / not / seq-in-group
             for i, item in enumerate(grp.items):
                 if i > 0:
@@ -299,6 +307,11 @@ def _emit_group(ctx: _Ctx, grp: WplGroup, parent_sep: str | None, parent_pat: st
         ctx.parts.append(body)
         ctx.group_idx = sub.group_idx
         ctx.outputs.extend(sub.outputs)
+        # opt/some_of can match EMPTY; the separator before the NEXT item
+        # must then be optional (the reference's parsers take leading
+        # multispace0, so an absent group never strands a required sep)
+        if grp.meta in ("opt", "some_of"):
+            ctx.last_self_delim = True
         return
 
     # seq: the separator between item i-1 and i is item i-1's own declared
@@ -532,6 +545,80 @@ def _time_cast(col: Column, dtype: str) -> Column:
             F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
         )
         .otherwise(cascade)
+    )
+
+
+def _exact_json_guard(raw: Column, subfields) -> Column:
+    """exact_json strict-schema check (protocol/json_exact.rs +
+    json_impl.rs:77-127): at every declared object level, the JSON's keys
+    must be covered by the declared subfields (a key with no conf fails
+    the rule) and every non-optional declared key must be present.
+    Declared-but-type-mismatched VALUES still parse leniently (the
+    reference fails those too; key coverage is the high-order bit).
+    Wildcard (`*`) subfields disable strictness, mirroring the reference's
+    glob conf short-circuit."""
+    js = F.nullif(raw, F.lit(""))
+    levels: dict[str, tuple[set[str], set[str]]] = {}  # parent -> (allowed, required)
+    for sf in subfields:
+        ref = (sf.ref or "*").strip()
+        if ref == "*":
+            return F.lit(True)
+        segs = ref.split("/")
+        for i, seg in enumerate(segs):
+            parent = "/".join(segs[:i])
+            allowed, required = levels.setdefault(parent, (set(), set()))
+            allowed.add(seg)
+            # only a LEAF marked optional is optional; path prefixes are
+            # required containers
+            if i < len(segs) - 1 or not sf.optional:
+                required.add(seg)
+    g = F.lit(True)
+    for parent, (allowed, required) in levels.items():
+        node = (
+            js
+            if not parent
+            else F.get_json_object(js, "$." + parent.replace("/", "."))
+        )
+        got = F.json_object_keys(node)
+        allowed_l = F.array(*[F.lit(k) for k in sorted(allowed)])
+        ok = got.isNotNull() & (F.size(F.array_except(got, allowed_l)) == 0)
+        if required:
+            req_l = F.array(*[F.lit(k) for k in sorted(required)])
+            ok = ok & (F.size(F.array_except(req_l, got)) == 0)
+        g = g & ok
+    return F.when(js.isNull(), F.lit(True)).otherwise(g)
+
+
+_ID_CARD_WEIGHTS = [(1 << (17 - i)) % 11 for i in range(17)]  # ISO 7064 MOD 11-2
+_ID_CARD_CHECKS = "10X98765432"
+
+
+def _id_card_valid(c: Column) -> Column:
+    """GB 11643 (Chinese resident ID) validity as a JVM expression
+    (physical/id_card.rs: Identity::new(..).is_valid()): 18-digit form
+    needs a real YYYYMMDD birth date and the ISO 7064 MOD 11-2 check
+    char; 15-digit legacy form needs a real 19YYMMDD date. NULL (field
+    absent) passes — the rule already missed if the token never matched."""
+    sum18 = F.aggregate(
+        F.zip_with(
+            F.slice(F.split(c, ""), 1, 17),
+            F.array(*[F.lit(w) for w in _ID_CARD_WEIGHTS]),
+            lambda d, w: d.try_cast("int") * w,
+        ),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    check_ok = F.upper(F.substring(c, 18, 1)) == F.try_element_at(
+        F.split(F.lit(",".join(_ID_CARD_CHECKS)), ","), sum18 % 11 + 1
+    )
+    date18 = F.try_to_date(F.substring(c, 7, 8), "yyyyMMdd").isNotNull()
+    date15 = F.try_to_date(
+        F.concat(F.lit("19"), F.substring(c, 7, 6)), "yyyyMMdd"
+    ).isNotNull()
+    return (
+        F.when(c.isNull(), F.lit(True))
+        .when(F.length(c) == 18, check_ok & date18)
+        .otherwise(date15)
     )
 
 
@@ -812,10 +899,30 @@ class CompiledRule:
         return cols
 
     def guard_col(self, cols: dict[str, Column]) -> Column | None:
-        """WPL pipe functions are rule-match guards (pipe_fun.rs:17-451)."""
+        """WPL pipe functions are rule-match guards (pipe_fun.rs:17-451),
+        plus intrinsic validity guards: id_card fields must pass the
+        GB 11643 checksum or the rule misses (physical/id_card.rs:29-37,
+        Identity::is_valid backtracks on failure)."""
         from wp_motor_spark.wpl.functions import compile_guards
 
-        return compile_guards(self.outputs, cols)
+        guard = compile_guards(self.outputs, cols)
+        for out in self.outputs:
+            if out.dtype == "id_card" and out.name in cols:
+                g = _id_card_valid(cols[out.name])
+                guard = g if guard is None else guard & g
+        return guard
+
+    def strict_guard_col(self, parts: Column) -> Column | None:
+        """Intrinsic guards that need the RAW captured token (the typed
+        outputs for these fields are projections, not the token itself):
+        exact_json strict-schema coverage."""
+        guard: Column | None = None
+        for out in self.outputs:
+            if out.dtype == "exact_json" and out.subfields:
+                raw = F.try_element_at(parts, F.lit(out.group))
+                g = _exact_json_guard(raw, out.subfields)
+                guard = g if guard is None else guard & g
+        return guard
 
     # -- user-facing --------------------------------------------------------
 
@@ -829,11 +936,19 @@ class CompiledRule:
         keep_cols = [F.col(c) for c in (keep or [])]
         if self.rule.copy_raw:
             keep_cols.append(value.alias(self.rule.copy_raw))
+        disp = self.disposition_col(value, pcol)
+        strict = self.strict_guard_col(pcol)
+        if strict is not None:
+            # raw-token guards (exact_json schema) demote matched rows to
+            # miss while __parts is still in scope
+            disp = F.when(disp.isin("success", "partial") & ~strict, "miss").otherwise(
+                disp
+            )
         out = tmp.select(
             *keep_cols,
             *[c.alias(n) for n, c in named],
             F.lit(self.key).alias("_rule"),
-            self.disposition_col(value, pcol).alias("_disposition"),
+            disp.alias("_disposition"),
             self.residue_col(pcol).alias("_residue"),
         )
         guard = self.guard_col({n: F.col(n) for n, _ in named})
