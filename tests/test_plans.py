@@ -107,3 +107,11 @@ def test_ivf_ann_no_cartesian(spark, sf001_dir):
     plan = _plan(spark, sf001_dir, "ivf_ann_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_cascade_is_map_only(spark, sf001_dir):
+    """The auto typed cascade is pure per-row expression work — token
+    synthesis, regex classification, variant construction — so the whole
+    query must stay a zero-Exchange scan like the other parse paths."""
+    plan = _plan(spark, sf001_dir, "wpl_auto_cascade")
+    assert "Exchange" not in plan
