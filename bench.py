@@ -47,21 +47,28 @@ def main() -> None:
     # so pass 2 re-executes each query from the parquet scans — same work,
     # not a cache replay.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name, (fn, _sql) in QUERIES.items():
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # force FULL execution of every output column: a bare count()
-            # lets Catalyst prune computed projections entirely (the
-            # projection-only queries would time a parquet row-count scan,
-            # not the operator) — same anti-pruning action as the
-            # throughput probe below
-            df.select(
-                F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
-            ).collect()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            if name in errors:
+                continue  # failed on pass 1 — don't re-raise, keep the slot
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # force FULL execution of every output column: a bare count()
+                # lets Catalyst prune computed projections entirely (the
+                # projection-only queries would time a parquet row-count scan,
+                # not the operator) — same anti-pruning action as the
+                # throughput probe below
+                df.select(
+                    F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
+                ).collect()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+            except Exception as exc:  # one red query must never zero the suite
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -69,20 +76,22 @@ def main() -> None:
     # Throughput probe comparable to BASELINE.md's per-record numbers:
     # generate nginx-style lines, run the full WPL parse + OML transform,
     # report events/s (BASELINE: WPL ~300-500 MB/s, OML ~2.7M rec/s/core).
-    throughput = _throughput_probe(spark)
+    try:
+        throughput = _throughput_probe(spark)
+    except Exception as exc:
+        throughput = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "throughput": throughput,
-            }
-        )
-    )
+    result = {
+        "metric": "query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "throughput": throughput,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -1,0 +1,164 @@
+"""Emit the rows-only operators' quality evidence as a round artifact.
+
+The driver's CORRECTNESS gate can only rows-check the sketch operators
+(minhash/simhash/LSH/IVF/multimodal — their outputs are xxhash64-specific,
+so no DuckDB oracle exists). Their numeric evidence lives in
+tests/test_quality.py; this tool recomputes the SAME metrics (same fixture,
+same parameters, same exact twins) and writes them to a JSON artifact so
+round artifacts carry standing numbers, not only test logs.
+
+Usage: python tools/quality_report.py [out.json]   (default QUALITY_r4.json)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r4.json"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    import duckdb
+    import numpy as np
+    import pytest  # noqa: F401 — parity with the test module's imports
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.operators import dedup, multimodal as mm, similarity
+    from wp_motor_spark.session import get_spark
+
+    spark = get_spark(app_name="wp_motor_spark_quality")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = emb.select(F.size("embedding")).first()[0]
+
+    exact_top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(got: set) -> float:
+        return round(len(got & exact_top5) / len(exact_top5), 4)
+
+    report: dict = {"sf_dir": sf_dir, "gates": {}}
+
+    # --- lsh_ann_topk: recall@5 vs brute force (gate >= 0.9) ---
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            emb, queries, dim=dim, k=5, planes=32, bands=8, probe_bits=1
+        ).collect()
+    }
+    report["gates"]["lsh_ann_topk"] = {
+        "metric": "recall@5_vs_brute_force",
+        "value": recall(lsh),
+        "gate": ">= 0.9",
+        "exact_pairs": len(exact_top5),
+    }
+
+    # --- ivf_ann_topk: recall@5, refined must beat unrefined (gate >= 0.8) ---
+    ivf = {}
+    for iters in (0, 5):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb, queries, k=5, n_cells=16, n_probe=8, kmeans_iters=iters
+            ).collect()
+        }
+        ivf[iters] = recall(got)
+    report["gates"]["ivf_ann_topk"] = {
+        "metric": "recall@5_vs_brute_force",
+        "value": ivf[5],
+        "unrefined_value": ivf[0],
+        "gate": ">= 0.8 and refined > unrefined",
+    }
+
+    # --- minhash_lsh_dups: subset of exact n-gram Jaccard + recall >= 0.9 ---
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    report["gates"]["minhash_lsh_dups"] = {
+        "metric": "recall_vs_exact_ngram_jaccard",
+        "value": round(len(mh) / len(exact_pairs), 4) if exact_pairs else None,
+        "false_positives": len(mh - exact_pairs),
+        "exact_pairs": len(exact_pairs),
+        "gate": "subset of exact AND recall >= 0.9",
+    }
+
+    # --- simhash_dups: exact equality vs DuckDB recompute of hamming<=3 ---
+    fps = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.simhash(F.col("text")).alias("fp"),
+        F.length(dedup.normalize_text(F.col("text"))).alias("n_norm"),
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("fps", fps[fps["n_norm"] > 0][["id", "fp"]])
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            "SELECT x.id, y.id FROM fps x JOIN fps y ON x.id < y.id "
+            "WHERE bit_count(xor(x.fp, y.fp)) <= 3"
+        ).fetchall()
+    }
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    report["gates"]["simhash_dups"] = {
+        "metric": "pair_set_equality_vs_duckdb_exact",
+        "value": got == want,
+        "pairs": len(got),
+        "exact_pairs": len(want),
+        "gate": "exact equality",
+    }
+
+    # --- multimodal_features: stub-decode spec parity vs pure-Python ---
+    rows = [(i, bytes([i % 251]) * (64 * (1 + i % 3))) for i in range(20)]
+    df = mm.attach_meta(spark.createDataFrame(rows, "doc_id long, media binary"))
+    feats = {r["doc_id"]: r["features"] for r in mm.image_features(df).collect()}
+
+    def expected(payload: bytes) -> list:
+        seed = hashlib.sha256(payload).digest()
+        arr = np.frombuffer(seed * 6, dtype=np.uint8)[: 8 * 8 * 3].reshape(8, 8, 3)
+        gray = arr.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+        return (hist / max(hist.sum(), 1)).astype(np.float32).tolist()
+
+    mm_ok = all(
+        np.allclose(feats[i], expected(p), atol=1e-6) for i, p in rows
+    )
+    report["gates"]["multimodal_features"] = {
+        "metric": "stub_spec_parity_vs_pure_python",
+        "value": bool(mm_ok),
+        "docs": len(rows),
+        "gate": "exact match",
+    }
+
+    report["all_pass"] = all(
+        (g["value"] is True)
+        if isinstance(g["value"], bool)
+        else (g["value"] is not None and g["value"] >= 0.8)
+        for g in report["gates"].values()
+    )
+
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

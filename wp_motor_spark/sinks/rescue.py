@@ -56,12 +56,16 @@ def write_or_raise(lines: DataFrame, path: str) -> None:
 def rescue_lines(lines: DataFrame, rescue_dir: str, sink_name: str) -> int:
     """Spool formatted lines for a failed sink as RescueEntry JSONL.
 
-    Returns the number of rescued lines. Distributed write — the entry
-    encode is one to_json per row; the count reuses the written files'
-    row count (lines may not be cheap to recompute if its lineage was
-    the failed action)."""
+    Returns the number of lines rescued by THIS call (not the cumulative
+    spool size — two consecutive failures report their own batch counts).
+    The count rides the write job via observe(): no second scan of the
+    spool, and no recompute of `lines` (whose lineage was the failed
+    action and may be expensive)."""
+    from pyspark.sql import Observation
+
     dest = os.path.join(rescue_dir, sink_name)
-    entries = lines.select(
+    obs = Observation()
+    entries = lines.observe(obs, F.count(F.lit(1)).alias("n")).select(
         F.to_json(
             F.struct(
                 F.lit(RESCUE_VERSION).alias("version"),
@@ -71,7 +75,7 @@ def rescue_lines(lines: DataFrame, rescue_dir: str, sink_name: str) -> int:
         ).alias("value")
     )
     entries.write.mode("append").text(dest)
-    return lines.sparkSession.read.text(dest).count()
+    return int(obs.get["n"])
 
 
 def read_rescued(spark: SparkSession, rescue_dir: str, sink_name: str) -> DataFrame:

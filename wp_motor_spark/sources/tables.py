@@ -1,10 +1,21 @@
 """Parquet table loader with schema normalization.
 
-The driver's testdata stores `events.ts` as parquet TIMESTAMP(NANOS), which
-Spark reads only via spark.sql.legacy.parquet.nanosAsLong — the column
-arrives as LongType nanoseconds. Normalize such columns back to
-TimestampType (floor-truncate ns -> us, matching how DuckDB/pandas read the
-same file at microsecond precision).
+The driver's testdata has shipped `events.ts` in two physical shapes over
+time:
+
+* parquet TIMESTAMP(NANOS) — Spark reads it only via
+  spark.sql.legacy.parquet.nanosAsLong, so the column arrives as LongType
+  epoch-nanoseconds;
+* parquet timestamp[us] with no timezone — Spark infers TIMESTAMP_NTZ,
+  which breaks instant-typed call sites (`unix_micros`, window range
+  arithmetic, streaming watermarks).
+
+Normalize BOTH back to a plain TimestampType. The session timezone is
+pinned UTC (ensure_session_confs), so NTZ→TZ is a value-preserving
+reinterpretation and keeps DuckDB oracle hash parity; the nanos branch
+floor-truncates ns→us exactly the way DuckDB/pandas read the same file.
+Mirrors the reference's policy of normalizing every input to one canonical
+Time type (crates/wp-lang/src/eval/value/parser/physical/time/).
 """
 
 from __future__ import annotations
@@ -40,7 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
-        if f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
+        if isinstance(f.dataType, T.TimestampNTZType):
+            # timestamp[us] parquet (no TZ) → Spark TIMESTAMP_NTZ. Session
+            # TZ is pinned UTC, so this cast reinterprets the same wall
+            # clock as the same instant — value-preserving, oracle-safe.
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
+        elif f.name in _NANO_TS_COLUMNS and isinstance(f.dataType, T.LongType):
             # integer division: epoch-nanos (~1.7e18) exceed double's 2^53
             # exact range, so float divide + floor can land 1µs off DuckDB's
             # exact truncation and break oracle hash parity. `div` truncates
