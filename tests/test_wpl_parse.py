@@ -332,3 +332,32 @@ def test_some_of_any_order(spark):
     assert got[rows[1]]["sip"] == "192.168.1.2" and got[rows[1]]["id"] == 2002
     assert got[rows[2]]["id"] == 2002  # last occurrence
     assert got[rows[3]]["sip"] is None and got[rows[3]]["id"] is None
+
+
+def test_auto_subfield_in_containers(spark):
+    """factory.rs:28-39 applies CombinedParser to container values too:
+    `auto@ref` subfields inside json/kvarr containers run the same typed
+    cascade as field-level `auto`, yielding struct<t,v> (was: raw string
+    in rounds <= 3; this golden pins the new behavior)."""
+    cr = compile_rule(
+        parse_wpl("rule t { (json(auto@code:code,auto@addr:addr,auto@msg:msg)) }")[0]
+    )
+    df = spark.createDataFrame(
+        [('{"code":"42","addr":"10.0.0.1","msg":"hello-world"}',)], ["value"]
+    )
+    row = cr.extract(df).select(
+        F.col("code.t").alias("ct"), F.to_json("code.v").alias("cv"),
+        F.col("addr.t").alias("at"), F.to_json("addr.v").alias("av"),
+        F.col("msg.t").alias("mt"), F.to_json("msg.v").alias("mv"),
+    ).first()
+    assert (row["ct"], row["cv"]) == ("float", "42.0")  # winnow float shadows digit
+    assert (row["at"], row["av"]) == ("ip", '"10.0.0.1"')
+    assert (row["mt"], row["mv"]) == ("chars", '"hello-world"')
+
+    # kvarr container: same cascade on map values
+    cr2 = compile_rule(parse_wpl("rule t { (kvarr(auto@port:port):m) }")[0])
+    df2 = spark.createDataFrame([("port=443 host=a.example",)], ["value"])
+    row2 = cr2.extract(df2).select(
+        F.col("port.t").alias("t"), F.to_json("port.v").alias("v")
+    ).first()
+    assert (row2["t"], row2["v"]) == ("float", "443.0")

@@ -645,9 +645,9 @@ def _auto_cascade(s: Column) -> Column:
       regex) and the cascade classifies the FULL token — "42abc" is chars
       here but a Float(42)-then-rule-miss there. Same deviation class as
       SCALE.md's tokenize-then-type design note.
-    - Subfield `auto` refs inside json/kv containers keep their container
-      value type (string) — the cascade applies to field-level `auto`
-      only; golden fixtures pin the container behavior.
+    - Subfield `auto` refs inside json/kv containers run this same
+      cascade (via _cast_subfield), matching the reference's use of
+      CombinedParser on container values; golden fixtures pin it.
     """
     low = F.lower(s)
     fl = (
@@ -693,7 +693,11 @@ def _auto_cascade(s: Column) -> Column:
 
 
 def _cast_subfield(col: Column, dtype: str) -> Column:
-    """Typed cast for a composite subfield ((type@ref:name) forms)."""
+    """Typed cast for a composite subfield ((type@ref:name) forms).
+
+    `auto` subfields run the same typed cascade as field-level `auto`
+    (factory.rs:28-39 applies CombinedParser to container values too), so
+    json/kv subfield refs yield struct<t,v> rather than raw strings."""
     if dtype in ("digit", "port", "http/status"):
         return col.try_cast("long")
     if dtype == "float":
@@ -702,6 +706,8 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
         return F.lower(col).try_cast("boolean")
     if dtype.startswith("time"):
         return _time_cast(col, dtype)
+    if dtype == "auto":
+        return _auto_cascade(col)
     return col
 
 
