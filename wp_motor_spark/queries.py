@@ -890,6 +890,181 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# WPL construct coverage under the oracle (round 4): kv container subfields,
+# the time-format family, base64 decode-then-subparse — each synthesizes
+# deterministic lines from `events` and proves the parse round-trips by
+# deriving the same fields relationally in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def wpl_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kvarr container + typed subfield refs (kv.rs/kvarr parsing,
+    subfield extraction compiler.py `kvarr` branch): k=v pairs to a map,
+    then digit/chars/float-typed pulls out of it."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "user=%d type=%s val=%d.5",
+        F.col("user_id"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long"),
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(
+        parse_wpl(
+            "rule kvq { (kvarr(digit@user:uid,chars@type:etype,float@val:val):m) }"
+        )[0]
+    )
+    parsed = cr.extract(lines, keep=["event_id"])
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id", "uid", "etype", "val"
+    )
+
+
+WPL_KV_SQL = """
+SELECT event_id,
+       user_id AS uid,
+       event_type AS etype,
+       (CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || '.5') :: DOUBLE AS val
+FROM events
+"""
+
+
+def wpl_time_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time parser family on one line: ISO-8601 (T/Z form), RFC 3339
+    with numeric offset, and raw epoch micros (physical/time/ parsers;
+    the length-sniffed s/ms/us branch of time/timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "%d %s %s %d",
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+        F.unix_micros("ts"),
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(
+        parse_wpl(
+            "rule tq { (digit:eid,time_iso:t_iso,time/rfc3339:t_3339,"
+            "time/timestamp:t_us) }"
+        )[0]
+    )
+    parsed = cr.extract(lines, keep=["event_id"])
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id", "t_iso", "t_3339", "t_us"
+    )
+
+
+WPL_TIME_SQL = """
+SELECT event_id,
+       date_trunc('second', ts) AS t_iso,
+       date_trunc('second', ts) AS t_3339,
+       ts AS t_us
+FROM events
+"""
+
+
+def wpl_base64_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level base64 decode-then-subparse (`base64 | (group)` —
+    wpl_preprocessor.rs decode + nested rule): the captured token is
+    decoded, then the subgroup's parsers run over the plaintext."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.format_string("%d %s", F.col("user_id"), F.col("event_type"))
+    line = F.format_string(
+        "%d %s", F.col("event_id"), F.base64(F.encode(payload, "UTF-8"))
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(
+        parse_wpl("rule b64q { (digit:eid,base64:b | (digit:uid,chars:et)) }")[0]
+    )
+    parsed = cr.extract(lines, keep=["event_id"])
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id", "uid", "et"
+    )
+
+
+WPL_B64_SQL = """
+SELECT event_id, user_id AS uid, event_type AS et
+FROM events
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region where customer and
+    supplier share the nation. Six-way join; nation/region are
+    fixed-cardinality dims (broadcast), the SF-scaling fact joins go
+    through AQE (shuffle or runtime-broadcast as size allows)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            su,
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a business key (batch analog of the streaming
+    dropDuplicates state op, streaming/state.py): earliest event per
+    (user_id, event_type), deterministic tie-break on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+DEDUP_FIRST_SQL = """
+SELECT user_id, event_type,
+       event_id AS first_event_id,
+       ts AS first_ts
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -905,6 +1080,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
     "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
     "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
+    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
+    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
+    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
