@@ -5,6 +5,7 @@ inputs the reference engine's integration tests consume (SURVEY.md §5).
 """
 
 import base64
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -361,3 +362,36 @@ def test_auto_subfield_in_containers(spark):
         F.col("port.t").alias("t"), F.to_json("port.v").alias("v")
     ).first()
     assert (row2["t"], row2["v"]) == ("float", "443.0")
+
+
+def test_unquote_unescape_quota_golden(spark):
+    """parser_functionality.rs should_parse_json_with_escaped_quotes +
+    quotation.rs unit vectors: `unquote/unescape` drops every UNESCAPED
+    double quote and resolves \\X -> X byte-wise (URL decoding — the
+    rounds <= 3 implementation — is wrong for this builtin)."""
+    wpl = 'package pkg { rule esc_1 {|unquote/unescape|(json:j)} }'
+    cr = compile_rule(parse_wpl(wpl)[0])
+    df = spark.read.text(f"{REF}/tests/sample/format/quota.dat")
+    row = cr.extract(df).collect()[0]
+    assert row["_disposition"] == "success"
+    got = json.loads(row["j"])
+    assert got == {"a": 1, "b": " 中国 "}
+
+    # quotation.rs unit vectors through the preproc directly
+    from wp_motor_spark.wpl.preproc import apply_preprocs
+
+    vectors = [
+        ('"hello"', "hello"),
+        ('"<14>"', "<14>"),
+        ('"{ \\"a\\" = 1, \\"b\\" = \\" 中国 \\" }"', '{ "a" = 1, "b" = " 中国 " }'),
+        ('"test with \\"quotes\\" and \\backslash"', 'test with "quotes" and backslash'),
+        ("a\\", "a"),          # trailing lone backslash dropped
+        ("a\\\\b", "a\\b"),    # escaped backslash survives
+    ]
+    df2 = spark.createDataFrame([(v,) for v, _ in vectors], ["value"])
+    out = df2.select(
+        "value", apply_preprocs(F.col("value"), ["unquote/unescape"]).alias("u")
+    ).collect()
+    got_map = {r["value"]: r["u"] for r in out}
+    for v, want in vectors:
+        assert got_map[v] == want, f"{v!r}: {got_map[v]!r} != {want!r}"

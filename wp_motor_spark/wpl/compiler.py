@@ -431,6 +431,12 @@ def _emit_single(
         quoted = True
     else:
         body = f"({content})"
+        if dtype in ("json", "exact_json") or dtype.startswith("array"):
+            # the reference's JSON field parser consumes leading whitespace
+            # before the value (protocol/json.rs:25 multispace0) — tolerate
+            # it outside the capture so e.g. unquoted '" {\"a\":1}"' lines
+            # still match (parser_functionality.rs quota test)
+            body = r"\s*" + body
 
     if fld.subgroup is not None and dtype in ("base64", "hex"):
         content = r"[A-Za-z0-9+/]+={0,2}" if dtype == "base64" else r"[0-9A-Fa-f]+"

@@ -32,7 +32,14 @@ def apply_preprocs(col: Column, preprocs: list[str]) -> Column:
                 "string"
             )
         elif step == "unquote/unescape":
-            out = F.try_url_decode(out)
+            # quotation.rs unescape_bytes: drop every UNESCAPED '"', and
+            # resolve '\X' -> X for any X (no control-char interpretation;
+            # '\n' -> 'n'); a trailing lone backslash is dropped. One
+            # left-to-right regex scan replicates the byte loop exactly:
+            # the '\\(.)' alternative consumes escape pairs first, so a
+            # '\"' never reaches the bare-quote alternative, and Java
+            # substitutes "" for $1 when that group didn't participate.
+            out = F.regexp_replace(out, r'(?s)\\(.)|\\$|"', "$1")
         elif step == "strip/bom":
             out = F.regexp_replace(out, _BOM_RE, "")
         elif step.startswith("plg_pipe/"):
