@@ -448,3 +448,74 @@ def embedding_neardup_pairs(
     return flat.groupBy("pi", "pj").applyInPandas(
         gemm, schema="id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster duplicate-pair edges into components: (node, component) with
+    component = min node id reachable in the undirected pair graph.
+
+    Real dedup pipelines need cluster -> keep-one, not a bag of pairs
+    (A~B, B~C must collapse to ONE canonical doc, not two independent
+    drops). Min-label propagation: every iteration each node adopts the
+    smallest label in its closed neighborhood; converges in graph-diameter
+    iterations. Near-dup components are short chains (diameter rarely >
+    ~10), so the cap is a safety rail, not a truncation in practice —
+    hitting it raises rather than returning half-merged clusters.
+
+    Scale shape: per iteration one join + one groupBy over (long, long)
+    rows only; each round's labels are localCheckpoint'd — persist alone
+    would keep the LOGICAL plan growing (each round nests the last round's
+    join+agg), and by ~8 iterations Catalyst analysis cost explodes.
+    Checkpointing truncates lineage so every round plans against a flat
+    in-memory relation; old checkpoint blocks are released by the context
+    cleaner. At extreme graph sizes the known refinement is alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which this API could adopt without changing its contract.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+    return labels

@@ -1065,6 +1065,163 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# Curation pipeline (round 4): pairs -> clusters -> canonical docs, and
+# budgeted / stratified corpus selection. All SQL-expressible (the cluster
+# oracle is a recursive CTE), so each gets a value-level driver check.
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed to clusters: A~B, B~C must yield ONE
+    canonical doc. Exact n-gram Jaccard pairs (the SQL-expressible pair
+    source) -> min-label connected components -> (doc_id, cluster_id,
+    is_canonical)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT id, string_split(t, ' ') AS w, t FROM norm
+), sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [t] END) AS grams
+  FROM words
+), sizes AS (
+  SELECT id, len(grams) AS n FROM sh
+), inv AS (
+  SELECT id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS cluster_id,
+       least(u, min(v)) = u AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix selection: per detected language, keep the
+    highest-quality documents until a 2000-token budget fills (first doc
+    of a stratum always kept). Ordering uses the round-4 quality score —
+    rounded to 4 places in BOTH engines so the cut point is identical —
+    with doc_id as the deterministic tiebreak."""
+    from wp_motor_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.detect_language(F.col("text")).alias("lang"),
+        F.round(text.quality_score(F.col("text")), 4).alias("q"),
+        text.token_count_ws(F.col("text")).alias("n_tok"),
+    )
+    sel = curate.token_budget_select(
+        scored, budget=2000, tokens_col="n_tok", partition_col="lang", order_col="q"
+    )
+    return sel.select("doc_id", "lang", "q", "n_tok", "cum_tokens")
+
+
+def _corpus_budget_sql() -> str:
+    from wp_motor_spark.operators.text import _PROFILES
+
+    stopwords = ",".join(f"'{w}'" for w in _PROFILES["en"])
+    struct_rows = ", ".join(
+        "{'score': %s, 'lang': '%s'}" % (_lang_sql_score(lang, words), lang)
+        for lang, words in _PROFILES.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks_cased
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_max([{struct_rows}]) AS best,
+         len(toks_cased) AS n_tok,
+         CAST(len(toks) AS DOUBLE) AS n_tok_d,
+         CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS wl,
+         CAST(len(list_filter(toks, w -> w IN ({stopwords}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN best.score >= 0.08 THEN best.lang ELSE 'und' END AS lang,
+         ROUND(least(n_tok_d / 20.0, 1.0)
+               * (CASE WHEN n_tok_d > 1000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.6 END)
+               * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS q,
+         n_tok
+  FROM m
+), ranked AS (
+  SELECT doc_id, lang, q, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, q, n_tok, cum_tokens
+FROM ranked WHERE cum_tokens <= 2000 OR rk = 1
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample of events by type (id-modulus
+    gate — reproducible across engines/runs, unlike RNG sampleBy)."""
+    from wp_motor_spark.operators import curate
+
+    ev = _t(spark, sf_dir, "events")
+    out = curate.sample_fraction_by_key(
+        ev,
+        {"view": 0.2, "click": 0.5},
+        key_col="event_type",
+        id_col="event_id",
+    )
+    return out.select("event_id", "event_type", "user_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE event_id % 10000 < (CASE event_type
+    WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.5 ELSE 1.0 END) * 10000
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1085,6 +1242,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
