@@ -88,6 +88,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "throughput": throughput,
+        # shared-box context: same-code timings swing up to ~1.6x with
+        # other tenants' load (PROFILE.md measurement discipline section)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         result["errors"] = errors
