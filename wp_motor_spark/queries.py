@@ -988,6 +988,59 @@ FROM events
 """
 
 
+def wpl_multirule_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins multi-rule cascade (§2.4, parser.rs:26-114) under
+    the oracle: events synthesize two line formats — access-style
+    "A <eid> <ip> <status>" and audit-style "B <eid> <user>=<id>" — and a
+    two-rule MultiParser labels + types each row. The oracle derives
+    _rule and the per-format fields relationally from event_id parity,
+    proving dispatch picks the right rule for every row AND that a format
+    matched by NEITHER rule (event_type='error' lines carry a mangled
+    prefix) routes to miss and is excluded."""
+    from wp_motor_spark.wpl import MultiParser
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    is_b = F.col("event_id") % 2 == 1
+    line = (
+        F.when(
+            F.col("event_type") == "error",
+            F.format_string("X %d mangled", F.col("event_id")),
+        )
+        .when(
+            is_b,
+            F.format_string("B %d user=%d", F.col("event_id"), u),
+        )
+        .otherwise(
+            F.format_string(
+                "A %d 10.0.%d.%d %d",
+                F.col("event_id"),
+                F.floor(u / 256).cast("int"),
+                (u % 256).cast("int"),
+                F.when(F.col("value") > 250, 500).otherwise(200),
+            )
+        )
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    mp = MultiParser(
+        "rule acc { (symbol(A ),digit:eid,ip:sip,http/status:status) }\n"
+        "rule aud { (symbol(B ),digit:eid,kvarr(digit@user:uid):m) }"
+    )
+    labeled = mp.label(lines)
+    return labeled.where(F.col("_disposition") == "success").select(
+        "event_id",
+        F.col("_rule").alias("rule"),
+    )
+
+
+WPL_MULTIRULE_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 1 THEN 'aud' ELSE 'acc' END AS rule
+FROM events
+WHERE event_type != 'error'
+"""
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for one region where customer and
     supplier share the nation. Six-way join; nation/region are
@@ -1240,6 +1293,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
     "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
     "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
+    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
