@@ -988,6 +988,129 @@ FROM events
 """
 
 
+_SCALAR_OML = """
+name : sf
+rule : o
+---
+eid : digit = read(eid);
+host = pipe read(u) | url(host);
+upath = pipe read(u) | url(path);
+uquery = pipe read(u) | url(params);
+fname = pipe read(u) | url(path) | path(name);
+ip_num : digit = pipe read(sip) | ip4_to_int();
+etype = pipe read(b64) | base64_decode();
+tag = fmt("{a}|{b}", read(eid), read(eid));
+"""
+
+
+def oml_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OML scalar-function surface under the oracle: url()/path() parts,
+    ip4_to_int, base64_decode, fmt interpolation, chained pipes
+    (path_url.rs, net.rs, base64.rs, fmt.rs). The oracle derives every
+    output relationally from the columns the line was synthesized from."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    line = F.format_string(
+        "%d http://h%d.example.com/a/b%d?k=%s 10.0.%d.%d %s",
+        F.col("event_id"),
+        u,
+        u,
+        F.col("event_type"),
+        F.floor(u / 256).cast("int"),
+        (u % 256).cast("int"),
+        F.base64(F.encode(F.col("event_type"), "UTF-8")),
+    )
+    lines = ev.select(line.alias("value"))
+    cr = compile_rule(parse_wpl("rule o { (digit:eid,url:u,ip:sip,chars:b64) }")[0])
+    om = compile_oml(_SCALAR_OML)
+    parsed = cr.extract(lines)
+    out = om.apply(
+        parsed.where(F.col("_disposition") == "success").drop(
+            "value", "_rule", "_disposition", "_residue"
+        )
+    )
+    return out.select(
+        "eid", "host", "upath", "uquery", "fname", "ip_num", "etype", "tag"
+    )
+
+
+OML_SCALAR_SQL = """
+SELECT event_id AS eid,
+       'h' || CAST(user_id AS VARCHAR) || '.example.com' AS host,
+       '/a/b' || CAST(user_id AS VARCHAR) AS upath,
+       'k=' || event_type AS uquery,
+       'b' || CAST(user_id AS VARCHAR) AS fname,
+       10 * 16777216 + CAST(floor(user_id / 256) AS BIGINT) * 256 + user_id % 256 AS ip_num,
+       event_type AS etype,
+       CAST(event_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) AS tag
+FROM events
+"""
+
+
+_MATCH_OML = """
+name : mf
+rule : m
+---
+eid : digit = read(eid);
+kind = match read(et) {
+    chars(click) => chars(c);
+    !regex_match('w$') => chars(nw);
+    _ => chars(w);
+};
+grp = match read(et) {
+    chars(view)|chars(click) => chars(ui);
+    starts_with(sig) => chars(s);
+    _ => chars(rest);
+};
+pair = match (read(et), read(code)) {
+    (chars(error), digit(500)) => chars(err500);
+    _ => chars(na);
+};
+"""
+
+
+def oml_match_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OML match-arm forms under the oracle: literal equality, negated
+    regex guard, alternation, starts_with guard, multi-source tuple
+    match, and the `_` default (match.rs arm forms). First-match-wins arm
+    order is part of what the oracle pins (a 'click' row must take the
+    literal arm, never the later alternation)."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.format_string(
+        "%d %s %d",
+        F.col("event_id"),
+        F.col("event_type"),
+        F.when(F.col("event_type") == "error", 500).otherwise(200),
+    )
+    lines = ev.select(line.alias("value"))
+    cr = compile_rule(parse_wpl("rule m { (digit:eid,chars:et,digit:code) }")[0])
+    om = compile_oml(_MATCH_OML)
+    parsed = cr.extract(lines)
+    out = om.apply(
+        parsed.where(F.col("_disposition") == "success").drop(
+            "value", "_rule", "_disposition", "_residue"
+        )
+    )
+    return out.select("eid", "kind", "grp", "pair")
+
+
+OML_MATCH_SQL = """
+SELECT event_id AS eid,
+       CASE WHEN event_type = 'click' THEN 'c'
+            WHEN NOT regexp_matches(event_type, 'w$') THEN 'nw'
+            ELSE 'w' END AS kind,
+       CASE WHEN event_type IN ('view', 'click') THEN 'ui'
+            WHEN event_type LIKE 'sig%' THEN 's'
+            ELSE 'rest' END AS grp,
+       CASE WHEN event_type = 'error' THEN 'err500' ELSE 'na' END AS pair
+FROM events
+"""
+
+
 def wpl_multirule_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins multi-rule cascade (§2.4, parser.rs:26-114) under
     the oracle: events synthesize two line formats — access-style
@@ -1294,6 +1417,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
     "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
     "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
+    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
+    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
