@@ -115,3 +115,39 @@ def test_auto_cascade_is_map_only(spark, sf001_dir):
     query must stay a zero-Exchange scan like the other parse paths."""
     plan = _plan(spark, sf001_dir, "wpl_auto_cascade")
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_map_only_with_pushdown(spark, sf001_dir):
+    """Deterministic sampling must stay a scan-side filter: zero Exchange,
+    and the modulus gate pushed toward the parquet scan."""
+    plan = _plan(spark, sf001_dir, "stratified_sample")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_multirule_dispatch_is_map_only(spark, sf001_dir):
+    """The rule cascade is a projection — labeling R rules must never
+    introduce a shuffle or a Python stage."""
+    plan = _plan(spark, sf001_dir, "wpl_multirule_dispatch")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_budget_select_single_window_shuffle(spark, sf001_dir):
+    """Token-budget selection: exactly ONE exchange (the stratum window);
+    the cumulative sum must ride the ranking sort, not add a second."""
+    plan = _plan(spark, sf001_dir, "corpus_budget_select")
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_q5_dims_broadcast(spark, sf001_dir):
+    """nation/region carry explicit broadcast hints — they must never be
+    the build side of a shuffle join."""
+    plan = _plan(spark, sf001_dir, "q5_region_revenue")
+    assert "BroadcastExchange" in plan
+    # region filter reaches its scan
+    scan = next(
+        l for l in plan.splitlines() if "FileScan parquet" in l and "r_name" in l
+    )
+    assert "ASIA" in scan
