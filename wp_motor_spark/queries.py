@@ -1164,6 +1164,49 @@ WHERE event_type != 'error'
 """
 
 
+def wpl_miss_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deepest-failure miss diagnostics (§2.4, parser.rs:82-113) under the
+    oracle: four synthesized shapes — a full match (excluded), a rule-A
+    line broken at the ip field (depth 2), one broken at the trailing
+    digit (depth 3), and a rule-B line truncated before its chars field
+    (depth 2, best rule B) — every fifth line is garbage matching no rule
+    (depth 0, no best rule). The oracle derives (_best_rule, _parse_depth)
+    from the shape selector."""
+    from wp_motor_spark.wpl import MultiParser
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    line = (
+        F.when(m == 0, F.format_string("A %d 10.0.0.1 7", F.col("event_id")))
+        .when(m == 1, F.format_string("A %d xip 7", F.col("event_id")))
+        .when(m == 2, F.format_string("A %d 10.0.0.1 zz", F.col("event_id")))
+        .when(m == 3, F.format_string("B %d", F.col("event_id")))
+        .otherwise(F.format_string("Q %d garbage", F.col("event_id")))
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    mp = MultiParser(
+        "rule a { (symbol(A ),digit:n,ip:sip,digit:code) }\n"
+        "rule b { (symbol(B ),digit:n,chars:w) }"
+    )
+    out = mp.diagnose(lines)
+    return out.where(F.col("_disposition") == "miss").select(
+        "event_id",
+        F.col("_best_rule").alias("best_rule"),
+        F.col("_parse_depth").alias("parse_depth"),
+    )
+
+
+WPL_DIAG_SQL = """
+SELECT event_id,
+       CASE event_id % 5 WHEN 1 THEN 'a' WHEN 2 THEN 'a' WHEN 3 THEN 'b'
+            ELSE NULL END AS best_rule,
+       CASE event_id % 5 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 2
+            ELSE 0 END AS parse_depth
+FROM events
+WHERE event_id % 5 != 0
+"""
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for one region where customer and
     supplier share the nation. Six-way join; nation/region are
@@ -1419,6 +1462,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
     "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
     "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
+    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -824,8 +824,18 @@ class CompiledRule:
         pre = apply_preprocs(value, self.rule.preprocs)
         return F.split(F.regexp_replace(pre, self.pattern, repl), DELIM, -1)
 
-    def matched_col(self, parts: Column) -> Column:
-        return F.size(parts) == F.lit(self.n_groups)
+    def matched_col(self, parts: Column, value: Column | None = None) -> Column:
+        m = F.size(parts) == F.lit(self.n_groups)
+        if self.n_groups == 1 and value is not None:
+            # degenerate rule: only the residue group (all fields are
+            # symbols/ignores). A failed regexp_replace returns the input
+            # UNCHANGED, which splits to exactly 1 part == n_groups — a
+            # vacuous match. Verify the anchored pattern actually matched
+            # (hit by diagnose()'s depth-1 symbol prefixes; full rules were
+            # shielded by the 20% residue check, but report depth wrong).
+            pre = apply_preprocs(value, self.rule.preprocs)
+            m = m & pre.rlike(self.pattern)
+        return m
 
     def residue_col(self, parts: Column) -> Column:
         return F.try_element_at(parts, F.lit(self.residue_group))
@@ -837,7 +847,7 @@ class CompiledRule:
         frac_ok = F.length(residue) <= F.length(pre) * F.lit(RESIDUE_FRAC)
         return (
             F.when(F.trim(F.coalesce(value, F.lit(""))) == "", F.lit("blank"))
-            .when(~self.matched_col(parts), F.lit("miss"))
+            .when(~self.matched_col(parts, value), F.lit("miss"))
             .when(F.length(residue) == 0, F.lit("success"))
             .when(frac_ok, F.lit("partial"))
             .otherwise(F.lit("miss"))
@@ -1083,7 +1093,7 @@ class MultiParser:
             depth: Column = F.lit(0)
             for pr in _prefix_rules(cr.rule, max_depth):
                 parts = pr.parts_col(value)
-                depth = depth + pr.matched_col(parts).cast("int")
+                depth = depth + pr.matched_col(parts, value).cast("int")
             deeper = depth > best_depth
             best_rule = F.when(deeper, F.lit(cr.key)).otherwise(best_rule)
             best_depth = F.when(deeper, depth).otherwise(best_depth)
