@@ -1164,6 +1164,51 @@ WHERE event_type != 'error'
 """
 
 
+def wpl_net_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The network/scalar field-parser family on one line: domain, email,
+    url, ip_net (CIDR), mobile_phone (CN 1[3-9]xxxxxxxxx), hex, bool
+    (network/{domain,email,url}.rs, physical/{ip_net,mobile,hex,bool}).
+    The oracle reconstructs each token relationally; a successful parse +
+    typed cast round-trip proves both the token regexes and the casts."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    line = F.format_string(
+        "%d www.ex%d.com u%d@ex.com http://ex.com/p%d 10.0.%d.0/24 138%08d %x %s",
+        F.col("event_id"),
+        u,
+        u,
+        u,
+        u % 256,
+        u % 100000000,
+        u + 1,
+        F.when(F.col("event_id") % 2 == 0, "true").otherwise("false"),
+    )
+    lines = ev.select(F.col("event_id"), line.alias("value"))
+    cr = compile_rule(
+        parse_wpl(
+            "rule nt { (digit:eid,domain:dom,email:em,url:u,ip_net:net,"
+            "mobile_phone:mp,hex:hx,bool:b) }"
+        )[0]
+    )
+    parsed = cr.extract(lines, keep=["event_id"])
+    return parsed.where(F.col("_disposition") == "success").select(
+        "event_id", "dom", "em", "u", "net", "mp", "hx", "b"
+    )
+
+
+WPL_NET_SQL = """
+SELECT event_id,
+       'www.ex' || CAST(user_id AS VARCHAR) || '.com' AS dom,
+       'u' || CAST(user_id AS VARCHAR) || '@ex.com' AS em,
+       'http://ex.com/p' || CAST(user_id AS VARCHAR) AS u,
+       '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.0/24' AS net,
+       '138' || lpad(CAST(user_id % 100000000 AS VARCHAR), 8, '0') AS mp,
+       lower(to_hex(user_id + 1)) AS hx,
+       event_id % 2 = 0 AS b
+FROM events
+"""
+
+
 def wpl_miss_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deepest-failure miss diagnostics (§2.4, parser.rs:82-113) under the
     oracle: four synthesized shapes — a full match (excluded), a rule-A
@@ -1463,6 +1508,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
     "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
     "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
+    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
