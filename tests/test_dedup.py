@@ -97,3 +97,30 @@ def test_simhash_finds_identical_pair(spark, docs):
     out = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
     assert (1, 3) in out
     assert all(4 not in p and 5 not in p for p in out)
+
+
+def test_contamination_overlap_counts(spark):
+    from wp_motor_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 4 grams with bench (window of 6 words -> grams
+            # "alpha beta gamma".."delta epsilon zeta")
+            (10, "alpha beta gamma delta epsilon zeta eta"),
+            # shares exactly 1 gram
+            (11, "alpha beta gamma completely different words here"),
+            # shares nothing
+            (12, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["shared_grams"]
+        for r in dedup.contamination_overlap(
+            corpus, bench, n=3, min_shared=2
+        ).collect()
+    }
+    assert got == {10: 4}

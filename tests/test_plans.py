@@ -151,3 +151,14 @@ def test_q5_dims_broadcast(spark, sf001_dir):
         l for l in plan.splitlines() if "FileScan parquet" in l and "r_name" in l
     )
     assert "ASIA" in scan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf001_dir):
+    """The benchmark gram set must be the broadcast side; the only real
+    shuffle is the per-doc count agg — corpus text never shuffles."""
+    plan = _plan(spark, sf001_dir, "contamination_check")
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line

@@ -519,3 +519,40 @@ def connected_components(
             f"connected_components did not converge in {max_iters} iterations"
         )
     return labels
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= `min_shared`
+    distinct word n-grams with the benchmark's global gram set (the
+    standard pre-training leak check — flag, then drop or audit).
+
+    Scale shape: the benchmark gram set is tiny next to the corpus, so it
+    is DISTINCT-ed and broadcast; the corpus side explodes its grams
+    map-side and semi-joins against the broadcast set — the only shuffle
+    is the per-doc count aggregation of (id, matched-gram-count), never
+    the corpus text. Grams travel as xxhash64 longs (shingle_hashes).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    corpus_grams = _spread(corpus, [id_col, text_col]).select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= min_shared)
+        .select(F.col("__id").alias(id_col), "shared_grams")
+    )

@@ -1391,6 +1391,43 @@ FROM reach GROUP BY u
 """
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over `documents`: docs 0-49 act as the
+    held-out benchmark; every corpus doc sharing >= 5 distinct 3-grams
+    with the benchmark's global gram set is flagged with its overlap
+    count. The oracle recomputes the same overlap from raw string grams
+    (the Spark side joins on xxhash64 gram hashes — count equality proves
+    the hashed semi-join loses nothing)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 50)
+    corpus = docs.where(F.col("doc_id") >= 50)
+    return dedup.contamination_overlap(corpus, bench, n=3, min_shared=5)
+
+
+CONTAMINATION_SQL = """
+WITH norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT id, string_split(t, ' ') AS w, t FROM norm
+), sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [t] END) AS grams
+  FROM words
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE id < 50
+), corpus AS (
+  SELECT id, unnest(grams) AS g FROM sh WHERE id >= 50
+)
+SELECT id AS doc_id, COUNT(*) AS shared_grams
+FROM corpus JOIN bench USING (g)
+GROUP BY id
+HAVING COUNT(*) >= 5
+"""
+
+
 def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix selection: per detected language, keep the
     highest-quality documents until a 2000-token budget fills (first doc
@@ -1512,6 +1549,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
