@@ -1428,6 +1428,44 @@ HAVING COUNT(*) >= 5
 """
 
 
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup: embedding-cosine near-dup pairs ->
+    connected components -> keep one canonical vector per cluster plus
+    every unclustered vector. This is the composed product a curation
+    pipeline actually ships (the pair list is an intermediate); the
+    oracle replays pairs + recursive-CTE components and keeps the same
+    set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    comp = dedup.connected_components(pairs)
+    dropped = comp.where(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u, least(u, min(v)) AS c FROM reach GROUP BY u
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT u FROM comp WHERE c != u)
+"""
+
+
 def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix selection: per detected language, keep the
     highest-quality documents until a 2000-token budget fills (first doc
@@ -1550,6 +1588,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
