@@ -395,3 +395,28 @@ def test_unquote_unescape_quota_golden(spark):
     got_map = {r["value"]: r["u"] for r in out}
     for v, want in vectors:
         assert got_map[v] == want, f"{v!r}: {got_map[v]!r} != {want!r}"
+
+
+def test_domain_email_reference_vectors(spark):
+    """network/domain.rs + email.rs unit vectors: domain labels must start
+    and end alphanumeric (leading '-' rejected) and cap at 67 chars; email
+    accepts +/_/- forms."""
+    cr = compile_rule(parse_wpl("rule d { (domain:d,chars:tail) }")[0])
+    rows = [
+        ("1-test.warppase.ai ok", "success"),
+        ("-1-test.warppase.ai bad", "miss"),   # leading hyphen label
+        ("www.s123/df.com bad", "miss"),       # slash not domain-class
+        (("a" * 30 + "." + "b" * 30 + ".example.com x"), "miss"),  # > 67 chars
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in rows], ["value"])
+    got = {r["value"]: r["_disposition"] for r in cr.extract(df, keep=["value"]).collect()}
+    for v, want in rows:
+        assert got[v] == want, f"{v!r}: {got[v]} != {want}"
+
+    cr2 = compile_rule(parse_wpl("rule e { (email:em,chars:tail) }")[0])
+    ok = ["johnjoke@example.com", "user+tag@example-domain.com",
+          "first_last@example.com", "foo-bar@example.co"]
+    df2 = spark.createDataFrame([(f"{e} x",) for e in ok], ["value"])
+    out = cr2.extract(df2).collect()
+    assert all(r["_disposition"] == "success" for r in out)
+    assert {r["em"] for r in out} == set(ok)

@@ -153,7 +153,13 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
         "float": r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?",
         "bool": r"(?i:true|false)",
         "hex": r"[0-9A-Fa-f]+",
-        "domain": r"(?:[A-Za-z0-9-]+\.)+[A-Za-z]{2,11}",
+        # network/domain.rs: labels start/end alphanumeric, total <= 67
+        # chars (the lookahead caps the run — in a separator-bounded token
+        # the whole run must match, so it bounds the token itself)
+        "domain": (
+            r"(?![A-Za-z0-9.-]{68})"
+            r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+[A-Za-z]{2,11}"
+        ),
         "email": r"[^@\s]+@[^@\s]+\.[A-Za-z]{2,11}",
         "url": r"[A-Za-z][A-Za-z0-9+.-]*://" + ncls + "+",
         "time": _TIME_AUTO_RE,
