@@ -420,3 +420,26 @@ def test_domain_email_reference_vectors(spark):
     out = cr2.extract(df2).collect()
     assert all(r["_disposition"] == "success" for r in out)
     assert {r["em"] for r in out} == set(ok)
+
+
+def test_http_request_method_validation(spark):
+    """http.rs RequestP vectors: the method token is validated against the
+    fixed set ('GETX ...' must MISS); separators are multispace1 (double
+    spaces parse); protocol must be literal HTTP/ + dotted version."""
+    cr = compile_rule(parse_wpl("rule h { (http/request:req,digit:code) }")[0])
+    rows = [
+        ("GET /hello.png HTTP/1.1 200", "success"),
+        ("GET  /hello.png  HTTP/1.1 200", "success"),   # multispace1
+        ("GETX /hello.png HTTP/1.1 200", "miss"),       # unknown method
+        ("GET /hello.png FTP/1.1 200", "miss"),         # not HTTP/
+        ("CONNECT host:443 HTTP/2 200", "success"),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in rows], ["value"])
+    got = {
+        r["value"]: (r["_disposition"], r["req"])
+        for r in cr.extract(df, keep=["value"]).collect()
+    }
+    for v, want in rows:
+        assert got[v][0] == want, f"{v!r}: {got[v][0]} != {want}"
+    assert got["GET /hello.png HTTP/1.1 200"][1]["method"] == "GET"
+    assert got["GET  /hello.png  HTTP/1.1 200"][1]["uri"] == "/hello.png"

@@ -168,7 +168,14 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
         "time_3339": r"\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[Zz]|[+-]\d{2}:\d{2})",
         "time_2822": r"(?:[A-Z][a-z]{2}, )?\d{1,2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} (?:[+-]\d{4}|[A-Z]{2,4})",
         "time_timestamp": r"\d{10}(?:\d{3}){0,2}",
-        "http/request": r"[A-Za-z]+ \S+ [A-Za-z]+/[0-9.]+",
+        # http.rs RequestP: method must be in the fixed set ("GETX" fails),
+        # protocol is the literal "HTTP/" + dotted version, separators are
+        # multispace1 (double spaces accepted — the typed-cast fast path
+        # already falls back to a regex split for those)
+        "http/request": (
+            r"(?:GET|PUT|POST|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)"
+            r"\s+\S+\s+HTTP/\d+(?:\.\d+)*"
+        ),
         "http/method": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
         "json": r"\{.*\}|\[.*\]",
         "exact_json": r"\{.*\}|\[.*\]",
