@@ -443,3 +443,40 @@ def test_http_request_method_validation(spark):
         assert got[v][0] == want, f"{v!r}: {got[v][0]} != {want}"
     assert got["GET /hello.png HTTP/1.1 200"][1]["method"] == "GET"
     assert got["GET  /hello.png  HTTP/1.1 200"][1]["uri"] == "/hello.png"
+
+
+def test_adaptive_reorder_and_short_circuit(spark):
+    """parser.rs:119-134 `optimized()`: rules resort by sampled hit count
+    (desc, ties by declared index); with disjoint rules the labeled output
+    is identical in all four mode/order combinations, and the hot rule
+    moves to the front of the compiled cascade."""
+    wpl = (
+        "rule cold { (symbol(#),digit:n) }\n"
+        "rule hot { (ip:src,digit:port) }\n"
+    )
+    mp = MultiParser(wpl)
+    rows = [(f"10.0.0.{i % 250} {i}",) for i in range(90)]
+    rows += [(f"#{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["value"])
+
+    counts = mp.hit_counts(df)
+    assert counts["hot"] == 90 and counts["cold"] == 10
+
+    opt = mp.optimized(df)
+    assert [cr.key for cr in opt.rules] == ["hot", "cold"]
+    # ties fall back to declared index (parser.rs:125-127)
+    tied = mp.optimized(counts={"hot": 5, "cold": 5})
+    assert [cr.key for cr in tied.rules] == ["cold", "hot"]
+
+    def snap(parser, **kw):
+        return sorted(
+            (r["value"], r["_rule"], r["_disposition"], r["_residue"])
+            for r in parser.label(df, **kw).collect()
+        )
+
+    base = snap(mp)
+    assert snap(mp, short_circuit=True) == base
+    assert snap(opt) == base
+    assert snap(opt, short_circuit=True) == base
+    # hit rows labeled with the right rule either way
+    assert sum(1 for _, rule, _, _ in base if rule == "hot") == 90
