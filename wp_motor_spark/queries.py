@@ -1560,6 +1560,81 @@ WHERE event_id % 10000 < (CASE event_type
 """
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: per-category match counts + redacted
+    text. The corpus is word-soup, so PII is injected deterministically
+    from doc_id (same construction in the oracle SQL) — the operator then
+    does real detection/replacement work that the value-level hash
+    verifies, including the email-before-phone ordering (the email local
+    part contains a digit run a naive phone pass would half-match)."""
+    from wp_motor_spark.operators import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("_13"),
+        F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
+        F.lit("@mail.example.com tel 13"),
+        F.lpad((F.col("doc_id") * 104729 % 1000000000).cast("string"), 9, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") * 3 % 256).cast("string"),
+        F.lit(" id 110101199003071"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+        F.lit(" end"),
+    )
+    with_aug = docs.select("doc_id", aug.alias("aug"))
+    counts = pii.pii_counts(F.col("aug"))
+    return with_aug.select(
+        "doc_id",
+        counts.getField("email").alias("n_email"),
+        counts.getField("phone").alias("n_phone"),
+        counts.getField("ipv4").alias("n_ip"),
+        counts.getField("id_card").alias("n_id"),
+        pii.redact(F.col("aug")).alias("redacted"),
+    )
+
+
+def _pii_sql() -> str:
+    from wp_motor_spark.operators.pii import PATTERNS
+
+    email, idc, phone, ip = (
+        PATTERNS["email"],
+        PATTERNS["id_card"],
+        PATTERNS["phone"],
+        PATTERNS["ipv4"],
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id
+              || '_13' || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
+              || '@mail.example.com tel 13'
+              || lpad(CAST(doc_id * 104729 % 1000000000 AS VARCHAR), 9, '0')
+              || ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id * 3 % 256)
+              || ' id 110101199003071' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+              || ' end' AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{email}')) AS n_email,
+       len(regexp_extract_all(aug, '{phone}')) AS n_phone,
+       len(regexp_extract_all(aug, '{ip}')) AS n_ip,
+       len(regexp_extract_all(aug, '{idc}')) AS n_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug, '{email}', '[EMAIL]', 'g'),
+             '{idc}', '[ID]', 'g'),
+           '{phone}', '[PHONE]', 'g'),
+         '{ip}', '[IP]', 'g') AS redacted
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1591,6 +1666,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "pii_redact": (pii_redact, _pii_sql()),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
