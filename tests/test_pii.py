@@ -55,3 +55,27 @@ def test_no_pii_passthrough_and_has_pii(spark):
 def test_ipv4_octet_bounds(spark):
     row = _one(spark, "ok 255.255.255.255 bad 256.1.2.3", pii.pii_counts)
     assert row["ipv4"] == 1
+
+
+def test_gopher_flags_and_repetition(spark):
+    from wp_motor_spark.operators import text as T
+
+    good = " ".join(f"the quick brown w{2 * i} x{2 * i + 1}" for i in range(12))  # 60 words
+    spam = " ".join(["buy"] * 60)
+    short = "too short"
+    df = spark.createDataFrame([(1, good), (2, spam), (3, short)], ["i", "t"])
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            T.gopher_quality_flags(F.col("t")).alias("g"),
+            F.round(T.top_word_fraction(F.col("t")), 4).alias("topf"),
+            F.round(T.duplicate_token_fraction(F.col("t")), 4).alias("dupf"),
+        ).collect()
+    }
+    assert rows[1]["g"]["keep"] is True
+    assert rows[2]["g"]["keep"] is False and rows[2]["g"]["ok_top_word"] is False
+    assert rows[2]["topf"] == 1.0 and rows[2]["dupf"] == round(1 - 1 / 60, 4)
+    assert rows[3]["g"]["ok_n_words"] is False
+    # good: 'the' appears 12x/60 = 0.2 exactly -> ok_top_word still True
+    assert rows[1]["topf"] == 0.2 and rows[1]["g"]["ok_top_word"] is True

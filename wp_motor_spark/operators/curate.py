@@ -11,6 +11,34 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# Knuth multiplicative-hash id spreader: sequential ids (the common case
+# for generated doc/event ids) land uniformly across buckets instead of
+# `id % modulus` keeping the FIRST fraction of every range. Constants are
+# chosen so the intermediate stays far below 2^63 (ANSI mode overflows
+# loudly): (P1-1) * K ~ 2.7e15. Same integer arithmetic runs verbatim in
+# the DuckDB oracles — deterministic across engines, unlike RNG sampling.
+_SPREAD_P1 = 1_000_003
+_SPREAD_K = 2_654_435_761
+_SPREAD_P2 = 1_000_000_007
+
+
+def id_bucket(id_col: Column, modulus: int = 10_000) -> Column:
+    """Deterministic uniform bucket in [0, modulus) from an integer id."""
+    return F.pmod(
+        F.pmod(F.pmod(id_col, F.lit(_SPREAD_P1)) * F.lit(_SPREAD_K), F.lit(_SPREAD_P2)),
+        F.lit(modulus),
+    )
+
+
+def id_bucket_sql(id_expr: str, modulus: int = 10_000) -> str:
+    """The same bucket as ANSI SQL (for DuckDB oracles)."""
+    return f"(({id_expr} % {_SPREAD_P1}) * {_SPREAD_K} % {_SPREAD_P2}) % {modulus}"
+
+
+def id_bucket_py(i: int, modulus: int = 10_000) -> int:
+    """The same bucket in plain Python (for tests computing expectations)."""
+    return ((i % _SPREAD_P1) * _SPREAD_K % _SPREAD_P2) % modulus
+
 
 def token_budget_select(
     df: DataFrame,
@@ -53,6 +81,41 @@ def token_budget_select(
     )
 
 
+def domain_mixture_select(
+    df: DataFrame,
+    targets: dict[str, float],
+    key_col: str,
+    id_col: str = "doc_id",
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Select the largest corpus subset whose domain mix matches the
+    target proportions exactly (up to id-mod granularity): the binding
+    domain is the one with the least data relative to its share — every
+    other domain downsamples to keep the ratios. Domains absent from
+    `targets` are dropped (share 0).
+
+    Plan shape: one map-side-combined count per domain (a shuffle of
+    |domains| rows), a bounded driver collect of those counts (domains
+    are a config-sized set, never corpus-sized), then a map-only
+    deterministic id-mod filter — the same reproducible gate as
+    sample_fraction_by_key. At 100 TB the data pass is a single scan.
+    """
+    counts = {
+        r[key_col]: r["cnt"]
+        for r in df.groupBy(key_col).agg(F.count("*").alias("cnt")).collect()
+        if r[key_col] in targets
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    scale = min(counts[k] / targets[k] for k in counts if targets[k] > 0)
+    fractions = {k: targets[k] * scale / counts[k] for k in counts}
+    expr: Column = F.lit(None).cast("double")
+    for k, v in fractions.items():
+        expr = F.when(F.col(key_col) == k, F.lit(v)).otherwise(expr)
+    keep = F.coalesce(expr, F.lit(0.0))
+    return df.where(id_bucket(F.col(id_col), modulus) < keep * modulus)
+
+
 def sample_fraction_by_key(
     df: DataFrame,
     fractions: dict[str, float],
@@ -60,14 +123,15 @@ def sample_fraction_by_key(
     id_col: str = "doc_id",
     modulus: int = 10_000,
 ) -> DataFrame:
-    """Deterministic stratified downsampling: keep a row when
-    `id mod modulus < fraction * modulus` for its stratum's fraction
+    """Deterministic stratified downsampling: keep a row when its
+    spread id bucket < fraction * modulus for its stratum's fraction
     (missing strata keep everything). Unlike `DataFrame.sampleBy` this is
     reproducible across runs/engines (no RNG state), which training-data
-    pipelines need for auditability. Map-only — no shuffle."""
+    pipelines need for auditability; the multiplicative-hash bucket makes
+    the sample uniform even over sequential ids. Map-only — no shuffle."""
     frac = F.lit(None).cast("double")
     expr: Column = frac
     for k, v in fractions.items():
         expr = F.when(F.col(key_col) == k, F.lit(float(v))).otherwise(expr)
     keep = F.coalesce(expr, F.lit(1.0))
-    return df.where((F.pmod(F.col(id_col), F.lit(modulus))) < keep * modulus)
+    return df.where(id_bucket(F.col(id_col), modulus) < keep * modulus)

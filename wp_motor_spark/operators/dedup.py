@@ -42,6 +42,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners.select(id_col), id_col, "inner")
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact dedup: remove every repeated paragraph
+    corpus-wide (keep the first occurrence by (doc id, position)), then
+    reassemble documents from their surviving paragraphs.
+
+    The winner per paragraph is found with `min(struct(id, pos))` under a
+    groupBy on the paragraph digest — an aggregate, NOT a window: partial
+    aggregation combines map-side, so a boilerplate paragraph repeated a
+    billion times (cookie banners) reduces to one row per map partition
+    before the shuffle, where a window would funnel every copy through a
+    single partition. Shuffles: (1) digest agg carrying (digest,
+    struct<long,int>), (2) semi-join of exploded paragraphs against
+    winners on (digest, id, pos), (3) reassembly groupBy on id. Full
+    paragraph text never shuffles — only digests and ids.
+    """
+    pid = F.col(id_col)
+    paras = df.select(
+        pid,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    keyed = paras.select(
+        pid,
+        "pos",
+        "para",
+        F.xxhash64(normalize_text(F.col("para"))).alias("__pdigest"),
+    )
+    winners = keyed.groupBy("__pdigest").agg(
+        F.min(F.struct(pid.alias("id"), F.col("pos").alias("pos"))).alias("w")
+    )
+    kept = keyed.join(
+        winners,
+        (keyed["__pdigest"] == winners["__pdigest"])
+        & (pid == winners["w"]["id"])
+        & (F.col("pos") == winners["w"]["pos"]),
+        "left_semi",
+    )
+    docs = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias(text_col),
+        F.count("*").alias("n_paras_kept"),
+    )
+    if not drop_empty_docs:
+        all_ids = df.select(id_col)
+        docs = all_ids.join(docs, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0)).alias("n_paras_kept"),
+        )
+    return docs
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct)."""
     words = F.split(normalize_text(col), " ")
@@ -455,6 +520,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Cluster duplicate-pair edges into components: (node, component) with
     component = min node id reachable in the undirected pair graph.
@@ -477,12 +543,22 @@ def connected_components(
     large-star/small-star (Kiveris et al., "Connected Components in
     MapReduce"), which this API could adopt without changing its contract.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint()
     )
+    # Adaptive small-graph path (AQE-style size gate): near-dup edge sets
+    # are typically tiny next to the corpus — pairs already survived
+    # banding/blocking. Under the threshold, a driver union-find replaces
+    # ~3 Spark jobs per iteration with zero; the collect is bounded by the
+    # gate (1e5 edges = a few MB of longs). Same min-label output.
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        return _union_find_components(pairs.sparkSession, edges.collect())
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
@@ -495,6 +571,9 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # change detection rides the checkpoint job via observe() — no
+        # separate join+count job per iteration
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
@@ -502,23 +581,53 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp"))
+                .cast("int")
+                .alias("__chg"),
             )
+            .observe(obs, F.sum("__chg").alias("changed"))
+            .select("id", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get.get("changed") or 0) == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
         )
     return labels
+
+
+def _union_find_components(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find with min-label components — the small-graph
+    fast path of connected_components. Path-compressed, union by smaller
+    root id so the representative IS the component minimum."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row[0], row[1]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+    nodes = set()
+    for row in edge_rows:
+        nodes.add(row[0])
+        nodes.add(row[1])
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, schema="id long, comp long")
 
 
 def contamination_overlap(

@@ -105,6 +105,63 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+def top_word_fraction(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token — the
+    word-level analogue of Gopher's top-n-gram repetition signal (Rae et
+    al. 2021, §A1.1). Pure array expressions: sort the token array, count
+    the longest equal run via aggregate over indices — map-only, no
+    explode/shuffle, so it composes into scan-side quality filtering.
+    O(n log n) per doc on doc-sized arrays."""
+    t = F.array_sort(tokens(col))
+    n = F.size(t)
+    # run-length scan over the sorted array: acc = (best, cur) counts
+    best = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.struct(F.lit(1).alias("best"), F.lit(1).alias("cur")),
+        lambda acc, i: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(t[i] == t[i - 1], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(t[i] == t[i - 1], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n <= 1, F.lit(1.0)).otherwise(best / n.cast("double"))
+
+
+def duplicate_token_fraction(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 - distinct/total (Gopher's duplicate-line fraction, applied at
+    token granularity for single-line corpora). Map-only."""
+    t = tokens(col)
+    n = F.greatest(F.size(t), F.lit(1))
+    return F.lit(1.0) - F.size(F.array_distinct(t)) / n.cast("double")
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """Gopher-style document filter (Rae et al. 2021, table A1) adapted
+    to this corpus: struct of individual rule booleans + overall keep.
+    Rules: 50 <= n_words <= 100k, 3 <= mean word len <= 10, stopword
+    ratio >= 0.02, top-word fraction <= 0.2, duplicate-token fraction
+    <= 0.6. All pure JVM expressions — usable as a scan-side filter."""
+    n = token_count_ws(col)
+    wl = mean_word_length(col)
+    flags = {
+        "ok_n_words": (n >= 50) & (n <= 100_000),
+        "ok_word_len": (wl >= 3) & (wl <= 10),
+        "ok_stopwords": stopword_ratio(col) >= 0.02,
+        "ok_top_word": top_word_fraction(col) <= 0.2,
+        "ok_dup_tokens": duplicate_token_fraction(col) <= 0.6,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
+    )
+
+
 def rolling_fingerprints(col: Column, window: int = 8) -> Column:
     """Rolling hashes over word windows (winnowing-style): array of
     xxhash64 for every `window`-word span — input to plagiarism-style

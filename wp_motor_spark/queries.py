@@ -1552,10 +1552,13 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "user_id")
 
 
-STRATIFIED_SAMPLE_SQL = """
+def _stratified_sample_sql() -> str:
+    from wp_motor_spark.operators.curate import id_bucket_sql
+
+    return f"""
 SELECT event_id, event_type, user_id
 FROM events
-WHERE event_id % 10000 < (CASE event_type
+WHERE {id_bucket_sql("event_id")} < (CASE event_type
     WHEN 'view' THEN 0.2 WHEN 'click' THEN 0.5 ELSE 1.0 END) * 10000
 """
 
@@ -1635,6 +1638,160 @@ FROM a
 """
 
 
+def paragraph_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level dedup: synthetic multi-paragraph
+    'pages' are assembled deterministically from documents (page =
+    doc_id%100 group, paragraph = 24-char text prefix — prefixes collide
+    across docs, giving real repeated paragraphs), then every repeated
+    paragraph is removed keeping its first (page, position) occurrence
+    and pages are reassembled. Oracle replicates the whole flow in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = (
+        docs.select(
+            (F.col("doc_id") % 100).alias("page_id"),
+            F.struct(F.col("doc_id"), F.substring("text", 1, 24).alias("para")).alias("s"),
+        )
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["para"]),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    out = dedup.paragraph_dedup(pages, text_col="text", id_col="page_id")
+    return out.select("page_id", "text", "n_paras_kept")
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH paras AS (
+  SELECT doc_id % 100 AS page_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 100 ORDER BY doc_id) - 1 AS pos,
+         substr(text, 1, 24) AS para
+  FROM documents
+), normed AS (
+  SELECT page_id, pos, para,
+         trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm
+  FROM paras
+  WHERE length(trim(para)) > 0
+), winners AS (
+  SELECT norm, min(page_id * 100000 + pos) AS wkey FROM normed GROUP BY norm
+), kept AS (
+  SELECT n.page_id, n.pos, n.para
+  FROM normed n JOIN winners w
+    ON n.norm = w.norm AND n.page_id * 100000 + n.pos = w.wkey
+)
+SELECT page_id,
+       string_agg(para, e'\n\n' ORDER BY pos) AS text,
+       count(*) AS n_paras_kept
+FROM kept
+GROUP BY page_id
+"""
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter (Rae et al. 2021 table A1):
+    per-doc repetition stats + rule flags + keep decision, all map-only
+    JVM array expressions. The oracle computes top-word fraction with a
+    DIFFERENT algorithm (unnest + group-count vs the Spark side's sorted
+    run-length scan) — value equality checks the semantics, not the
+    implementation."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    flags = text.gopher_quality_flags(c)
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(c).alias("n_tok"),
+        F.round(text.top_word_fraction(c), 4).alias("top_word_frac"),
+        F.round(text.duplicate_token_fraction(c), 4).alias("dup_tok_frac"),
+        flags.getField("ok_n_words").alias("ok_n_words"),
+        flags.getField("ok_word_len").alias("ok_word_len"),
+        flags.getField("ok_stopwords").alias("ok_stopwords"),
+        flags.getField("ok_top_word").alias("ok_top_word"),
+        flags.getField("ok_dup_tokens").alias("ok_dup_tokens"),
+        flags.getField("keep").alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    from wp_motor_spark.operators.text import _PROFILES
+
+    stopwords = ",".join(f"'{w}'" for w in _PROFILES["en"])
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), topw AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2) GROUP BY 1
+), m AS (
+  SELECT t.doc_id,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_dist,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS wl,
+         CAST(len(list_filter(toks, w -> w IN ({stopwords}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw,
+         CASE WHEN len(toks) <= 1 THEN 1.0
+              ELSE CAST(topw.top_cnt AS DOUBLE) / len(toks) END AS topf,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dupf
+  FROM t LEFT JOIN topw USING (doc_id)
+)
+SELECT doc_id, n_tok,
+       ROUND(topf, 4) AS top_word_frac,
+       ROUND(dupf, 4) AS dup_tok_frac,
+       (n_tok BETWEEN 50 AND 100000) AS ok_n_words,
+       (wl BETWEEN 3 AND 10) AS ok_word_len,
+       (sw >= 0.02) AS ok_stopwords,
+       (topf <= 0.2) AS ok_top_word,
+       (dupf <= 0.6) AS ok_dup_tokens,
+       ((n_tok BETWEEN 50 AND 100000) AND (wl BETWEEN 3 AND 10)
+        AND (sw >= 0.02) AND (topf <= 0.2) AND (dupf <= 0.6)) AS keep
+FROM m
+"""
+
+
+_MIX_TARGETS = {"en": 0.5, "fr": 0.2, "de": 0.2, "zh": 0.1}
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-subset domain mixing: target 50/20/20/10 en/fr/de/zh (es
+    dropped), binding domain sets the scale, others downsample via the
+    deterministic id-mod gate. The oracle computes the scale entirely in
+    SQL (no driver collect) — an independent derivation of the same
+    fractions."""
+    from wp_motor_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate.domain_mixture_select(docs, _MIX_TARGETS, key_col="lang")
+    return out.select("doc_id", "lang", "source")
+
+
+def _domain_mixture_sql() -> str:
+    from wp_motor_spark.operators.curate import id_bucket_sql
+
+    shares = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in _MIX_TARGETS.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT lang, count(*) AS cnt,
+         CASE lang {shares} ELSE 0.0 END AS share
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT min(cnt / share) AS scale FROM c WHERE share > 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN c ON d.lang = c.lang, s
+WHERE c.share > 0
+  AND {id_bucket_sql("d.doc_id")} < (c.share * s.scale / c.cnt) * 10000
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1665,8 +1822,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
     "pii_redact": (pii_redact, _pii_sql()),
+    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
     "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
     "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
