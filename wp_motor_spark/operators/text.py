@@ -114,16 +114,26 @@ def top_word_fraction(col: Column) -> Column:
     O(n log n) per doc on doc-sized arrays."""
     t = F.array_sort(tokens(col))
     n = F.size(t)
-    # run-length scan over the sorted array: acc = (best, cur) counts
+    # run-length fold over the sorted array itself, carrying the previous
+    # element in the accumulator. Folding over index sequences and
+    # subscripting t[i] inside the lambda is the trap: every subscript
+    # re-evaluates the whole array_sort(split(...)) subtree (higher-order
+    # fns are interpreted, children re-eval per step) — measured O(n^2),
+    # 2.8 s for 500 docs; this form is one pass, t evaluates once.
     best = F.aggregate(
-        F.sequence(F.lit(1), n - 1),
-        F.struct(F.lit(1).alias("best"), F.lit(1).alias("cur")),
-        lambda acc, i: F.struct(
+        t,
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
             F.greatest(
                 acc["best"],
-                F.when(t[i] == t[i - 1], acc["cur"] + 1).otherwise(F.lit(1)),
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
             ).alias("best"),
-            F.when(t[i] == t[i - 1], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            x.alias("prev"),
         ),
         lambda acc: acc["best"],
     )
@@ -139,26 +149,46 @@ def duplicate_token_fraction(col: Column) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(t)) / n.cast("double")
 
 
+def gopher_flags_from_metrics(
+    n_words: Column,
+    mean_wl: Column,
+    sw_ratio: Column,
+    top_frac: Column,
+    dup_frac: Column,
+) -> Column:
+    """Gopher rule flags from precomputed metric columns. Use this form
+    when the metrics are (or will be) materialized columns: building the
+    metrics once and flagging from column references guarantees each
+    array aggregate runs once per row — separate calls to the metric
+    functions produce fresh lambda-variable ids, so codegen CSE cannot
+    dedupe them across expressions."""
+    flags = {
+        "ok_n_words": (n_words >= 50) & (n_words <= 100_000),
+        "ok_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_stopwords": sw_ratio >= 0.02,
+        "ok_top_word": top_frac <= 0.2,
+        "ok_dup_tokens": dup_frac <= 0.6,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return F.struct(*[v.alias(k) for k, v in flags.items()], keep.alias("keep"))
+
+
 def gopher_quality_flags(col: Column) -> Column:
     """Gopher-style document filter (Rae et al. 2021, table A1) adapted
     to this corpus: struct of individual rule booleans + overall keep.
     Rules: 50 <= n_words <= 100k, 3 <= mean word len <= 10, stopword
     ratio >= 0.02, top-word fraction <= 0.2, duplicate-token fraction
-    <= 0.6. All pure JVM expressions — usable as a scan-side filter."""
-    n = token_count_ws(col)
-    wl = mean_word_length(col)
-    flags = {
-        "ok_n_words": (n >= 50) & (n <= 100_000),
-        "ok_word_len": (wl >= 3) & (wl <= 10),
-        "ok_stopwords": stopword_ratio(col) >= 0.02,
-        "ok_top_word": top_word_fraction(col) <= 0.2,
-        "ok_dup_tokens": duplicate_token_fraction(col) <= 0.6,
-    }
-    keep = None
-    for c in flags.values():
-        keep = c if keep is None else (keep & c)
-    return F.struct(
-        *[v.alias(k) for k, v in flags.items()], keep.alias("keep")
+    <= 0.6. All pure JVM expressions — usable as a scan-side filter.
+    For wide outputs, prefer materializing the metrics and calling
+    gopher_flags_from_metrics (see its docstring on CSE)."""
+    return gopher_flags_from_metrics(
+        token_count_ws(col),
+        mean_word_length(col),
+        stopword_ratio(col),
+        top_word_fraction(col),
+        duplicate_token_fraction(col),
     )
 
 

@@ -1698,18 +1698,31 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    flags = text.gopher_quality_flags(c)
-    return docs.select(
+    # materialize each metric ONCE, then flag from the materialized
+    # columns: separate metric calls carry fresh lambda-variable ids
+    # which defeat codegen CSE — measured 7 s -> sub-second at sf0.01
+    metrics = docs.select(
         "doc_id",
         text.token_count_ws(c).alias("n_tok"),
-        F.round(text.top_word_fraction(c), 4).alias("top_word_frac"),
-        F.round(text.duplicate_token_fraction(c), 4).alias("dup_tok_frac"),
-        flags.getField("ok_n_words").alias("ok_n_words"),
-        flags.getField("ok_word_len").alias("ok_word_len"),
-        flags.getField("ok_stopwords").alias("ok_stopwords"),
-        flags.getField("ok_top_word").alias("ok_top_word"),
-        flags.getField("ok_dup_tokens").alias("ok_dup_tokens"),
-        flags.getField("keep").alias("keep"),
+        text.mean_word_length(c).alias("__wl"),
+        text.stopword_ratio(c).alias("__sw"),
+        text.top_word_fraction(c).alias("__topf"),
+        text.duplicate_token_fraction(c).alias("__dupf"),
+    )
+    g = text.gopher_flags_from_metrics(
+        F.col("n_tok"), F.col("__wl"), F.col("__sw"), F.col("__topf"), F.col("__dupf")
+    )
+    return metrics.select(
+        "doc_id",
+        "n_tok",
+        F.round("__topf", 4).alias("top_word_frac"),
+        F.round("__dupf", 4).alias("dup_tok_frac"),
+        g.getField("ok_n_words").alias("ok_n_words"),
+        g.getField("ok_word_len").alias("ok_word_len"),
+        g.getField("ok_stopwords").alias("ok_stopwords"),
+        g.getField("ok_top_word").alias("ok_top_word"),
+        g.getField("ok_dup_tokens").alias("ok_dup_tokens"),
+        g.getField("keep").alias("keep"),
     )
 
 

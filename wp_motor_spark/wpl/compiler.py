@@ -1208,11 +1208,20 @@ class MultiParser:
             best_rule = F.when(deeper, F.lit(cr.key)).otherwise(best_rule)
             best_depth = F.when(deeper, depth).otherwise(best_depth)
         is_miss = F.col("_disposition") == "miss"
-        return labeled.withColumns(
-            {
-                "_best_rule": F.when(is_miss, best_rule),
-                "_parse_depth": F.when(is_miss, best_depth),
-            }
+        # The O(rules x depth) prefix regexes are CASE-gated behind the
+        # miss check and materialized once in an intermediate projection
+        # (referenced twice below, so CollapseProject keeps it): hit rows
+        # skip the entire diagnostic scan in codegen, matching the
+        # reference where diagnostics only run on the failure path.
+        diag = F.when(
+            is_miss,
+            F.struct(best_rule.alias("r"), best_depth.alias("d")),
+        )
+        tmp = labeled.select("*", diag.alias("__diag"))
+        return tmp.select(
+            *labeled.columns,
+            F.col("__diag.r").alias("_best_rule"),
+            F.col("__diag.d").alias("_parse_depth"),
         )
 
     def parse(self, df: DataFrame, col: str = "value") -> dict[str, DataFrame]:
