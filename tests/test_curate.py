@@ -169,3 +169,57 @@ def test_connected_components_small_and_distributed_paths_agree(spark):
     }
     assert small == dist
     assert {c for _, c in small} == {1, 10, 40}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 2 -> stride 2 -> ceil((10-2)/2) = 4 chunks
+    txt = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(1, txt), (2, "a b"), (3, "  ")], ["doc_id", "text"])
+    out = curate.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_no"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    assert (1, 4) not in rows  # no window past the end
+    # short doc -> exactly one chunk; blank doc -> one empty chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["n_chunk_tok"] == 2
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_chunk_tok"] == 0
+    # every token appears in some chunk (coverage, no gaps)
+    covered = " ".join(r["chunk_text"] for (d, _), r in sorted(rows.items()) if d == 1)
+    assert all(f"t{i}" in covered for i in range(10))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_concat_then_cut(spark):
+    # single bucket -> one global stream; seq_len 10
+    rows = [(1, 4), (2, 4), (3, 4), (4, 9), (5, 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = curate.pack_sequences(df, seq_len=10, n_buckets=1).orderBy("doc_id").collect()
+    # cum_before: 0, 4, 8, 12, 21
+    assert [(r["pack_id"], r["pack_offset"]) for r in out] == [
+        (0, 0), (0, 4), (0, 8), (1, 2), (2, 1),
+    ]
+    assert all(r["bucket"] == 0 for r in out)
+
+
+def test_pack_sequences_buckets_are_independent(spark):
+    rows = [(i, 5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = out_all = curate.pack_sequences(df, seq_len=10, n_buckets=4).collect()
+    # within each bucket, offsets restart from 0 and advance by 5 mod 10
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in sorted(out_all, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket[r["bucket"]].append((r["pack_id"], r["pack_offset"]))
+    for b, seq in by_bucket.items():
+        assert seq[0] == (0, 0)
+        for i, (p, off) in enumerate(seq):
+            assert (p, off) == (i * 5 // 10, i * 5 % 10)

@@ -124,3 +124,22 @@ def test_contamination_overlap_counts(spark):
         ).collect()
     }
     assert got == {10: 4}
+
+
+def test_span_duplicates_flags_shared_windows(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # an 8-token span shared verbatim
+    docs = [
+        (1, shared + " xa xb xc"),
+        (2, "ya yb " + shared),
+        (3, "za zb zc zd ze zf zg zh zi"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.span_duplicates(df, span=8).collect()}
+    # doc1: 11 tokens -> 4 spans, only the leading one is shared
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    # shorter than the span width -> zero spans, still present in output
+    assert out[4]["n_spans"] == 0 and out[4]["n_dup_spans"] == 0
+    assert abs(out[1]["dup_frac"] - 0.25) < 1e-9

@@ -135,3 +135,87 @@ def sample_fraction_by_key(
         expr = F.when(F.col(key_col) == k, F.lit(float(v))).otherwise(expr)
     keep = F.coalesce(expr, F.lit(1.0))
     return df.where(id_bucket(F.col(id_col), modulus) < keep * modulus)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard RAG / context-window prep step. Emits one row per chunk:
+    (id, chunk_no, chunk_text, n_chunk_tok).
+
+    Window i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; a document of n <= chunk_tokens
+    tokens yields exactly one chunk (blank text yields one empty chunk, so
+    no document silently disappears).
+
+    Scale shape: map-only — tokenize, `transform` over a chunk-index
+    `sequence`, `explode`. No shuffle, no UDF; output size is
+    input * (1 + overlap/stride), the unavoidable duplication overlap
+    buys. Row explosion is per-document bounded, so partition sizes grow
+    by the same constant factor everywhere (no skew introduced).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from wp_motor_spark.operators.dedup import raw_tokens
+
+    toks = raw_tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chunks = (
+        F.when(n_tok <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n_tok - F.lit(overlap)) / F.lit(float(stride))))
+        .cast("int")
+    )
+    chunk = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)  # noqa: E731
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.array_join(chunk(i), " ").alias("chunk_text"),
+            F.size(chunk(i)).alias("n_chunk_tok"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col, "__c.chunk_no", "__c.chunk_text", "__c.n_chunk_tok"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic sequence packing: concatenate documents in id order
+    and cut the stream into `seq_len`-token training sequences — each
+    document is assigned the pack its first token lands in plus its
+    offset inside that pack (the concat-then-cut packing used by LM
+    pre-tokenization pipelines; a doc crossing a boundary continues into
+    the next pack).
+
+    Parallelism: a single global running sum would funnel the corpus
+    through one partition, so documents are first spread over
+    `n_buckets` independent streams by the deterministic id hash
+    (`id_bucket`), and the running sum is a window per bucket — pack ids
+    are (bucket, pack_id) pairs. One shuffle (the window partition), no
+    UDFs. At 100 TB, n_buckets ~ cluster cores keeps each window's state
+    tiny while preserving exact reproducibility run-to-run — which RNG
+    shuffles can't give you.
+    """
+    b = id_bucket(F.col(id_col), n_buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("pack_id", F.floor(cum_before / seq_len))
+        .withColumn("pack_offset", cum_before % seq_len)
+    )

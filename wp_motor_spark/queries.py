@@ -1805,6 +1805,134 @@ WHERE c.share > 0
 """
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (RAG / context prep):
+    32-token windows, 8-token overlap, one row per chunk. Map-only plan —
+    tokenize + transform + explode, no shuffle."""
+    from wp_motor_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate.chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+def _doc_chunks_sql() -> str:
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {_CHUNK_TOKENS} THEN 1
+              ELSE CAST(ceil((len(toks) - {_CHUNK_OVERLAP}) / {stride}.0) AS INT)
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_no,
+       array_to_string(
+         list_slice(toks, i * {stride} + 1, i * {stride} + {_CHUNK_TOKENS}), ' '
+       ) AS chunk_text,
+       CAST(len(list_slice(toks, i * {stride} + 1, i * {stride} + {_CHUNK_TOKENS}))
+            AS INT) AS n_chunk_tok
+FROM c, unnest(range(0, n_chunks)) AS g(i)
+"""
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact-span dedup (Lee et al. 2022): per document, how
+    many of its distinct 8-token windows also appear in another document.
+    Spans travel as xxhash64 longs (one (long,long) shuffle); the oracle
+    recomputes by exact span TEXT — value equality holds unless xxhash64
+    collides (~2^-64 per pair)."""
+    from wp_motor_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.span_duplicates(docs, span=8)
+
+
+SPAN_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), s AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS sp
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS g(i)
+), df AS (
+  SELECT sp, count(*) AS c FROM s GROUP BY sp
+), dup AS (
+  SELECT s.doc_id, count(*) AS n_dup_spans
+  FROM s JOIN df ON s.sp = df.sp AND df.c >= 2
+  GROUP BY s.doc_id
+), base AS (
+  SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(b.n_spans, 0) AS INT) AS n_spans,
+       coalesce(d.n_dup_spans, 0) AS n_dup_spans,
+       round(coalesce(d.n_dup_spans, 0) / greatest(coalesce(b.n_spans, 0), 1), 4)
+         AS dup_frac
+FROM t LEFT JOIN base b USING (doc_id) LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+
+_PACK_SEQ_LEN = 256
+_PACK_BUCKETS = 16
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-cut sequence packing: documents spread
+    over 16 hash streams, each stream's docs concatenated in id order and
+    cut into 256-token packs; each doc reports (bucket, pack_id,
+    pack_offset). One window shuffle on the bucket key."""
+    from wp_motor_spark.operators import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", text.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    out = curate.pack_sequences(
+        with_tok, seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS
+    )
+    return out.select("doc_id", "n_tokens", "bucket", "pack_id", "pack_offset")
+
+
+def _pack_sequences_sql() -> str:
+    from wp_motor_spark.operators.curate import id_bucket_sql
+
+    bucket = id_bucket_sql("doc_id", _PACK_BUCKETS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         {bucket} AS bucket
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens, bucket,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bucket,
+       CAST(floor(cum_before / {_PACK_SEQ_LEN}) AS BIGINT) AS pack_id,
+       CAST(cum_before % {_PACK_SEQ_LEN} AS BIGINT) AS pack_offset
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1838,6 +1966,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_sample": (stratified_sample, _stratified_sample_sql()),
     "pii_redact": (pii_redact, _pii_sql()),
     "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
     "gopher_quality": (gopher_quality, _gopher_sql()),
     "domain_mixture": (domain_mixture, _domain_mixture_sql()),
     "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
