@@ -1,0 +1,64 @@
+"""As-of join: inclusive backward match, tolerance, per-key isolation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from wp_motor_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2026-01-01T00:00:10")),
+            (2, 100, _ts("2026-01-01T00:00:20")),
+            (3, 100, _ts("2026-01-01T00:00:05")),  # before any right row
+            (4, 200, _ts("2026-01-01T00:00:15")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2026-01-01T00:00:08"), 1.0),
+            (100, _ts("2026-01-01T00:00:10"), 2.0),  # equal ts -> eligible
+            (100, _ts("2026-01-01T00:00:18"), 3.0),
+            (200, _ts("2026-01-01T00:00:01"), 9.0),
+        ],
+        ["user_id", "ts", "val"],
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right, on="user_id").collect()}
+    assert out[1]["val_right"] == 2.0  # inclusive: the equal-ts row wins
+    assert out[2]["val_right"] == 3.0
+    assert out[3]["val_right"] is None and out[3]["ts_right"] is None
+    assert out[4]["val_right"] == 9.0  # keys don't leak across users
+
+
+def test_asof_tolerance_cuts_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2026-01-01T00:01:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2026-01-01T00:00:00"), 7.0)], ["user_id", "ts", "val"]
+    )
+    ok = asof_join(left, right, on="user_id", tolerance_us=60_000_000).collect()
+    assert ok[0]["val_right"] == 7.0
+    cut = asof_join(left, right, on="user_id", tolerance_us=59_999_999).collect()
+    assert cut[0]["val_right"] is None
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame([(1, 1, 10)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(1, 5, 2.0)], ["user_id", "ts", "val"])
+    plan = (
+        asof_join(left, right, on="user_id", tolerance_us=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + ONE window shuffle; never a join operator, never a cartesian
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

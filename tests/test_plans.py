@@ -162,3 +162,45 @@ def test_contamination_broadcasts_benchmark(spark, sf001_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_corpus_profile_single_aggregation(spark, sf001_dir):
+    """Per-lang profile is one aggregation: a single exchange of combined
+    partials, no Python, and the scan reads only (text, lang)."""
+    plan = _plan(spark, sf001_dir, "corpus_profile")
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "n_chars" not in scan and "source" not in scan
+
+
+def test_top_tokens_single_token_shuffle(spark, sf001_dir):
+    """Corpus count + doc frequency must come out of ONE token-keyed
+    aggregation (run-boundary marking), not two groupBys plus a join;
+    partial aggregation must appear before the exchange."""
+    plan = _plan(spark, sf001_dir, "top_tokens")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine absorbs the Zipf head
+
+
+def test_incremental_dedup_shuffles_digests_only(spark, sf001_dir):
+    """Batch-vs-corpus dedup: every hash exchange carries digests/ids,
+    never document text."""
+    plan = _plan(spark, sf001_dir, "incremental_dedup")
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_embedding_normalize_map_only(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "embedding_normalize")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_chunk_documents_map_only(spark, sf001_dir):
+    plan = _plan(spark, sf001_dir, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

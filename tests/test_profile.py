@@ -1,0 +1,61 @@
+"""Corpus profiling: per-group stats with exact quantiles, top tokens."""
+
+from __future__ import annotations
+
+import pytest
+
+from wp_motor_spark.operators import dedup, profile
+
+
+def test_corpus_profile_exact_quantiles(spark):
+    # en token counts: [1, 2, 3, 10] -> p50 = 2.5 (interpolated), p90 = 7.9
+    docs = [
+        (1, "a", "en"),
+        (2, "a b", "en"),
+        (3, "a b c", "en"),
+        (4, "a b c d e f g h i j", "en"),
+        (5, "x y z", "de"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    out = {r["grp"]: r for r in profile.corpus_profile(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 4 and en["total_tokens"] == 16
+    assert en["mean_tokens"] == pytest.approx(4.0)
+    assert en["p50_tokens"] == pytest.approx(2.5)
+    # index 0.9*(n-1) = 2.7 -> 3 + 0.7*(10-3)
+    assert en["p90_tokens"] == pytest.approx(7.9, abs=1e-4)
+    assert en["min_tokens"] == 1 and en["max_tokens"] == 10
+    assert out["de"]["n_docs"] == 1 and out["de"]["p50_tokens"] == 3.0
+
+
+def test_top_tokens_counts_and_tiebreak(spark):
+    docs = [
+        (1, "b b a c"),
+        (2, "a b"),
+        (3, "c a"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = profile.top_tokens(df, n=2).collect()
+    # counts: a=3 (3 docs), b=3 (2 docs), c=2 -> tie a/b broken by token asc
+    assert [(r["rank"], r["token"], r["cnt"], r["doc_freq"]) for r in rows] == [
+        (1, "a", 3, 3),
+        (2, "b", 3, 2),
+    ]
+
+
+def test_incremental_dedup_keeps_only_fresh_batch_docs(spark):
+    docs = [
+        (2, "seen before"),     # corpus
+        (4, "still here"),      # corpus
+        (1, "Seen   BEFORE"),   # batch dup of corpus (normalized) -> drop
+        (3, "brand new"),       # batch fresh -> keep
+        (5, "brand  NEW"),      # batch dup of doc 3 within batch -> drop
+        (7, "also new"),        # batch fresh -> keep
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    batch = df.where("doc_id % 2 = 1")
+    seen = df.where("doc_id % 2 = 0")
+    kept = sorted(
+        r["doc_id"] for r in dedup.incremental_dedup(batch, seen).collect()
+    )
+    assert kept == [3, 7]

@@ -146,6 +146,35 @@ def main() -> None:
         "gate": "exact match",
     }
 
+    # --- embedding_pca: distributed two-pass PCA vs driver numpy ---
+    from wp_motor_spark.operators import embed
+
+    X = np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.orderBy("vec_id").collect()]
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    comps, evals, _ = embed.pca_components(emb, k=4, dim=dim)
+    cov = np.cov(X, rowvar=False)
+    ref_evals = np.linalg.eigvalsh(cov)[::-1][:4]
+    got_proj = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in embed.pca_project(emb, k=4, dim=dim).collect()
+    }
+    want_proj = (X - X.mean(axis=0)) @ comps.T
+    max_dev = max(
+        float(np.max(np.abs(got_proj[i] - want_proj[j])))
+        for j, i in enumerate(ids)
+    )
+    report["gates"]["embedding_pca"] = {
+        "metric": "projection_max_abs_dev_vs_numpy_and_eigenvalue_parity",
+        "value": bool(
+            max_dev < 1e-8 and np.allclose(evals, ref_evals, rtol=1e-9)
+        ),
+        "max_projection_dev": max_dev,
+        "explained_variance_top4": [round(float(v), 6) for v in evals],
+        "gate": "projection within 1e-8 of numpy; eigenvalues match cov spectrum",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -1,0 +1,107 @@
+"""Corpus profiling — the one-pass statistics a curation run starts from.
+
+Extensions beyond the reference surface (BASELINE.json north star): before
+mixing/sampling decisions you need the corpus shape — per-language volume,
+token-length distribution (exact quantiles, not sketches, so the numbers
+are reproducible and oracle-checkable), and the global token frequency
+table (stopword derivation, vocabulary pruning, boilerplate spotting).
+
+Scale shapes:
+- `corpus_profile`: ONE aggregation pass; the shuffle carries one row per
+  (lang) group of pre-combined partials. Exact quantiles use Spark's
+  `percentile` aggregate, whose state is a count-per-distinct-value map —
+  token counts are small ints, so distinct values are bounded (~1e5) no
+  matter how many documents, unlike quantiles over raw doubles. At 100 TB
+  this is a full scan + a tiny shuffle.
+- `top_tokens`: explode → two-phase count. Partial (map-side) aggregation
+  absorbs the Zipf skew: "the" collapses to one row per map partition
+  before the shuffle, so the hot key costs |partitions| rows, not |docs|.
+  The final top-N sorts only the |vocab| count rows, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from wp_motor_spark.operators.text import token_count_ws, tokens
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group corpus statistics: doc count, token totals/mean, and the
+    exact interpolated p50/p90/p99 of per-document token counts.
+
+    `percentile` (Spark) and `quantile_cont` (DuckDB) both compute the
+    linearly-interpolated quantile at index p*(n-1), so the oracle matches
+    to float precision; both sides round to 4 dp to pin that down.
+    """
+    n_tok = token_count_ws(F.col(text_col))
+    return (
+        df.select(F.col(group_col).alias("grp"), n_tok.alias("__nt"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.avg("__nt"), 4).alias("mean_tokens"),
+            F.round(F.expr("percentile(__nt, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(__nt, 0.9)"), 4).alias("p90_tokens"),
+            F.round(F.expr("percentile(__nt, 0.99)"), 4).alias("p99_tokens"),
+            F.min("__nt").alias("min_tokens"),
+            F.max("__nt").alias("max_tokens"),
+        )
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 50,
+    min_len: int = 1,
+) -> DataFrame:
+    """Global token frequency table, top `n` by (count desc, token asc) —
+    the deterministic tie-break makes the cut reproducible and lets the
+    DuckDB oracle return the identical row set.
+
+    Emits (rank, token, cnt, doc_freq): corpus frequency and document
+    frequency in the same aggregation (df via count of distinct doc —
+    computed as a per-doc `array_distinct` before the explode, so the
+    shuffle never carries duplicate (token, doc) rows from one document).
+    """
+    # ONE token-keyed shuffle for both corpus count and document
+    # frequency: sort the token array, mark run starts (= first occurrence
+    # within the doc) map-side, explode (token, is_first) structs, then a
+    # single groupBy computes cnt = count(*) and doc_freq = count of
+    # firsts. The sorted array is projected FIRST so the run-boundary
+    # subscript hits a bound attribute (O(1) array access), not the
+    # array_sort(split(...)) subtree — subscripting an unbound expression
+    # inside a higher-order lambda re-evaluates it per element (the O(n²)
+    # trap documented at text.top_word_fraction).
+    sorted_df = df.select(F.array_sort(tokens(F.col(text_col))).alias("__t"))
+    t = F.col("__t")
+    is_first = F.transform(
+        t, lambda x, i: (i == 0) | (x != F.element_at(t, i))
+    )  # element_at is 1-based: element_at(t, i) is the PREVIOUS element
+    pairs = F.zip_with(
+        t,
+        is_first,
+        lambda tok, fst: F.struct(tok.alias("token"), fst.alias("is_first")),
+    )
+    per_doc = (
+        sorted_df.select(F.explode(pairs).alias("z"))
+        .select("z.token", "z.is_first")
+        .where(F.length("token") >= min_len)
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if("is_first").alias("doc_freq"),
+    )
+    top = agg.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", "cnt", "doc_freq"
+    )

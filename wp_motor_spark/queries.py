@@ -1933,6 +1933,267 @@ FROM w
 """
 
 
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-language corpus profile: doc counts, token totals, and
+    EXACT interpolated p50/p90/p99 token-count quantiles (Spark
+    `percentile` == DuckDB `quantile_cont`, both index p*(n-1) linear
+    interpolation). One aggregation; shuffle carries |langs| combined
+    partials."""
+    from wp_motor_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile.corpus_profile(docs, group_col="lang").withColumnsRenamed(
+        {"grp": "lang"}
+    )
+
+
+CORPUS_PROFILE_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 4) AS mean_tokens,
+       round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(nt, 0.99), 4) AS p99_tokens,
+       CAST(min(nt) AS INT) AS min_tokens,
+       CAST(max(nt) AS INT) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+_TOP_TOKENS_N = 50
+
+
+def top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency table (stopword derivation): top 50 tokens
+    by (count desc, token asc) with corpus count and document frequency.
+    Two-phase aggregation — map-side partial combine absorbs the Zipf
+    head, final sort touches |vocab| rows only."""
+    from wp_motor_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile.top_tokens(docs, n=_TOP_TOKENS_N)
+
+
+TOP_TOKENS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), filt AS (
+  SELECT doc_id, token FROM tok WHERE length(token) >= 1
+), agg AS (
+  SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+  FROM filt GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+       token, cnt, doc_freq
+FROM agg
+ORDER BY cnt DESC, token ASC
+LIMIT {_TOP_TOKENS_N}
+"""
+
+
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup: odd doc_ids are "today's
+    batch", even doc_ids the already-ingested corpus; keep batch docs
+    whose normalized content is new (absent from the corpus, first within
+    the batch). Digest-only anti-join — document text never shuffles."""
+    from wp_motor_spark.operators import dedup as _dd
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    out = _dd.incremental_dedup(batch, seen)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH b AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 2 = 1
+), s AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 2 = 0
+), fresh AS (
+  SELECT b.doc_id, b.t FROM b LEFT JOIN s USING (t) WHERE s.t IS NULL
+), win AS (
+  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY t
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id IN (SELECT doc_id FROM win)
+"""
+
+
+def embedding_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — pure JVM array
+    expressions, map-only. The unit vector is emitted as a fixed-point
+    string (each component round(x*1e6) as bigint, comma-joined) so the
+    value comparison is integer-exact in both engines instead of relying
+    on float→string formatting."""
+    from wp_motor_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    unit = embed.l2_normalize(v)
+    fixed = F.array_join(
+        F.transform(unit, lambda x: F.round(x * 1e6, 0).cast("bigint").cast("string")),
+        ",",
+    )
+    return emb.select(
+        "vec_id",
+        F.round(similarity.norm(v), 6).alias("l2_norm"),
+        fixed.alias("unit_fp"),
+    )
+
+
+EMB_NORMALIZE_SQL = r"""
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM t
+)
+SELECT vec_id,
+       round(nrm, 6) AS l2_norm,
+       array_to_string(
+         list_transform(v, x -> CAST(round(x / greatest(nrm, 1e-12) * 1e6)
+                                     AS BIGINT)), ',') AS unit_fp
+FROM n
+"""
+
+
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to 4 components: one Gram-matrix
+    aggregation pass (d² partials per partition, driver eigh on the tiny
+    d×d covariance), then an Arrow-batched GEMM projection. Rows-only
+    check (eigendecomposition is not SQL-expressible); orthonormality /
+    variance-capture / reconstruction gates live in tests/test_embed.py
+    and QUALITY artifacts."""
+    from wp_motor_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embed.pca_project(emb, k=4, dim=_emb_dim(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("pc")[i], 4).alias(f"pc{i + 1}") for i in range(4)],
+    )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase picks up the most recent prior (or
+    simultaneous) view/click by the same user. Union-tag + one window
+    shuffle on user_id — never a range join (which Catalyst can only
+    nested-loop). The right side is pre-aggregated to one row per
+    (user, ts) so the match is engine-independent; DuckDB's native ASOF
+    LEFT JOIN is the oracle."""
+    from wp_motor_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("seen_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("ts_right").alias("seen_ts"),
+        F.round("seen_value_right", 4).alias("seen_value"),
+        # double, not bigint: the unmatched rows' NULLs turn the oracle
+        # column float64 in pandas — match the type on the Spark side
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        .cast("double")
+        .alias("gap_us"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS seen_value
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 4) AS purchase_value,
+       v.ts AS seen_ts,
+       round(v.seen_value, 4) AS seen_value,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS DOUBLE) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue rollup region → nation → grand total in ONE
+    aggregation (Spark ROLLUP = grouping-sets expansion with map-side
+    partial aggregation), dims broadcast. The hypertable-rollup shape:
+    every level comes out of a single shuffle instead of one query per
+    level."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            # grouping() must live inside the rollup's own agg in Spark
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "g_region",
+            "g_nation",
+            F.round("revenue", 2).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+REGION_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(grouping(r_name) AS INT) AS g_region,
+       CAST(grouping(n_name) AS INT) AS g_nation,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1990,4 +2251,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),
+    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
+    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
+    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
+    "embedding_pca": (embedding_pca_q, None),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
 }
