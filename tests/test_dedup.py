@@ -143,3 +143,33 @@ def test_span_duplicates_flags_shared_windows(spark):
     # shorter than the span width -> zero spans, still present in output
     assert out[4]["n_spans"] == 0 and out[4]["n_dup_spans"] == 0
     assert abs(out[1]["dup_frac"] - 0.25) < 1e-9
+
+
+def test_remove_duplicate_spans_cuts_covered_tokens(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = [
+        (1, shared + " xa xb xc"),
+        (2, "ya yb " + shared),
+        (3, "za zb zc zd ze zf zg zh zi"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df, span=8).collect()}
+    # doc1: the 8 shared tokens go, the 3 unique survive
+    assert out[1]["clean_text"] == "xa xb xc" and out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "ya yb" and out[2]["n_removed"] == 8
+    # untouched docs come back whole
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"].startswith("za zb")
+    assert out[4]["clean_text"] == "short doc" and out[4]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_overlapping_coverage(spark):
+    # 10-token doc sharing its FULL text with another doc -> three
+    # overlapping dup windows cover every token -> empty clean_text
+    t = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, t), (2, t + " tail1 tail2")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df, span=8).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 10
+    # doc2: dup windows are those fully inside the shared prefix
+    # (starts 1..3); tokens 1..10 covered, the 2-token tail survives
+    assert out[2]["clean_text"] == "tail1 tail2" and out[2]["n_removed"] == 10

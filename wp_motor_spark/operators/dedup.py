@@ -776,3 +776,87 @@ def incremental_dedup(
     fresh = b.join(s, "__digest", "left_anti")
     winners = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
     return batch.join(winners.select(id_col), id_col, "inner")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """The removal half of Lee et al. 2022: delete every token covered by
+    a `span`-token window that occurs in >= `min_df` documents. Returns
+    (id, clean_text, n_tokens, n_removed).
+
+    Plan: the same (span_hash, id) inverted index as `span_duplicates`
+    finds corpus-duplicated hashes; each document's *duplicated start
+    positions* come back as one sorted int array (groupBy id,
+    sort_array(collect_list)); reconstruction is then map-side — a token
+    survives iff no dup start lies in (i-span, i]. Shuffles carry
+    (hash, id) and (id, pos) rows only; text never moves, and the
+    reconstruction join is id-keyed.
+
+    Cost note: the survival check is `exists` over the doc's dup-start
+    array — O(tokens x dup_starts) per document. Dup starts are sparse in
+    practice (boilerplate removal lands at a few % of tokens; wholly
+    duplicated documents should be dropped by exact/near dedup FIRST, in
+    which case they never reach span removal). A pathological all-dup doc
+    of L tokens costs O(L^2) in the reconstruction projection — bounded
+    per-task, no shuffle amplification.
+    """
+    toks = raw_tokens(F.col(text_col))
+    n_spans_pos = F.greatest(F.size(toks) - span + 1, F.lit(0))
+    starts = F.when(n_spans_pos > 0, F.sequence(F.lit(1), n_spans_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = _spread(df, [id_col, text_col]).select(
+        F.col(id_col).alias("__id"), toks.alias("__t"), starts.alias("__starts")
+    )
+    # (id, pos, h) for EVERY window occurrence (removal needs positions,
+    # unlike the detector's per-doc-distinct hashes)
+    pos_hash = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                "__starts",
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("__t"), i, span), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("z"),
+    ).select("__id", "z.pos", "z.h")
+    # document frequency counts each doc once per hash
+    dup_hashes = (
+        pos_hash.select("__id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    dup_starts = (
+        pos_hash.join(dup_hashes, "h")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__dup"))
+    )
+    rebuilt = base.join(dup_starts, "__id", "left").withColumn(
+        "__dup", F.coalesce(F.col("__dup"), F.array().cast("array<int>"))
+    )
+    dup = F.col("__dup")
+    # token at 1-based index i survives iff no dup start s has s <= i < s+span
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(
+            dup, lambda s: (s <= i + 1) & (i + 1 < s + F.lit(span))
+        ),
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__t").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).alias("n_removed"),
+    )

@@ -2194,6 +2194,55 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. span REMOVAL (the second half of span_dedup): delete
+    every token covered by a corpus-duplicated 8-token window. Oracle
+    recomputes by exact span text with a correlated NOT EXISTS."""
+    from wp_motor_spark.operators import dedup as _dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.remove_duplicate_spans(docs, span=8)
+
+
+SPAN_REMOVAL_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS sp
+  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS g(i)
+), docfreq AS (
+  SELECT sp FROM (SELECT DISTINCT doc_id, sp FROM pos)
+  GROUP BY sp HAVING count(*) >= 2
+), dup AS (
+  SELECT pos.doc_id, pos.i FROM pos JOIN docfreq USING (sp)
+), tok AS (
+  SELECT t.doc_id, CAST(j AS INT) AS j, toks[j] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS g(j)
+), kept AS (
+  SELECT tok.doc_id, tok.j, tok.tok
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = tok.doc_id AND d.i <= tok.j AND tok.j < d.i + 8
+  )
+)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(toks) - coalesce(k.n_kept, 0) AS INT) AS n_removed
+FROM t
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2258,4 +2307,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_pca": (embedding_pca_q, None),
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
+    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
 }
