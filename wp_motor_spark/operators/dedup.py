@@ -778,6 +778,38 @@ def incremental_dedup(
     return batch.join(winners.select(id_col), id_col, "inner")
 
 
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_expected: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """`incremental_dedup` with a Bloom pre-filter — IDENTICAL output
+    (the oracle is shared), different scale shape: the historical digest
+    set is first collapsed into a broadcastable bit array
+    (`bloom.bloom_build`, one bit_or aggregation), definite-new batch
+    rows skip the anti-join entirely, and only Bloom HITS (dups + ~fpp
+    false positives) reach the exact digest anti-join. When the corpus
+    digest set outgrows executor memory (~10^9+ docs), the anti-join's
+    probe side shrinks from |batch| to |batch_dups| + fpp*|batch| while
+    the filter stays O(bits) — the standard unbounded-corpus ingestion
+    shape. False positives fall through to the exact join, so the Bloom
+    can never change the answer, only the cost."""
+    from wp_motor_spark.operators import bloom as _bloom
+
+    b = batch.select(F.col(id_col), content_digest(F.col(text_col)).alias("__digest"))
+    s = seen.select(content_digest(F.col(text_col)).alias("__digest")).distinct()
+    bf = _bloom.bloom_build(s, "__digest", n_expected=n_expected, fpp=fpp)
+    definitely_new = _bloom.bloom_filter_rows(b, "__digest", bf, keep_hits=False)
+    maybe_seen = _bloom.bloom_filter_rows(b, "__digest", bf, keep_hits=True)
+    confirmed_new = maybe_seen.join(s, "__digest", "left_anti")
+    fresh = definitely_new.unionByName(confirmed_new)
+    winners = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return batch.join(winners.select(id_col), id_col, "inner")
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -2030,6 +2030,21 @@ FROM documents WHERE doc_id IN (SELECT doc_id FROM win)
 """
 
 
+def incremental_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered variant of incremental_dedup — SAME oracle
+    SQL, because false positives fall through to the exact anti-join and
+    definite-misses are exact by construction: the filter changes the
+    cost shape (broadcastable bits instead of an in-memory digest set),
+    never the answer."""
+    from wp_motor_spark.operators import dedup as _dd
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    out = _dd.incremental_dedup_bloom(batch, seen, n_expected=100_000, fpp=0.01)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def embedding_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — pure JVM array
     expressions, map-only. The unit vector is emitted as a fixed-point
@@ -2303,6 +2318,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
     "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
     "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
     "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
     "embedding_pca": (embedding_pca_q, None),
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
