@@ -165,3 +165,33 @@ def test_ngram_df_cap_bounds_buckets(docs):
     assert pairs_def == pairs_unc  # fixture df never exceeds the default cap
     # the cap only removes evidence, never invents it
     assert pairs_cap <= pairs_unc
+
+
+def test_kmeans_assignment_matches_numpy_and_refinement_helps(emb):
+    """kmeans_clusters is rows-only at the driver; gate it here: (a) the
+    distributed assignment equals a driver-numpy recompute against the
+    same centroids, (b) 5 Lloyd iterations strictly improve mean
+    cosine-to-centroid over the unrefined seed centroids."""
+    rows = emb.orderBy("vec_id").collect()
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+
+    mean_sim = {}
+    for iters in (0, 5):
+        got = {
+            r["vec_id"]: (r["cluster"], r["sim"])
+            for r in similarity.kmeans_assign(
+                emb, n_cells=8, kmeans_iters=iters
+            ).collect()
+        }
+        cmat = similarity._kmeans_centroids(emb, "embedding", "vec_id", 8, iters=iters)
+        sims = Xn @ cmat.T
+        best = np.argmax(sims, axis=1)
+        for j, i in enumerate(ids):
+            assert got[i][0] == best[j]
+            assert abs(got[i][1] - round(sims[j, best[j]], 6)) < 1e-9
+        mean_sim[iters] = float(np.mean(sims[np.arange(len(Xn)), best]))
+    assert mean_sim[5] > mean_sim[0]

@@ -175,6 +175,35 @@ def main() -> None:
         "gate": "projection within 1e-8 of numpy; eigenvalues match cov spectrum",
     }
 
+    # --- kmeans_clusters: assignment parity + refinement gain ---
+    rows2 = emb.orderBy("vec_id").collect()
+    X2 = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows2])
+    n2 = np.linalg.norm(X2, axis=1, keepdims=True)
+    n2[n2 == 0] = 1.0
+    X2n = X2 / n2
+    ids2 = [r["vec_id"] for r in rows2]
+    ms = {}
+    parity = True
+    for iters in (0, 5):
+        got2 = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.kmeans_assign(
+                emb, n_cells=8, kmeans_iters=iters
+            ).collect()
+        }
+        cm = similarity._kmeans_centroids(emb, "embedding", "vec_id", 8, iters=iters)
+        sims2 = X2n @ cm.T
+        best2 = np.argmax(sims2, axis=1)
+        parity = parity and all(got2[i] == best2[j] for j, i in enumerate(ids2))
+        ms[iters] = float(np.mean(sims2[np.arange(len(X2n)), best2]))
+    report["gates"]["kmeans_clusters"] = {
+        "metric": "assignment_parity_and_refinement_gain",
+        "value": bool(parity and ms[5] > ms[0]),
+        "mean_sim_refined": round(ms[5], 6),
+        "mean_sim_unrefined": round(ms[0], 6),
+        "gate": "assignments == numpy argmax AND refined mean sim > unrefined",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

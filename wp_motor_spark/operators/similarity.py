@@ -277,3 +277,37 @@ def ivf_topk(
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means cluster assignment for the whole corpus — the
+    semantic-bucketing step a mixture-balancing pipeline runs before
+    sampling per cluster. Centroids come from the bounded deterministic
+    driver sample (`_kmeans_centroids`); assignment is one distributed
+    Arrow GEMM per batch against the broadcast centroid matrix, plus the
+    cosine to the assigned centroid. Returns (id, cluster, sim) —
+    map-only, no shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = _kmeans_centroids(corpus, vec_col, id_col, n_cells, iters=kmeans_iters)
+
+    @pandas_udf("struct<cluster:long, sim:double>")
+    def assign(batch: pd.Series) -> pd.DataFrame:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cmat.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cluster": best.astype(np.int64), "sim": sims[np.arange(len(m)), best]}
+        )
+
+    a = corpus.select(F.col(id_col), assign(F.col(vec_col)).alias("__a"))
+    return a.select(id_col, "__a.cluster", F.round("__a.sim", 6).alias("sim"))

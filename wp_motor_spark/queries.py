@@ -2258,6 +2258,143 @@ LEFT JOIN (
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for mixture balancing: every embedding assigned
+    to its nearest spherical-k-means centroid (deterministic bounded-
+    sample refinement, distributed Arrow GEMM assignment), aggregated to
+    per-cluster size and mean similarity. Rows-only check (k-means is
+    iterative, not SQL); inertia/assignment gates live in
+    tests/test_quality.py and QUALITY_r4.json."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_assign(emb, n_cells=8, kmeans_iters=5)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sim"), 4).alias("mean_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked in small orders of a brand: parts
+    whose lineitems fall below 20% of that part's average quantity. The
+    correlated subquery decorrelates to ONE aggregation over lineitem
+    (per-part avg) joined back — Catalyst would nested-loop the naive
+    correlated form; the explicit rewrite is one extra shuffle of
+    (partkey, avg) pairs, and the part filter prunes before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand = part.where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    small = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return small.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))) / 7).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select(F.round("avg_yearly", 2).alias("avg_yearly"), "n_items")
+
+
+Q17_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7 AS DOUBLE), 2)
+         AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics funnel signup → view → purchase: per user the
+    first ts of each stage IN ORDER (view after signup, purchase after
+    that view), aggregated to per-stage user counts. Three user-keyed
+    aggregations with conditional `min` — the stage ordering makes each
+    stage depend on the previous stage's timestamp, so it's one re-agg
+    per stage (all on the SAME user_id partitioning, which AQE reuses),
+    never a per-pair self-join."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    staged = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).alias("t_view")
+        )
+    )
+    staged2 = (
+        ev.join(staged, "user_id")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return staged2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("t_signup").isNotNull()).alias("n_signup"),
+        F.count_if(
+            F.col("t_signup").isNotNull() & F.col("t_view").isNotNull()
+        ).alias("n_view"),
+        F.count_if(
+            F.col("t_signup").isNotNull()
+            & F.col("t_view").isNotNull()
+            & F.col("t_purchase").isNotNull()
+        ).alias("n_purchase"),
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT e.user_id, s.t_signup,
+         min(CASE WHEN e.event_type = 'view' AND e.ts >= s.t_signup
+                  THEN e.ts END) AS t_view
+  FROM events e JOIN s USING (user_id)
+  GROUP BY e.user_id, s.t_signup
+), p AS (
+  SELECT e.user_id, v.t_signup, v.t_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= v.t_view
+                  THEN e.ts END) AS t_purchase
+  FROM events e JOIN v USING (user_id)
+  GROUP BY e.user_id, v.t_signup, v.t_view
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       count(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                  THEN 1 END) AS n_view,
+       count(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                  AND t_purchase IS NOT NULL THEN 1 END) AS n_purchase
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2324,4 +2461,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
     "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "kmeans_clusters": (kmeans_clusters, None),
 }
