@@ -233,3 +233,26 @@ def test_streaming_windowed_counts_still_batch_compatible(spark, sf001_dir):
     assert {"window_start", "window_end", "event_type", "total", "suc_rate"} <= set(
         out.columns
     )
+
+
+def test_bloom_dedup_state_across_batches(spark):
+    from wp_motor_spark.streaming.state import BloomDedupState
+
+    state = BloomDedupState(n_expected=10_000, fpp=0.001)
+    b1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha  DOC")],  # 3 dups 1
+        ["doc_id", "text"],
+    )
+    kept1 = {r["doc_id"] for r in state.process_batch(b1).collect()}
+    assert kept1 == {1, 2}  # within-batch dup dropped, lowest id wins
+
+    b2 = spark.createDataFrame(
+        [(4, "beta doc"), (5, "gamma doc"), (6, "gamma doc")],
+        ["doc_id", "text"],
+    )
+    kept2 = {r["doc_id"] for r in state.process_batch(b2).collect()}
+    # 4 duplicates batch-1 content (cross-batch memory), 6 duplicates 5
+    assert kept2 == {5}
+
+    b3 = spark.createDataFrame([(7, "alpha doc")], ["doc_id", "text"])
+    assert state.process_batch(b3).count() == 0  # history is unbounded

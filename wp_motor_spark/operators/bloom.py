@@ -65,9 +65,17 @@ def _hash_pair(col: Column) -> tuple[Column, Column]:
 
 
 def bloom_build(
-    df: DataFrame, col: str, n_expected: int, fpp: float = 0.01
+    df: DataFrame,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    m: int | None = None,
+    k: int | None = None,
 ) -> BloomFilter:
-    m, k = _params(n_expected, fpp)
+    """Explicit (m, k) override exists for incremental merging: filters
+    OR-merge only when built with identical geometry."""
+    if m is None or k is None:
+        m, k = _params(n_expected, fpp)
     h1, h2 = _hash_pair(F.col(col))
     a = F.pmod(h1, F.lit(m))
     b = F.pmod(h2, F.lit(m))

@@ -147,3 +147,76 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+class BloomDedupState:
+    """Cross-batch streaming dedup against UNBOUNDED history.
+
+    `dedup_stream` bounds state with a watermark — a duplicate arriving
+    after the horizon passes through. Continuous crawl ingestion wants the
+    opposite tradeoff: remember everything ever seen, accept a tiny
+    false-positive rate. This keeps an accumulating Bloom filter of every
+    digest ingested so far (driver-held packed bits, OR-merged per batch)
+    and filters each micro-batch through it inside `foreachBatch`:
+
+        state = BloomDedupState(n_expected=10**9, fpp=0.01)
+        q = (stream.writeStream
+             .foreachBatch(lambda df, _:
+                 sink.write(state.process_batch(df)))
+             .start())
+
+    Semantics: exact dedup EXCEPT ~fpp of genuinely-new documents are
+    wrongly dropped (Bloom false positives) — the standard crawl-scale
+    contract; within a batch, first-by-id wins exactly. State is O(bits)
+    on the driver (1.2 GB for 10^9 docs at 1%), not O(digests), and the
+    per-batch filter build is the same single bit_or aggregation as
+    `bloom_build`. To make FP drops recoverable, route the dropped rows
+    to a side sink and reconcile offline with the exact anti-join.
+    """
+
+    def __init__(
+        self,
+        n_expected: int = 1_000_000,
+        fpp: float = 0.01,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        from wp_motor_spark.operators.bloom import BloomFilter, _params
+        import numpy as np
+
+        self.text_col = text_col
+        self.id_col = id_col
+        m, k = _params(n_expected, fpp)
+        self.bloom = BloomFilter(words=np.zeros(m // 64, dtype="uint64"), m=m, k=k)
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        """Filter one micro-batch against history, then fold its digests
+        into the filter. Returns the kept rows (materialized — foreachBatch
+        semantics require the decision before the filter mutates)."""
+        from wp_motor_spark.operators import bloom as _bloom
+
+        b = batch.withColumn("__digest", content_digest(F.col(self.text_col)))
+        new = _bloom.bloom_filter_rows(b, "__digest", self.bloom, keep_hits=False)
+        # within-batch exact dedup: lowest id per digest wins
+        winners = new.groupBy("__digest").agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
+        kept = (
+            batch.join(winners.select(self.id_col), self.id_col, "inner")
+            .collect()  # pin the decision before the filter mutates
+        )
+        spark = batch.sparkSession
+        kept_df = spark.createDataFrame(kept, batch.schema) if kept else (
+            spark.createDataFrame([], batch.schema)
+        )
+        # fold this batch's kept digests into history — SAME geometry as
+        # the accumulator, so the OR-merge is exact
+        add = _bloom.bloom_build(
+            kept_df.select(content_digest(F.col(self.text_col)).alias("__d")),
+            "__d",
+            n_expected=1,
+            m=self.bloom.m,
+            k=self.bloom.k,
+        )
+        self.bloom.words |= add.words
+        return kept_df
