@@ -2173,14 +2173,22 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # two-phase: collapse the fact rows to |region x nation| partials
+    # FIRST (one shuffle with map-side combine), then rollup over those
+    # ~25 rows — the grouping-sets Expand multiplies its input by the
+    # number of levels, so expanding pre-aggregated partials instead of
+    # every joined lineitem keeps the expansion O(|groups|), not O(|rows|)
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.sum(rev).alias("__rev"), F.count(F.lit(1)).alias("__cnt")
+    )
     return (
-        joined.rollup("r_name", "n_name")
+        base.rollup("r_name", "n_name")
         .agg(
             # grouping() must live inside the rollup's own agg in Spark
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.sum("__cnt").alias("n_items"),
         )
         .select(
             "r_name",
