@@ -59,3 +59,20 @@ def test_incremental_dedup_keeps_only_fresh_batch_docs(spark):
         r["doc_id"] for r in dedup.incremental_dedup(batch, seen).collect()
     )
     assert kept == [3, 7]
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    docs = [
+        (1, "apple apple banana common common common"),
+        (2, "cherry cherry durian common common common"),
+        (3, "elder common common common common common"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["keywords"] for r in
+           profile.tfidf_keywords(df, top_k=2).collect()}
+    # 'common' appears in all docs -> idf = ln(1) = 0 -> ranked last
+    assert out[1].split(",") == ["apple", "banana"]
+    assert out[2].split(",") == ["cherry", "durian"]
+    # doc3 has only two distinct terms; 'common' fills the 2nd slot but
+    # the zero-idf term can never outrank a distinctive one
+    assert out[3].split(",")[0] == "elder"

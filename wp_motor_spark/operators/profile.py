@@ -105,3 +105,71 @@ def top_tokens(
     return top.select(
         F.row_number().over(w).alias("rank"), "token", "cnt", "doc_freq"
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf: the `top_k` terms with
+    the highest tf * ln(N / df) (ties broken by term asc), returned as
+    (id, keywords) with keywords comma-joined in rank order.
+
+    One token-keyed shuffle computes document frequency (same
+    run-boundary trick as `top_tokens` — df rides the first-occurrence
+    flags, no second aggregation); per-doc term counts ride an id-keyed
+    aggregation of the same exploded rows; the idf join moves (token, df)
+    pairs — |vocab| rows, broadcastable. Ranking is a per-doc window over
+    candidate terms only.
+    """
+    from pyspark.sql import Window
+
+    sorted_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(tokens(F.col(text_col))).alias("__t"),
+    )
+    t = F.col("__t")
+    is_first = F.transform(t, lambda x, i: (i == 0) | (x != F.element_at(t, i)))
+    pairs = F.zip_with(
+        t,
+        is_first,
+        lambda tok, fst: F.struct(tok.alias("token"), fst.alias("is_first")),
+    )
+    exploded = (
+        sorted_df.select("__id", F.size("__t").alias("__len"), F.explode(pairs).alias("z"))
+        .select("__id", "__len", "z.token", "z.is_first")
+        .where(F.length("token") >= 1)
+    )
+    n_docs = df.count()
+    dfreq = (
+        exploded.where("is_first")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = exploded.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("__len").alias("__len")
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "__id",
+        "token",
+        F.round(
+            (F.col("tf") / F.greatest(F.col("__len"), F.lit(1)))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            10,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("token"))
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= top_k)
+    return top.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ),
+            ",",
+        ).alias("keywords")
+    ).select(F.col("__id").alias(id_col), "keywords")

@@ -2266,6 +2266,45 @@ LEFT JOIN (
 """
 
 
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keywords (tf/len * ln(N/df), ties by term):
+    one token shuffle for df via run-boundary flags, id-keyed tf
+    aggregation, broadcast idf join, per-doc ranking window."""
+    from wp_motor_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile.tfidf_keywords(docs, top_k=5)
+
+
+TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), filt AS (
+  SELECT doc_id, token FROM tok WHERE length(token) >= 1
+), dl AS (
+  SELECT doc_id, count(*) AS len FROM filt GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM filt GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM filt GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf / greatest(dl.len, 1)
+               * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df),
+               10) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)
+), ranked AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, string_agg(token, ',' ORDER BY rk) AS keywords
+FROM ranked WHERE rk <= 5 GROUP BY doc_id
+"""
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering for mixture balancing: every embedding assigned
     to its nearest spherical-k-means centroid (deterministic bounded-
@@ -2472,4 +2511,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "kmeans_clusters": (kmeans_clusters, None),
+    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
 }
