@@ -76,3 +76,23 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     # doc3 has only two distinct terms; 'common' fills the 2nd slot but
     # the zero-idf term can never outrank a distinctive one
     assert out[3].split(",")[0] == "elder"
+
+
+def test_doc_information_entropy_and_surprisal(spark):
+    import math
+
+    docs = [
+        (1, "x x x x"),          # zero entropy (one token type)
+        (2, "a b c d"),          # max entropy ln(4)
+        (3, "a a b b"),          # entropy ln(2)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in profile.doc_information(df).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-6
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
+    # corpus model: p(x) = 4/12; doc1 surprisal = -ln(4/12)
+    assert abs(out[1]["surprisal"] - (-math.log(4 / 12))) < 1e-6
+    # rarer vocabulary -> higher surprisal: docs 2,3 share a,b (freq 3)
+    # and doc2 adds singletons c,d -> doc2 > doc3
+    assert out[2]["surprisal"] > out[3]["surprisal"]

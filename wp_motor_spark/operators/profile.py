@@ -173,3 +173,68 @@ def tfidf_keywords(
             ",",
         ).alias("keywords")
     ).select(F.col("__id").alias(id_col), "keywords")
+
+
+def doc_information(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Information-theoretic quality signals per document:
+
+    - `surprisal`: mean -ln p(token) under the CORPUS unigram model
+      (p = corpus_count/total) — the cheap perplexity proxy used to rank
+      documents by "typicality" (low = boilerplate-ish, high = rare/noisy
+      vocabulary; both tails are filter candidates).
+    - `entropy`: Shannon entropy of the document's OWN token distribution
+      — near zero for repetition loops, ~ln(len) for all-distinct text.
+
+    Plan: entropy is computed entirely map-side from the per-doc sorted
+    run-lengths (one id-keyed aggregation of (id, tf) rows); surprisal
+    needs the corpus model — ONE token-keyed count (map-side combined)
+    broadcast back onto the same (id, token, tf) rows. Two shuffles
+    total, text never moves after tokenization.
+    """
+    from pyspark.sql import Window
+
+    sorted_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(tokens(F.col(text_col))).alias("__t"),
+    )
+    t = F.col("__t")
+    is_first = F.transform(t, lambda x, i: (i == 0) | (x != F.element_at(t, i)))
+    pairs = F.zip_with(
+        t,
+        is_first,
+        lambda tok, fst: F.struct(tok.alias("token"), fst.alias("is_first")),
+    )
+    exploded = (
+        sorted_df.select(
+            "__id", F.size("__t").alias("__len"), F.explode(pairs).alias("z")
+        )
+        .select("__id", "__len", "z.token", "z.is_first")
+        .where(F.length("token") >= 1)
+    )
+    tf = exploded.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("__len").alias("__len")
+    )
+    corpus = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = exploded.count()
+    scored = tf.join(F.broadcast(corpus), "token").select(
+        "__id",
+        "tf",
+        "__len",
+        (F.col("tf") * -F.log(F.col("c") / F.lit(float(total)))).alias("__surp"),
+        (
+            F.col("tf")
+            * -F.log(F.col("tf") / F.greatest(F.col("__len"), F.lit(1)))
+        ).alias("__ent"),
+    )
+    return scored.groupBy("__id").agg(
+        F.round(F.sum("__surp") / F.greatest(F.first("__len"), F.lit(1)), 6).alias(
+            "surprisal"
+        ),
+        F.round(F.sum("__ent") / F.greatest(F.first("__len"), F.lit(1)), 6).alias(
+            "entropy"
+        ),
+    ).select(F.col("__id").alias(id_col), "surprisal", "entropy")

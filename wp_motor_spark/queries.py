@@ -2305,6 +2305,41 @@ FROM ranked WHERE rk <= 5 GROUP BY doc_id
 """
 
 
+def doc_information_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc information signals: mean corpus-unigram surprisal
+    (perplexity proxy) and within-doc token entropy. One token-keyed
+    corpus count broadcast onto id-keyed (id, token, tf) rows."""
+    from wp_motor_spark.operators import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile.doc_information(docs)
+
+
+DOC_INFO_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), filt AS (
+  SELECT doc_id, token FROM tok WHERE length(token) >= 1
+), dl AS (
+  SELECT doc_id, count(*) AS len FROM filt GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM filt GROUP BY doc_id, token
+), corpus AS (
+  SELECT token, count(*) AS c FROM filt GROUP BY token
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM filt
+)
+SELECT tf.doc_id,
+       round(sum(tf.tf * -ln(corpus.c / total.n)) / greatest(dl.len, 1), 6)
+         AS surprisal,
+       round(sum(tf.tf * -ln(tf.tf / CAST(greatest(dl.len, 1) AS DOUBLE)))
+             / greatest(dl.len, 1), 6) AS entropy
+FROM tf JOIN corpus USING (token) JOIN dl USING (doc_id), total
+GROUP BY tf.doc_id, dl.len
+"""
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering for mixture balancing: every embedding assigned
     to its nearest spherical-k-means centroid (deterministic bounded-
@@ -2512,4 +2547,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "kmeans_clusters": (kmeans_clusters, None),
     "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
+    "doc_information": (doc_information_q, DOC_INFO_SQL),
 }
