@@ -223,3 +223,26 @@ def test_pack_sequences_buckets_are_independent(spark):
         assert seq[0] == (0, 0)
         for i, (p, off) in enumerate(seq):
             assert (p, off) == (i * 5 // 10, i * 5 % 10)
+
+
+def test_compression_ratio_matches_zlib_and_orders_by_redundancy(spark):
+    import zlib
+
+    from wp_motor_spark.operators import text as T
+
+    docs = [
+        (1, "abc " * 200),                    # highly repetitive
+        (2, "the quick brown fox jumps over the lazy dog and then naps"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ratio = T.compression_ratio_udf()
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", ratio(F.col("text")).alias("r")).collect()
+    }
+    for i, txt in docs[:2]:
+        want = round(len(zlib.compress(txt.encode(), 6)) / len(txt.encode()), 6)
+        assert out[i] == want  # byte-identical parity with driver zlib
+    assert out[1] < out[2]  # repetition compresses harder
+    assert out[3] is None

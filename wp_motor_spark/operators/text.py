@@ -2,11 +2,14 @@
 
 Language ID (stopword-profile heuristic), quality scoring, token counting
 (whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
-Every one is a Column fn usable map-side at any scale (no UDFs, no state).
+Every one is a Column fn usable map-side at any scale (no UDFs, no state)
+— except compression_ratio_udf, the documented Arrow-batched exception
+(DEFLATE has no JVM-expression form).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Small stopword profiles per language — heuristic n-gram/stopword LID.
@@ -199,3 +202,34 @@ def rolling_fingerprints(col: Column, window: int = 8) -> Column:
     words = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - window, F.lit(0)))
     return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))))
+
+
+def compression_ratio_udf():
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic redundancy signal (highly repetitive machine-generated text
+    compresses far below natural language; Rae et al. 2021 use it as a
+    quality filter). zlib level 6, deterministic across platforms for a
+    given input, so the pytest gate recomputes it byte-identically.
+
+    This is the one text signal that genuinely needs Python (no JVM
+    expression computes DEFLATE): an Arrow-batched pandas UDF, stateless
+    and map-side — the documented slow-path contract (SCALE.md Python
+    boundaries). Returns NULL for empty text rather than a 0/0 ratio.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            b = v.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, 6)) / len(b), 6)
+
+        return s.map(one)
+
+    return ratio

@@ -2305,6 +2305,18 @@ FROM ranked WHERE rk <= 5 GROUP BY doc_id
 """
 
 
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio — the redundancy quality signal
+    (machine-generated loops compress far below prose). Rows-only: DuckDB
+    has no DEFLATE; byte-identical parity with driver-side zlib is gated
+    in tests/test_curate.py."""
+    docs = _t(spark, sf_dir, "documents")
+    ratio = text.compression_ratio_udf()
+    return docs.select(
+        "doc_id", ratio(F.col("text")).alias("comp_ratio")
+    )
+
+
 def doc_information_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc information signals: mean corpus-unigram surprisal
     (perplexity proxy) and within-doc token entropy. One token-keyed
@@ -2548,4 +2560,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_clusters": (kmeans_clusters, None),
     "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
     "doc_information": (doc_information_q, DOC_INFO_SQL),
+    "compression_quality": (compression_quality, None),
 }
