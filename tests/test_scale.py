@@ -52,3 +52,30 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    from wp_motor_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"doc {i}") for i in range(300)],
+        ["doc_id", "lang", "text"],
+    )
+    path = str(tmp_path / "layout")
+    scale.write_partitioned_layout(df, path, ["lang"], sort_cols=["doc_id"])
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+    # one file per partition dir (plus _SUCCESS markers at top level)
+    for d in dirs:
+        files = [f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the filter must be a partition filter, pruning at listing time —
+    # not a data filter evaluated per row
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == 100

@@ -79,3 +79,34 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned_layout(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    target_files_per_partition: int = 1,
+) -> None:
+    """Write with query-aware physical layout: hive-style directory
+    partitioning on `partition_cols` (equality predicates on them become
+    partition PRUNING — the scan never lists, opens, or reads excluded
+    directories) plus optional `sort_cols` clustering inside each file
+    (tightens parquet min/max page stats, so range predicates skip row
+    groups).
+
+    The repartition before the write is what makes the layout real at
+    scale: without it every task writes a sliver into every partition
+    directory (tasks x partitions tiny files — the classic small-file
+    explosion); repartitioning by the partition columns sends each
+    directory's data to `target_files_per_partition` tasks, and
+    `sortWithinPartitions` then clusters rows inside the files.
+    """
+    parted = df.repartition(
+        *[F.col(c) for c in partition_cols]
+    ) if target_files_per_partition == 1 else df.repartition(
+        target_files_per_partition * 8, *[F.col(c) for c in partition_cols]
+    )
+    if sort_cols:
+        parted = parted.sortWithinPartitions(*partition_cols, *sort_cols)
+    parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
