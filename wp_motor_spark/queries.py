@@ -1527,8 +1527,8 @@ WITH t AS (
   FROM m
 ), ranked AS (
   SELECT doc_id, lang, q, n_tok,
-         SUM(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
-                          ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
   FROM scored
 )
@@ -2305,6 +2305,130 @@ FROM ranked WHERE rk <= 5 GROUP BY doc_id
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: exact dedup -> Gopher quality gate ->
+    per-language quality-ranked token-budget selection — the full
+    pre-training data path as ONE composed Spark plan (winners semi-join,
+    map-only metric projection + filter, one ranking window), value-
+    checked against a DuckDB recomputation of the whole pipeline.
+
+    Plan shape: dedup contributes a digest aggregation + id semi-join;
+    the Gopher gate and language/quality scoring fuse into one map-side
+    projection over the survivors (all array expressions, no shuffle);
+    selection is a single per-language window. Four shuffles total at
+    any scale, text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = dedup.exact_dedup(docs)
+    c = F.col("text")
+    metrics = survivors.select(
+        "doc_id",
+        "text",
+        text.token_count_ws(c).alias("n_tok"),
+        text.mean_word_length(c).alias("__wl"),
+        text.stopword_ratio(c).alias("__sw"),
+        text.top_word_fraction(c).alias("__topf"),
+        text.duplicate_token_fraction(c).alias("__dupf"),
+    )
+    g = text.gopher_flags_from_metrics(
+        F.col("n_tok"), F.col("__wl"), F.col("__sw"), F.col("__topf"), F.col("__dupf")
+    )
+    quality_kept = metrics.where(g["keep"])
+    scored = quality_kept.select(
+        "doc_id",
+        text.detect_language(c).alias("lang"),
+        F.round(text.quality_score(c), 4).alias("q"),
+        "n_tok",
+    )
+    from wp_motor_spark.operators import curate
+
+    sel = curate.token_budget_select(
+        scored, budget=2000, tokens_col="n_tok", partition_col="lang", order_col="q"
+    )
+    return sel.select("doc_id", "lang", "q", "n_tok", "cum_tokens")
+
+
+def _curation_pipeline_sql() -> str:
+    from wp_motor_spark.operators.text import _PROFILES
+
+    stopwords = ",".join(f"'{w}'" for w in _PROFILES["en"])
+    struct_rows = ", ".join(
+        "{'score': %s, 'lang': '%s'}" % (_lang_sql_score(lang, words), lang)
+        for lang, words in _PROFILES.items()
+    )
+    return rf"""
+WITH win AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+), base AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM win)
+), t0 AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM base
+), u AS (
+  SELECT doc_id, unnest(toks) AS w FROM t0
+), topw AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2) GROUP BY 1
+), gm AS (
+  SELECT t0.doc_id,
+         len(toks) AS n_tok,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS wl,
+         CAST(len(list_filter(toks, w -> w IN ({stopwords}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw,
+         CASE WHEN len(toks) <= 1 THEN 1.0
+              ELSE CAST(topw.top_cnt AS DOUBLE) / len(toks) END AS topf,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+           / greatest(len(toks), 1) AS dupf
+  FROM t0 LEFT JOIN topw USING (doc_id)
+), keepers AS (
+  SELECT doc_id FROM gm
+  WHERE (n_tok BETWEEN 50 AND 100000) AND (wl BETWEEN 3 AND 10)
+    AND (sw >= 0.02) AND (topf <= 0.2) AND (dupf <= 0.6)
+), t AS (
+  SELECT b.doc_id, b.text,
+         CASE WHEN length(trim(b.text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(b.text)), '\s+') END AS toks,
+         CASE WHEN length(trim(b.text)) = 0 THEN []
+              ELSE string_split_regex(trim(b.text), '\s+') END AS toks_cased
+  FROM base b WHERE b.doc_id IN (SELECT doc_id FROM keepers)
+), m AS (
+  SELECT doc_id,
+         list_max([{struct_rows}]) AS best,
+         len(toks_cased) AS n_tok,
+         CAST(len(toks) AS DOUBLE) AS n_tok_d,
+         CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) AS wl,
+         CAST(len(list_filter(toks, w -> w IN ({stopwords}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw
+  FROM t
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN best.score >= 0.08 THEN best.lang ELSE 'und' END AS lang,
+         ROUND(least(n_tok_d / 20.0, 1.0)
+               * (CASE WHEN n_tok_d > 1000 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.6 END)
+               * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS q,
+         n_tok
+  FROM m
+), ranked AS (
+  SELECT doc_id, lang, q, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, q, n_tok, cum_tokens
+FROM ranked WHERE cum_tokens <= 2000 OR rk = 1
+"""
+
+
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio — the redundancy quality signal
     (machine-generated loops compress far below prose). Rows-only: DuckDB
@@ -2561,4 +2685,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
     "doc_information": (doc_information_q, DOC_INFO_SQL),
     "compression_quality": (compression_quality, None),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
 }
