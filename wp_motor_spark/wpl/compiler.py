@@ -1202,8 +1202,14 @@ class MultiParser:
         for cr in self.rules:
             depth: Column = F.lit(0)
             for pr in _prefix_rules(cr.rule, max_depth):
-                parts = pr.parts_col(value)
-                depth = depth + pr.matched_col(parts, value).cast("int")
+                # rlike, not parts_col+matched_col: the prefix patterns are
+                # anchored (^...(.*)$), so a full-match test is equivalent
+                # to "replace+split produced n_groups parts" — without the
+                # replacement string build + split array alloc per prefix
+                # (measured 3.5x on the diagnostics query, 5.2 s -> 1.5 s sf0.1;
+                # same trick the vacuous-match guard already uses)
+                pre = apply_preprocs(value, pr.rule.preprocs)
+                depth = depth + pre.rlike(pr.pattern).cast("int")
             deeper = depth > best_depth
             best_rule = F.when(deeper, F.lit(cr.key)).otherwise(best_rule)
             best_depth = F.when(deeper, depth).otherwise(best_depth)
