@@ -79,3 +79,37 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     # not a data filter evaluated per row
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert back.count() == 100
+
+
+def test_bucketed_range_join_matches_predicate_join(spark):
+    from wp_motor_spark.operators import scale
+
+    facts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(200)], ["fid", "v"]
+    )
+    ivs = spark.createDataFrame(
+        [(0, 10, "a"), (10, 25, "b"), (20, 40, "c"), (90, 100, "d"), (99, 105, "e")],
+        ["lo", "hi", "tag"],
+    )
+    got = {
+        (r["fid"], r["tag"])
+        for r in scale.bucketed_range_join(
+            facts, ivs, "v", bucket_width=8
+        ).collect()
+    }
+    want = {
+        (r["fid"], r["tag"])
+        for r in facts.join(
+            ivs, (F.col("lo") <= F.col("v")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = (
+        scale.bucketed_range_join(facts, ivs, "v", bucket_width=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the join must be an equi-join on the bucket, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

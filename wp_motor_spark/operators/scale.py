@@ -110,3 +110,48 @@ def write_partitioned_layout(
     if sort_cols:
         parted = parted.sortWithinPartitions(*partition_cols, *sort_cols)
     parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join that scales past a broadcastable interval
+    side. A raw `lo <= p AND p < hi` predicate has no equi-key, so
+    Catalyst can only broadcast-nested-loop it — fine for KnowDB-sized
+    dims (the ip4 enrichment path), quadratic death otherwise.
+
+    Standard bucketing rewrite: pick a width, explode each interval to
+    the buckets it overlaps, map each point to its bucket, EQUI-join on
+    the bucket, then re-check the exact predicate. Shuffle is
+    |facts| + |intervals| x avg_buckets_per_interval rows with full
+    partition parallelism. Width trades duplication (wide intervals ->
+    many buckets) against bucket fan-in; a reasonable default is the
+    median interval width, passed by the caller who knows it.
+
+    Returns facts columns + matched interval columns (inner join; a
+    point in k overlapping intervals emits k rows, exactly like the
+    predicate join would).
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive int")
+    p = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width),
+                # hi is exclusive: the last covered bucket is the one
+                # containing hi-1
+                F.floor((hi - 1) / bucket_width),
+            )
+        ),
+    )
+    fx = facts.withColumn("__b", F.floor(p / bucket_width))
+    out = fx.join(iv, "__b").where((lo <= p) & (p < hi))
+    return out.drop("__b")
