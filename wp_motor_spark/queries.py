@@ -2429,6 +2429,41 @@ FROM ranked WHERE cum_tokens <= 2000 OR rk = 1
 """
 
 
+_SPLIT_VAL_PCT = 5
+_SPLIT_TEST_PCT = 5
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by the multiplicative id
+    hash (90/5/5): reproducible across runs and engines, uncorrelated
+    with id order — the property RNG splits can't give a distributed
+    pipeline (executor-dependent seeds) and `id % 100` can't give
+    sequential ids (the first 90% of every range). Map-only."""
+    from wp_motor_spark.operators.curate import id_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = id_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < _SPLIT_TEST_PCT, "test")
+        .when(b < _SPLIT_TEST_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def _train_val_split_sql() -> str:
+    from wp_motor_spark.operators.curate import id_bucket_sql
+
+    b = id_bucket_sql("doc_id", 100)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {b} < {_SPLIT_TEST_PCT} THEN 'test'
+            WHEN {b} < {_SPLIT_TEST_PCT + _SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio — the redundancy quality signal
     (machine-generated loops compress far below prose). Rows-only: DuckDB
@@ -2686,4 +2721,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_information": (doc_information_q, DOC_INFO_SQL),
     "compression_quality": (compression_quality, None),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "train_val_split": (train_val_split, _train_val_split_sql()),
 }
