@@ -1,0 +1,107 @@
+"""Real PNG/BMP decode: round-trip against our own spec-valid encoders,
+every PNG filter type exercised, and the multimodal operators producing
+true dimensions/features for real image bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wp_motor_spark.operators import imagecodec as ic
+from wp_motor_spark.operators import multimodal as mm
+
+
+def _img(h=5, w=7, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter(ftype):
+    arr = _img()
+    data = ic.encode_png(arr, filter_type=ftype)
+    assert ic.sniff(data) == "png"
+    got = ic.decode_png(data)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_bmp_round_trip_with_row_padding():
+    arr = _img(h=4, w=5)  # 15 bytes/row -> 1 pad byte
+    data = ic.encode_bmp(arr)
+    assert ic.sniff(data) == "bmp"
+    np.testing.assert_array_equal(ic.decode_bmp(data), arr)
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    import struct
+    import zlib
+
+    # hand-build a 2x2 grayscale PNG (color type 0)
+    gray = np.array([[0, 64], [128, 255]], dtype=np.uint8)
+    lines = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    got = ic.decode_png(png)
+    assert got.shape == (2, 2, 3)
+    np.testing.assert_array_equal(got[:, :, 0], gray)
+    np.testing.assert_array_equal(got[:, :, 1], gray)
+
+
+def test_png_rejects_interlace_and_16bit():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        ic.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        ic.decode_png(bad)
+
+
+def test_multimodal_probe_and_resize_on_real_images(spark):
+    arr_a = _img(h=6, w=9, seed=1)
+    arr_b = _img(h=3, w=4, seed=2)
+    rows = [(1, ic.encode_png(arr_a, 4)), (2, ic.encode_bmp(arr_b))]
+    df = mm.attach_meta(spark.createDataFrame(rows, "doc_id long, media binary"))
+
+    probed = {r["doc_id"]: r["media_meta"] for r in mm.probe_images(df).collect()}
+    assert (probed[1]["width"], probed[1]["height"]) == (9, 6)
+    assert (probed[2]["width"], probed[2]["height"]) == (4, 3)
+
+    # features must equal a driver-side numpy recompute on the TRUE pixels
+    feats = {r["doc_id"]: r["features"] for r in mm.image_features(df).collect()}
+    for did, arr in ((1, arr_a), (2, arr_b)):
+        gray = arr.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+        want = (hist / max(hist.sum(), 1)).astype(np.float32)
+        np.testing.assert_allclose(feats[did], want, atol=1e-6)
+
+    resized = mm.resize_images(df, width=4, height=2).collect()
+    for r in resized:
+        m = r["media_meta"]
+        assert (m["width"], m["height"]) == (4, 2)
+        assert len(bytes(r["media"])) == 4 * 2 * 3  # raw RGB out

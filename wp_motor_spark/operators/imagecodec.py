@@ -1,0 +1,216 @@
+"""Pure-Python image codecs: real PNG and BMP decode without PIL.
+
+The container has no PIL/ffmpeg, but PNG (zlib + per-scanline filters)
+and uncompressed 24-bit BMP are fully decodable with the stdlib + numpy —
+so those formats get REAL decoding in the multimodal operators; only
+JPEG-class formats remain behind the deterministic stub.
+
+Coverage (rejects loudly otherwise):
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+  (gray+alpha), 6 (RGBA); filters 0-4 (None/Sub/Up/Average/Paeth) per
+  the PNG spec §9; no interlace. Alpha is dropped (RGB out).
+- BMP: BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed), bottom-up or
+  top-down rows, 4-byte row padding.
+
+Both return (height, width, 3) uint8 RGB arrays — the same contract the
+PIL path produces.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff(payload: bytes) -> str | None:
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. raw is (height, 1+stride) uint8 rows
+    (filter byte + filtered data); returns (height, stride) uint8."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("png: bad magic")
+    pos = 8
+    ihdr = None
+    idat = b""
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("png: no IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"png: unsupported depth/compression ({depth},{comp})")
+    if interlace != 0:
+        raise ValueError("png: interlaced not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"png: unsupported color type {ctype_n}")
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("png: bad IDAT length")
+    px = _unfilter(raw.reshape(height, stride + 1), height, stride, channels)
+    px = px.reshape(height, width, channels)
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 2:
+        return px
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        return plte[px[:, :, 0]]
+    if ctype_n == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> drop alpha
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER not supported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"bmp: only 24bpp BI_RGB supported (got {bpp},{compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    need = data_offset + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(
+        payload[data_offset : data_offset + row_bytes * height], dtype=np.uint8
+    ).reshape(height, row_bytes)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP writer (tests + raw re-encode path)."""
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pad = row_bytes - w * 3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    data_offset = 14 + 40
+    size = data_offset + len(body)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (RGB, 8-bit, one filter for all rows) — used by
+    tests to produce spec-valid files with a chosen filter so every
+    unfilter branch is exercised against ground-truth pixels."""
+    h, w = arr.shape[:2]
+    arr = arr.astype(np.uint8)
+    lines = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = arr[y].astype(np.int32)
+        if filter_type == 0:
+            filtered = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            filtered = (row - left) & 0xFF
+        elif filter_type == 2:  # Up
+            filtered = (row - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            filtered = (row - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            filtered = np.zeros_like(row)
+            for x in range(w):
+                for c in range(3):
+                    a = int(row[x - 1, c]) if x > 0 else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x > 0 else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    filtered[x, c] = (row[x, c] - pred) & 0xFF
+        else:
+            raise ValueError("bad filter")
+        lines += bytes([filter_type]) + filtered.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )

@@ -73,14 +73,31 @@ def _decode_image_fake(payload: bytes):
     return h.reshape(8, 8, 3).copy(), 8, 8
 
 
-try:  # gate: real decode when the library exists
+def _decode_image_builtin(payload: bytes):
+    """REAL decode for PNG and 24-bit BMP via the pure-Python codecs in
+    operators/imagecodec.py (zlib + numpy — no PIL needed). Other formats
+    (JPEG etc.) fall through to the deterministic stub, which remains the
+    documented env-gated fake."""
+    from wp_motor_spark.operators import imagecodec as ic
+
+    kind = ic.sniff(payload)
+    if kind == "png":
+        arr = ic.decode_png(payload)
+        return arr, arr.shape[1], arr.shape[0]
+    if kind == "bmp":
+        arr = ic.decode_bmp(payload)
+        return arr, arr.shape[1], arr.shape[0]
+    return _decode_image_fake(payload)
+
+
+try:  # gate: prefer the full library when it exists
     from PIL import Image  # noqa: F401
 
     _decode_image = _decode_image_real
     DECODER = "pil"
 except ImportError:
-    _decode_image = _decode_image_fake
-    DECODER = "stub"
+    _decode_image = _decode_image_builtin
+    DECODER = "builtin-png-bmp+stub"
 
 
 def probe_images(df: DataFrame, media_col: str = "media") -> DataFrame:
