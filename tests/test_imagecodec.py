@@ -105,3 +105,28 @@ def test_multimodal_probe_and_resize_on_real_images(spark):
         m = r["media_meta"]
         assert (m["width"], m["height"]) == (4, 2)
         assert len(bytes(r["media"])) == 4 * 2 * 3  # raw RGB out
+
+
+def test_wav_round_trip_and_audio_features(spark):
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = ic.encode_wav(sine, rate)
+    assert ic.sniff_audio(data) == "wav"
+    x, got_rate = ic.decode_wav(data)
+    assert got_rate == rate and x.shape == (rate, 1)
+    np.testing.assert_allclose(x[:, 0], sine, atol=1.0 / 32767)
+
+    df = spark.createDataFrame(
+        [(1, data), (2, b"not audio at all")], "doc_id long, media binary"
+    )
+    out = {r["doc_id"]: r for r in mm.audio_features(df).collect()}
+    a = out[1]
+    assert a["sample_rate"] == rate and a["n_channels"] == 1
+    assert a["duration_ms"] == 1000
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 440 Hz -> 880 crossings/s
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(a["peak"] - 0.5) < 1e-3
+    assert abs(a["zcr"] - 880 / rate) < 1e-3
+    # non-WAV payload: present with null features, honestly undecodable
+    assert out[2]["sample_rate"] is None and out[2]["rms"] is None

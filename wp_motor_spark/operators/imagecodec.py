@@ -214,3 +214,63 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
     )
+
+
+def sniff_audio(payload: bytes) -> str | None:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV/PCM decode (stdlib struct + numpy): returns
+    (samples float64 in [-1, 1] shaped (n, channels), sample_rate).
+    Supports PCM 8/16/32-bit and IEEE float32 — the overwhelming bulk of
+    real WAV files; compressed codecs inside WAV are rejected loudly."""
+    if sniff_audio(payload) != "wav":
+        raise ValueError("wav: bad magic")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt == 1:  # PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"wav: unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(f"wav: unsupported format code {audio_fmt}/{bits}")
+    n = len(x) // channels * channels
+    return x[:n].reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal PCM-16 WAV writer (tests). samples: (n, channels) in [-1,1]."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(out) - 4 + 0) + out

@@ -4,11 +4,12 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 Training-pipeline shape for a 100TB corpus: media bytes ride in a
 `binary` column next to a metadata struct; every transform is a
 mapInPandas pass (Arrow transfer, no per-row Python overhead), map-only
-unless the caller groups/joins. The actual codec work (PIL/ffmpeg/
-torchaudio) is NOT available in this environment, so each decode step is
-gated: a real library if importable, else a clearly-marked deterministic
-fake with the same schema and batch shape — the Spark-side plumbing
-(schemas, batch iteration, partition behavior) is real and tested.
+unless the caller groups/joins. Decode status: PNG, 24-bit BMP and
+WAV/PCM decode for REAL via the pure-Python codecs in imagecodec.py
+(zlib + struct + numpy — no PIL/ffmpeg needed); PIL is preferred
+automatically when importable; JPEG-class images and compressed audio
+fall back to a clearly-marked deterministic fake with the same schema
+and batch shape, so the Spark-side plumbing is identical either way.
 
 Schema conventions:
     media:     binary            -- raw payload
@@ -215,4 +216,68 @@ def sample_frames(
 
     return df.mapInPandas(
         sample, schema=f"{id_col} long, frame_idx int, frame_ms long, frame binary"
+    )
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio feature extraction for WAV/PCM payloads (pure stdlib
+    decode — no torchaudio needed): sample_rate, n_channels, duration_ms,
+    rms, peak, zero-crossing rate. Non-WAV payloads yield a null-feature
+    row (codec absent in this env) rather than disappearing.
+
+    Arrow-batched mapInPandas, map-only; the numpy feature math runs on
+    the true samples."""
+    from wp_motor_spark.operators import imagecodec as ic
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                if ic.sniff_audio(buf) != "wav":
+                    rows.append((rid, None, None, None, None, None, None))
+                    continue
+                try:
+                    x, rate = ic.decode_wav(buf)
+                except ValueError:
+                    rows.append((rid, None, None, None, None, None, None))
+                    continue
+                mono = x.mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                peak = float(np.max(np.abs(mono))) if n else 0.0
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        rid,
+                        rate,
+                        x.shape[1],
+                        int(round(n / rate * 1000)) if rate else None,
+                        round(rms, 6),
+                        round(peak, 6),
+                        round(zc, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_channels", "duration_ms",
+                    "rms", "peak", "zcr",
+                ],
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema=(
+            f"{id_col} long, sample_rate int, n_channels int, "
+            "duration_ms long, rms double, peak double, zcr double"
+        ),
     )
