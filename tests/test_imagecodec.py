@@ -130,3 +130,24 @@ def test_wav_round_trip_and_audio_features(spark):
     assert abs(a["zcr"] - 880 / rate) < 1e-3
     # non-WAV payload: present with null features, honestly undecodable
     assert out[2]["sample_rate"] is None and out[2]["rms"] is None
+
+
+def test_avi_demux_and_real_frame_sampling(spark):
+    # 10 frames at 100 ms intervals, frame i = its index byte repeated
+    frames = [bytes([i]) * (10 + i) for i in range(10)]
+    avi = ic.encode_avi(frames, frame_ms=100.0)
+    assert ic.sniff_video(avi) == "avi"
+    got, frame_ms = ic.demux_avi(avi)
+    assert got == frames and frame_ms == 100.0
+
+    df = mm.attach_meta(
+        spark.createDataFrame([(1, avi)], "doc_id long, media binary"),
+        kind="video",
+    )
+    out = sorted(
+        (r["frame_idx"], r["frame_ms"], bytes(r["frame"]))
+        for r in mm.sample_frames(df, every_ms=300).collect()
+    )
+    # every 300 ms at 100 ms/frame -> frames 0, 3, 6, 9 with true timestamps
+    assert [(i, t) for i, t, _ in out] == [(0, 0), (3, 300), (6, 600), (9, 900)]
+    assert [f for _, _, f in out] == [frames[0], frames[3], frames[6], frames[9]]

@@ -274,3 +274,61 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(body)) + body
     return b"RIFF" + struct.pack("<I", 4 + len(out) - 4 + 0) + out
+
+
+def sniff_video(payload: bytes) -> str | None:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    return None
+
+
+def demux_avi(payload: bytes) -> tuple[list[bytes], float]:
+    """Real AVI demux (RIFF walk, no codec needed): returns the video
+    frame payloads ('00dc'/'00db' chunks inside LIST movi, in stream
+    order) and the frame interval in milliseconds from the avih
+    MainAVIHeader's dwMicroSecPerFrame. The frames stay opaque bytes —
+    decoding them is the (absent) codec's job; sampling/timestamps are
+    container metadata and therefore exact."""
+    if sniff_video(payload) != "avi":
+        raise ValueError("avi: bad magic")
+    frame_ms = 40.0  # 25 fps fallback if avih is missing
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal frame_ms
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + length, end)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip list type tag
+            elif cid == b"avih" and length >= 4:
+                (us_per_frame,) = struct.unpack(
+                    "<I", buf[body_start : body_start + 4]
+                )
+                if us_per_frame:
+                    frame_ms = us_per_frame / 1000.0
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_start + length + (length & 1)  # word-aligned
+
+    walk(payload, 12, len(payload))
+    return frames, frame_ms
+
+
+def encode_avi(frames: list[bytes], frame_ms: float = 40.0) -> bytes:
+    """Minimal AVI writer (tests): avih with the frame interval + one
+    video stream of '00dc' chunks."""
+    avih = struct.pack("<I", int(frame_ms * 1000)) + b"\x00" * 52
+    hdrl_body = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    movi_body = b""
+    for f in frames:
+        movi_body += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -186,11 +186,15 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 
-    Without a real demuxer the payload is treated as a concatenation of
-    fixed-size pseudo-frames (STUB, deterministic); the Spark plumbing —
-    row explosion, frame indices, timestamps — is the real contract.
+    AVI containers demux for REAL (RIFF walk in imagecodec.py — frame
+    boundaries and timestamps are container metadata, no codec needed;
+    the frame payloads stay opaque bytes for a downstream decoder). For
+    any other payload the pseudo-frame STUB applies (fixed-size slices,
+    deterministic); the Spark plumbing — row explosion, frame indices,
+    timestamps — is identical either way.
     """
     frame_bytes = 64
+    from wp_motor_spark.operators import imagecodec as ic
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,6 +205,15 @@ def sample_frames(
                 if payload is None:
                     continue
                 buf = bytes(payload)
+                if ic.sniff_video(buf) == "avi":
+                    all_frames, frame_ms = ic.demux_avi(buf)
+                    step = max(int(round(every_ms / frame_ms)), 1)
+                    for i in range(0, len(all_frames), step):
+                        ids.append(rid)
+                        idxs.append(i)
+                        ts.append(int(i * frame_ms))
+                        frames.append(all_frames[i])
+                    continue
                 dur = (dict(meta) if meta is not None else {}).get("duration_ms")
                 n_frames = max(len(buf) // frame_bytes, 1)
                 frame_ms = (dur or n_frames * 40) / n_frames  # 25fps default
