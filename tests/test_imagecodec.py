@@ -151,3 +151,34 @@ def test_avi_demux_and_real_frame_sampling(spark):
     # every 300 ms at 100 ms/frame -> frames 0, 3, 6, 9 with true timestamps
     assert [(i, t) for i, t, _ in out] == [(0, 0), (3, 300), (6, 600), (9, 900)]
     assert [f for _, _, f in out] == [frames[0], frames[3], frames[6], frames[9]]
+
+
+def test_gif_round_trip_and_interlace():
+    rng = np.random.RandomState(9)
+    palette = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.randint(0, 7, size=(9, 5), dtype=np.uint8)
+    gif = ic.encode_gif(idx, palette)
+    assert ic.sniff(gif) == "gif"
+    got = ic.decode_gif(gif)
+    np.testing.assert_array_equal(got, palette[idx])
+
+    # interlaced variant: store rows in Adam-style pass order and set the
+    # interlace flag — the decoder must put them back
+    order = (list(range(0, 9, 8)) + list(range(4, 9, 8))
+             + list(range(2, 9, 4)) + list(range(1, 9, 2)))
+    gif_i = bytearray(ic.encode_gif(idx[order], palette))
+    # image descriptor starts after 13-byte header + 3*2^depth palette
+    depth = 3
+    desc = 13 + 3 * (1 << depth)
+    assert gif_i[desc] == 0x2C
+    gif_i[desc + 9] |= 0x40
+    np.testing.assert_array_equal(ic.decode_gif(bytes(gif_i)), palette[idx])
+
+
+def test_gif_probe_through_multimodal(spark):
+    palette = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1, 0], [1, 0, 1]], dtype=np.uint8)
+    gif = ic.encode_gif(idx, palette)
+    df = mm.attach_meta(spark.createDataFrame([(5, gif)], "doc_id long, media binary"))
+    meta = mm.probe_images(df).collect()[0]["media_meta"]
+    assert (meta["width"], meta["height"]) == (3, 2)

@@ -31,6 +31,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -332,3 +334,160 @@ def encode_avi(frames: list[bytes], frame_ms: float = 40.0) -> bytes:
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    clear/EOI codes, dictionary grows to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return eoi
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def reset():
+        table = {i: bytes([i]) for i in range(clear)}
+        return table, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == len(table) + 2:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("gif: bad LZW code")
+        out += entry
+        if prev is not None:
+            table[len(table) + 2] = prev + entry[:1]
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF decode (87a/89a), first image frame: LZW decompression,
+    global/local color tables, optional interlace. Returns RGB uint8."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + n * 3], dtype=np.uint8).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            w, h = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    payload[pos : pos + n * 3], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("gif: no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), min_code, w * h), dtype=np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.zeros_like(idx)
+                de[order] = idx
+                idx = de
+            return table[np.minimum(idx, len(table) - 1)]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+    raise ValueError("gif: no image data")
+
+
+def encode_gif(arr_idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a writer over an index array + palette (tests). Emits
+    uncompressed-style LZW (clear code before every symbol — spec-valid,
+    never grows the table past the initial width)."""
+    h, w = arr_idx.shape
+    n = len(palette)
+    depth = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = depth
+    clear = 1 << min_code
+    width = min_code + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for v in arr_idx.flatten():
+        put(int(v))
+        put(clear)  # keep the table empty so codes never widen
+    put(clear + 1)  # EOI
+    if nbits:
+        bits.append(acc & 0xFF)
+    out += bytes([min_code])
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

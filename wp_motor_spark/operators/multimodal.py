@@ -4,7 +4,7 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 Training-pipeline shape for a 100TB corpus: media bytes ride in a
 `binary` column next to a metadata struct; every transform is a
 mapInPandas pass (Arrow transfer, no per-row Python overhead), map-only
-unless the caller groups/joins. Decode status: PNG, 24-bit BMP and
+unless the caller groups/joins. Decode status: PNG, GIF, 24-bit BMP and
 WAV/PCM decode for REAL via the pure-Python codecs in imagecodec.py
 (zlib + struct + numpy — no PIL/ffmpeg needed); PIL is preferred
 automatically when importable; JPEG-class images and compressed audio
@@ -75,7 +75,7 @@ def _decode_image_fake(payload: bytes):
 
 
 def _decode_image_builtin(payload: bytes):
-    """REAL decode for PNG and 24-bit BMP via the pure-Python codecs in
+    """REAL decode for PNG, GIF, and 24-bit BMP via pure-Python codecs in
     operators/imagecodec.py (zlib + numpy — no PIL needed). Other formats
     (JPEG etc.) fall through to the deterministic stub, which remains the
     documented env-gated fake."""
@@ -88,6 +88,9 @@ def _decode_image_builtin(payload: bytes):
     if kind == "bmp":
         arr = ic.decode_bmp(payload)
         return arr, arr.shape[1], arr.shape[0]
+    if kind == "gif":
+        arr = ic.decode_gif(payload)
+        return arr, arr.shape[1], arr.shape[0]
     return _decode_image_fake(payload)
 
 
@@ -98,7 +101,7 @@ try:  # gate: prefer the full library when it exists
     DECODER = "pil"
 except ImportError:
     _decode_image = _decode_image_builtin
-    DECODER = "builtin-png-bmp+stub"
+    DECODER = "builtin-png-gif-bmp+stub"
 
 
 def probe_images(df: DataFrame, media_col: str = "media") -> DataFrame:
