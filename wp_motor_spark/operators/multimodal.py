@@ -5,11 +5,12 @@ Training-pipeline shape for a 100TB corpus: media bytes ride in a
 `binary` column next to a metadata struct; every transform is a
 mapInPandas pass (Arrow transfer, no per-row Python overhead), map-only
 unless the caller groups/joins. Decode status: PNG, GIF, 24-bit BMP and
-WAV/PCM decode for REAL via the pure-Python codecs in imagecodec.py
-(zlib + struct + numpy — no PIL/ffmpeg needed); PIL is preferred
-automatically when importable; JPEG-class images and compressed audio
-fall back to a clearly-marked deterministic fake with the same schema
-and batch shape, so the Spark-side plumbing is identical either way.
+WAV/PCM decode for REAL via the pure-Python codecs in imagecodec.py,
+and baseline JPEG (SOF0) via jpegcodec.py (zlib + struct + numpy — no
+PIL/ffmpeg needed); PIL is preferred automatically when importable;
+progressive JPEG and compressed audio fall back to a clearly-marked
+deterministic fake with the same schema and batch shape, so the
+Spark-side plumbing is identical either way.
 
 Schema conventions:
     media:     binary            -- raw payload
@@ -75,7 +76,8 @@ def _decode_image_fake(payload: bytes):
 
 
 def _decode_image_builtin(payload: bytes):
-    """REAL decode for PNG, GIF, and 24-bit BMP via pure-Python codecs in
+    """REAL decode for PNG, GIF, baseline JPEG, and 24-bit BMP via the
+    pure-Python codecs in jpegcodec.py and
     operators/imagecodec.py (zlib + numpy — no PIL needed). Other formats
     (JPEG etc.) fall through to the deterministic stub, which remains the
     documented env-gated fake."""
@@ -91,6 +93,14 @@ def _decode_image_builtin(payload: bytes):
     if kind == "gif":
         arr = ic.decode_gif(payload)
         return arr, arr.shape[1], arr.shape[0]
+    from wp_motor_spark.operators import jpegcodec as jc
+
+    if jc.sniff_jpeg(payload):
+        try:
+            arr = jc.decode_jpeg(payload)
+            return arr, arr.shape[1], arr.shape[0]
+        except ValueError:
+            pass  # progressive / exotic JPEG -> documented stub below
     return _decode_image_fake(payload)
 
 
@@ -101,7 +111,7 @@ try:  # gate: prefer the full library when it exists
     DECODER = "pil"
 except ImportError:
     _decode_image = _decode_image_builtin
-    DECODER = "builtin-png-gif-bmp+stub"
+    DECODER = "builtin-png-gif-jpeg-bmp+stub"
 
 
 def probe_images(df: DataFrame, media_col: str = "media") -> DataFrame:
