@@ -735,6 +735,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver contract: deterministic 16x12
+    BMP images are synthesized per doc (pure-Python encoder), then probed
+    and feature-extracted through the actual decode path (imagecodec.py
+    — no stub involved for BMP). Rows-only check; pixel-level parity
+    gates live in tests/test_imagecodec.py."""
+    import pandas as pd
+
+    from wp_motor_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def gen(batches):
+        import numpy as np
+
+        from wp_motor_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                arr = rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8)
+                out.append((int(did), ic.encode_bmp(arr)))
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = mm.attach_meta(
+        docs.select("doc_id").mapInPandas(gen, schema="doc_id long, media binary"),
+        kind="image",
+        mime="image/bmp",
+    )
+    probed = mm.probe_images(media)
+    feats = mm.image_features(probed)
+    dims = probed.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return dims.join(feats, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.try_element_at("features", F.lit(1)), 4).alias("f0"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint via sha256 of normalized text (oracle-exact)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2701,6 +2746,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_scores": (quality_scores, _quality_scores_sql()),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, None),
+    "multimodal_real_decode": (multimodal_real_decode, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
