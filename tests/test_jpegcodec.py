@@ -74,11 +74,25 @@ def test_real_world_baseline_jpeg_decodes():
     assert 5 < arr.mean() < 250
 
 
+_PROGRESSIVE2 = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+
+
 @pytest.mark.skipif(not os.path.exists(_PROGRESSIVE), reason="fixture absent")
-def test_progressive_rejected_loudly():
-    data = open(_PROGRESSIVE, "rb").read()
-    with pytest.raises(ValueError, match="SOF2"):
-        jc.decode_jpeg(data)
+def test_progressive_spectral_selection_decodes():
+    arr = jc.decode_jpeg(open(_PROGRESSIVE, "rb").read())
+    assert arr.shape == (58, 493, 3)
+    # the fixture is a mostly-white stripe graphic: bright overall, with
+    # a large fraction of pure-white pixels
+    assert arr.mean() > 200
+    assert (arr >= 250).mean() > 0.4
+
+
+@pytest.mark.skipif(not os.path.exists(_PROGRESSIVE2), reason="fixture absent")
+def test_progressive_with_ac_refinement_decodes():
+    arr = jc.decode_jpeg(open(_PROGRESSIVE2, "rb").read())
+    assert arr.shape == (312, 493, 3)
+    assert arr.mean() > 240  # "full white stripe"
+    assert (arr >= 250).mean() > 0.6
 
 
 @pytest.mark.skipif(not os.path.exists(_FIXTURE), reason="fixture absent")

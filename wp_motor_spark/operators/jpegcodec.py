@@ -1,9 +1,12 @@
-"""Baseline JPEG (SOF0) decoder — pure Python + numpy, no libjpeg/PIL.
+"""JPEG decoder (baseline SOF0 + progressive SOF2) — pure Python +
+numpy, no libjpeg/PIL.
 
-Scope: baseline sequential DCT, 8-bit precision, any sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 via nearest upsampling), restart intervals,
-multi-scan NOT supported — progressive (SOF2) and arithmetic coding are
-rejected loudly so callers fall back to the documented stub.
+Scope: 8-bit precision, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 via
+nearest upsampling), restart intervals; progressive covers DC
+first/refinement scans and AC spectral-selection bands with EOBRUN plus
+successive-approximation correction-bit passes (spec G.1.2). Arithmetic
+coding, hierarchical, and lossless modes are rejected loudly so callers
+fall back to the documented stub.
 
 The companion encoder writes spec-valid baseline 4:4:4 JPEGs with
 image-derived canonical Huffman tables (the decoder reads whatever DHT
@@ -134,9 +137,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
     restart = 0
+    coefs: dict[int, np.ndarray] = {}
+    preds_grid: dict[int, tuple[int, int]] = {}
+    eobrun = 0
     pos = 2
     d = payload
-    while pos + 4 <= len(d):
+    while pos + 2 <= len(d):
         if d[pos] != 0xFF:
             pos += 1
             continue
@@ -144,6 +150,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seg_len,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         body = d[pos + 4 : pos + 2 + seg_len]
         nxt = pos + 2 + seg_len
@@ -169,7 +177,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         body[b + 1 : b + 65], dtype=np.uint8
                     ).astype(np.int32)
                     b += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -177,11 +185,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = body[6 + i * 3 : 9 + i * 3]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(
-                f"jpeg: SOF{marker - 0xC0} (progressive/other) not supported"
-            )
+            frame = {
+                "w": w,
+                "h": h,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = (w + 8 * hmax - 1) // (8 * hmax)
+            frame["mcuy"] = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # padded (interleaved) grid; noninterleaved scans use the
+                # tighter per-component grid inside it
+                coefs[c["id"]] = np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                preds_grid[c["id"]] = ((ch + 7) // 8, (cw + 7) // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"jpeg: SOF{marker - 0xC0} not supported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -193,70 +219,196 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tables = body[1 + i * 2 : 3 + i * 2]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 15))
-            return _decode_scan(d, nxt, frame, scan, qt, huff, restart)
+            ss, se, ah_al = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ah_al >> 4, ah_al & 15
+            pos = _decode_scan(
+                d, nxt, frame, scan, huff, restart, coefs, preds_grid,
+                ss, se, ah, al,
+            )
+            continue
         pos = nxt
-    raise ValueError("jpeg: no scan data")
+    if frame is None or not coefs:
+        raise ValueError("jpeg: no scan data")
+    return _render(frame, coefs, qt)
 
 
-def _decode_scan(d, pos, frame, scan, qt, huff, restart):
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {}
-    for c, _, _ in scan:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
-    preds = {c["id"]: 0 for c, _, _ in scan}
+def _decode_scan(
+    d, pos, frame, scan, huff, restart, coefs, preds_grid, ss, se, ah, al
+):
+    """Decode one entropy-coded scan into the coefficient arrays; returns
+    the stream position after the scan. Handles baseline full scans,
+    progressive DC-first/DC-refine, and progressive AC spectral bands
+    (EOBRUN); AC successive-approximation refinement (Ah>0, Ss>0) is
+    rejected loudly."""
     r = _BitReader(d, pos)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                r.align()
-                m = r.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    r.pos += 2
-                preds = {k: 0 for k in preds}
-            for c, dc_id, ac_id in scan:
-                dct = huff[(0, dc_id)]
-                act = huff[(1, ac_id)]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.float64)
-                        s = _decode_sym(r, dct)
-                        diff = _extend(r.bits(s), s)
-                        preds[c["id"]] += diff
-                        coef[0] = preds[c["id"]] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(r, act)
-                            rr, ss = rs >> 4, rs & 15
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coef[ZIGZAG[k]] = _extend(r.bits(ss), ss) * q[k]
-                            k += 1
-                        block = idct2(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            n_mcu += 1
-    # upsample to full resolution and convert
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+
+    def restart_check(n_units: int) -> None:
+        nonlocal eobrun
+        if restart and n_units and n_units % restart == 0:
+            r.align()
+            m = r.at_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                r.pos += 2
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+    def decode_dc(c, dc_id, blk):
+        if ah == 0:
+            s = _decode_sym(r, huff[(0, dc_id)])
+            diff = _extend(r.bits(s), s)
+            preds[c["id"]] += diff
+            blk[0] = preds[c["id"]] << al
+        else:  # DC refinement: one correction bit
+            if r.bit():
+                blk[0] |= 1 << al
+
+    def decode_ac_band(ac_id, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_sym(r, huff[(1, ac_id)])
+            rr, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                return
+            k += rr
+            if k > se:
+                raise ValueError("jpeg: AC index past band end")
+            blk[ZIGZAG[k]] = _extend(r.bits(sz), sz) << al
+            k += 1
+
+    def refine_ac_band(ac_id, blk):
+        # successive-approximation AC refinement (spec G.1.2.3): correction
+        # bits for nonzero-history coefficients, new +-1<<al insertions
+        nonlocal eobrun
+        bit_val = 1 << al
+
+        def correct(pos):
+            v = blk[ZIGZAG[pos]]
+            if v != 0 and r.bit():
+                if (abs(v) & bit_val) == 0:
+                    blk[ZIGZAG[pos]] = v + bit_val if v > 0 else v - bit_val
+
+        if eobrun > 0:
+            eobrun -= 1
+            for k in range(ss, se + 1):
+                correct(k)
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_sym(r, huff[(1, ac_id)])
+            rr, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if rr < 15:  # EOB run: correct the rest of the band
+                    eobrun = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                    for kk in range(k, se + 1):
+                        correct(kk)
+                    return
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if sz != 1:
+                    raise ValueError("jpeg: bad refinement size")
+                newval = bit_val if r.bit() else -bit_val
+            # advance past rr zero-history coefficients, correcting
+            # nonzero-history ones along the way
+            while k <= se:
+                if blk[ZIGZAG[k]] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+
+    progressive = frame["progressive"]
+    if progressive and ss > 0 and len(scan) != 1:
+        raise ValueError("jpeg: interleaved AC progressive scan")
+
+    if len(scan) == 1 and (progressive or scan[0][0]["h"] == frame["hmax"]):
+        # noninterleaved: iterate the component's own block grid
+        c, dc_id, ac_id = scan[0]
+        bh, bw = preds_grid[c["id"]]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart_check(n)
+                blk = coefs[c["id"]][by, bx]
+                if ss == 0:
+                    decode_dc(c, dc_id, blk)
+                    if not progressive:  # baseline single-component scan
+                        _baseline_ac(r, huff[(1, ac_id)], blk)
+                elif ah == 0:
+                    decode_ac_band(ac_id, blk)
+                else:
+                    refine_ac_band(ac_id, blk)
+                n += 1
+    else:
+        n_mcu = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                restart_check(n_mcu)
+                for c, dc_id, ac_id in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[c["id"]][my * c["v"] + by, mx * c["h"] + bx]
+                            decode_dc(c, dc_id, blk)
+                            if not progressive:
+                                _baseline_ac(r, huff[(1, ac_id)], blk)
+                n_mcu += 1
+    r.align()
+    return r.pos
+
+
+def _baseline_ac(r, act, blk):
+    k = 1
+    while k < 64:
+        rs = _decode_sym(r, act)
+        rr, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if rr == 15:
+                k += 16
+                continue
+            return  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        blk[ZIGZAG[k]] = _extend(r.bits(sz), sz)
+        k += 1
+
+
+def _render(frame, coefs, qt):
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out = []
-    for c, _, _ in scan:
-        p = planes[c["id"]]
+    for c in frame["comps"]:
+        q = qt[c["tq"]]
+        qnat = np.empty(64, dtype=np.int32)
+        qnat[ZIGZAG] = q  # DQT is in zigzag order; coefs are natural
+        grid = coefs[c["id"]]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                deq = (grid[by, bx] * qnat).astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct2(deq.reshape(8, 8)) + 128.0
+                )
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:h, :w])
     if len(out) == 1:
         y = np.clip(out[0], 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)

@@ -6,9 +6,9 @@ Training-pipeline shape for a 100TB corpus: media bytes ride in a
 mapInPandas pass (Arrow transfer, no per-row Python overhead), map-only
 unless the caller groups/joins. Decode status: PNG, GIF, 24-bit BMP and
 WAV/PCM decode for REAL via the pure-Python codecs in imagecodec.py,
-and baseline JPEG (SOF0) via jpegcodec.py (zlib + struct + numpy — no
+and JPEG (baseline + progressive) via jpegcodec.py (zlib + struct + numpy — no
 PIL/ffmpeg needed); PIL is preferred automatically when importable;
-progressive JPEG and compressed audio fall back to a clearly-marked
+only exotic JPEG modes and compressed audio fall back to a clearly-marked
 deterministic fake with the same schema and batch shape, so the
 Spark-side plumbing is identical either way.
 
