@@ -182,3 +182,15 @@ def test_gif_probe_through_multimodal(spark):
     df = mm.attach_meta(spark.createDataFrame([(5, gif)], "doc_id long, media binary"))
     meta = mm.probe_images(df).collect()[0]["media_meta"]
     assert (meta["width"], meta["height"]) == (3, 2)
+
+
+def test_corrupt_magic_falls_back_to_stub(spark):
+    # payloads that LOOK like images but are garbage must not fail the
+    # batch — they get the deterministic stub like any undecodable format
+    rows = [(1, b"BM this is text that merely starts with BM"),
+            (2, ic.PNG_MAGIC + b"truncated"),
+            (3, b"\xff\xd8 not really a jpeg")]
+    df = mm.attach_meta(spark.createDataFrame(rows, "doc_id long, media binary"))
+    feats = {r["doc_id"]: r["features"] for r in mm.image_features(df).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert all(abs(sum(v) - 1.0) < 1e-6 for v in feats.values())

@@ -82,25 +82,24 @@ def _decode_image_builtin(payload: bytes):
     (JPEG etc.) fall through to the deterministic stub, which remains the
     documented env-gated fake."""
     from wp_motor_spark.operators import imagecodec as ic
-
-    kind = ic.sniff(payload)
-    if kind == "png":
-        arr = ic.decode_png(payload)
-        return arr, arr.shape[1], arr.shape[0]
-    if kind == "bmp":
-        arr = ic.decode_bmp(payload)
-        return arr, arr.shape[1], arr.shape[0]
-    if kind == "gif":
-        arr = ic.decode_gif(payload)
-        return arr, arr.shape[1], arr.shape[0]
     from wp_motor_spark.operators import jpegcodec as jc
 
-    if jc.sniff_jpeg(payload):
+    decoder = {
+        "png": ic.decode_png,
+        "bmp": ic.decode_bmp,
+        "gif": ic.decode_gif,
+    }.get(ic.sniff(payload))
+    if decoder is None and jc.sniff_jpeg(payload):
+        decoder = jc.decode_jpeg
+    if decoder is not None:
         try:
-            arr = jc.decode_jpeg(payload)
+            arr = decoder(payload)
             return arr, arr.shape[1], arr.shape[0]
-        except ValueError:
-            pass  # progressive / exotic JPEG -> documented stub below
+        except Exception:
+            # a sniffed magic on a non-image payload (text starting with
+            # "BM"...) or an unsupported sub-format: fall through to the
+            # deterministic stub rather than failing the batch
+            pass
     return _decode_image_fake(payload)
 
 
