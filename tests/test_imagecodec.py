@@ -194,3 +194,35 @@ def test_corrupt_magic_falls_back_to_stub(spark):
     feats = {r["doc_id"]: r["features"] for r in mm.image_features(df).collect()}
     assert set(feats) == {1, 2, 3}
     assert all(abs(sum(v) - 1.0) < 1e-6 for v in feats.values())
+
+
+def test_image_phash_invariance_and_neardup_pairs(spark):
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 256, size=(8, 8, 3)).repeat(6, axis=0).repeat(6, axis=1)
+    base = base.astype(np.int32)
+    brighter = np.clip(base + 12, 0, 255)       # brightness shift
+    noisy = np.clip(base + rng.randint(-6, 6, size=base.shape), 0, 255)
+    other = rng.randint(0, 256, size=(10, 7, 3)).repeat(5, axis=0).repeat(7, axis=1)
+
+    imgs = {1: base, 2: brighter, 3: noisy, 4: other}
+    rows = [(k, ic.encode_bmp(v.astype(np.uint8))) for k, v in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    hashes = {r["doc_id"]: r["phash"] for r in mm.image_phash(df).collect()}
+    # parity with a driver-side recompute on the true pixels
+    for k, v in imgs.items():
+        assert hashes[k] == mm.phash_array(v.astype(np.uint8))
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(hashes[1], hashes[2]) <= 7   # perceptually same
+    assert ham(hashes[1], hashes[3]) <= 7
+    assert ham(hashes[1], hashes[4]) > 7    # different image stays apart
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.image_neardup_pairs(df, max_hamming=7).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(4 not in p for p in pairs)

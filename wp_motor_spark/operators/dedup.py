@@ -390,12 +390,41 @@ def simhash_pairs(
     (pigeonhole: distance<=3 => at least one block equal), join per block,
     verify with bit_count(xor). One shuffle per block on a 16-bit key.
     """
-    # persisted: consumed by all 4 block-join branches (fingerprints only)
     f = (
         _spread(df, [id_col, text_col])
         .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__fp"))
-        .persist()
     )
+    return fingerprint_pairs(f, max_hamming=max_hamming, n_blocks=4)
+
+
+def fingerprint_pairs(
+    f: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "__id",
+    fp_col: str = "__fp",
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column by Hamming
+    distance <= max_hamming (pigeonhole: distance <= n_blocks-1 is
+    guaranteed candidate coverage; callers pick n_blocks > max_hamming).
+    Shared by text SimHash and image pHash.
+
+    One shuffle per block on a (64/n_blocks)-bit key; a first-matching-
+    block predicate emits each pair from exactly ONE branch (identical
+    fingerprints — template-heavy corpora — would otherwise be compared
+    in every branch and need a pair-set dedup shuffle afterwards).
+    Smaller blocks (more of them) raise the guaranteed distance but
+    shrink the key space: n_blocks=8 means 8-bit keys, so in-bucket
+    populations grow ~n/256 — fine to ~10^7 items, then add a secondary
+    key."""
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    if max_hamming > n_blocks - 1:
+        raise ValueError("pigeonhole requires n_blocks > max_hamming")
+    bw = 64 // n_blocks
+    mask = (1 << bw) - 1
+    # persisted: consumed by all block-join branches (fingerprints only)
+    f = f.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")).persist()
     blocks = f.select(
         "__id",
         "__fp",
@@ -404,28 +433,23 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright(F.col("__fp"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("__fp"), b * bw)
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(n_blocks)
                 ]
             )
         ).alias("bk"),
     ).select("__id", "__fp", "bk.blk", "bk.key")
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
-    # first-matching-block predicate: every block before the join block must
-    # differ, so each qualifying pair is emitted by exactly ONE block branch.
-    # Identical fingerprints (the common case in template-heavy corpora)
-    # would otherwise be compared in all 4 branches and need a full
-    # dedup shuffle over the pair set afterwards.
     earlier_differs = F.col("a.blk") == 0
-    for blk in range(1, 4):
+    for blk in range(1, n_blocks):
         cond = F.lit(True)
         for prev in range(blk):
             cond = cond & (
-                F.shiftright(xor, prev * 16).bitwiseAND(F.lit(0xFFFF)) != 0
+                F.shiftright(xor, prev * bw).bitwiseAND(F.lit(mask)) != 0
             )
         earlier_differs = F.when(F.col("a.blk") == blk, cond).otherwise(earlier_differs)
     return (

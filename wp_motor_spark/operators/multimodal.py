@@ -306,3 +306,72 @@ def audio_features(
             "duration_ms long, rms double, peak double, zcr double"
         ),
     )
+
+
+# 32-point orthonormal DCT-II basis for pHash
+_T32 = np.zeros((32, 32))
+for _u in range(32):
+    _c32 = np.sqrt(1 / 32) if _u == 0 else np.sqrt(2 / 32)
+    for _x in range(32):
+        _T32[_u, _x] = _c32 * np.cos((2 * _x + 1) * _u * np.pi / 64)
+
+
+def phash_array(arr: np.ndarray) -> int:
+    """64-bit perceptual hash of an RGB array (classic pHash): grayscale
+    -> nearest-resize to 32x32 -> 2-D DCT -> keep the 8x8 low-frequency
+    corner -> threshold against the median (DC excluded from the median
+    so flat images don't flip half their bits). Pure numpy; brightness/
+    contrast shifts and small crops move few bits."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[yi][:, xi]
+    freq = _T32 @ small @ _T32.T
+    low = freq[:8, :8].copy()
+    med = np.median(np.concatenate([low.reshape(64)[1:]]))
+    bits = (low.reshape(64) > med).astype(np.uint64)
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        v |= np.uint64(b) << np.uint64(i)
+    return int(np.int64(v))  # as signed long for Spark
+
+
+def image_phash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, phash) over decodable payloads — the image analogue of
+    simhash: fingerprints computed map-side (real decode for
+    PNG/GIF/JPEG/BMP, stub otherwise), pairing left to
+    dedup.fingerprint_pairs. Arrow-batched, map-only."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None:
+                    continue
+                arr, _w, _h = _decode_image(bytes(payload))
+                ids.append(rid)
+                hs.append(phash_array(arr))
+            yield pd.DataFrame({id_col: ids, "phash": hs})
+
+    return df.mapInPandas(hashes, schema=f"{id_col} long, phash long")
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 7,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by pHash Hamming distance — resized,
+    re-encoded, brightness-shifted copies land within a few bits. Reuses
+    the pigeonhole block join (n_blocks=8 covers distance <= 7; 8-bit
+    keys are fine to ~10^7 images, then add a secondary block key)."""
+    from wp_motor_spark.operators.dedup import fingerprint_pairs
+
+    f = image_phash(df, media_col=media_col, id_col=id_col)
+    return fingerprint_pairs(
+        f, max_hamming=max_hamming, n_blocks=8, id_col=id_col, fp_col="phash"
+    )

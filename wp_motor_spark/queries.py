@@ -780,6 +780,44 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection: deterministic BMPs per doc where every
+    10th doc is a brightness-shifted copy of its predecessor; pHash
+    (real decode -> 32x32 DCT fingerprint) + the pigeonhole block join
+    finds exactly those planted pairs. Rows-only; pixel-level parity and
+    invariance gates in tests/test_imagecodec.py."""
+    import pandas as pd
+
+    from wp_motor_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+
+    def gen(batches):
+        import numpy as np
+
+        from wp_motor_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                # every 10th doc replicates the previous doc's image,
+                # brightness-shifted: a planted near-dup pair
+                seed = did - 1 if did % 10 == 0 else did
+                rng = np.random.RandomState(seed % (2**31))
+                arr = rng.randint(0, 240, size=(6, 8, 3)).repeat(5, axis=0).repeat(
+                    4, axis=1
+                )
+                if did % 10 == 0:
+                    arr = arr + 10
+                out.append((did, ic.encode_bmp(arr.astype(np.uint8))))
+            yield pd.DataFrame(out, columns=["doc_id", "media"])
+
+    media = docs.select("doc_id").mapInPandas(gen, schema="doc_id long, media binary")
+    pairs = mm.image_neardup_pairs(media, max_hamming=7)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint via sha256 of normalized text (oracle-exact)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2747,6 +2785,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, None),
     "multimodal_real_decode": (multimodal_real_decode, None),
+    "image_neardup": (image_neardup, None),
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
