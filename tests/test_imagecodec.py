@@ -226,3 +226,28 @@ def test_image_phash_invariance_and_neardup_pairs(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
+    rate = 4000
+    t = np.arange(rate * 2) / rate
+    rng = np.random.RandomState(3)
+    clip = 0.4 * np.sin(2 * np.pi * 330 * t) * (1 + 0.5 * np.sin(2 * np.pi * 2 * t))
+    quiet = clip * 0.25                     # volume change only
+    other = 0.4 * rng.randn(len(t))         # different audio
+    rows = [(1, ic.encode_wav(clip, rate)), (2, ic.encode_wav(quiet, rate)),
+            (3, ic.encode_wav(other, rate)), (4, b"not a wav")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    fps = {r["doc_id"]: r["afp"] for r in mm.audio_fingerprint(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    # log-energy deltas: volume scaling leaves every bit identical except
+    # quantization at the 16-bit PCM boundary — allow a couple of flips
+    assert ham(fps[1], fps[2]) <= 2
+    assert ham(fps[1], fps[3]) > 10
+    assert fps[4] is None
+    # driver parity on true samples
+    x, _ = ic.decode_wav(ic.encode_wav(clip, rate))
+    assert fps[1] == mm.audio_fingerprint_array(x.mean(axis=1))

@@ -375,3 +375,53 @@ def image_neardup_pairs(
     return fingerprint_pairs(
         f, max_hamming=max_hamming, n_blocks=8, id_col=id_col, fp_col="phash"
     )
+
+
+def audio_fingerprint_array(x: np.ndarray) -> int:
+    """64-bit spectral fingerprint of a mono sample array: 32 equal time
+    windows x 2 frequency bands -> log band energies -> sign of the
+    successive deltas along time (31 x 2 = 62 bits). Deltas of LOG
+    energies make the fingerprint exactly invariant to volume scaling —
+    the property a loudness-normalized re-encode needs."""
+    n = len(x)
+    if n < 64:
+        return 0
+    win = n // 32
+    x = x[: win * 32].reshape(32, win)
+    spec = np.abs(np.fft.rfft(x, axis=1))
+    half = spec.shape[1] // 2
+    lo = np.log(spec[:, :half].sum(axis=1) + 1e-12)
+    hi = np.log(spec[:, half:].sum(axis=1) + 1e-12)
+    bits = np.concatenate([(np.diff(lo) > 0), (np.diff(hi) > 0)])
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        v |= np.uint64(bool(b)) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def audio_fingerprint(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, afp) for WAV payloads (real decode); non-WAV rows get a null
+    fingerprint. Pair with dedup.fingerprint_pairs(fp_col='afp')."""
+    from wp_motor_spark.operators import imagecodec as ic
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                ids.append(rid)
+                if ic.sniff_audio(buf) != "wav":
+                    hs.append(None)
+                    continue
+                try:
+                    x, _rate = ic.decode_wav(buf)
+                    hs.append(audio_fingerprint_array(x.mean(axis=1)))
+                except ValueError:
+                    hs.append(None)
+            yield pd.DataFrame({id_col: ids, "afp": hs})
+
+    return df.mapInPandas(fps, schema=f"{id_col} long, afp long")
