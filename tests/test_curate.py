@@ -246,3 +246,19 @@ def test_compression_ratio_matches_zlib_and_orders_by_redundancy(spark):
         assert out[i] == want  # byte-identical parity with driver zlib
     assert out[1] < out[2]  # repetition compresses harder
     assert out[3] is None
+
+
+def test_html_to_text_strips_markup_and_decodes_entities(spark):
+    from wp_motor_spark.operators import text as T
+
+    html = (
+        "<html><head><title>t</title><script>var x = '<p>';</script></head>"
+        "<body><!-- c --><style>p{color:red}</style>"
+        "<h1>Head&amp;line</h1><p>first &lt;para&gt;</p>"
+        "<div>second&nbsp;para</div><br>tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup here")], ["i", "h"])
+    out = {r["i"]: r["t"] for r in
+           df.select("i", T.html_to_text(F.col("h")).alias("t")).collect()}
+    assert out[1] == "Head&line\nfirst <para>\nsecond para\ntail"
+    assert out[2] == "no markup here"

@@ -233,3 +233,29 @@ def compression_ratio_udf():
         return s.map(one)
 
     return ratio
+
+
+def html_to_text(col: Column) -> Column:
+    """HTML -> visible text, entirely JVM-side (regexp_replace chain, no
+    UDF): drop script/style/head blocks and comments, turn block-level
+    closes and <br> into newlines, strip remaining tags, decode the
+    common entities, collapse whitespace. The boilerplate-light cousin of
+    trafilatura for WARC/HTML ingestion — map-only, composes into the
+    scan like any quality signal. Patterns stay in the Java/RE2-common
+    subset so the DuckDB oracle runs them verbatim."""
+    c = col
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?is)<head\b[^>]*>.*?</head>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.trim(c)

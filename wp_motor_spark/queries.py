@@ -2547,6 +2547,58 @@ FROM documents
 """
 
 
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text, pure JVM regex chain (the WARC-ingestion
+    companion): each doc's text is wrapped in a deterministic HTML
+    template with script/style/comment noise IN BOTH ENGINES, extracted,
+    and compared value-level — the oracle runs the same RE2-safe
+    patterns, so this checks the extraction semantics end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var a='<p>x</p>';</script>"
+              "<style>p{}</style></head><body><!-- gen --><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("&nbsp;&amp; tail</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", text.html_to_text(html).alias("clean")
+    )
+
+
+HTML_EXTRACT_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><script>var a=''<p>x</p>'';</script><style>p{}</style></head><body><!-- gen --><h1>'
+         || lang || '</h1><p>' || text || '&nbsp;&amp; tail</p></body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>', chr(10), 'g'),
+      '(?s)<[^>]+>', ' ', 'g') AS t
+  FROM h
+), e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&apos;', '''') AS t
+  FROM s
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(t,
+         '[ \t]+', ' ', 'g'),
+         ' ?\n ?', chr(10), 'g'),
+         '\n{2,}', chr(10), 'g')) AS clean
+FROM e
+"""
+
+
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio — the redundancy quality signal
     (machine-generated loops compress far below prose). Rows-only: DuckDB
@@ -2805,6 +2857,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
     "doc_information": (doc_information_q, DOC_INFO_SQL),
     "compression_quality": (compression_quality, None),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "train_val_split": (train_val_split, _train_val_split_sql()),
 }
