@@ -73,3 +73,53 @@ def test_read_tar_and_zip_members(spark, tmp_path):
         spark, str(tmp_path / "*.zip"), suffixes=(".txt",)
     ).collect()
     assert {r["member"]: bytes(r["content"]) for r in zrows} == {"x.txt": b"zipped"}
+
+
+def test_warc_to_clean_corpus_end_to_end(spark, tmp_path):
+    """The crawl-ingestion story in one flow: WARC segments -> HTML
+    payloads -> JVM text extraction -> language ID -> exact dedup."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.operators import dedup, text as T
+
+    def page(body_text: str) -> bytes:
+        html = (
+            "<html><head><script>track();</script></head><body>"
+            f"<p>{body_text}</p></body></html>"
+        ).encode()
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+
+    recs = [
+        _warc_record("r1", "response", "http://a.example/1",
+                     page("the quick brown fox is of the essence")),
+        _warc_record("r2", "response", "http://a.example/2",
+                     page("der schnelle braune fuchs und das ist ein satz")),
+        _warc_record("r3", "response", "http://b.example/1",
+                     page("the quick  brown fox is of the essence")),  # dup
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    docs = (
+        ar.read_warc(spark, str(tmp_path / "*.warc.gz"))
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            "url",
+            T.html_to_text(F.decode(F.col("content"), "utf-8")).alias("text"),
+        )
+        .withColumn("lang", T.detect_language(F.col("text")))
+    )
+    rows = {r["url"]: r for r in docs.collect()}
+    assert rows["http://a.example/1"]["text"] == (
+        "the quick brown fox is of the essence"
+    )
+    assert rows["http://a.example/1"]["lang"] == "en"
+    assert rows["http://a.example/2"]["lang"] == "de"
+
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 2  # whitespace-variant page deduped
+    assert {r["lang"] for r in kept.collect()} == {"en", "de"}

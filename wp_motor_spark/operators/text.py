@@ -258,4 +258,5 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"[ \t]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
-    return F.trim(c)
+    # trim() strips only spaces — strip ALL edge whitespace incl newlines
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

@@ -2591,10 +2591,11 @@ WITH h AS (
   FROM s
 )
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(regexp_replace(t,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
          '[ \t]+', ' ', 'g'),
          ' ?\n ?', chr(10), 'g'),
-         '\n{2,}', chr(10), 'g')) AS clean
+         '\n{2,}', chr(10), 'g'),
+         '^\s+|\s+$', '', 'g') AS clean
 FROM e
 """
 
