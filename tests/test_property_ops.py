@@ -106,3 +106,31 @@ def test_bloom_never_false_negative(seen, probe):
     }
     # anything reported definitely-new must really be unseen
     assert all(int(m[1:]) not in seen for m in misses)
+
+
+@given(lines=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            max_size=80),
+    min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wpl_dispatch_never_crashes_on_arbitrary_input(lines):
+    """ANSI mode is on: any malformed line must land in miss/partial,
+    never throw from a typed cast or regex path. Runs the full
+    label+diagnose surface over hypothesis-generated garbage."""
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.wpl import MultiParser
+
+    spark = _spark_holder["s"]
+    mp = MultiParser(
+        "rule a { (symbol(A ),digit:n,ip:sip,time_3339:t) }\n"
+        "rule b { (symbol(B ),float:f,chars:w\") }"
+    )
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    out = mp.diagnose(df)
+    rows = out.collect()  # must not raise
+    assert len(rows) == len(lines)
+    assert set(r["_disposition"] for r in rows) <= {
+        "success", "partial", "miss", "blank"
+    }
