@@ -113,3 +113,32 @@ def test_bucketed_range_join_matches_predicate_join(spark):
     )
     # the join must be an equi-join on the bucket, never a nested loop
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from wp_motor_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], ["x", "y"]
+    )
+    rows = df.select(
+        "x", "y", scale.zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")
+    ).collect()
+
+    def morton(x, y):
+        v = 0
+        for i in range(4):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"])
+    # locality: sorting by z, any 16-row window spans a small bounding box
+    # in BOTH dims (the whole point vs sorting by x alone, where y spans
+    # the full 0..15 range in every window)
+    srt = sorted(rows, key=lambda r: r["z"])
+    for i in range(0, 256, 16):
+        win = srt[i : i + 16]
+        assert max(r["x"] for r in win) - min(r["x"] for r in win) <= 4
+        assert max(r["y"] for r in win) - min(r["y"] for r in win) <= 4

@@ -155,3 +155,36 @@ def bucketed_range_join(
     fx = facts.withColumn("__b", F.floor(p / bucket_width))
     out = fx.join(iv, "__b").where((lo <= p) & (p < hi))
     return out.drop("__b")
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints (`bits` each,
+    clamped): sorting/range-partitioning by this key clusters BOTH
+    dimensions simultaneously, so parquet row-group min/max stats prune
+    on either predicate — the standard multi-dim layout trick
+    (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain column.
+
+    Unrolled shift/mask expression — pure JVM, whole-stage codegen, and
+    the identical arithmetic runs verbatim in SQL oracles."""
+    a = F.least(F.greatest(a.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1))
+    b = F.least(F.greatest(b.cast("bigint"), F.lit(0)), F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The same Morton interleave as a SQL expression string (DuckDB /
+    ANSI): used by oracles so both engines compute identical keys."""
+    ca = f"least(greatest(CAST({a} AS BIGINT), 0), {(1 << bits) - 1})"
+    cb = f"least(greatest(CAST({b} AS BIGINT), 0), {(1 << bits) - 1})"
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({ca} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({cb} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(parts) + ")"

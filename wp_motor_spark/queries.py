@@ -2547,6 +2547,44 @@ FROM documents
 """
 
 
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout keys over events (user bucket x value
+    decile): the multi-dim clustering key a write-time OPTIMIZE would
+    sort by, value-checked bit-for-bit against the identical unrolled
+    arithmetic in DuckDB."""
+    from wp_motor_spark.operators import scale
+
+    ev = _t(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 256).cast("bigint")
+    vb = F.least(
+        F.greatest(F.floor(F.col("value") / 4.0).cast("bigint"), F.lit(0)),
+        F.lit(255),
+    )
+    return ev.select(
+        "event_id",
+        ub.alias("user_bucket"),
+        vb.alias("value_bucket"),
+        scale.zorder_key(ub, vb, bits=8).alias("zkey"),
+    )
+
+
+def _zorder_sql() -> str:
+    from wp_motor_spark.operators.scale import zorder_key_sql
+
+    z = zorder_key_sql(
+        "(user_id % 256)",
+        "least(greatest(CAST(floor(value / 4.0) AS BIGINT), 0), 255)",
+        bits=8,
+    )
+    return f"""
+SELECT event_id,
+       CAST(user_id % 256 AS BIGINT) AS user_bucket,
+       least(greatest(CAST(floor(value / 4.0) AS BIGINT), 0), 255) AS value_bucket,
+       {z} AS zkey
+FROM events
+"""
+
+
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> visible text, pure JVM regex chain (the WARC-ingestion
     companion): each doc's text is wrapped in a deterministic HTML
@@ -2859,6 +2897,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_information": (doc_information_q, DOC_INFO_SQL),
     "compression_quality": (compression_quality, None),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "zorder_events": (zorder_events, _zorder_sql()),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "train_val_split": (train_val_split, _train_val_split_sql()),
 }
