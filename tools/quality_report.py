@@ -204,6 +204,42 @@ def main() -> None:
         "gate": "assignments == numpy argmax AND refined mean sim > unrefined",
     }
 
+    # --- bpe_token_counts: round-trip + distributed/driver parity ---
+    from wp_motor_spark.operators import bpe as _bpe
+
+    merges = _bpe.train_bpe(docs, num_merges=200)
+    ranks = {p: i for i, p in enumerate(merges)}
+    sample_texts = [r["text"] for r in docs.orderBy("doc_id").limit(50).collect()]
+    rt_ok = all(
+        "".join(_bpe.encode_word(w, ranks)) == w + "</w>"
+        for t in sample_texts
+        for w in (t or "").lower().split()
+    )
+    counter = _bpe.encode_udf(merges, output="count")
+    got_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.orderBy("doc_id").limit(50)
+        .select("doc_id", counter(F.col("text")).alias("n"))
+        .collect()
+    }
+    want_counts = {
+        r["doc_id"]: sum(
+            len(_bpe.encode_word(w, ranks)) for w in (r["text"] or "").lower().split()
+        )
+        for r in docs.orderBy("doc_id").limit(50).collect()
+    }
+    parity_ok = all(got_counts[k] == want_counts[k] for k in got_counts)
+    mean_ratio = (
+        sum(want_counts.values())
+        / max(sum(len((t or "").split()) for t in sample_texts), 1)
+    )
+    report["gates"]["bpe_token_counts"] = {
+        "metric": "round_trip_lossless_and_distributed_parity",
+        "value": bool(rt_ok and parity_ok and mean_ratio < 3.0),
+        "mean_bpe_per_word": round(mean_ratio, 4),
+        "gate": "every word re-joins losslessly; UDF == driver encode; <3 tok/word",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

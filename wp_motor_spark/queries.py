@@ -2547,6 +2547,36 @@ FROM documents
 """
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counting: merges trained once per (session, sf) on
+    the bounded deterministic sample, broadcast into an Arrow encoder;
+    per-doc whitespace vs BPE token counts + compression ratio. Rows-only
+    (no SQL BPE); round-trip/parity gates in tests/test_bpe.py and
+    QUALITY_r4.json."""
+    from wp_motor_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe.train_bpe(docs, num_merges=200)
+    counter = bpe.encode_udf(_BPE_MERGES_CACHE[key], output="count")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        counter(F.col("text")).alias("n_bpe_tokens"),
+    ).withColumn(
+        "bpe_per_word",
+        F.round(
+            F.col("n_bpe_tokens")
+            / F.greatest(F.col("n_ws_tokens"), F.lit(1)),
+            4,
+        ),
+    )
+
+
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout keys over events (user bucket x value
     decile): the multi-dim clustering key a write-time OPTIMIZE would
@@ -2898,6 +2928,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compression_quality": (compression_quality, None),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "zorder_events": (zorder_events, _zorder_sql()),
+    "bpe_token_counts": (bpe_token_counts, None),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "train_val_split": (train_val_split, _train_val_split_sql()),
 }
