@@ -123,3 +123,19 @@ def test_warc_to_clean_corpus_end_to_end(spark, tmp_path):
     kept = dedup.exact_dedup(docs)
     assert kept.count() == 2  # whitespace-variant page deduped
     assert {r["lang"] for r in kept.collect()} == {"en", "de"}
+
+
+def test_decode_text_safe_survives_malformed_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "clean".encode()), (2, b"bad \xff\xfe bytes"), (3, None)],
+        "i long, b binary",
+    )
+    out = {r["i"]: r["t"] for r in
+           df.select("i", T.decode_text_safe(F.col("b")).alias("t")).collect()}
+    assert out[1] == "clean"
+    assert "bad" in out[2] and "bytes" in out[2]  # repaired, not raised
+    assert out[3] is None

@@ -260,3 +260,11 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     # trim() strips only spaces — strip ALL edge whitespace incl newlines
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def decode_text_safe(col: Column) -> Column:
+    """Binary -> string that NEVER throws on malformed bytes: invalid
+    UTF-8 sequences become U+FFFD instead of failing the task (plain
+    `decode(..., 'UTF-8')` raises under ANSI mode — one bad crawl
+    payload would sink a whole WARC batch). JVM-side, map-only."""
+    return F.call_function("make_valid_utf8", col.cast("string"))
