@@ -204,3 +204,15 @@ def test_chunk_documents_map_only(spark, sf001_dir):
     plan = _plan(spark, sf001_dir, "doc_chunks")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q6_filters_reach_the_scan(spark, sf001_dir):
+    """Q6 is the pushdown benchmark: every predicate must appear in
+    PushedFilters and the scan must read only the 4 needed columns."""
+    plan = _plan(spark, sf001_dir, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_discount", "l_quantity"):
+        assert col in pushed

@@ -2734,6 +2734,38 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta from lifting small discounts — one
+    column-pruned, fully predicate-pushed lineitem scan + a single
+    aggregate. The canonical 'does the filter reach the parquet reader'
+    query (plan-asserted in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"), 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select(F.round("revenue", 2).alias("revenue"), "n_items")
+
+
+Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — revenue locked in small orders of a brand: parts
     whose lineitems fall below 20% of that part's average quantity. The
@@ -2920,6 +2952,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
     "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "kmeans_clusters": (kmeans_clusters, None),
