@@ -74,3 +74,30 @@ def test_pca_sign_convention_deterministic(spark):
     np.testing.assert_array_equal(c1, c2)
     for row in c1:
         assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_int8_quantization_bounds_and_recall(spark):
+    X, df = _toy(spark, n=60, d=6, seed=13)
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.operators import similarity
+
+    q = embed.quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    for i in range(len(X)):
+        r = rows[i]
+        assert all(-127 <= int(v) <= 127 for v in r["qvec"])
+        recon = np.array([int(v) * r["scale"] for v in r["qvec"]])
+        # per-component error bounded by half a quantization step
+        assert np.max(np.abs(recon - X[i])) <= r["scale"] / 2 + 1e-12
+    # recall@5 of quantized search vs exact float search
+    queries = df.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in embed.quantized_topk(df, queries, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9

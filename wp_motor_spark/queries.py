@@ -2169,6 +2169,42 @@ FROM n
 """
 
 
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column (the 4x ANN
+    memory lever): per-vector scale + the int8 vector as a comma-joined
+    string for integer-exact cross-engine comparison."""
+    from wp_motor_spark.operators import embed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = embed.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_s"),
+    )
+
+
+EMB_QUANTIZE_SQL = r"""
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM t
+)
+SELECT vec_id,
+       round(scale, 8) AS scale,
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(round(x / scale) AS BIGINT) AS VARCHAR)),
+         ',') AS qvec_s
+FROM s
+"""
+
+
 def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection to 4 components: one Gram-matrix
     aggregation pass (d² partials per partition, driver eigh on the tiny
@@ -2949,6 +2985,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
     "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
     "embedding_pca": (embedding_pca_q, None),
+    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
     "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
     "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
     "span_removal": (span_removal, SPAN_REMOVAL_SQL),
