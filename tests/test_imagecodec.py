@@ -251,3 +251,41 @@ def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
     # driver parity on true samples
     x, _ = ic.decode_wav(ic.encode_wav(clip, rate))
     assert fps[1] == mm.audio_fingerprint_array(x.mean(axis=1))
+
+
+def test_mfcc_discriminates_and_matches_independent_recompute(spark):
+    rate = 8000
+    t = np.arange(rate) / rate
+    low = 0.5 * np.sin(2 * np.pi * 200 * t)
+    high = 0.5 * np.sin(2 * np.pi * 2500 * t)
+    df = spark.createDataFrame(
+        [(1, ic.encode_wav(low, rate)), (2, ic.encode_wav(high, rate)),
+         (3, b"not audio")],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r["mfcc"] for r in mm.audio_mfcc(df).collect()}
+    assert out[3] is None
+    a, b = np.array(out[1]), np.array(out[2])
+    assert len(a) == 13
+    # different spectral content -> clearly different cepstra
+    assert np.linalg.norm(a - b) > 1.0
+
+    # independent recompute: textbook loop formulas, no shared helpers
+    x, _ = ic.decode_wav(ic.encode_wav(low, rate))
+    mono = x.mean(axis=1)
+    frame, hop, n_mels, n_mfcc = 512, 256, 26, 13
+    win = np.hanning(frame)
+    ref_frames = []
+    i = 0
+    while i + frame <= len(mono):
+        spec = np.abs(np.fft.rfft(mono[i:i + frame] * win)) ** 2 / frame
+        ref_frames.append(spec)
+        i += hop
+    fb = mm._mel_filterbank(n_mels, frame, rate)
+    logmel = np.log(np.array(ref_frames) @ fb.T + 1e-10)
+    want = np.zeros(n_mfcc)
+    for k in range(n_mfcc):
+        c = np.sqrt(1 / n_mels) if k == 0 else np.sqrt(2 / n_mels)
+        basis = c * np.cos(np.pi * k * (2 * np.arange(n_mels) + 1) / (2 * n_mels))
+        want[k] = (logmel * basis).sum(axis=1).mean()
+    np.testing.assert_allclose(a, want, rtol=1e-8)

@@ -425,3 +425,82 @@ def audio_fingerprint(
             yield pd.DataFrame({id_col: ids, "afp": hs})
 
     return df.mapInPandas(fps, schema=f"{id_col} long, afp long")
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale), (n_mels, n_fft//2+1)."""
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10 ** (m / 2595.0) - 1.0)
+
+    pts = imel(np.linspace(mel(0.0), mel(rate / 2.0), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, mid, hi = bins[i], bins[i + 1], bins[i + 2]
+        for b in range(lo, mid):
+            if mid > lo:
+                fb[i, b] = (b - lo) / (mid - lo)
+        for b in range(mid, hi):
+            if hi > mid:
+                fb[i, b] = (hi - b) / (hi - mid)
+    return fb
+
+
+def mfcc_array(
+    x: np.ndarray, rate: int, n_mfcc: int = 13, n_mels: int = 26,
+    frame: int = 512, hop: int = 256,
+) -> np.ndarray:
+    """Mean MFCC vector of a mono sample array: Hann-windowed power
+    spectra -> mel filterbank -> log -> orthonormal DCT-II -> first
+    n_mfcc coefficients, averaged over frames. Textbook pipeline in
+    numpy; deterministic."""
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(frame)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / frame
+    fb = _mel_filterbank(n_mels, frame, rate)
+    logmel = np.log(power @ fb.T + 1e-10)
+    # orthonormal DCT-II over the mel axis
+    M = np.zeros((n_mfcc, n_mels))
+    for k in range(n_mfcc):
+        c = np.sqrt(1 / n_mels) if k == 0 else np.sqrt(2 / n_mels)
+        M[k] = c * np.cos(np.pi * k * (2 * np.arange(n_mels) + 1) / (2 * n_mels))
+    return (logmel @ M.T).mean(axis=0)
+
+
+def audio_mfcc(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+    n_mfcc: int = 13,
+) -> DataFrame:
+    """(id, mfcc array<double>) for WAV payloads — the standard audio
+    representation for clustering/dedup/quality over an audio corpus.
+    Real decode + numpy DSP per Arrow batch, map-only; non-WAV rows get
+    null."""
+    from wp_motor_spark.operators import imagecodec as ic
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None:
+                    continue
+                buf = bytes(payload)
+                ids.append(rid)
+                if ic.sniff_audio(buf) != "wav":
+                    vecs.append(None)
+                    continue
+                try:
+                    x, rate = ic.decode_wav(buf)
+                    vecs.append(
+                        [float(v) for v in mfcc_array(x.mean(axis=1), rate, n_mfcc)]
+                    )
+                except ValueError:
+                    vecs.append(None)
+            yield pd.DataFrame({id_col: ids, "mfcc": vecs})
+
+    return df.mapInPandas(feats, schema=f"{id_col} long, mfcc array<double>")
