@@ -1,0 +1,32 @@
+"""The plan linter flags known anti-patterns and passes known-good plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tools.plan_lint import lint
+
+
+def test_lint_flags_nested_loop_and_py_udf(spark):
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("lo"), (F.col("id") + 10).alias("hi"))
+    rng = a.join(b, (F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi")))
+    codes = {c for c, _ in lint(rng)}
+    assert "NESTED_LOOP" in codes
+
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda v: v + 1, "bigint")
+    codes2 = {c for c, _ in lint(a.select(slow(F.col("x"))))}
+    assert "PY_ROW_UDF" in codes2
+
+
+def test_lint_flags_payload_shuffle_and_passes_good_plans(spark, sf001_dir):
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    bad = docs.repartition(4, "text")  # shuffling document text by itself
+    assert "WIDE_SHUFFLE" in {c for c, _ in lint(bad)}
+
+    from wp_motor_spark.queries import QUERIES
+
+    for name in ("q6_forecast_revenue", "dedup_exact", "corpus_profile"):
+        assert lint(QUERIES[name][0](spark, sf001_dir)) == [], name
