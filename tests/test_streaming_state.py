@@ -256,3 +256,77 @@ def test_bloom_dedup_state_across_batches(spark):
 
     b3 = spark.createDataFrame([(7, "alpha doc")], ["doc_id", "text"])
     assert state.process_batch(b3).count() == 0  # history is unbounded
+
+
+def test_sessionize_stream_equals_batch_on_randomized_events(spark, tmp_path):
+    """Randomized (fixed-seed) equivalence: every session the stream
+    closes must match a batch-sessionization session exactly, and every
+    batch session fully past the final watermark must have been closed
+    by the stream."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(42)
+    base = datetime(2026, 1, 1, 8, 0, 0)
+    events = []
+    t = {u: base for u in range(3)}
+    for _ in range(60):
+        u = rng.randrange(3)
+        # gaps straddle the 1800 s boundary in both directions
+        t[u] += timedelta(seconds=rng.choice([60, 300, 900, 2000, 4000]))
+        events.append({"user_id": u, "ts": t[u].isoformat()})
+    events.sort(key=lambda e: e["ts"])
+    src = tmp_path / "rand_ev"
+    src.mkdir()
+    third = len(events) // 3
+    for i in range(3):
+        _write(str(src / f"b{i}.json"),
+               events[i * third : None if i == 2 else (i + 1) * third], order=i)
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    out = _run_stream(
+        spark, str(src), schema,
+        lambda s: sessionize_stream(s, gap_sec=1800, watermark_sec=1800),
+        "sessions_rand_eq", str(tmp_path),
+    )
+    streamed = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    }
+
+    # batch reference: lag-gap sessionization over the same rows
+    df = spark.createDataFrame(
+        [(e["user_id"], e["ts"].replace("T", " ")) for e in events],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        df.withColumn("new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    batch = {
+        (r["user_id"], str(r["s"]), str(r["e"]), r["n"]) for r in sess.collect()
+    }
+    # 1) no invented sessions
+    assert streamed <= batch
+    # 2) every batch session provably closed by the final watermark was
+    #    emitted (watermark = max_ts - 1800; closes when last + gap < wm)
+    max_ts = max(e["ts"] for e in events).replace("T", " ")
+    from datetime import datetime as _dt
+
+    wm = _dt.fromisoformat(max_ts) - timedelta(seconds=1800)
+    must_close = {
+        s for s in batch
+        if _dt.fromisoformat(s[2]) + timedelta(seconds=1800) < wm
+    }
+    assert must_close <= streamed
+    assert len(streamed) >= len(must_close) > 0
