@@ -2613,6 +2613,54 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over the monitoring stream: hourly counts
+    per event type, flagged where |count - median| > 3 * MAD (median
+    absolute deviation — robust to the very outliers it hunts, unlike
+    z-scores). Exact interpolated medians both engines; two aggregation
+    passes + a broadcast join of |types| stat rows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    withmed = hourly.join(F.broadcast(med), "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.expr("percentile(abs(cnt - med), 0.5)").alias("mad")
+    )
+    flagged = (
+        withmed.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("cnt") - F.col("med")) > 3 * F.greatest(F.col("mad"), F.lit(0.5)))
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+    return flagged
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM hourly GROUP BY 1
+), mad AS (
+  SELECT h.event_type, quantile_cont(abs(h.cnt - m.med), 0.5) AS mad
+  FROM hourly h JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.cnt,
+       round(m.med, 4) AS med, round(d.mad, 4) AS mad
+FROM hourly h JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(h.cnt - m.med) > 3 * greatest(d.mad, 0.5)
+"""
+
+
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout keys over events (user bucket x value
     decile): the multi-dim clustering key a write-time OPTIMIZE would
@@ -2998,6 +3046,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "compression_quality": (compression_quality, None),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "zorder_events": (zorder_events, _zorder_sql()),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
     "bpe_token_counts": (bpe_token_counts, None),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "train_val_split": (train_val_split, _train_val_split_sql()),
