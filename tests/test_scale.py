@@ -142,3 +142,29 @@ def test_zorder_key_interleaves_and_clusters(spark):
         win = srt[i : i + 16]
         assert max(r["x"] for r in win) - min(r["x"] for r in win) <= 4
         assert max(r["y"] for r in win) - min(r["y"] for r in win) <= 4
+
+
+def test_layout_audit_detects_sortedness(spark, tmp_path):
+    """The auditor's point-skip fraction separates sorted from shuffled
+    layouts on the same data."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.layout_audit import audit
+
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    sorted_path = str(tmp_path / "sorted")
+    random_path = str(tmp_path / "random")
+    (df.repartitionByRange(8, "k").sortWithinPartitions("k")
+       .write.mode("overwrite").parquet(sorted_path))
+    df.repartition(8).write.mode("overwrite").parquet(random_path)
+
+    a_sorted = audit(sorted_path, probe_col="k")
+    a_random = audit(random_path, probe_col="k")
+    assert a_sorted["files"] == a_random["files"] == 8
+    assert a_sorted["groups_with_stats"] >= 8
+    # a point predicate skips most sorted row groups, none of the random
+    assert a_sorted["point_skip_fraction"] >= 0.8
+    assert a_random["point_skip_fraction"] <= 0.2
