@@ -30,3 +30,22 @@ def test_lint_flags_payload_shuffle_and_passes_good_plans(spark, sf001_dir):
 
     for name in ("q6_forecast_revenue", "dedup_exact", "corpus_profile"):
         assert lint(QUERIES[name][0](spark, sf001_dir)) == [], name
+
+
+def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
+    """Regression guard: every driver query's physical plan stays free of
+    scale anti-patterns, except the two documented tiny-broadcast
+    nested loops (KnowDB-style enrichment and the broadcast query set)."""
+    from wp_motor_spark.queries import QUERIES
+
+    ALLOWED = {
+        "cosine_topk": {"NESTED_LOOP"},       # broadcast tiny query set
+        "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
+    }
+    bad = {}
+    for name, (fn, _sql) in QUERIES.items():
+        warns = lint(fn(spark, sf001_dir))
+        codes = {c for c, _ in warns}
+        if codes - ALLOWED.get(name, set()):
+            bad[name] = warns
+    assert not bad, bad
