@@ -62,3 +62,30 @@ def test_asof_single_shuffle_plan(spark):
     # union + ONE window shuffle; never a join operator, never a cartesian
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2026-01-01T00:00:10")),
+            (2, 100, _ts("2026-01-01T00:00:30")),  # after every right row
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2026-01-01T00:00:10"), 1.0),  # equal ts -> eligible
+            (100, _ts("2026-01-01T00:00:15"), 2.0),
+        ],
+        ["user_id", "ts", "val"],
+    )
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, on="user_id", direction="forward").collect()}
+    assert out[1]["val_right"] == 1.0  # inclusive: equal-ts right wins
+    assert out[2]["val_right"] is None  # nothing follows
+
+    # forward tolerance: match must be within tol AFTER the left ts
+    cut = {r["event_id"]: r for r in asof_join(
+        left, right, on="user_id", direction="forward", tolerance_us=1
+    ).collect()}
+    assert cut[1]["val_right"] == 1.0  # gap 0 within tol

@@ -38,11 +38,17 @@ def asof_join(
     right_ts: str | None = None,
     tolerance_us: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join. Returns every `left` row plus the payload
-    columns of the matched right row (renamed `<col><suffix>`, null when
-    no right row precedes it or the match is older than `tolerance_us`).
-    """
+    """As-of left join. direction='backward' (default) attaches the
+    LATEST right row with right.ts <= left.ts; direction='forward' the
+    EARLIEST right row with right.ts >= left.ts (both inclusive —
+    DuckDB/pandas conventions). Returns every `left` row plus the matched
+    right payload columns (renamed `<col><suffix>`, null when no match
+    exists or it violates `tolerance_us`)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
     rts = right_ts or ts
     l_payload = list(left.columns)
     r_payload = [c for c in right.columns if c not in (on, rts)]
@@ -52,17 +58,21 @@ def asof_join(
     r_fields = [("__rts", r_types[rts])] + [(c, r_types[c]) for c in r_payload]
     r_struct_t = "struct<%s>" % ",".join(f"`{c}`:{t}" for c, t in r_fields)
 
+    # side ordering decides equal-ts eligibility: backward wants right
+    # rows BEFORE left at equal ts (inclusive <=); forward wants them
+    # AFTER left (inclusive >=)
+    l_side, r_side = (1, 0) if backward else (0, 1)
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.struct(*[F.col(c) for c in l_payload]).alias("__l"),
         F.lit(None).cast(r_struct_t).alias("__r"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(rts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.lit(None).cast(l_struct_t).alias("__l"),
         F.struct(
             F.col(rts).alias("__rts"), *[F.col(c) for c in r_payload]
@@ -70,21 +80,25 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows sort BEFORE left rows at equal ts (side 0 < 1) => a right
-    # row at exactly left.ts is eligible, the inclusive ASOF convention.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy("__k").orderBy(
+        F.col("__ts").asc(), F.col("__side").asc()
     )
-    matched = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-    out = matched.where(F.col("__side") == 1)
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__r", ignorenulls=True)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True)
+    matched = unioned.withColumn("__m", pick.over(w))
+    out = matched.where(F.col("__side") == F.lit(l_side))
     m = F.col("__m")
     if tolerance_us is not None:
         if l_types[ts].startswith("timestamp"):
             gap = F.unix_micros(F.col("__ts")) - F.unix_micros(m["__rts"])
         else:  # numeric time axis: tolerance is in the column's own units
             gap = F.col("__ts") - m["__rts"]
+        if not backward:
+            gap = -gap
         m = F.when(m.isNotNull() & (gap <= int(tolerance_us)), F.col("__m"))
     cols = [F.col("__l")[c].alias(c) for c in l_payload]
     cols.append(m["__rts"].alias(rts + suffix))
