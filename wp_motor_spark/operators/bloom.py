@@ -110,10 +110,13 @@ def bloom_filter_rows(
     keep_hits=False, the rows that are DEFINITELY NOT in it (no false
     negatives). The filter ships to executors once via closure broadcast;
     per-row cost is two JVM hashes + a vectorized bit probe."""
-    words, m, k = bloom.words, bloom.m, bloom.k
+    # SNAPSHOT the bit array: the closure ships to executors and may be
+    # re-evaluated arbitrarily late (task retries, lineage recompute after
+    # cache eviction) — a caller that keeps mutating the filter (the
+    # streaming accumulator) must not change answers retroactively
+    bf = BloomFilter(words=bloom.words.copy(), m=bloom.m, k=bloom.k)
     h1, h2 = _hash_pair(F.col(col))
     tagged = df.withColumn("__h1", h1).withColumn("__h2", h2)
-    bf = BloomFilter(words=words, m=m, k=k)
 
     def probe(batches):
         for pdf in batches:

@@ -191,24 +191,22 @@ class BloomDedupState:
 
     def process_batch(self, batch: DataFrame) -> DataFrame:
         """Filter one micro-batch against history, then fold its digests
-        into the filter. Returns the kept rows (materialized — foreachBatch
-        semantics require the decision before the filter mutates)."""
+        into the filter. Fully distributed: the probe snapshots the
+        filter bits per batch, and the fold is the bounded bit_or
+        aggregation — no driver-side row collection at any batch size."""
         from wp_motor_spark.operators import bloom as _bloom
 
         b = batch.withColumn("__digest", content_digest(F.col(self.text_col)))
+        # bloom_filter_rows snapshots the bit array into its closure, so
+        # the probe stays correct even if this DataFrame is re-evaluated
+        # after later batches mutate the accumulator — no driver-side
+        # collect of the batch is needed
         new = _bloom.bloom_filter_rows(b, "__digest", self.bloom, keep_hits=False)
         # within-batch exact dedup: lowest id per digest wins
         winners = new.groupBy("__digest").agg(
             F.min(self.id_col).alias(self.id_col)
         )
-        kept = (
-            batch.join(winners.select(self.id_col), self.id_col, "inner")
-            .collect()  # pin the decision before the filter mutates
-        )
-        spark = batch.sparkSession
-        kept_df = spark.createDataFrame(kept, batch.schema) if kept else (
-            spark.createDataFrame([], batch.schema)
-        )
+        kept_df = batch.join(winners.select(self.id_col), self.id_col, "inner")
         # fold this batch's kept digests into history — SAME geometry as
         # the accumulator, so the OR-merge is exact
         add = _bloom.bloom_build(
@@ -217,6 +215,6 @@ class BloomDedupState:
             n_expected=1,
             m=self.bloom.m,
             k=self.bloom.k,
-        )
+        )  # one bounded bit_or aggregation; executes the kept_df plan
         self.bloom.words |= add.words
         return kept_df
