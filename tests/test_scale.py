@@ -168,3 +168,34 @@ def test_layout_audit_detects_sortedness(spark, tmp_path):
     # a point predicate skips most sorted row groups, none of the random
     assert a_sorted["point_skip_fraction"] >= 0.8
     assert a_random["point_skip_fraction"] <= 0.2
+
+
+def test_zorder_three_columns(spark):
+    from wp_motor_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(x, y, z) for x in range(4) for y in range(4) for z in range(4)],
+        ["x", "y", "z"],
+    )
+    rows = df.select(
+        "x", "y", "z",
+        scale.zorder_key(F.col("x"), F.col("y"), F.col("z"), bits=2).alias("k"),
+    ).collect()
+
+    def morton3(x, y, z):
+        v = 0
+        for i in range(2):
+            v |= ((x >> i) & 1) << (3 * i)
+            v |= ((y >> i) & 1) << (3 * i + 1)
+            v |= ((z >> i) & 1) << (3 * i + 2)
+        return v
+
+    assert all(r["k"] == morton3(r["x"], r["y"], r["z"]) for r in rows)
+    assert len({r["k"] for r in rows}) == 64  # bijective on the cube
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        scale.zorder_key(F.col("x"), bits=4)
+    with _p.raises(ValueError):
+        scale.zorder_key(F.col("x"), F.col("y"), bits=32)
