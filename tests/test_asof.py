@@ -89,3 +89,39 @@ def test_asof_forward_direction(spark):
         left, right, on="user_id", direction="forward", tolerance_us=1
     ).collect()}
     assert cut[1]["val_right"] == 1.0  # gap 0 within tol
+
+
+def test_asof_randomized_matches_bruteforce_both_directions(spark):
+    """Fixed-seed random (key, ts) data: every asof match equals the
+    brute-force scan answer — inclusive boundaries, per-key isolation,
+    both directions."""
+    import random
+
+    rng = random.Random(99)
+    left = [(i, rng.randrange(4), rng.randrange(0, 1000))
+            for i in range(120)]
+    right = [(rng.randrange(4), rng.randrange(0, 1000), float(j))
+             for j in range(80)]
+    # unique (key, ts) on the right, as the operator contract requires
+    seen = set()
+    right = [r for r in right if not (r[:2] in seen or seen.add(r[:2]))]
+
+    ldf = spark.createDataFrame(left, ["event_id", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "val"])
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["event_id"]: (r["ts_right"], r["val_right"])
+            for r in asof_join(ldf, rdf, on="k", direction=direction).collect()
+        }
+        for eid, k, t in left:
+            if direction == "backward":
+                cands = [r for r in right if r[0] == k and r[1] <= t]
+                want = max(cands, key=lambda r: r[1]) if cands else None
+            else:
+                cands = [r for r in right if r[0] == k and r[1] >= t]
+                want = min(cands, key=lambda r: r[1]) if cands else None
+            if want is None:
+                assert got[eid] == (None, None), (direction, eid)
+            else:
+                assert got[eid] == (want[1], want[2]), (direction, eid)
