@@ -1250,3 +1250,42 @@ class MultiParser:
             F.col("_disposition") == "miss"
         )
         return out
+
+
+# Grammar whitelist (docs/usage/en/03-wpl/06-grammar-reference.md
+# `builtin_type`): the set of field types the compiler dispatches
+# specially; anything else silently compiles to the chars fallback, so
+# validation tooling (wproj check) flags unknown names as likely typos.
+KNOWN_FIELD_TYPES = frozenset(
+    {
+        "auto", "bool", "chars", "symbol", "peek_symbol", "digit", "float",
+        "_", "sn", "time", "time/clf", "time_iso", "time_3339", "time_2822",
+        "time_timestamp", "ip", "ip_net", "port", "domain", "email", "hex",
+        "base64", "kv", "kvarr", "json", "exact_json", "url", "proto_text",
+        "obj", "id_card", "mobile_phone", "http/request", "http/status",
+        "http/agent", "http/method", "array",
+    }
+)
+
+
+def unknown_field_types(rule: "WplRule") -> list[str]:
+    """Field type names in `rule` outside the grammar whitelist (array/T
+    parameterizations and explicit-length chars forms are resolved before
+    this check). Used by wproj check — the compiler itself keeps the
+    permissive chars fallback for runtime compatibility."""
+    bad: list[str] = []
+
+    def walk(items):
+        for item in items:
+            if isinstance(item, WplGroup):
+                walk(item.items)
+                continue
+            t = item.dtype
+            if t.startswith("array"):
+                t = "array"
+            if t not in KNOWN_FIELD_TYPES:
+                bad.append(item.dtype)
+
+    for grp in rule.groups:
+        walk(grp.items)
+    return bad

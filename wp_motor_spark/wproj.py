@@ -1,0 +1,226 @@
+"""wproj — project lifecycle CLI (docs/usage/en/01-cli/02-wproj.md):
+init (scaffold a workspace our loader reads back), check (batch-validate
+config + WPL/OML syntax, --what selection, --json/--only-fail/--fail-fast),
+rule list (compiled-rule inventory with field summaries).
+
+Invoked as `python -m wp_motor_spark.wproj ...` or via cli.py's `wproj`
+subcommand. Pure driver-side — no SparkSession needed for init/check/rule,
+so config validation runs in milliseconds before any cluster spin-up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_DEFAULT_WPL = """package /example {
+    rule demo {
+        (time_3339:ts,ip:sip,digit:status,chars:msg")
+    }
+}
+"""
+
+_DEFAULT_OML = """name : demo
+rule :
+    /example/demo
+---
+ts     = take() ;
+src_ip = take(option:[sip]) ;
+*      = take() ;
+"""
+
+_DEFAULT_CONF = """# wp-motor-spark workspace configuration
+[engine]
+parallel = 4
+
+[stat]
+windows = [60]
+"""
+
+_DEFAULT_SOURCE = """[[source_file]]
+key = "demo_file"
+enable = true
+path = "data/demo.dat"
+
+[source_file.tags]
+dev_type = "demo"
+"""
+
+_DEFAULT_SINK = """[sink_group.out]
+fmt = "json"
+target = "file"
+path = "out/data"
+"""
+
+
+def cmd_init(root: str, mode: str) -> int:
+    layout = {
+        "conf": {"conf/wparse.toml": _DEFAULT_CONF},
+        "model": {
+            "wpl/example/demo.wpl": _DEFAULT_WPL,
+            "oml/demo.oml": _DEFAULT_OML,
+        },
+        "data": {"data/.keep": "", "out/.keep": ""},
+        "topology": {
+            "topology/sources/default.toml": _DEFAULT_SOURCE,
+            "topology/sinks/default.toml": _DEFAULT_SINK,
+        },
+    }
+    groups = {
+        "conf": ["conf"],
+        "model": ["model"],
+        "data": ["data"],
+        "normal": ["conf", "model", "data", "topology"],
+        "full": ["conf", "model", "data", "topology"],
+    }.get(mode)
+    if groups is None:
+        print(f"wproj init: unknown mode {mode!r}", file=sys.stderr)
+        return 2
+    written = 0
+    for g in groups:
+        for rel, content in layout[g].items():
+            path = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if not os.path.exists(path):  # never clobber existing work
+                with open(path, "w") as fh:
+                    fh.write(content)
+                written += 1
+    print(f"wproj init: mode={mode} wrote {written} files under {root}")
+    return 0
+
+
+def _checks(root: str, what: set[str]):
+    """Yield (item, name, ok, detail) tuples."""
+    import glob as g
+
+    import tomllib
+
+    if "conf" in what:
+        p = os.path.join(root, "conf/wparse.toml")
+        if not os.path.exists(p):
+            yield ("conf", p, False, "missing")
+        else:
+            try:
+                tomllib.load(open(p, "rb"))
+                yield ("conf", p, True, "")
+            except Exception as ex:  # noqa: BLE001
+                yield ("conf", p, False, str(ex))
+    if "sources" in what or "sinks" in what:
+        for kind in ("sources", "sinks"):
+            if kind not in what:
+                continue
+            for p in sorted(g.glob(os.path.join(root, f"topology/{kind}/**/*.toml"),
+                                    recursive=True)):
+                try:
+                    tomllib.load(open(p, "rb"))
+                    yield (kind, p, True, "")
+                except Exception as ex:  # noqa: BLE001
+                    yield (kind, p, False, str(ex))
+    if "wpl" in what:
+        from wp_motor_spark.wpl import compile_rule, parse_wpl
+        from wp_motor_spark.wpl.compiler import unknown_field_types
+
+        for p in sorted(g.glob(os.path.join(root, "wpl/**/*.wpl"), recursive=True)):
+            try:
+                rules = parse_wpl(open(p).read())
+                bad: list[str] = []
+                for r in rules:
+                    compile_rule(r)
+                    bad += unknown_field_types(r)
+                if bad:
+                    # the compiler falls back to chars for unknown types;
+                    # at check time that is almost always a typo
+                    yield ("wpl", p, False, f"unknown field type(s): {bad}")
+                else:
+                    yield ("wpl", p, True, f"{len(rules)} rule(s)")
+            except Exception as ex:  # noqa: BLE001
+                yield ("wpl", p, False, str(ex))
+    if "oml" in what:
+        from wp_motor_spark.oml.parser import parse_oml
+
+        for p in sorted(g.glob(os.path.join(root, "oml/**/*.oml"), recursive=True)):
+            try:
+                model = parse_oml(open(p).read())
+                yield ("oml", p, True, f"model {model.name}")
+            except Exception as ex:  # noqa: BLE001
+                yield ("oml", p, False, str(ex))
+
+
+def cmd_check(root: str, what: str, as_json: bool, only_fail: bool,
+              fail_fast: bool) -> int:
+    sel = (
+        {"conf", "sources", "sinks", "wpl", "oml"}
+        if what == "all"
+        else {w.strip() for w in what.split(",")}
+    )
+    results = []
+    rc = 0
+    for item in _checks(root, sel):
+        results.append(item)
+        if not item[2]:
+            rc = 1
+            if fail_fast:
+                break
+    shown = [r for r in results if not (only_fail and r[2])]
+    if as_json:
+        print(json.dumps([
+            {"item": i, "path": p, "ok": ok, "detail": d}
+            for i, p, ok, d in shown
+        ]))
+    else:
+        for i, p, ok, d in shown:
+            mark = "ok  " if ok else "FAIL"
+            print(f"{mark} [{i}] {p} {d}")
+        print(f"wproj check: {sum(1 for r in results if r[2])}/{len(results)} ok")
+    return rc
+
+
+def cmd_rule_list(root: str) -> int:
+    import glob as g
+
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    for p in sorted(g.glob(os.path.join(root, "wpl/**/*.wpl"), recursive=True)):
+        for rule in parse_wpl(open(p).read()):
+            cr = compile_rule(rule)
+            fields = ", ".join(f"{o.name}:{o.dtype}" for o in cr.outputs)
+            print(f"{cr.key}  ({os.path.relpath(p, root)})  [{fields}]")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="wproj")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init")
+    p_init.add_argument("-w", "--work-root", default=".")
+    p_init.add_argument("-m", "--mode", default="conf")
+
+    p_check = sub.add_parser("check")
+    p_check.add_argument("-w", "--work-root", default=".")
+    p_check.add_argument("--what", default="all")
+    p_check.add_argument("--json", action="store_true")
+    p_check.add_argument("--only-fail", action="store_true")
+    p_check.add_argument("--fail-fast", action="store_true")
+
+    p_rule = sub.add_parser("rule")
+    rsub = p_rule.add_subparsers(dest="rule_cmd", required=True)
+    r_list = rsub.add_parser("list")
+    r_list.add_argument("-w", "--work-root", default=".")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "init":
+        return cmd_init(args.work_root, args.mode)
+    if args.cmd == "check":
+        return cmd_check(
+            args.work_root, args.what, args.json, args.only_fail, args.fail_fast
+        )
+    if args.cmd == "rule" and args.rule_cmd == "list":
+        return cmd_rule_list(args.work_root)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
