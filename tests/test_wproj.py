@@ -49,3 +49,35 @@ def test_rule_list_reference_instance(capsys):
     out = capsys.readouterr().out
     assert "/example/simple/nginx" in out
     assert "sip:ip" in out
+
+
+def test_rule_parse_offline_on_reference_sample(spark, capsys):
+    rc = main([
+        "rule", "parse", "-w", INSTANCE,
+        "--sample", f"{INSTANCE}/wpl/example/simple/sample.dat",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "/example/simple/nginx" in out and "success" in out
+
+
+def test_data_stat_and_clean(tmp_path, capsys):
+    import os
+
+    root = str(tmp_path / "proj")
+    main(["init", "-w", root, "--mode", "full"])
+    with open(os.path.join(root, "data", "demo.dat"), "w") as f:
+        f.write("a\nb\nc\n")
+    capsys.readouterr()
+    assert main(["data", "stat", "-w", root]) == 0
+    out = capsys.readouterr().out
+    assert "demo_file: 3 lines" in out
+
+    # clean removes only sink dirs INSIDE the workspace
+    sink_dir = os.path.join(root, "out", "data")
+    os.makedirs(sink_dir, exist_ok=True)
+    with open(os.path.join(sink_dir, "part-0"), "w") as f:
+        f.write("x\n")
+    assert main(["data", "clean", "-w", root]) == 0
+    assert not os.path.exists(sink_dir)
+    assert os.path.exists(os.path.join(root, "data", "demo.dat"))  # inputs kept

@@ -48,10 +48,14 @@ path = "data/demo.dat"
 dev_type = "demo"
 """
 
-_DEFAULT_SINK = """[sink_group.out]
+_DEFAULT_SINK = """[out]
+name = "out"
+
+[[out.sinks]]
+name = "out_sink"
 fmt = "json"
 target = "file"
-path = "out/data"
+path = "./out/data"
 """
 
 
@@ -190,6 +194,98 @@ def cmd_rule_list(root: str) -> int:
     return 0
 
 
+def cmd_data_stat(root: str) -> int:
+    """Line/byte counts for every enabled file source and every sink
+    output directory — driver-side streaming reads (no Spark spin-up;
+    this is a project check, not a corpus job)."""
+    from wp_motor_spark.config import load_workspace
+
+    ws = load_workspace(root)
+    total = 0
+    for s in ws.sources:
+        if s.kind != "file" or not s.enable or not s.path:
+            continue
+        p = s.path if os.path.isabs(s.path) else os.path.join(root, s.path)
+        if not os.path.exists(p):
+            print(f"source {s.key}: MISSING {p}")
+            continue
+        lines = bytes_ = 0
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                lines += chunk.count(b"\n")
+                bytes_ += len(chunk)
+        total += lines
+        print(f"source {s.key}: {lines} lines, {bytes_} bytes ({p})")
+    for sk in ws.sinks:
+        if sk.kind == "file" and sk.path and os.path.isdir(sk.path):
+            n = sum(
+                open(os.path.join(r, f), "rb").read().count(b"\n")
+                for r, _d, fs in os.walk(sk.path)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+            print(f"sink {sk.name}: {n} lines ({sk.path})")
+    print(f"wproj data stat: {total} total source lines")
+    return 0
+
+
+def cmd_data_clean(root: str) -> int:
+    """Remove file-sink OUTPUT directories — refuses anything that
+    escapes the workspace root (a sink misconfigured to /, say)."""
+    import shutil
+
+    from wp_motor_spark.config import load_workspace
+
+    ws = load_workspace(root)
+    rroot = os.path.realpath(root)
+    removed = 0
+    for sk in ws.sinks:
+        if sk.kind != "file" or not sk.path:
+            continue
+        real = os.path.realpath(sk.path)
+        if not real.startswith(rroot + os.sep):
+            print(f"wproj data clean: SKIP {sk.name} ({real} outside {rroot})")
+            continue
+        if os.path.isdir(real):
+            shutil.rmtree(real)
+            removed += 1
+    print(f"wproj data clean: removed {removed} sink dir(s)")
+    return 0
+
+
+def cmd_rule_parse(root: str, sample: str | None) -> int:
+    """Offline parsing test (wproj rule parse): run every workspace rule
+    over a sample file and print per-rule hit/miss counts."""
+    from wp_motor_spark.session import get_spark
+    from wp_motor_spark.wpl import MultiParser
+
+    import glob as g
+
+    texts = [
+        open(p).read()
+        for p in sorted(g.glob(os.path.join(root, "wpl/**/*.wpl"), recursive=True))
+    ]
+    if not texts:
+        print("wproj rule parse: no wpl files", file=sys.stderr)
+        return 2
+    if sample is None:
+        cands = sorted(
+            g.glob(os.path.join(root, "wpl/**/sample.dat"), recursive=True)
+        ) + sorted(g.glob(os.path.join(root, "data/*.dat")))
+        if not cands:
+            print("wproj rule parse: no sample data found", file=sys.stderr)
+            return 2
+        sample = cands[0]
+    spark = get_spark(app_name="wproj_rule_parse")
+    mp = MultiParser("\n".join(texts))
+    labeled = mp.label(spark.read.text(sample))
+    for row in (
+        labeled.groupBy("_rule", "_disposition").count().orderBy("_rule").collect()
+    ):
+        print(f"{row['_rule'] or '<miss>'}  {row['_disposition']}  {row['count']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="wproj")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -209,6 +305,15 @@ def main(argv: list[str] | None = None) -> int:
     rsub = p_rule.add_subparsers(dest="rule_cmd", required=True)
     r_list = rsub.add_parser("list")
     r_list.add_argument("-w", "--work-root", default=".")
+    r_parse = rsub.add_parser("parse")
+    r_parse.add_argument("-w", "--work-root", default=".")
+    r_parse.add_argument("--sample", default=None)
+
+    p_data = sub.add_parser("data")
+    dsub = p_data.add_subparsers(dest="data_cmd", required=True)
+    for dc in ("stat", "clean"):
+        dp = dsub.add_parser(dc)
+        dp.add_argument("-w", "--work-root", default=".")
 
     args = ap.parse_args(argv)
     if args.cmd == "init":
@@ -219,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.cmd == "rule" and args.rule_cmd == "list":
         return cmd_rule_list(args.work_root)
+    if args.cmd == "rule" and args.rule_cmd == "parse":
+        return cmd_rule_parse(args.work_root, args.sample)
+    if args.cmd == "data" and args.data_cmd == "stat":
+        return cmd_data_stat(args.work_root)
+    if args.cmd == "data" and args.data_cmd == "clean":
+        return cmd_data_clean(args.work_root)
     return 2
 
 
