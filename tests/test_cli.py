@@ -70,3 +70,21 @@ def test_wparse_on_reference_sample(spark, tmp_path):
 def test_wprescue_requires_a_source(spark):
     rc = main(["wprescue", "--wpl", f"{REF}/parse.wpl"])
     assert rc == 2
+
+
+def test_wpgen_sample_mode(spark, tmp_path):
+    sample = tmp_path / "sample.dat"
+    sample.write_text("line-a\nline-b\nline-c\n")
+    out = str(tmp_path / "gen_sample")
+    rc = main(["wpgen", "--sample", str(sample), "-n", "10", "--out", out])
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    assert len(lines) == 10
+    from collections import Counter
+
+    c = Counter(lines)
+    assert set(c) == {"line-a", "line-b", "line-c"}
+    assert sorted(c.values()) == [3, 3, 4]  # round-robin coverage

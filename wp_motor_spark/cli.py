@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--trigger-seconds", type=int, default=None)
 
     g = sub.add_parser("wpgen")
-    g.add_argument("--wpl", required=True)
+    g.add_argument("--wpl", help="rule mode: generate lines matching the rule")
+    g.add_argument("--sample", help="sample mode: replicate sample-file lines")
     g.add_argument("-n", type=int, default=1000)
     g.add_argument("--out", required=True)
     g.add_argument("--seed", type=int, default=0)
@@ -76,6 +77,31 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"wp_motor_spark_{args.cmd}")
 
     if args.cmd == "wpgen":
+        if args.sample:
+            # sample mode (04-wpgen.md): replicate sample-file lines to
+            # volume, deterministic round-robin — distributed via a range
+            # join against the broadcast sample (no driver loop)
+            from pyspark.sql import functions as F
+
+            lines = [r[0] for r in spark.read.text(args.sample).collect()]
+            if not lines:
+                print("wpgen: empty sample", file=sys.stderr)
+                return 2
+            sample_df = spark.createDataFrame(
+                list(enumerate(lines)), ["__i", "value"]
+            )
+            out = (
+                spark.range(args.n)
+                .withColumn("__i", (F.col("id") % len(lines)).cast("bigint"))
+                .join(F.broadcast(sample_df), "__i")
+                .select("value")
+            )
+            out.write.mode("overwrite").text(args.out)
+            print(f"wpgen: {args.n} lines from sample -> {args.out}")
+            return 0
+        if not args.wpl:
+            print("wpgen: need --wpl or --sample", file=sys.stderr)
+            return 2
         from wp_motor_spark.wpl.generator import generate_lines
 
         rule = open(args.wpl).read()
