@@ -2850,6 +2850,76 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts in one ship
+    month — conditional aggregation over a single lineitem⋈part join
+    with the date filter pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    j = li.where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            * 100.0
+            / F.sum(rev)
+        )
+        .cast("double")
+        .alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select(F.round("promo_pct", 4).alias("promo_pct"), "n_items")
+
+
+Q14_SQL = """
+SELECT round(CAST(
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  ELSE 0.0 END) * 100.0
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order carries its customer's cumulative
+    revenue over all orders up to and INCLUDING the same order date —
+    RANGE, not ROWS, so same-day orders share the same cumulative value
+    (the frame-semantics distinction ROWS-based suites never exercise).
+    One shuffle on the customer key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    top = orders.where(F.col("o_custkey") < 200)
+    return top.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(_dec(F.col("o_totalprice")))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    ).withColumn("cum_revenue", F.round("cum_revenue", 2))
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cum_revenue
+FROM orders
+WHERE o_custkey < 200
+"""
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — revenue locked in small orders of a brand: parts
     whose lineitems fall below 20% of that part's average quantity. The
@@ -3038,6 +3108,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
     "span_removal": (span_removal, SPAN_REMOVAL_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "kmeans_clusters": (kmeans_clusters, None),
