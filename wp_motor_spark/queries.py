@@ -2850,6 +2850,75 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """
 
 
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-user event counts spread into one column per
+    event type (explicit value list keeps the schema static — the
+    two-phase plan is identical to conditional aggregation, which is
+    exactly what the oracle spells out)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.where(F.col("user_id") < 300)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events WHERE user_id < 300 GROUP BY user_id
+"""
+
+
+def returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface: customers ordering in BOTH 1996 and 1997
+    (INTERSECT) minus those with a returned item after mid-1997 (EXCEPT) — the set
+    algebra compiles to the same semi/anti joins a hand-written plan
+    would use."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    y97 = orders.where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_custkey")
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_orderdate") >= "1997-06-01")
+        .select("o_custkey")
+    )
+    return (
+        y96.intersect(y97).exceptAll(returned.distinct()).withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+    )
+
+
+RETURNING_CUSTOMERS_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+EXCEPT
+SELECT DISTINCT o_custkey FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R' AND o_orderdate >= '1997-06-01'
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from PROMO parts in one ship
     month — conditional aggregation over a single lineitem⋈part join
@@ -3109,6 +3178,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "span_removal": (span_removal, SPAN_REMOVAL_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
     "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
