@@ -77,6 +77,11 @@ def main() -> None:
     # generate nginx-style lines, run the full WPL parse + OML transform,
     # report events/s (BASELINE: WPL ~300-500 MB/s, OML ~2.7M rec/s/core).
     try:
+        # measurement hygiene: the 80-second suite leaves the JVM heap full
+        # of dead shuffle/cache objects; without a GC the probe pays that
+        # collection debt and reads 30-40% low (isolated probe: 86-93k/core,
+        # post-suite without GC: 50-59k on the same HEAD)
+        spark.sparkContext._jvm.System.gc()
         throughput = _throughput_probe(spark)
     except Exception as exc:
         throughput = {"err": f"{type(exc).__name__}: {exc}"[:500]}
