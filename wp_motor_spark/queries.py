@@ -2881,26 +2881,25 @@ FROM events WHERE user_id < 300 GROUP BY user_id
 
 
 def returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operator surface: customers ordering in BOTH 1996 and 1997
-    (INTERSECT) minus those with a returned item after mid-1997 (EXCEPT) — the set
-    algebra compiles to the same semi/anti joins a hand-written plan
-    would use."""
+    """Set-operator surface: customers ordering in BOTH the early era
+    (pre-1998) and the late era (1998+) (INTERSECT) minus those with a
+    returned item after mid-1999 (EXCEPT) — the set algebra compiles to
+    the same semi/anti joins a hand-written plan would use. Cohort
+    boundaries split the generated 1995-2001 date range down the middle
+    so the result is non-empty even at sf0.001 (16 rows; 41 before the
+    EXCEPT — both branches exercised at every scale factor)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    y96 = orders.where(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-    ).select("o_custkey")
-    y97 = orders.where(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    ).select("o_custkey")
+    early = orders.where(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
     returned = (
         li.where(F.col("l_returnflag") == "R")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .where(F.col("o_orderdate") >= "1997-06-01")
+        .where(F.col("o_orderdate") >= "1999-06-01")
         .select("o_custkey")
     )
     return (
-        y96.intersect(y97).exceptAll(returned.distinct()).withColumnRenamed(
+        early.intersect(late).exceptAll(returned.distinct()).withColumnRenamed(
             "o_custkey", "custkey"
         )
     )
@@ -2908,14 +2907,14 @@ def returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETURNING_CUSTOMERS_SQL = """
 SELECT o_custkey AS custkey FROM orders
-WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+WHERE o_orderdate < '1998-01-01'
 INTERSECT
 SELECT o_custkey FROM orders
-WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+WHERE o_orderdate >= '1998-01-01'
 EXCEPT
 SELECT DISTINCT o_custkey FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
-WHERE l_returnflag = 'R' AND o_orderdate >= '1997-06-01'
+WHERE l_returnflag = 'R' AND o_orderdate >= '1999-06-01'
 """
 
 
@@ -3112,6 +3111,41 @@ FROM p
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # Driver-window ordering: CORRECTNESS_r{N} covers the first 50 entries,
+    # so the 31 queries that had no driver row in r4 come first; the r4-green
+    # veterans follow (the first 19 of them get re-checked each round).
+    "ivf_ann_topk": (ivf_ann_topk, None),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
+    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
+    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
+    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
+    "embedding_pca": (embedding_pca_q, None),
+    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
+    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
+    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "kmeans_clusters": (kmeans_clusters, None),
+    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
+    "doc_information": (doc_information_q, DOC_INFO_SQL),
+    "compression_quality": (compression_quality, None),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "zorder_events": (zorder_events, _zorder_sql()),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    "bpe_token_counts": (bpe_token_counts, None),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "train_val_split": (train_val_split, _train_val_split_sql()),
+    # --- r4 driver-green veterans (CORRECTNESS_r04.json) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
@@ -3162,35 +3196,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (multimodal_features, None),
     "multimodal_real_decode": (multimodal_real_decode, None),
     "image_neardup": (image_neardup, None),
-    "ivf_ann_topk": (ivf_ann_topk, None),
-    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
-    "lsh_ann_topk": (lsh_ann_topk, None),
-    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
-    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
-    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
-    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
-    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
-    "embedding_pca": (embedding_pca_q, None),
-    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
-    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
-    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
-    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
-    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
-    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
-    "kmeans_clusters": (kmeans_clusters, None),
-    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
-    "doc_information": (doc_information_q, DOC_INFO_SQL),
-    "compression_quality": (compression_quality, None),
-    "html_extract": (html_extract, HTML_EXTRACT_SQL),
-    "zorder_events": (zorder_events, _zorder_sql()),
-    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
-    "bpe_token_counts": (bpe_token_counts, None),
-    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
-    "train_val_split": (train_val_split, _train_val_split_sql()),
 }
