@@ -7,7 +7,7 @@ tests/test_quality.py; this tool recomputes the SAME metrics (same fixture,
 same parameters, same exact twins) and writes them to a JSON artifact so
 round artifacts carry standing numbers, not only test logs.
 
-Usage: python tools/quality_report.py [out.json]   (default QUALITY_r4.json)
+Usage: python tools/quality_report.py [out.json]   (default QUALITY_r5.json)
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r4.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r5.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     import duckdb
@@ -62,6 +62,36 @@ def main() -> None:
         "value": recall(lsh),
         "gate": ">= 0.9",
         "exact_pairs": len(exact_top5),
+    }
+
+    # --- lsh_ann_topk operating point: multi-probe cost vs recall ---
+    # probe_bits=1 was chosen over 0 deliberately (r4): each band emits
+    # 1 + planes//bands probe keys per QUERY (corpus fan-out unchanged),
+    # buying recall at a bounded candidate-set cost. Record both points
+    # so the tradeoff is a standing artifact row, not prose in SCALE.md.
+    lsh0 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            emb, queries, dim=dim, k=5, planes=32, bands=8, probe_bits=0
+        ).collect()
+    }
+    rows_per_band = 32 // 8
+    report["gates"]["lsh_ann_topk_operating_point"] = {
+        "metric": "probe_bits_cost_vs_recall",
+        "value": recall(lsh),
+        "points": {
+            "probe_bits=0": {
+                "recall@5": recall(lsh0),
+                "query_keys_per_band": 1,
+            },
+            "probe_bits=1": {
+                "recall@5": recall(lsh),
+                "query_keys_per_band": 1 + rows_per_band,
+            },
+        },
+        "cost_note": "corpus fan-out is bands x in BOTH cases; multi-probe "
+        "multiplies only the broadcast-small query side",
+        "gate": "probe recall >= no-probe recall",
     }
 
     # --- ivf_ann_topk: recall@5, refined must beat unrefined (gate >= 0.8) ---
@@ -238,6 +268,98 @@ def main() -> None:
         "value": bool(rt_ok and parity_ok and mean_ratio < 3.0),
         "mean_bpe_per_word": round(mean_ratio, 4),
         "gate": "every word re-joins losslessly; UDF == driver encode; <3 tok/word",
+    }
+
+    # --- multimodal_real_decode: pixel-path parity vs pure-Python ---
+    # The query synthesizes deterministic BMPs and runs the REAL decode
+    # path; recompute width/height/f0 driver-side from the same seeds and
+    # require exact agreement for every doc.
+    from wp_motor_spark import queries as Q
+    from wp_motor_spark.operators import imagecodec as ic
+
+    got_rd = {
+        r["doc_id"]: (r["width"], r["height"], r["f0"])
+        for r in Q.multimodal_real_decode(spark, sf_dir).collect()
+    }
+    rd_ok = len(got_rd) > 0
+    for did in got_rd:
+        rng = np.random.RandomState(int(did) % (2**31))
+        arr = rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8)
+        dec = ic.decode_bmp(ic.encode_bmp(arr))
+        gray = dec.astype(np.float32).mean(axis=2)
+        hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+        f0 = round(float(np.float32(hist[0] / max(hist.sum(), 1))), 4)
+        # the query's f0 column is float32: the rounded value re-widens
+        # (0.0052 -> 0.005200000014...), so round the collected value back
+        got_w, got_h, got_f0 = got_rd[did]
+        rd_ok = (
+            rd_ok
+            and np.array_equal(dec, arr)
+            and (got_w, got_h, round(float(got_f0), 4)) == (16, 12, f0)
+        )
+    report["gates"]["multimodal_real_decode"] = {
+        "metric": "decode_pixel_and_feature_parity_vs_pure_python",
+        "value": bool(rd_ok),
+        "docs": len(got_rd),
+        "gate": "BMP round-trip pixel-exact AND width/height/f0 match "
+        "driver-side recompute for every doc",
+    }
+
+    # --- image_neardup: distributed pair set vs exact pHash hamming ---
+    # Recompute every image's pHash driver-side (same seeds as the query)
+    # and enumerate ALL pairs with hamming <= 7; the pigeonhole block join
+    # (n_blocks=8) must return exactly that set (equality, not just recall).
+    doc_ids = [
+        r["doc_id"]
+        for r in docs.where(F.col("doc_id") < 200).select("doc_id").collect()
+    ]
+    phashes = {}
+    for did in doc_ids:
+        did = int(did)
+        seed = did - 1 if did % 10 == 0 else did
+        rng = np.random.RandomState(seed % (2**31))
+        arr = rng.randint(0, 240, size=(6, 8, 3)).repeat(5, axis=0).repeat(4, axis=1)
+        if did % 10 == 0:
+            arr = arr + 10
+        phashes[did] = mm.phash_array(arr.astype(np.uint8))
+    ids_sorted = sorted(phashes)
+    want_img = {
+        (a, b)
+        for i, a in enumerate(ids_sorted)
+        for b in ids_sorted[i + 1 :]
+        if bin((phashes[a] ^ phashes[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    got_img = {
+        (r["id_a"], r["id_b"]) for r in Q.image_neardup(spark, sf_dir).collect()
+    }
+    report["gates"]["image_neardup"] = {
+        "metric": "pair_set_equality_vs_exact_phash_hamming",
+        "value": got_img == want_img,
+        "pairs": len(got_img),
+        "exact_pairs": len(want_img),
+        "gate": "exact equality (pigeonhole n_blocks=8 covers hamming <= 7)",
+    }
+
+    # --- compression_quality: byte parity with driver-side zlib ---
+    import zlib
+
+    got_cr = {
+        r["doc_id"]: r["comp_ratio"]
+        for r in Q.compression_quality(spark, sf_dir).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    cr_ok = len(got_cr) == len(texts)
+    for did, t in texts.items():
+        b = (t or "").encode("utf-8")
+        want = round(len(zlib.compress(b, 6)) / len(b), 6) if b else None
+        cr_ok = cr_ok and got_cr.get(did) == want
+    report["gates"]["compression_quality"] = {
+        "metric": "byte_parity_vs_driver_zlib_level6",
+        "value": bool(cr_ok),
+        "docs": len(got_cr),
+        "gate": "every ratio identical to driver-side zlib.compress(level=6)",
     }
 
     report["all_pass"] = all(
