@@ -88,3 +88,16 @@ def test_wpgen_sample_mode(spark, tmp_path):
     c = Counter(lines)
     assert set(c) == {"line-a", "line-b", "line-c"}
     assert sorted(c.values()) == [3, 3, 4]  # round-robin coverage
+
+
+def test_wpgen_sample_mode_caps_driver_collect(spark, tmp_path, monkeypatch):
+    """An oversized sample must be refused, not collect()ed to the driver."""
+    from wp_motor_spark import cli
+
+    monkeypatch.setattr(cli, "SAMPLE_LINE_CAP", 5)
+    sample = tmp_path / "big.dat"
+    sample.write_text("".join(f"line-{i}\n" for i in range(6)))
+    out = str(tmp_path / "gen_big")
+    rc = main(["wpgen", "--sample", str(sample), "-n", "10", "--out", out])
+    assert rc == 2
+    assert not os.path.exists(out)

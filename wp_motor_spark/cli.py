@@ -19,6 +19,11 @@ import sys
 
 from wp_motor_spark.session import get_spark
 
+# wpgen --sample materializes the sample file on the driver (it becomes a
+# broadcast side); refuse files past this many lines instead of an unbounded
+# collect() on a user-supplied path
+SAMPLE_LINE_CAP = 100_000
+
 
 def _build_pipeline(args):
     from wp_motor_spark.pipeline import Pipeline
@@ -83,9 +88,23 @@ def main(argv: list[str] | None = None) -> int:
             # join against the broadcast sample (no driver loop)
             from pyspark.sql import functions as F
 
-            lines = [r[0] for r in spark.read.text(args.sample).collect()]
+            # the sample is replicated via a broadcast join, so it must be
+            # genuinely small; cap the driver materialization rather than
+            # collect() an arbitrary user-supplied file
+            cap = SAMPLE_LINE_CAP
+            lines = [
+                r[0] for r in spark.read.text(args.sample).limit(cap + 1).collect()
+            ]
             if not lines:
                 print("wpgen: empty sample", file=sys.stderr)
+                return 2
+            if len(lines) > cap:
+                print(
+                    f"wpgen: sample exceeds {cap} lines; sample mode replicates "
+                    "a small file to volume — use rule mode (--wpl) for large "
+                    "inputs",
+                    file=sys.stderr,
+                )
                 return 2
             sample_df = spark.createDataFrame(
                 list(enumerate(lines)), ["__i", "value"]
