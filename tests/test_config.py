@@ -44,6 +44,45 @@ def test_workspace_end_to_end(spark, tmp_path):
     assert "dev_src_ip=10.0.0.1" in kv  # source tag from wpsrc.toml
 
 
+def test_instance_workspace_full_e2e(spark, tmp_path):
+    """The whole workspace driven like the reference's own integration run
+    (tests/instance, WpApp::try_from): wpgen rule mode fills the configured
+    file source path, one batch carries good/junk/partial lines, and every
+    infra channel lands in its configured out/*.dat file."""
+    import shutil
+
+    from wp_motor_spark.wpl.generator import generate_lines
+
+    root = tmp_path / "instance"
+    shutil.copytree(INSTANCE, root)
+    gen_rule = (root / "wpl" / "example" / "simple" / "gen_rule.wpl").read_text()
+    lines = [r[0] for r in generate_lines(spark, gen_rule, 20, seed=7).collect()]
+    assert len(lines) == 20
+    junk = "unparseable junk ###"
+    partial = lines[0] + " tail=42"  # short tail -> partial match + residue
+    (root / "src_dat").mkdir()
+    (root / "src_dat" / "gen.dat").write_text("\n".join(lines + [junk, partial]) + "\n")
+
+    ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+    pipe, inputs = build_pipeline(ws)
+    assert [os.path.normpath(p) for p in inputs] == [str(root / "src_dat" / "gen.dat")]
+    counts = pipe.write_batch(spark.read.text(inputs))
+
+    assert counts["other"] == 21  # 20 generated + the partial line
+    assert counts["miss"] == 1
+    assert counts["residue"] == 1
+    miss_path = next(s.path for s in ws.sinks if s.name == "miss")
+    assert spark.read.text(miss_path).collect()[0]["value"] == junk
+    residue_path = next(s.path for s in ws.sinks if s.name == "residue")
+    res_lines = [r["value"] for r in spark.read.text(residue_path).collect()]
+    assert len(res_lines) == 1 and "tail=42" in res_lines[0]
+    other_path = next(s.path for s in ws.sinks if s.name == "other")
+    kv = [r["value"] for r in spark.read.text(other_path).collect()]
+    assert len(kv) == 21
+    assert all("src_ip=" in ln for ln in kv)
+    assert all("dev_src_ip=10.0.0.1" in ln for ln in kv)  # wpsrc.toml tag
+
+
 def test_write_batch_to_configured_paths(spark, tmp_path):
     ws = load_workspace(INSTANCE, out_root=str(tmp_path))
     pipe, _ = build_pipeline(ws)
