@@ -101,7 +101,12 @@ def top_tokens(
     top = agg.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(n)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # constant partition key: the frame is the <=n post-limit rows either
+    # way, but an empty partition spec makes WindowExec WARN on every run
+    # (a bare lit(0) or col*0 is constant-folded back out; col % 1 survives)
+    w = Window.partitionBy(F.col("cnt") % 1).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
     return top.select(
         F.row_number().over(w).alias("rank"), "token", "cnt", "doc_freq"
     )

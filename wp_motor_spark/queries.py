@@ -179,7 +179,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort), then rank the 20 survivors; a bare global row_number would
     # single-partition the whole aggregate
     top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    # constant partition key over the 20 survivors: identical plan shape,
+    # but a non-empty partition spec keeps WindowExec from WARNing (a bare
+    # lit(0) or col*0 is constant-folded back out; col % 1 survives)
+    w = Window.partitionBy(F.col("c_custkey") % 1).orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
     return top.withColumn("rank", F.row_number().over(w))
 
 
