@@ -3112,6 +3112,476 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# Round-5 relational widening: the remaining TPC-H shapes expressible on
+# the trimmed test schema (no partsupp, no commit/receipt dates, no phone
+# — predicates adapted where the original column is absent, the join/agg
+# SHAPE preserved), plus BM25 retrieval and bigram-LM perplexity scoring
+# for the training-data curation family.
+# --------------------------------------------------------------------------
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for one quarter where
+    EXISTS a qualifying lineitem — the correlated EXISTS compiles to a
+    LEFT SEMI hash join on the order key (never a per-row subquery).
+    Original predicate l_commitdate < l_receiptdate is absent from the
+    test schema; l_quantity >= 48 keeps the same selectivity role."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") >= 48).select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations in either
+    direction by (supplier nation, customer nation, ship year). The
+    nation filters are pushed INTO the dimension sides before the fact
+    joins (supplier/customer pre-restricted to the two nations), so
+    lineitem fans out only against qualifying rows; the asymmetric-pair
+    predicate reduces to supp != cust once both sides are binary."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = nation.where(F.col("n_name").isin("NATION_3", "NATION_8"))
+    s_side = supp.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("snk"),
+                                F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    c_side = cust.join(
+        F.broadcast(pair.select(F.col("n_nationkey").alias("cnk"),
+                                F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s_side), li.l_suppkey == s_side.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(c_side, orders.o_custkey == c_side.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of PROMO-part revenue
+    sold to ASIA-region customers, per order year — conditional
+    aggregation over a five-way join, all fixed-cardinality dims
+    broadcast. Exact decimal sums for both numerator and denominator so
+    the share matches the oracle bit-for-bit after rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice"), 4) * _dec(F.lit(1.0) - F.col("l_discount"), 4)
+    n1 = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    asia = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    j = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(
+         SUM(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                  ELSE 0.0 END)
+         / SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l_discount AS DECIMAL(18,4)))
+       AS DOUBLE), 4) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — LEFT
+    OUTER join with the filter INSIDE the join condition (so zero-order
+    customers survive), two cascaded aggregations. The second groupBy
+    keys on the first's output (at most |distinct counts| rows)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter. The scalar MAX subquery becomes a broadcast equi-join on the
+    revenue value (one-row build side) — no window, no second scan of
+    lineitem (the per-supplier aggregate is reused for both sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
+    r = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    mx = r.agg(F.max("total_revenue").alias("mx"))
+    return (
+        r.join(F.broadcast(mx), r.total_revenue == mx.mx)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to customer/orders. The HAVING aggregate runs FIRST on
+    lineitem alone (one key-only shuffle); only qualifying order keys —
+    a tiny fraction — reach the 3-way join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(t.total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    predicate groups. All three disjuncts share the same equi-join key
+    (partkey), so the plan is ONE hash join with the disjunction applied
+    post-join — never a union of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & q.between(10, 30))
+        | ((F.col("p_type") == "PROMO") & (F.col("p_size") <= 30) & q.between(20, 40))
+    )
+    rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'PROMO' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone quiet — above-average
+    balance AND no recent orders (NOT EXISTS -> LEFT ANTI join), grouped
+    by nation (the schema has no phone column, so nationkey plays the
+    country-code role). The scalar AVG is a one-row driver collect (same
+    bounded-scalar pattern as tfidf's n_docs); the anti-join build side
+    is only the RECENT order keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal")
+    ).collect()[0][0]
+    recent = orders.where(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    return (
+        cust.where(F.col("c_acctbal") > float(avg_bal))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
+GROUP BY 1
+"""
+
+
+_BM25_TERMS = ("hash", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over `documents` (Robertson/Sparck Jones;
+    the Lucene idf variant ln((N-df+.5)/(df+.5)+1)) for a fixed term set
+    — the retrieval scorer a RAG/data-curation stack runs next to ANN.
+
+    Scale shape: the token explode is FILTERED to the query terms
+    map-side, so the shuffle carries only (doc, term) hits — O(matches),
+    not O(tokens). Document length rides the same row (computed before
+    the filter); N and avgdl are a one-row driver collect; df is a
+    |terms|-row broadcast. Top-20 via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("dl"),
+        F.explode(
+            F.filter(
+                text.tokens(F.col("text")),
+                lambda t: t.isin(*_BM25_TERMS),
+            )
+        ).alias("term"),
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+BM25_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+), dl AS (
+  SELECT doc_id, len(a) AS dl FROM tok
+), hits AS (
+  SELECT doc_id, u.t AS term FROM tok, LATERAL (SELECT unnest(a) AS t) u
+  WHERE u.t IN ('hash','window','merge')
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+)
+SELECT doc_id, round(CAST(sum(
+         ln((n - df + 0.5) / (df + 0.5) + 1) * tf * ({_BM25_K1} + 1)
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+       ) AS DOUBLE), 4) AS score
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (the CCNet-style quality
+    signal: fluent text scores low, gibberish high) against a model
+    trained on the corpus itself — P(w2|w1) = c(w1,w2) / c(w1·), doc
+    score exp(-mean ln P). Every scored bigram exists in the counts (the
+    corpus includes the doc), so no smoothing term is needed and the
+    DuckDB oracle reproduces the number exactly.
+
+    Scale shape: ONE bigram-keyed shuffle builds c(w1,w2); c(w1·) is a
+    rollup of those counts (|vocab| rows); the per-doc score joins the
+    exploded bigrams against the BROADCAST count tables — word-level
+    bigram vocabularies are bounded (~1e6-1e7 rows) regardless of corpus
+    size. Text never shuffles; only (doc_id, w1, w2) triples move."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(a, 1, size(a) - 1)"),
+                    F.expr("slice(a, 2, size(a) - 1)"),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.w1", "z.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    return (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.exp(-F.avg(F.log(F.col("c").cast("double") / F.col("ctx")))),
+                4,
+            ).alias("ppl")
+        )
+    )
+
+
+LM_PPL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+), bg AS (
+  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS z) u
+  WHERE len(a) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c) AS ctx FROM c12 GROUP BY 1
+)
+SELECT bg.doc_id,
+       round(CAST(exp(-avg(ln(CAST(c12.c AS DOUBLE) / c1.ctx))) AS DOUBLE), 4) AS ppl
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3150,6 +3620,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_token_counts": (bpe_token_counts, None),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
     "train_val_split": (train_val_split, _train_val_split_sql()),
+    # --- round-5 additions (also inside the 50-row driver window) ---
+    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
     # --- r4 driver-green veterans (CORRECTNESS_r04.json) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
