@@ -480,3 +480,53 @@ def test_adaptive_reorder_and_short_circuit(spark):
     assert snap(opt, short_circuit=True) == base
     # hit rows labeled with the right rule either way
     assert sum(1 for _, rule, _, _ in base if rule == "hot") == 90
+
+
+def test_reference_benchmark_rules_full_extraction(spark):
+    """The reference's own 27-field benchmark rules against its own sample
+    lines (tests/instance/wpl/benchmark): every typed field — times, SNs,
+    ips, kv maps, http/request structs — must extract with disposition
+    success, and the first-match cascade must route each line to its rule."""
+    inst = f"{REF}/tests/instance/wpl/benchmark"
+    rules = parse_wpl(open(f"{inst}/parse.wpl").read())
+    assert [r.key for r in rules] == [
+        "/benchmark/benchmark_1",
+        "/benchmark/benchmark_2",
+    ]
+    raw = spark.read.text(f"{inst}/sample.dat")
+    labeled = {
+        r["_rule"]: r["_disposition"]
+        for r in MultiParser(rules).label(raw).collect()
+    }
+    assert labeled == {
+        "/benchmark/benchmark_1": "success",
+        "/benchmark/benchmark_2": "success",
+    }
+
+    lines = open(f"{inst}/sample.dat").read().splitlines()
+    r1 = (
+        compile_rule(rules[0])
+        .extract(spark.createDataFrame([(lines[0],)], ["value"]))
+        .collect()[0]
+        .asDict()
+    )
+    assert r1["_disposition"] == "success"
+    assert r1["id"] == 1407 and r1["len"] == 509
+    assert r1["sn"] == "WCY7-ZT-QEAK-N6PD"
+    assert r1["ip"] == "111.237.105.120"
+    assert r1["time"].isoformat() == "2021-04-20T18:10:19"
+    assert r1["http_request"]["method"] == "GET"
+    assert r1["http_request"]["uri"] == "/index"
+    assert r1["kv"]["Tv7"] == "9WxLPktFSMRBH4WRUCiBkmh2swZLod"
+
+    r2 = (
+        compile_rule(rules[1])
+        .extract(spark.createDataFrame([(lines[1],)], ["value"]))
+        .collect()[0]
+        .asDict()
+    )
+    assert r2["_disposition"] == "success"
+    assert r2["src_ip"] == "72.239.155.6" and r2["dst_ip"] == "109.58.83.177"
+    assert r2["port"] == 1649 and r2["port_2"] == 871
+    assert r2["time"].isoformat() == "2021-02-11T05:58:51"
+    assert len(r2["kv"]) == 8
