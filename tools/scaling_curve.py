@@ -1,0 +1,108 @@
+"""Measured scaling curve: run a representative query subset at every
+local scale factor and report wall-time growth vs data growth.
+
+The SCALE.md design notes claim each plan survives a 100-1000x scale-up;
+this tool MEASURES the local end of that claim: between sf0.01 and sf0.1
+the data grows 10x, so a query whose wall grows ~<=10x is at-or-below
+linear (fixed overhead amortizes; partial aggregation absorbs repeats),
+and anything super-linear is a red flag the suite would otherwise hide.
+
+Usage: python tools/scaling_curve.py [out.json] [query ...]
+(default: SCALING.json, the built-in representative subset)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# one query per family: scans/agg, join-heavy, window, WPL parse, OML,
+# dedup shuffle, connected components, token shuffle, ANN, curation
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q18_large_orders",
+    "user_sessions",
+    "wpl_parse_clf",
+    "wpl_oml_pipeline",
+    "dedup_exact",
+    "minhash_lsh_dups",
+    "top_tokens",
+    "lm_perplexity",
+    "bm25_search",
+    "cosine_topk",
+    "curation_pipeline",
+]
+
+SF_DIRS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = args[0] if args and args[0].endswith(".json") else "SCALING.json"
+    names = [a for a in args if not a.endswith(".json")] or DEFAULT_QUERIES
+
+    from pyspark.sql import functions as F
+
+    from wp_motor_spark.queries import QUERIES
+    from wp_motor_spark.session import get_spark
+
+    spark = get_spark(app_name="wp_motor_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm JVM + codegen so sf0.001 doesn't absorb session startup
+    QUERIES[names[0]][0](spark, SF_DIRS[0][0]).limit(1).count()
+
+    def run_once(fn, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # same anti-pruning forcing action as bench.py
+        df.select(
+            F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
+        ).collect()
+        return time.perf_counter() - t0
+
+    rows = {}
+    for name in names:
+        fn = QUERIES[name][0]
+        per_sf = {}
+        for sf_dir, sf in SF_DIRS:
+            # best-of-2: shared-box noise filter (PROFILE.md discipline)
+            per_sf[sf] = round(min(run_once(fn, sf_dir), run_once(fn, sf_dir)), 3)
+            spark.catalog.clearCache()
+        ratio = (
+            round(per_sf[0.1] / per_sf[0.01], 2) if per_sf[0.01] > 0 else None
+        )
+        rows[name] = {
+            "t_sf0.001": per_sf[0.001],
+            "t_sf0.01": per_sf[0.01],
+            "t_sf0.1": per_sf[0.1],
+            "wall_ratio_0.1_vs_0.01": ratio,
+            # data grows 10x between those points; <=10 means at-or-below
+            # linear wall growth (sub-linear = fixed overhead amortizing)
+            "superlinear": bool(ratio and ratio > 10.0),
+        }
+
+    result = {
+        "data_growth_per_step": 10,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "queries": rows,
+        "any_superlinear": any(r["superlinear"] for r in rows.values()),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+        fh.write("\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
