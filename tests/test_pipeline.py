@@ -243,3 +243,57 @@ def test_rescue_lines_counts_per_batch(spark, tmp_path):
     assert rsc.rescue_lines(b2, rescue_dir, "s") == 2  # not 5
     # spool still accumulates both batches for replay
     assert spark.read.text(f"{rescue_dir}/s").count() == 5
+
+
+def test_rescue_replay_speed_limit(spark, tmp_path):
+    """Rate-limited wprescue replay (wparse.toml [rescue] speed_limit; the
+    recover TaskController in src/runtime/collector/recovery/mod.rs): the
+    spool re-delivers file-by-file at <= speed_limit lines/sec average,
+    with identical delivery to the unlimited path, and a mid-replay
+    failure leaves the whole spool for the next run."""
+    import time
+
+    from wp_motor_spark.pipeline import Pipeline
+    from wp_motor_spark.sinks import rescue as rsc
+
+    sink_dir = str(tmp_path / "out")
+    rescue_dir = str(tmp_path / "rescue")
+    oml = """
+name : m
+rule : r
+---
+msg = read(msg);
+"""
+    pipe = Pipeline(
+        wpl="rule r { (chars:msg) }",
+        omls=[oml],
+        sinks=[SinkSpec(name="out", kind="test_rescue", path=sink_dir, format="raw")],
+        rescue_dir=rescue_dir,
+    )
+    rsc.set_healthy(sink_dir, False)
+    # three failed batches -> three spool file groups (the replay chunks)
+    for batch in (["aa", "bb"], ["cc", "dd"], ["ee", "ff"]):
+        pipe.write_batch(spark.createDataFrame([(v,) for v in batch], ["value"]))
+    assert len(rsc.spool_files(rescue_dir, "out")) >= 3
+    want = sorted(
+        r["line"] for r in rsc.read_rescued(spark, rescue_dir, "out").collect()
+    )
+    assert len(want) == 6
+
+    # throttled replay: 6 lines at 4/sec -> the pacing sleeps must push
+    # wall past 6/4 = 1.5 s (scheduling overhead only adds)
+    rsc.set_healthy(sink_dir, True)
+    t0 = time.monotonic()
+    replayed = pipe.replay_rescue(spark, speed_limit=4)
+    wall = time.monotonic() - t0
+    assert replayed == {"out": 6}
+    assert wall >= 6 / 4
+    got = sorted(r["value"] for r in spark.read.text(sink_dir).collect())
+    assert got == want  # identical delivery to the unlimited path
+    assert rsc.pending_sinks(rescue_dir) == []
+
+    # still-unhealthy throttled replay keeps the spool
+    rsc.set_healthy(sink_dir, False)
+    pipe.write_batch(spark.createDataFrame([("gg",)], ["value"]))
+    assert pipe.replay_rescue(spark, speed_limit=4) == {}
+    assert rsc.pending_sinks(rescue_dir) == ["out"]

@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
             # --from re-parses raw miss/error lines; --rescue-dir replays
             # already-formatted RescueEntry spools (05-wprescue.md)
             p.add_argument("--from", dest="input")
+            p.add_argument(
+                "--speed-limit", type=int, default=0,
+                help="replay rate cap in lines/sec (wparse.toml [rescue] "
+                "speed_limit; 0 = unlimited)",
+            )
         else:
             p.add_argument("--input", required=True)
         if cmd == "daemon":
@@ -145,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.rescue_dir:
             print("wprescue: need --from or --rescue-dir", file=sys.stderr)
             return 2
-        counts = pipe.replay_rescue(spark)
+        counts = pipe.replay_rescue(spark, speed_limit=args.speed_limit)
         for name, n in counts.items():
             print(f"wprescue: replayed {n} lines -> sink {name}")
         return 0

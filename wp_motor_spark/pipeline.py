@@ -238,10 +238,26 @@ class Pipeline:
             counts[spec.name] = lines.count()
         return counts
 
-    def replay_rescue(self, spark: SparkSession) -> dict[str, int]:
+    def replay_rescue(
+        self, spark: SparkSession, speed_limit: int | None = None
+    ) -> dict[str, int]:
         """wprescue flow (05-wprescue.md): read every sink's rescue spool,
         re-deliver to the configured sink, drain the spool on success.
-        Still-failing sinks keep their spool for the next run."""
+        Still-failing sinks keep their spool for the next run.
+
+        ``speed_limit`` (lines/sec, 0/None = unlimited) is the reference's
+        rescue throttle (wparse.toml [rescue] speed_limit; the recover
+        TaskController in src/runtime/collector/recovery/mod.rs): the spool
+        is re-delivered file-by-file (each failed batch wrote its own part
+        files), sleeping between files so the average rate stays at or
+        under the limit — a recovering downstream must not be re-flooded
+        by the backlog. Partial-failure semantics are unchanged: a failing
+        file leaves the WHOLE spool for the next run (at-least-once, same
+        flush-interval window as the reference)."""
+        import time as _time
+
+        from pyspark.sql import Observation
+
         from wp_motor_spark.sinks import rescue as rsc
 
         if self.rescue_dir is None:
@@ -252,13 +268,37 @@ class Pipeline:
             spec = by_name.get(name)
             if spec is None:
                 continue  # no routing for this spool; leave it in place
-            lines = rsc.read_rescued(spark, self.rescue_dir, name)
-            try:
-                self._write_sink(spec, lines)
-            except Exception:
-                continue  # still unhealthy; retry on the next wprescue
-            counts[name] = lines.count()
-            rsc.drain(self.rescue_dir, name)
+            if not speed_limit:
+                lines = rsc.read_rescued(spark, self.rescue_dir, name)
+                try:
+                    self._write_sink(spec, lines)
+                except Exception:
+                    continue  # still unhealthy; retry on the next wprescue
+                counts[name] = lines.count()
+                rsc.drain(self.rescue_dir, name)
+                continue
+            delivered = 0
+            t0 = _time.monotonic()
+            failed = False
+            for path in rsc.spool_files(self.rescue_dir, name):
+                obs = Observation()
+                lines = rsc.decode_entries(spark.read.text(path)).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+                try:
+                    self._write_sink(spec, lines)
+                except Exception:
+                    failed = True
+                    break  # keep the spool; next run re-delivers it all
+                delivered += int(obs.get["n"])
+                # token-bucket pacing at file granularity: sleep until
+                # delivered/limit seconds have elapsed overall
+                wait = delivered / speed_limit - (_time.monotonic() - t0)
+                if wait > 0:
+                    _time.sleep(wait)
+            if not failed:
+                counts[name] = delivered
+                rsc.drain(self.rescue_dir, name)
         return counts
 
     # ------------------------------------------------------------ streaming

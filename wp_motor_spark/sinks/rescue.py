@@ -82,8 +82,12 @@ def read_rescued(spark: SparkSession, rescue_dir: str, sink_name: str) -> DataFr
     """Decode one sink's spool back to a `line` DataFrame. Unknown kinds
     or versions are passed through untouched as raw text (forward
     compatibility, rescue.rs RescueEntry::parse fallback)."""
-    dest = os.path.join(rescue_dir, sink_name)
-    raw = spark.read.text(dest)
+    return decode_entries(spark.read.text(os.path.join(rescue_dir, sink_name)))
+
+
+def decode_entries(raw: DataFrame) -> DataFrame:
+    """RescueEntry JSONL -> `line` rows (shared by whole-spool and
+    per-file reads)."""
     parsed = F.from_json(
         F.col("value"), "version INT, kind STRING, raw STRING"
     )
@@ -93,6 +97,20 @@ def read_rescued(spark: SparkSession, rescue_dir: str, sink_name: str) -> DataFr
         )
         .otherwise(F.col("value"))
         .alias("line")
+    )
+
+
+def spool_files(rescue_dir: str, sink_name: str) -> list[str]:
+    """One sink's spool part files, oldest-write order — the natural
+    replay chunks for rate-limited re-delivery (each failed batch wrote
+    its own part files)."""
+    dest = os.path.join(rescue_dir, sink_name)
+    if not os.path.isdir(dest):
+        return []
+    return sorted(
+        os.path.join(dest, f)
+        for f in os.listdir(dest)
+        if f.startswith("part-")
     )
 
 
