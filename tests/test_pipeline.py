@@ -297,3 +297,27 @@ msg = read(msg);
     pipe.write_batch(spark.createDataFrame([("gg",)], ["value"]))
     assert pipe.replay_rescue(spark, speed_limit=4) == {}
     assert rsc.pending_sinks(rescue_dir) == ["out"]
+
+
+def test_empty_input_handled_gracefully(spark):
+    """Reference tests/error_handling.rs::should_handle_empty_input_gracefully:
+    zero input rows flow through parse/transform/routing without error and
+    every branch/sink is empty, not absent."""
+    oml = """
+name : m
+rule : r
+---
+msg = read(msg);
+"""
+    pipe = Pipeline(
+        wpl="rule r { (chars:msg) }",
+        omls=[oml],
+        sinks=[SinkSpec(name="out", format="kv")],
+    )
+    res = pipe.run_batch(spark.createDataFrame([], "value string"))
+    assert {k: v.count() for k, v in res.branches.items()} == {
+        "r": 0,
+        "miss": 0,
+        "residue": 0,
+    }
+    assert res.sink_lines["out"].count() == 0
