@@ -117,6 +117,30 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
     # sources
     for p in sorted(glob.glob(os.path.join(src_dir, "*.toml"))):
         t = _toml(p)
+        # v2 unified sources: [[sources]] connect = "<connector id>" +
+        # params_override, resolved against connectors/source.d (upward
+        # search from the workspace root; whitelist enforced)
+        if t.get("sources"):
+            from wp_motor_spark.connectors import SourceConfigParser
+
+            for b in SourceConfigParser(root).parse_and_build(open(p).read()):
+                path = b.path
+                ws.sources.append(
+                    SourceSpec(
+                        key=b.name,
+                        kind=b.kind,
+                        path=os.path.join(root, path)
+                        if path and not os.path.isabs(path)
+                        else path,
+                        enable=b.enable,
+                        tags=_parse_tags(b.tags),
+                        options={
+                            k: v
+                            for k, v in b.params.items()
+                            if k not in ("path", "base", "file")
+                        },
+                    )
+                )
         for kind in ("file", "kafka", "syslog"):
             for s in t.get(f"source_{kind}", []):
                 ws.sources.append(
@@ -140,21 +164,38 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
             return os.path.join(out_root, os.path.basename(path))
         return os.path.join(root, path)
 
+    from wp_motor_spark.connectors import ConnectorRegistry
+
+    sink_registry = ConnectorRegistry.load(root, "sink")
+
     def add_group(
         name: str, sinks: list[dict], condition: str | None, models: list[str] | None
     ) -> None:
         for s in sinks:
-            if "params" in s:  # v2: use = file_raw_sink, params {base, file}
-                params = s["params"]
-                path = rebase(os.path.join(params.get("base", "out"), params["file"]))
-                fmt = "raw" if "raw" in s.get("use", "") else "json"
+            kind = s.get("target", "file")
+            if "use" in s:  # v2: use = <sink connector id> + params_override
+                conn = (
+                    sink_registry.connectors.get(s["use"]) if sink_registry else None
+                )
+                if conn is not None:
+                    params = conn.resolve(s.get("params"))
+                    kind = conn.type if conn.type != "file" else kind
+                    fmt = params.get("fmt") or (
+                        "raw" if "raw" in s["use"] else "json"
+                    )
+                else:  # no registry on disk: the documented name heuristic
+                    params = s.get("params", {})
+                    fmt = "raw" if "raw" in s["use"] else "json"
+                path = rebase(
+                    os.path.join(params.get("base", "out"), params.get("file", f"{name}.dat"))
+                )
             else:  # v1: fmt/target/path
                 path = rebase(s.get("path", f"out/{name}.dat"))
                 fmt = s.get("fmt", "json")
             ws.sinks.append(
                 SinkSpec(
                     name=name,
-                    kind=s.get("target", "file"),
+                    kind=kind,
                     path=path,
                     format=fmt,
                     condition=condition or s.get("condition"),
