@@ -530,3 +530,24 @@ def test_reference_benchmark_rules_full_extraction(spark):
     assert r2["port"] == 1649 and r2["port_2"] == 871
     assert r2["time"].isoformat() == "2021-02-11T05:58:51"
     assert len(r2["kv"]) == 8
+
+
+def test_actor_workflow_h3c_base64_golden(spark):
+    """Reference tests/actor_workflows.rs::actor_workflows_process_http_logs
+    _with_base64_decoding: the inline rule |decode/base64|(digit:id<<,>>,
+    time,sn,time,*_) over the h3c_waf sample's first line. The year-less
+    syslog timestamp ("May 17 08:54:06") must be filled with the CURRENT
+    year (time/rfc.rs parse_date_4) — the reference's expected output
+    pins exactly that; the explicit-year second timestamp stays 2023."""
+    import datetime
+
+    rule = r"package /test_pkg { rule test {|decode/base64|(digit:id<<,>>,time,sn,time,*_)} }"
+    cr = compile_rule(parse_wpl(rule)[0])
+    df = spark.read.text(f"{REF}/tests/sample/h3c_waf/sample.dat").limit(1)
+    row = cr.extract(df).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["id"] == 188
+    assert row["sn"] == "KMDLDLH3CW2020G2WAFA01"
+    year = datetime.date.today().year
+    assert row["time"].isoformat() == f"{year}-05-17T08:54:06"
+    assert row["time_2"].isoformat() == "2023-05-17T08:54:06"

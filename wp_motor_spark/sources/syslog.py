@@ -86,7 +86,12 @@ def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
     raw_ts = F.nullif(F.regexp_extract(v, _R3164, 2), F.lit(""))
     squashed = F.regexp_replace(raw_ts, r"\s+", " ")
     ts = F.coalesce(
-        F.try_to_timestamp(squashed, F.lit("MMM d HH:mm:ss")),
+        # the year-less RFC3164 form assumes the CURRENT year (same rule as
+        # the reference's time/rfc.rs parse_date_4), never 1970
+        F.try_to_timestamp(
+            F.concat(F.date_format(F.current_date(), "yyyy"), F.lit(" "), squashed),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        ),
         F.try_to_timestamp(squashed, F.lit("MMM d yyyy HH:mm:ss")),
         F.try_to_timestamp(F.regexp_replace(squashed, "T", " ")),
     )

@@ -548,7 +548,12 @@ def _time_cast(col: Column, dtype: str) -> Column:
         F.try_to_timestamp(F.regexp_replace(col, "T", " ")),
         F.try_to_timestamp(c, F.lit("yyyy/M/d H:mm:ss")),
         F.try_to_timestamp(c, F.lit("MMM d yyyy HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("MMM d HH:mm:ss")),
+        # year-less syslog form ("May 17 08:54:06"): the reference fills the
+        # CURRENT year (time/rfc.rs parse_date_4), not 1970
+        F.try_to_timestamp(
+            F.concat(F.date_format(F.current_date(), "yyyy"), F.lit(" "), c),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        ),
         F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
     )
     return (
