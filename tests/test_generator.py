@@ -51,3 +51,26 @@ def test_overrides(spark):
     rows = cr.extract(lines).collect()
     assert all(r["sip"] == "1.1.1.1" for r in rows)
     assert all(10 <= r["bytes"] < 20 for r in rows)
+
+
+def test_rule_generator_24_field_round_trip(spark):
+    """Reference tests/actor_workflows.rs::rule_generator_end_to_end
+    _processing: the 24-field comma-separated generation rule — every
+    generated line must re-parse through its own rule with disposition
+    success (generate -> parse round trip, engine_check parity)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+    from wp_motor_spark.wpl.generator import generate_lines
+
+    rule_text = (
+        r"package /test_pkg { rule test { (digit,time,sn,chars,time,kv,sn,"
+        r"chars,time,time,ip,kv,chars,kv,kv,chars,kv,kv,chars,chars,ip,"
+        r"chars,http/request,http/agent)\,} }"
+    )
+    rules = parse_wpl(rule_text)
+    lines = generate_lines(spark, rules[0], 50, seed=3)
+    out = compile_rule(rules[0]).extract(
+        lines.withColumnRenamed(lines.columns[0], "value")
+    )
+    by_disp = {r["_disposition"]: r["count"] for r in
+               out.groupBy("_disposition").count().collect()}
+    assert by_disp == {"success": 50}
