@@ -126,12 +126,23 @@ def main(argv: list[str] | None = None) -> int:
         if not args.wpl:
             print("wpgen: need --wpl or --sample", file=sys.stderr)
             return 2
-        from wp_motor_spark.wpl.generator import generate_lines
+        import os
+
+        from wp_motor_spark.wpl.generator import (
+            generate_lines,
+            load_gen_field_overrides,
+        )
 
         rule = open(args.wpl).read()
-        generate_lines(spark, rule, args.n, seed=args.seed).write.mode(
-            "overwrite"
-        ).text(args.out)
+        # per-field scopes: a gen_field.toml next to the rule file is loaded
+        # automatically (the reference's load_gen_confs rule_root layout)
+        overrides = None
+        gf = os.path.join(os.path.dirname(os.path.abspath(args.wpl)), "gen_field.toml")
+        if os.path.exists(gf):
+            overrides = load_gen_field_overrides(open(gf).read())
+        generate_lines(
+            spark, rule, args.n, overrides=overrides, seed=args.seed
+        ).write.mode("overwrite").text(args.out)
         print(f"wpgen: {args.n} lines -> {args.out}")
         return 0
 

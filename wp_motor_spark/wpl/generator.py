@@ -34,6 +34,42 @@ _STATUSES = [200, 200, 200, 301, 404, 500]
 _BASE_TS = 1700000000  # 2023-11-14T22:13:20Z
 
 
+def _ip4_to_long(ip: str) -> int:
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def load_gen_field_overrides(text: str) -> dict:
+    """gen_field.toml (FieldsGenRule / FieldGenConf, generator/rule.rs) ->
+    the overrides dict `generate_lines` takes. Scope variants map to the
+    same semantics: digit/float {beg,end}, ip {beg,end} (inclusive IPv4
+    range), chars = value list; gen_fmt renders the value into a
+    "SN-{val}"-style template."""
+    import tomllib
+
+    doc = tomllib.loads(text)
+    out: dict[str, dict] = {}
+    for name, conf in doc.get("items", {}).items():
+        ov: dict = {}
+        scope = conf.get("scope", {})
+        if "ip" in scope:
+            ov["ip_range"] = (scope["ip"]["beg"], scope["ip"]["end"])
+        elif "float" in scope:
+            ov["frange"] = (scope["float"]["beg"], scope["float"]["end"])
+        elif "digit" in scope:
+            ov["range"] = (scope["digit"]["beg"], scope["digit"]["end"])
+        elif "chars" in scope:
+            vals = scope["chars"]
+            ov["choices"] = (
+                vals if isinstance(vals, list) else list(vals.values())
+            )
+        if conf.get("gen_fmt"):
+            ov["fmt"] = conf["gen_fmt"]
+        if ov:
+            out[name] = ov
+    return out
+
+
 def _rnd(id_col: Column, salt: int, mod: int) -> Column:
     """Deterministic pseudo-random int in [0, mod)."""
     return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(mod))
@@ -61,15 +97,40 @@ class _Gen:
         name = fld.name or fld.dtype
         ov = self.overrides.get(name)
         if ov:
+            base: Column | None = None
             if "choices" in ov:
-                return _choice(self.id, self.nsalt(), ov["choices"])
-            if "range" in ov:
+                base = _choice(self.id, self.nsalt(), ov["choices"])
+            elif "ip_range" in ov:  # GenScopeEnum::Ip — inclusive IPv4 range
+                lo, hi = (_ip4_to_long(x) for x in ov["ip_range"])
+                n = _rnd(self.id, self.nsalt(), hi - lo + 1) + F.lit(lo)
+                base = F.format_string(
+                    "%d.%d.%d.%d",
+                    F.shiftright(n, 24).bitwiseAND(F.lit(255)),
+                    F.shiftright(n, 16).bitwiseAND(F.lit(255)),
+                    F.shiftright(n, 8).bitwiseAND(F.lit(255)),
+                    n.bitwiseAND(F.lit(255)),
+                )
+            elif "frange" in ov:  # GenScopeEnum::Float — [beg, end)
+                lo, hi = ov["frange"]
+                cents = _rnd(self.id, self.nsalt(), max(int((hi - lo) * 100), 1))
+                base = F.format_string(
+                    "%.2f", F.lit(float(lo)) + cents.cast("double") / 100.0
+                )
+            elif "range" in ov:
                 lo, hi = ov["range"]
-                return (_rnd(self.id, self.nsalt(), hi - lo) + F.lit(lo)).cast("string")
-            if "fmt" in ov:
-                val = _rnd(self.id, self.nsalt(), 100000).cast("string")
+                base = (_rnd(self.id, self.nsalt(), hi - lo) + F.lit(lo)).cast(
+                    "string"
+                )
+            if "fmt" in ov:  # gen_fmt "SN-{val}" renders the scoped value
+                val = (
+                    base
+                    if base is not None
+                    else _rnd(self.id, self.nsalt(), 100000).cast("string")
+                )
                 pre, _, post = ov["fmt"].partition("{val}")
                 return F.concat(F.lit(pre), val, F.lit(post))
+            if base is not None:
+                return base
         s = self.nsalt
         d = fld.dtype
         if d == "ip":
