@@ -101,3 +101,76 @@ def test_wpgen_sample_mode_caps_driver_collect(spark, tmp_path, monkeypatch):
     rc = main(["wpgen", "--sample", str(sample), "-n", "10", "--out", out])
     assert rc == 2
     assert not os.path.exists(out)
+
+
+def test_wpgen_config_mode_v2_connector_sink(spark, tmp_path):
+    """tests/wpgen_rule_exec.rs::wpgen_rule_from_files_produces_data: v2
+    wpgen.toml [generator] count + [output] connect resolved against
+    connectors/sink.d."""
+    cdir = tmp_path / "connectors" / "sink.d"
+    cdir.mkdir(parents=True)
+    (cdir / "fj.toml").write_text(
+        """
+[[connectors]]
+id = "file_json_sink"
+type = "file"
+allow_override = ["base", "file", "path", "fmt"]
+[connectors.params]
+fmt = "json"
+base = "./data/out_dat"
+file = "out.dat"
+"""
+    )
+    (tmp_path / "wpgen.toml").write_text(
+        """
+version = "1.0"
+[generator]
+mode = "rule"
+count = 8
+[output]
+connect = "file_json_sink"
+"""
+    )
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    (rules / "gen_rule.wpl").write_text("package /smoke { rule r1 { (digit,ip,chars) } }")
+    rc = main(["wpgen", "--config", str(tmp_path / "wpgen.toml"), "--wpl", str(rules)])
+    assert rc == 0
+    out = tmp_path / "data" / "out_dat" / "out.dat"
+    lines = [
+        ln
+        for f in os.listdir(out)
+        if f.startswith("part-")
+        for ln in open(out / f).read().splitlines()
+    ]
+    assert len(lines) == 8
+
+
+def test_wpgen_config_mode_v1_instance(spark, tmp_path):
+    """The instance's own conf/wpgen.toml (v1 [main_conf] gen_count=1000,
+    out_ref -> [out_file] target path ./src_dat/gen.dat)."""
+    import shutil
+
+    root = tmp_path / "instance"
+    shutil.copytree("/root/reference/tests/instance", root)
+    rc = main([
+        "wpgen",
+        "--config", str(root / "conf" / "wpgen.toml"),
+        "--wpl", str(root / "wpl" / "example" / "simple"),
+    ])
+    assert rc == 0
+    out = root / "src_dat" / "gen.dat"
+    n = sum(
+        len(open(out / f).read().splitlines())
+        for f in os.listdir(out)
+        if f.startswith("part-")
+    )
+    assert n == 1000
+
+
+def test_wpgen_config_mode_missing_connector(spark, tmp_path):
+    (tmp_path / "wpgen.toml").write_text(
+        "[generator]\ncount = 5\n[output]\nconnect = \"nope\"\n"
+    )
+    rc = main(["wpgen", "--config", str(tmp_path / "wpgen.toml"), "--wpl", "x"])
+    assert rc == 2

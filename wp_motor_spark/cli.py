@@ -50,6 +50,77 @@ def _build_pipeline(args):
     )
 
 
+def _wpgen_from_config(spark, args) -> int:
+    """Config-driven wpgen (tests/wpgen_rule_exec.rs; conf/wpgen.toml):
+    v2 `[generator]` (mode/count) + `[output] connect = "<sink id>"`
+    resolved against connectors/sink.d (upward search from the config
+    dir), or v1 `[main_conf]` gen_count + out_ref -> `[<out_ref>]`
+    section with a file target. Rules load from --wpl (a gen_rule.wpl
+    file or a directory holding one, with gen_field.toml alongside)."""
+    import os
+    import tomllib
+
+    from wp_motor_spark.connectors import ConnectorRegistry
+    from wp_motor_spark.wpl.generator import (
+        generate_lines,
+        load_gen_field_overrides,
+    )
+
+    with open(args.config, "rb") as fh:
+        doc = tomllib.load(fh)
+    conf_dir = os.path.dirname(os.path.abspath(args.config))
+
+    if "generator" in doc:  # v2
+        count = int(doc["generator"].get("count", args.n))
+        connect = doc.get("output", {}).get("connect")
+        if not connect:
+            print("wpgen: [output] connect missing", file=sys.stderr)
+            return 2
+        registry = ConnectorRegistry.load(conf_dir, "sink")
+        if registry is None:
+            print("wpgen: connector not found (no connectors/sink.d)", file=sys.stderr)
+            return 2
+        try:
+            conn = registry.get(connect)
+        except KeyError as e:
+            print(f"wpgen: {e.args[0]}", file=sys.stderr)
+            return 2
+        params = conn.resolve(doc.get("output", {}).get("params_override"))
+        out_path = params.get("path") or os.path.join(
+            params.get("base", "out"), params.get("file", "gen.dat")
+        )
+        if not os.path.isabs(out_path):
+            out_path = os.path.join(conf_dir, out_path)
+    elif "main_conf" in doc:  # v1 (conf/wpgen.toml)
+        mc = doc["main_conf"]
+        count = int(mc.get("gen_count", args.n))
+        out = doc.get(mc.get("out_ref", "out_file"), {})
+        out_path = out.get("target", {}).get("file", {}).get("path", "gen_out")
+        if not os.path.isabs(out_path):
+            # v1 paths are workspace-relative (conf/ is one level down)
+            out_path = os.path.normpath(os.path.join(conf_dir, "..", out_path))
+    else:
+        print("wpgen: config has neither [generator] nor [main_conf]", file=sys.stderr)
+        return 2
+
+    if not args.wpl:
+        print("wpgen: --config mode needs --wpl (rule file or dir)", file=sys.stderr)
+        return 2
+    rule_path = args.wpl
+    if os.path.isdir(rule_path):
+        rule_path = os.path.join(rule_path, "gen_rule.wpl")
+    rule = open(rule_path).read()
+    overrides = None
+    gf = os.path.join(os.path.dirname(os.path.abspath(rule_path)), "gen_field.toml")
+    if os.path.exists(gf):
+        overrides = load_gen_field_overrides(open(gf).read())
+    generate_lines(
+        spark, rule, count, overrides=overrides, seed=args.seed
+    ).write.mode("overwrite").text(out_path)
+    print(f"wpgen: {count} lines -> {out_path}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="wp-motor-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -79,14 +150,25 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("wpgen")
     g.add_argument("--wpl", help="rule mode: generate lines matching the rule")
     g.add_argument("--sample", help="sample mode: replicate sample-file lines")
+    g.add_argument(
+        "--config",
+        help="config mode: wpgen.toml ([generator]/[output] v2 with a "
+        "connector-resolved sink, or [main_conf]/out_ref v1); rule files "
+        "come from --wpl (a gen_rule.wpl or its directory)",
+    )
     g.add_argument("-n", type=int, default=1000)
-    g.add_argument("--out", required=True)
+    g.add_argument("--out", help="output dir (rule/sample modes)")
     g.add_argument("--seed", type=int, default=0)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"wp_motor_spark_{args.cmd}")
 
     if args.cmd == "wpgen":
+        if args.config:
+            return _wpgen_from_config(spark, args)
+        if not args.out:
+            print("wpgen: --out required outside --config mode", file=sys.stderr)
+            return 2
         if args.sample:
             # sample mode (04-wpgen.md): replicate sample-file lines to
             # volume, deterministic round-robin — distributed via a range
