@@ -81,3 +81,61 @@ def test_data_stat_and_clean(tmp_path, capsys):
     assert main(["data", "clean", "-w", root]) == 0
     assert not os.path.exists(sink_dir)
     assert os.path.exists(os.path.join(root, "data", "demo.dat"))  # inputs kept
+
+
+def test_data_check_and_validate_lifecycle(spark, tmp_path, capsys):
+    """wproj data check (source connectivity) + data validate (delivery
+    ratios vs input, 02-wproj.md): fill the configured source with wpgen,
+    run the assembled pipeline, then validate sink ratios — an `expect`
+    block turns the ratio into a PASS/FAIL gate."""
+    import os
+    import shutil
+
+    from wp_motor_spark.config import build_pipeline, load_workspace
+
+    root = tmp_path / "instance"
+    shutil.copytree(INSTANCE, root)
+
+    # check fails while the configured source file is absent
+    assert main(["data", "check", "-w", str(root)]) == 1
+    out = capsys.readouterr().out
+    assert "MISSING" in out
+
+    from wp_motor_spark.wpl.generator import generate_lines
+    from wp_motor_spark.wpl.parser import parse_wpl
+
+    rule = parse_wpl((root / "wpl/example/simple/gen_rule.wpl").read_text())[0]
+    (root / "src_dat").mkdir()
+    (root / "src_dat" / "gen.dat").write_text(
+        "\n".join(r[0] for r in generate_lines(spark, rule, 40, seed=2).collect())
+        + "\njunk ###\n"
+    )
+    assert main(["data", "check", "-w", str(root)]) == 0
+
+    # run the workspace pipeline so sinks hold output (out_root=workspace
+    # out/ so validate sees the same paths)
+    ws = load_workspace(str(root))
+    pipe, inputs = build_pipeline(ws)
+    pipe.write_batch(spark.read.text(inputs))
+
+    # no expect blocks: informational, rc 0
+    assert main(["data", "validate", "-w", str(root)]) == 0
+    out = capsys.readouterr().out
+    assert "sink other: 40/41" in out  # 40 parsed; the junk line -> miss
+    # give `other` an expect gate that FAILS (ratio 1.0 means every input
+    # line delivered; the junk line went to miss, so ratio is 40/41)
+    sink_toml = root / "topology" / "sinks" / "sink.toml"
+    sink_toml.write_text(
+        sink_toml.read_text()
+        + "\n[sink_group.expect]\nratio = 1.0\ntol = 0.0\n"
+    )
+    assert main(["data", "validate", "-w", str(root)]) == 1
+    out = capsys.readouterr().out
+    assert "FAIL" in out
+    # widen the tolerance -> PASS
+    sink_toml.write_text(
+        sink_toml.read_text().replace("tol = 0.0", "tol = 0.05")
+    )
+    assert main(["data", "validate", "-w", str(root)]) == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out

@@ -169,7 +169,8 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
     sink_registry = ConnectorRegistry.load(root, "sink")
 
     def add_group(
-        name: str, sinks: list[dict], condition: str | None, models: list[str] | None
+        name: str, sinks: list[dict], condition: str | None, models: list[str] | None,
+        group_expect: dict | None = None,
     ) -> None:
         for s in sinks:
             kind = s.get("target", "file")
@@ -200,6 +201,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     format=fmt,
                     condition=condition or s.get("condition"),
                     models=list(models) if models is not None else ["*"],
+                    expect=s.get("expect") or group_expect,
                 )
             )
 
@@ -210,12 +212,16 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
         if "sink_group" in t:
             g = t["sink_group"]
             add_group(
-                g.get("name", "data"), g.get("sinks", []), g.get("condition"), g.get("oml")
+                g.get("name", "data"), g.get("sinks", []), g.get("condition"),
+                g.get("oml"), g.get("expect"),
             )
         else:  # framework.toml: one section per infra group
             for name, g in t.items():
                 if isinstance(g, dict) and "sinks" in g:
-                    add_group(g.get("name", name), g["sinks"], g.get("condition"), g.get("oml"))
+                    add_group(
+                        g.get("name", name), g["sinks"], g.get("condition"),
+                        g.get("oml"), g.get("expect"),
+                    )
 
     # dedupe by (group, path): framework.toml and infra.d describe the same
     # channels in the two config generations

@@ -21,3 +21,7 @@ class SinkSpec:
     filter_expect: bool = True  # keep records where condition == this
     models: list[str] = field(default_factory=lambda: ["*"])  # OML model globs
     options: dict = field(default_factory=dict)  # connector passthrough
+    # delivery expectation (wp-cli-core observability/validate.rs):
+    # {"ratio": 1.0, "tol": 0.0} — fraction of total input expected to
+    # reach this sink, checked by `wproj data validate`
+    expect: dict | None = None

@@ -209,13 +209,9 @@ def cmd_data_stat(root: str) -> int:
         if not os.path.exists(p):
             print(f"source {s.key}: MISSING {p}")
             continue
-        lines = bytes_ = 0
-        with open(p, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                lines += chunk.count(b"\n")
-                bytes_ += len(chunk)
+        lines = _path_line_count(p)
         total += lines
-        print(f"source {s.key}: {lines} lines, {bytes_} bytes ({p})")
+        print(f"source {s.key}: {lines} lines ({p})")
     for sk in ws.sinks:
         if sk.kind == "file" and sk.path and os.path.isdir(sk.path):
             n = sum(
@@ -251,6 +247,106 @@ def cmd_data_clean(root: str) -> int:
             removed += 1
     print(f"wproj data clean: removed {removed} sink dir(s)")
     return 0
+
+
+def _path_line_count(path: str) -> int:
+    """Lines in a plain file OR a Spark text-output directory."""
+    if os.path.isfile(path):
+        with open(path, "rb") as fh:
+            return sum(
+                chunk.count(b"\n") for chunk in iter(lambda: fh.read(1 << 20), b"")
+            )
+    return _sink_line_count(path)
+
+
+def _sink_line_count(path: str) -> int:
+    return sum(
+        open(os.path.join(r, f), "rb").read().count(b"\n")
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+
+
+def cmd_data_validate(root: str, input_cnt: int | None) -> int:
+    """wproj data validate (wp-cli-core observability/validate.rs):
+    per-sink delivered-line ratio against the total input count. Input
+    defaults to the enabled file sources' line total; --input-cnt
+    overrides it (the reference's denominator flag). Sinks carrying an
+    `expect` block ({ratio, tol}) PASS when |ratio - expect| <= tol;
+    sinks without one are reported informationally. rc 1 on any FAIL."""
+    from wp_motor_spark.config import load_workspace
+
+    ws = load_workspace(root)
+    if input_cnt is None:
+        input_cnt = 0
+        for s in ws.sources:
+            if s.kind == "file" and s.enable and s.path and os.path.exists(s.path):
+                input_cnt += _path_line_count(s.path)
+    if not input_cnt:
+        print("wproj data validate: no input lines (use --input-cnt)")
+        return 2
+    failed = 0
+    for sk in ws.sinks:
+        if sk.kind != "file" or not sk.path:
+            continue
+        n = _sink_line_count(sk.path) if os.path.isdir(sk.path) else 0
+        ratio = n / input_cnt
+        if sk.expect and "ratio" in sk.expect:
+            want = float(sk.expect["ratio"])
+            tol = float(sk.expect.get("tol", 0.0))
+            ok = abs(ratio - want) <= tol
+            failed += 0 if ok else 1
+            print(
+                f"sink {sk.name}: {n}/{input_cnt} ratio={ratio:.4f} "
+                f"expect={want}±{tol} {'PASS' if ok else 'FAIL'}"
+            )
+        else:
+            print(f"sink {sk.name}: {n}/{input_cnt} ratio={ratio:.4f}")
+    print(f"wproj data validate: {failed} failure(s)")
+    return 1 if failed else 0
+
+
+def cmd_data_check(root: str) -> int:
+    """wproj data check: source connectivity. File sources must exist and
+    be readable; syslog/tcp listeners get a bind probe on their configured
+    (addr, port) (a conflict means something else holds the port); kafka
+    stays honestly unverified (no broker reachable from this tool)."""
+    import socket
+
+    from wp_motor_spark.config import load_workspace
+
+    ws = load_workspace(root)
+    bad = 0
+    for s in ws.sources:
+        if not s.enable:
+            print(f"source {s.key} ({s.kind}): DISABLED")
+            continue
+        if s.kind == "file":
+            if s.path and os.path.exists(s.path) and os.access(s.path, os.R_OK):
+                print(f"source {s.key} (file): OK {s.path}")
+            else:
+                print(f"source {s.key} (file): MISSING {s.path}")
+                bad += 1
+        elif s.kind in ("syslog", "tcp"):
+            addr = s.options.get("addr", "0.0.0.0")
+            port = int(s.options.get("port", 514))
+            proto = str(s.options.get("protocol", "udp")).lower()
+            stype = socket.SOCK_DGRAM if proto == "udp" else socket.SOCK_STREAM
+            try:
+                with socket.socket(socket.AF_INET, stype) as sock:
+                    sock.bind((addr, port))
+                print(f"source {s.key} ({s.kind}/{proto}): OK bind {addr}:{port}")
+            except OSError as e:
+                print(
+                    f"source {s.key} ({s.kind}/{proto}): BIND FAILED "
+                    f"{addr}:{port} ({e})"
+                )
+                bad += 1
+        else:
+            print(f"source {s.key} ({s.kind}): UNVERIFIED (no broker probe)")
+    print(f"wproj data check: {bad} failure(s)")
+    return 1 if bad else 0
 
 
 def cmd_rule_parse(root: str, sample: str | None) -> int:
@@ -311,9 +407,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p_data = sub.add_parser("data")
     dsub = p_data.add_subparsers(dest="data_cmd", required=True)
-    for dc in ("stat", "clean"):
+    for dc in ("stat", "clean", "check"):
         dp = dsub.add_parser(dc)
         dp.add_argument("-w", "--work-root", default=".")
+    dv = dsub.add_parser("validate")
+    dv.add_argument("-w", "--work-root", default=".")
+    dv.add_argument("--input-cnt", type=int, default=None)
 
     args = ap.parse_args(argv)
     if args.cmd == "init":
@@ -328,6 +427,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_rule_parse(args.work_root, args.sample)
     if args.cmd == "data" and args.data_cmd == "stat":
         return cmd_data_stat(args.work_root)
+    if args.cmd == "data" and args.data_cmd == "check":
+        return cmd_data_check(args.work_root)
+    if args.cmd == "data" and args.data_cmd == "validate":
+        return cmd_data_validate(args.work_root, args.input_cnt)
     if args.cmd == "data" and args.data_cmd == "clean":
         return cmd_data_clean(args.work_root)
     return 2
