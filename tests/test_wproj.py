@@ -139,3 +139,44 @@ def test_data_check_and_validate_lifecycle(spark, tmp_path, capsys):
     assert main(["data", "validate", "-w", str(root)]) == 0
     out = capsys.readouterr().out
     assert "PASS" in out
+
+
+def test_know_init_check_clean_lifecycle(tmp_path, capsys):
+    """wproj know init/check/clean (wp-cli-core knowdb::{init,check,clean}):
+    scaffold, verify the table contract (create/insert/data/columns),
+    fail when the data file vanishes, clean removes the tree."""
+    root = str(tmp_path)
+    assert main(["know", "init", "-w", root, "--full"]) == 0
+    kdir = tmp_path / "models" / "knowledge"
+    assert (kdir / "knowdb.toml").exists()
+    assert (kdir / "example" / "create.sql").exists()
+    assert main(["know", "check", "-w", root]) == 0
+    (kdir / "example" / "data.csv").unlink()
+    assert main(["know", "check", "-w", root]) == 1
+    out = capsys.readouterr().out
+    assert "data_ok=N" in out
+    assert main(["know", "clean", "-w", root]) == 0
+    assert not kdir.exists()
+    # check on a cleaned workspace reports the missing config
+    assert main(["know", "check", "-w", root]) == 1
+
+
+def test_knowdb_toml_spark_loader(spark, tmp_path):
+    """KnowDB.load_knowdb_toml: the scaffolded v2 config loads as a
+    broadcastable table with the by_header column selection; an
+    expected_rows violation raises (on_error = fail)."""
+    import pytest as _pytest
+
+    from wp_motor_spark.knowdb import KnowDB
+
+    root = str(tmp_path)
+    assert main(["know", "init", "-w", root, "--full"]) == 0
+    kdb = KnowDB(spark).load_knowdb_toml(root)
+    df = kdb.table("example")
+    assert df.columns == ["name", "pinying"]
+    assert df.count() == 2
+    # tighten expected_rows below the actual count -> load fails
+    conf = tmp_path / "models" / "knowledge" / "knowdb.toml"
+    conf.write_text(conf.read_text().replace("min = 1", "min = 3"))
+    with _pytest.raises(ValueError, match="outside expected"):
+        KnowDB(spark).load_knowdb_toml(root)

@@ -43,6 +43,50 @@ class KnowDB:
     def _read_csv(self, path: str) -> DataFrame:
         return self.spark.read.csv(path, header=True, inferSchema=True)
 
+    def load_knowdb_toml(self, work_root: str) -> "KnowDB":
+        """Load the v2 `models/knowledge/knowdb.toml` project config
+        (wp-knowledge loader.rs KnowDbConf; wp-cli-core knowdb::check):
+        per-table dirs with data files, column selection by_header /
+        by_index, the `[csv]` delimiter/header conf, and `expected_rows`
+        min/max validated at load (on violation: raise, matching
+        on_error = "fail")."""
+        import tomllib
+
+        conf_path = os.path.join(work_root, "models", "knowledge", "knowdb.toml")
+        with open(conf_path, "rb") as fh:
+            conf = tomllib.load(fh)
+        if int(conf.get("version", 0)) != 2:
+            raise ValueError("knowdb.version must be 2")
+        base = os.path.join(os.path.dirname(conf_path), conf.get("base_dir", "."))
+        csv_conf = conf.get("csv", {})
+        header = bool(csv_conf.get("has_header", True))
+        delim = csv_conf.get("delimiter", ",")
+        for t in conf.get("tables", []):
+            if not t.get("enabled", True):
+                continue
+            dir_name = t.get("dir", t["name"])
+            data = os.path.join(base, dir_name, t.get("data_file", "data.csv"))
+            df = self.spark.read.csv(
+                data, header=header, sep=delim, inferSchema=True
+            )
+            cols = t.get("columns", {})
+            if cols.get("by_header"):
+                df = df.select(*cols["by_header"])
+            elif cols.get("by_index"):
+                all_cols = df.columns
+                df = df.select(*[all_cols[i] for i in cols["by_index"]])
+            exp = t.get("expected_rows")
+            if exp:
+                n = df.count()
+                lo, hi = exp.get("min"), exp.get("max")
+                if (lo is not None and n < lo) or (hi is not None and n > hi):
+                    raise ValueError(
+                        f"knowdb table {t['name']!r}: {n} rows outside "
+                        f"expected [{lo}, {hi}]"
+                    )
+            self.register(t["name"], df)
+        return self
+
     def register(self, name: str, df: DataFrame) -> "KnowDB":
         self.tables[name] = df
         return self

@@ -349,6 +349,124 @@ def cmd_data_check(root: str) -> int:
     return 1 if bad else 0
 
 
+_KNOWDB_TOML = """version = 2
+
+[[tables]]
+name = "example"
+columns.by_header = ["name", "pinying"]
+
+[tables.expected_rows]
+min = 1
+"""
+
+_KNOWDB_TOML_FULL = """version = 2
+base_dir = "."
+
+[default]
+transaction = true
+batch_size = 2000
+on_error = "fail"
+
+[csv]
+has_header = true
+delimiter = ","
+encoding = "utf-8"
+trim = true
+
+[[tables]]
+name = "example"
+dir = "example"
+enabled = true
+columns.by_header = ["name", "pinying"]
+
+[tables.expected_rows]
+min = 1
+max = 100
+"""
+
+
+def cmd_know_init(root: str, full: bool) -> int:
+    """wproj know init (wp-cli-core knowdb::init): scaffold
+    models/knowledge/ with knowdb.toml + the example table dir
+    (create.sql / insert.sql / data.csv — the reference's exact layout;
+    the SQL files document the native loader contract, the CSV is what
+    the Spark KnowDB actually reads)."""
+    kdir = os.path.join(root, "models", "knowledge")
+    ex = os.path.join(kdir, "example")
+    os.makedirs(ex, exist_ok=True)
+    with open(os.path.join(kdir, "knowdb.toml"), "w") as fh:
+        fh.write(_KNOWDB_TOML_FULL if full else _KNOWDB_TOML)
+    with open(os.path.join(ex, "create.sql"), "w") as fh:
+        fh.write(
+            "CREATE TABLE IF NOT EXISTS {table} (\n  id      INTEGER PRIMARY KEY,\n"
+            "  name    TEXT NOT NULL,\n  pinying TEXT NOT NULL\n);\n"
+            "CREATE INDEX IF NOT EXISTS idx_{table}_name ON {table}(name);\n"
+        )
+    with open(os.path.join(ex, "insert.sql"), "w") as fh:
+        fh.write("INSERT INTO {table} (name, pinying) VALUES (?1, ?2);\n")
+    with open(os.path.join(ex, "data.csv"), "w") as fh:
+        fh.write("name,pinying\nlinghu_chong,linghuchong\nren_yingying,renyingying\n")
+    print(f"wproj know init: {kdir}")
+    return 0
+
+
+def cmd_know_check(root: str) -> int:
+    """wproj know check (knowdb::check): per enabled table, verify
+    create.sql / insert.sql / the data file exist and a column selection
+    is declared; rc 1 when any table fails."""
+    import tomllib
+
+    conf_path = os.path.join(root, "models", "knowledge", "knowdb.toml")
+    if not os.path.exists(conf_path):
+        print(f"wproj know check: knowdb config not found: {conf_path}")
+        return 1
+    with open(conf_path, "rb") as fh:
+        conf = tomllib.load(fh)
+    if int(conf.get("version", 0)) != 2:
+        print("wproj know check: knowdb.version must be 2")
+        return 1
+    base = os.path.join(os.path.dirname(conf_path), conf.get("base_dir", "."))
+    ok = fail = 0
+    for t in conf.get("tables", []):
+        if not t.get("enabled", True):
+            continue
+        dir_name = t.get("dir", t["name"])
+        tdir = os.path.join(base, dir_name)
+        checks = {
+            "create_ok": os.path.exists(os.path.join(tdir, "create.sql")),
+            "insert_ok": os.path.exists(os.path.join(tdir, "insert.sql")),
+            "data_ok": os.path.exists(
+                os.path.join(tdir, t.get("data_file", "data.csv"))
+            ),
+            "columns_ok": bool(
+                t.get("columns", {}).get("by_header")
+                or t.get("columns", {}).get("by_index")
+            ),
+        }
+        good = all(checks.values())
+        ok += good
+        fail += not good
+        detail = " ".join(f"{k}={'Y' if v else 'N'}" for k, v in checks.items())
+        print(f"table {dir_name}: {'OK' if good else 'FAIL'} ({detail})")
+    print(f"wproj know check: {ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+def cmd_know_clean(root: str) -> int:
+    """wproj know clean (knowdb::clean): remove models/knowledge/ and the
+    .run/authority.sqlite cache."""
+    import shutil
+
+    kdir = os.path.join(root, "models", "knowledge")
+    removed = os.path.isdir(kdir)
+    shutil.rmtree(kdir, ignore_errors=True)
+    auth = os.path.join(root, ".run", "authority.sqlite")
+    if os.path.exists(auth):
+        os.remove(auth)
+    print(f"wproj know clean: removed={removed}")
+    return 0
+
+
 def cmd_rule_parse(root: str, sample: str | None) -> int:
     """Offline parsing test (wproj rule parse): run every workspace rule
     over a sample file and print per-rule hit/miss counts."""
@@ -414,6 +532,15 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("-w", "--work-root", default=".")
     dv.add_argument("--input-cnt", type=int, default=None)
 
+    p_know = sub.add_parser("know")
+    ksub = p_know.add_subparsers(dest="know_cmd", required=True)
+    k_init = ksub.add_parser("init")
+    k_init.add_argument("-w", "--work-root", default=".")
+    k_init.add_argument("--full", action="store_true")
+    for kc in ("check", "clean"):
+        kp = ksub.add_parser(kc)
+        kp.add_argument("-w", "--work-root", default=".")
+
     args = ap.parse_args(argv)
     if args.cmd == "init":
         return cmd_init(args.work_root, args.mode)
@@ -431,6 +558,12 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_data_check(args.work_root)
     if args.cmd == "data" and args.data_cmd == "validate":
         return cmd_data_validate(args.work_root, args.input_cnt)
+    if args.cmd == "know" and args.know_cmd == "init":
+        return cmd_know_init(args.work_root, args.full)
+    if args.cmd == "know" and args.know_cmd == "check":
+        return cmd_know_check(args.work_root)
+    if args.cmd == "know" and args.know_cmd == "clean":
+        return cmd_know_clean(args.work_root)
     if args.cmd == "data" and args.data_cmd == "clean":
         return cmd_data_clean(args.work_root)
     return 2
