@@ -311,29 +311,58 @@ def extract_main_word(col: Column) -> Column:
 
         return _jieba_main(col)
     except ImportError:
-        stop = "the a an of to in and or for on at is are was be this that with"
+        from wp_motor_spark.oml.semantic import semantic_dict
+
+        d = semantic_dict()
+        # domain words win outright (extract_word.rs priority: a known
+        # log-domain keyword beats a merely-long token), then longest
+        # non-stopword
         words = F.filter(
             F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
-            lambda w: (F.length(w) > 1) & ~w.isin(*stop.split()),
+            lambda w: (F.length(w) > 1) & ~w.isin(*sorted(d.stop_words)),
         )
-        return F.array_max(F.transform(words, lambda w: F.struct(F.length(w), w))).getField("w")
+        domain_hit = F.array_max(
+            F.filter(words, lambda w: w.isin(*sorted(d.domain_words)))
+        )
+        longest = F.array_max(
+            F.transform(
+                words,
+                lambda w: F.struct(F.length(w).alias("n"), w.alias("w")),
+            )
+        ).getField("w")
+        return F.coalesce(domain_hit, longest)
 
 
 def extract_subject_object(col: Column) -> Column:
     """extract_word.rs — Subject-Action-Object-Status struct from log text.
 
-    Heuristic expression version: first token = subject, first verb-ish
-    token = action, token after it = object, trailing status word if any.
+    Heuristic expression version: first token = subject, the first
+    semantic-dict ACTION VERB = action (falling back to token 2), the
+    token after the action = object, and any STATUS WORD anywhere in the
+    line = status — both word sets come from the semantic dictionary
+    (built-ins + semantic_dict.toml merge, oml/semantic.py).
     """
-    toks = F.split(F.trim(col), r"\s+")
+    from wp_motor_spark.oml.semantic import semantic_dict
+
+    d = semantic_dict()
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    actions = sorted(d.action_verbs)
+    statuses = sorted(d.status_words)
+    # position of the first action verb (0 = none)
+    act_pos = F.coalesce(
+        F.array_position(
+            F.transform(toks, lambda w: w.isin(*actions)), F.lit(True)
+        ),
+        F.lit(0),
+    )
+    action = F.when(act_pos > 0, F.try_element_at(toks, act_pos.cast("int")))
+    obj = F.when(
+        act_pos > 0, F.try_element_at(toks, (act_pos + 1).cast("int"))
+    )
+    status = F.array_max(F.filter(toks, lambda w: w.isin(*statuses)))
     return F.struct(
         F.try_element_at(toks, F.lit(1)).alias("subject"),
-        F.try_element_at(toks, F.lit(2)).alias("action"),
-        F.try_element_at(toks, F.lit(3)).alias("object"),
-        F.when(
-            F.try_element_at(toks, F.lit(-1)).rlike(
-                "(?i)^(success|failed?|ok|error|denied|rejected|permitted)$"
-            ),
-            F.try_element_at(toks, F.lit(-1)),
-        ).alias("status"),
+        F.coalesce(action, F.try_element_at(toks, F.lit(2))).alias("action"),
+        F.coalesce(obj, F.try_element_at(toks, F.lit(3))).alias("object"),
+        status.alias("status"),
     )
