@@ -174,3 +174,24 @@ def test_wpgen_config_mode_missing_connector(spark, tmp_path):
     )
     rc = main(["wpgen", "--config", str(tmp_path / "wpgen.toml"), "--wpl", "x"])
     assert rc == 2
+
+
+def test_wparse_line_max_and_print_stat(spark, tmp_path, capsys):
+    """wparse -n (RunArgs line_max) caps input; -p prints the batch-end
+    per-rule/disposition stats (03-wparse.md common parameters)."""
+    wpl = tmp_path / "r.wpl"
+    wpl.write_text("rule r { (chars:msg) }")
+    oml = tmp_path / "m.oml"
+    oml.write_text("name : m\nrule : r\n---\nmsg = read(msg);\n")
+    data = tmp_path / "in.dat"
+    data.write_text("a\nb\nc\nd\n")
+    out = str(tmp_path / "o")
+    rc = main([
+        "wparse", "--wpl", str(wpl), "--oml", str(oml),
+        "--input", str(data), "--sink", f"out={out}:raw",
+        "-n", "2", "-p",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "wparse: sink out: 2 lines" in printed
+    assert "stat[parse] r success: 2" in printed

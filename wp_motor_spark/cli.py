@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--sink", action="append", help="name=path:format")
         p.add_argument("--knowdb", help="CSV dimension dir")
         p.add_argument("--rescue-dir", help="failed-write spool dir (rescue.rs)")
+        p.add_argument(
+            "-n", "--line-max", type=int, default=None,
+            help="max input lines to process (RunArgs line_max)",
+        )
+        p.add_argument(
+            "-p", "--print-stat", action="store_true",
+            help="print per-rule/disposition parse stats after the run",
+        )
         if cmd == "wprescue":
             # --from re-parses raw miss/error lines; --rescue-dir replays
             # already-formatted RescueEntry spools (05-wprescue.md)
@@ -249,9 +257,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     raw = spark.read.text(args.input)
+    if args.line_max:
+        raw = raw.limit(args.line_max)
     counts = pipe.write_batch(raw)
     for name, n in counts.items():
         print(f"{args.cmd}: sink {name}: {n} lines")
+    if args.print_stat:
+        # the reference's --print_stat periodic counters, as the batch-end
+        # aggregate: one labeled scan -> (stage, rule, disposition, total)
+        for r in pipe.monitor(raw).collect():
+            print(
+                f"stat[{r['stage']}] {r['rule']} {r['disposition']}: {r['total']}"
+            )
     return 0
 
 
