@@ -169,3 +169,54 @@ def test_syslog_sink_roundtrip(spark, tmp_path):
     c.stop()
     back = parse_rfc3164(spark.read.text(spool)).collect()[0]
     assert back["pri"] == 34 and back["host"] == "h1" and back["msg"] == "hello world"
+
+
+def test_victorialogs_sink_loopback(spark):
+    """VictoriaLogs sink (16-victorialogs.md): JSON lines with _msg +
+    nanosecond _time POSTed to endpoint+insert_path; create_time_field
+    preferred when present; empty endpoint is a validation error."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest as _pytest
+
+    from wp_motor_spark.sinks.victorialogs import write_victorialogs
+
+    got = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.append((self.path, body.decode()))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("hello", "2024-01-02 03:04:05"), ("world", "2024-01-02 03:04:06")],
+            ["line", "evt_ts"],
+        ).coalesce(1)
+        write_victorialogs(
+            df,
+            f"http://127.0.0.1:{port}",
+            "/insert/jsonline",
+            create_time_col="evt_ts",
+        )
+        path, body = got[0]
+        assert path == "/insert/jsonline"
+        recs = [json.loads(ln) for ln in body.strip().split("\n")]
+        assert sorted(r["_msg"] for r in recs) == ["hello", "world"]
+        # _time comes from the record's time field (2024-01-02T03:04:05 UTC)
+        want_ns = 1704164645 * 10**9
+        assert want_ns in {r["_time"] for r in recs}
+        with _pytest.raises(ValueError, match="endpoint"):
+            write_victorialogs(df, "", "/x")
+    finally:
+        srv.shutdown()

@@ -210,6 +210,15 @@ class Pipeline:
                 int(spec.options["port"]),
                 proto=spec.options.get("proto", "udp"),
             )
+        elif spec.kind == "victorialogs":
+            from wp_motor_spark.sinks.victorialogs import write_victorialogs
+
+            write_victorialogs(
+                lines,
+                endpoint=spec.options.get("endpoint", ""),
+                insert_path=spec.options.get("insert_path", "/insert/json"),
+                create_time_col=spec.options.get("create_time_field"),
+            )
         elif spec.kind == "blackhole":
             lines.write.format("noop").mode("append").save()
 
