@@ -321,3 +321,38 @@ msg = read(msg);
         "residue": 0,
     }
     assert res.sink_lines["out"].count() == 0
+
+
+def test_mechanism_metadata_fields(spark):
+    """wp_ mechanism fields (05-connectors/01-sources/09-metadata.md):
+    wp_event_id unique per record, wp_src_key from the source identifier,
+    wp_src_ip present (null for file-style sources) — and readable from
+    OML like any field."""
+    oml = """
+name : m
+rule : r
+---
+msg = read(msg);
+src = read(wp_src_key);
+eid = read(wp_event_id);
+"""
+    pipe = Pipeline(
+        wpl="rule r { (chars:msg) }",
+        omls=[oml],
+        sinks=[SinkSpec(name="out", format="json")],
+        src_key="file_1",
+    )
+    raw = spark.createDataFrame([("a",), ("b",)], ["value"])
+    res = pipe.run_batch(raw)
+    rows = res.branches["r"].collect()
+    assert all(r["src"] == "file_1" for r in rows)
+    eids = {r["eid"] for r in rows}
+    assert len(eids) == 2 and all(e for e in eids)  # unique, non-empty
+
+    # modelless default branch carries the raw mech columns
+    pipe2 = Pipeline(wpl="rule r { (chars:msg) }", omls=[], src_key="file_1")
+    d = pipe2.run_batch(raw).branches["default"]
+    assert {"wp_event_id", "wp_src_key", "wp_src_ip"} <= set(d.columns)
+    drows = d.collect()
+    assert all(r["wp_src_key"] == "file_1" for r in drows)
+    assert all(r["wp_src_ip"] is None for r in drows)

@@ -243,10 +243,12 @@ def build_pipeline(ws: Workspace, knowdb=None):
 
     tags: dict[str, str] = {}
     inputs: list[str] = []
+    keys: list[str] = []
     for s in ws.sources:
         if not s.enable:
             continue
         tags.update(s.tags)
+        keys.append(s.key)
         if s.kind == "file" and s.path:
             inputs.append(s.path)
     pipe = Pipeline(
@@ -255,5 +257,7 @@ def build_pipeline(ws: Workspace, knowdb=None):
         sinks=ws.sinks,
         knowdb=knowdb,
         tags=tags,
+        # wp_src_key is well-defined when ONE source feeds the pipeline
+        src_key=keys[0] if len(keys) == 1 else None,
     )
     return pipe, inputs

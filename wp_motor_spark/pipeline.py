@@ -61,6 +61,7 @@ class Pipeline:
         knowdb=None,
         tags: dict[str, str] | None = None,
         rescue_dir: str | None = None,
+        src_key: str | None = None,
     ):
         self.parser = MultiParser(wpl)
         self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
@@ -70,6 +71,9 @@ class Pipeline:
         # failed sink writes spool here as RescueEntry JSONL for wprescue
         # (src/sinks/rescue.rs); None = fail fast, no rescue
         self.rescue_dir = rescue_dir
+        # source identifier for the wp_src_key mechanism field
+        # (09-metadata.md; SourceEvent.src_key)
+        self.src_key = src_key
 
     # ------------------------------------------------------------- assembly
 
@@ -95,6 +99,19 @@ class Pipeline:
             for k, v in self.tags.items():
                 if k not in ok.columns:
                     ok = ok.withColumn(k, F.lit(v))
+            # mechanism metadata (09-metadata.md): wp_event_id per record,
+            # wp_src_key from the source identifier, wp_src_ip passthrough
+            # (net sources attach it; file sources have no upstream peer).
+            # Declared only-if-absent; unused ones die in column pruning.
+            if "wp_event_id" not in ok.columns:
+                ok = ok.withColumn("wp_event_id", F.expr("uuid()"))
+            if "wp_src_key" not in ok.columns:
+                ok = ok.withColumn(
+                    "wp_src_key",
+                    F.lit(self.src_key) if self.src_key else F.lit(None).cast("string"),
+                )
+            if "wp_src_ip" not in ok.columns:
+                ok = ok.withColumn("wp_src_ip", F.lit(None).cast("string"))
             # partial-match tails -> residue channel (processor.rs:35-49)
             residue_parts.append(
                 ok.where(F.col("_disposition") == "partial").select(
