@@ -551,3 +551,50 @@ def test_actor_workflow_h3c_base64_golden(spark):
     year = datetime.date.today().year
     assert row["time"].isoformat() == f"{year}-05-17T08:54:06"
     assert row["time_2"].isoformat() == "2023-05-17T08:54:06"
+
+
+def test_take_last_field_selectors(spark):
+    """take(name)/last() pipe selectors (eval/runtime/field_pipe.rs; the
+    json.rs rule tests): take() retargets subsequent guards AND
+    transforms to the named subfield; last() selects the final field."""
+    r1 = compile_rule(parse_wpl(
+        "rule nginx { (json(chars@name,chars@code) | take(name) "
+        "| chars_has(-99) | take(code) | chars_has(aaa)) }"
+    )[0])
+    df = spark.createDataFrame(
+        [
+            ('{"name":"-99","code":"aaa"}',),
+            ('{"name":"-99","code":"bbb"}',),
+            ('{"name":"x","code":"aaa"}',),
+        ],
+        ["value"],
+    )
+    disp = {
+        r["value"]: r["_disposition"]
+        for r in r1.extract(df, keep=["value"]).collect()
+    }
+    assert disp['{"name":"-99","code":"aaa"}'] == "success"
+    assert disp['{"name":"-99","code":"bbb"}'] == "miss"
+    assert disp['{"name":"x","code":"aaa"}'] == "miss"
+
+    # take() retargets TRANSFORMS per subfield (json.rs:464)
+    r2 = compile_rule(parse_wpl(
+        "rule t {(json(chars@path,chars@txt) | take(path) | json_unescape() "
+        "| take(txt) | json_unescape())}"
+    )[0])
+    df2 = spark.createDataFrame(
+        [('{"path":"a\\\\nb","txt":"c\\\\td"}',)], ["value"]
+    )
+    row = r2.extract(df2).collect()[0]
+    assert row["path"] == "a\nb" and row["txt"] == "c\td"
+
+    # last() -> the final extracted field
+    r3 = compile_rule(
+        parse_wpl("rule l { (chars:a,digit:b | last() | digit_has(7)) }")[0]
+    )
+    df3 = spark.createDataFrame([("x 7",), ("x 8",)], ["value"])
+    disp3 = {
+        r["value"]: r["_disposition"]
+        for r in r3.extract(df3, keep=["value"]).collect()
+    }
+    assert disp3 == {"x 7": "success", "x 8": "miss"}

@@ -95,34 +95,46 @@ def _transform_expr(call: FunCall, col: Column) -> Column:
     return col
 
 
+def _select(call: FunCall, cols: dict[str, Column], current: str) -> str:
+    """take(name)/last() field selectors (eval/runtime/field_pipe.rs):
+    switch the ACTIVE field subsequent pipes operate on. `last` picks the
+    most recently extracted field (insertion order of `cols`)."""
+    if call.name == "take" and call.args:
+        return call.args[0]
+    if call.name == "last" and cols:
+        return next(reversed(cols))
+    return current
+
+
 def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
     """AND together all guard pipes over extracted columns; None if no guards."""
     guard: Column | None = None
     for out in outputs:
-        active = cols.get(out.name, F.lit(None))
+        active_name = out.name
         for call in out.pipes:
             if call.name in ("take", "last"):
-                nxt = call.args[0] if call.args else out.name
-                active = cols.get(nxt, active)
+                active_name = _select(call, cols, active_name)
                 continue
-            g = _guard_expr(call, active, cols)
+            g = _guard_expr(call, cols.get(active_name, F.lit(None)), cols)
             if g is not None:
                 guard = g if guard is None else (guard & g)
     return guard
 
 
 def compile_transforms(outputs, cols: dict[str, Column]) -> dict[str, Column]:
-    """Per-field value replacements from transform pipes."""
+    """Per-field value replacements from transform pipes. take()/last()
+    selectors retarget transforms too — `take(path) | json_unescape() |
+    take(txt) | json_unescape()` (json.rs tests) mutates BOTH subfields."""
     repl: dict[str, Column] = {}
     for out in outputs:
-        c = cols.get(out.name)
-        if c is None:
-            continue
-        changed = False
+        active_name = out.name
         for call in out.pipes:
+            if call.name in ("take", "last"):
+                active_name = _select(call, cols, active_name)
+                continue
             if call.name in ("json_unescape", "base64_decode", "chars_replace"):
-                c = _transform_expr(call, c)
-                changed = True
-        if changed:
-            repl[out.name] = c
+                base = repl.get(active_name, cols.get(active_name))
+                if base is None:
+                    continue
+                repl[active_name] = _transform_expr(call, base)
     return repl
