@@ -598,3 +598,76 @@ def test_take_last_field_selectors(spark):
         for r in r3.extract(df3, keep=["value"]).collect()
     }
     assert disp3 == {"x 7": "success", "x 8": "miss"}
+
+
+def test_complete_types_example_golden(spark):
+    """The reference's own 23-type showcase (docs/usage/zh/03-wpl/
+    07-complete-types-example.md): the 21 consuming types over the doc's
+    exact input line, every value matching the documented output (times
+    shifted to UTC). Also covers pre-name format marks (chars":name,
+    time/clf<[,]>:name), the 0x hex prefix, and RFC2822 weekday parsing.
+
+    The doc's peek_symbol+symbol combination is internally inconsistent
+    (parse_peek does not consume, so the following literal cannot match)
+    and is tested separately below with faithful zero-width semantics."""
+    rule_text = """package wpl_example {
+      rule full_types {
+        (
+          bool:bool_val, chars":quoted_str, digit:integer, float:float_val,
+          time_3339:time_iso, time_3339:time_rfc3339, time_2822:time_rfc2822,
+          time/clf<[,]>:time_clf, time_timestamp:timestamp, ip:ip_addr,
+          ip_net:ip_network, kvarr(chars@name):kv_data,
+          json(bool@strict):json_data, http/request":http_req,
+          http/status:http_status, http/agent":user_agent,
+          http/method":http_method, port:port_num, sn:serial, hex:hex_data,
+          base64:base64_data
+        )
+      }
+    }"""
+    line = (
+        'true "hello world" 123 3.14 2026-01-19T12:34:56Z '
+        "2022-03-21T12:34:56+00:00 Mon, 07 Jul 2025 09:20:32 +0000 "
+        "[06/Aug/2019:12:12:19 +0800] 1647849600 192.168.1.100 "
+        '192.168.0.0/24 name=test {"strict":true} "GET /api/users HTTP/1.1" '
+        '200 "Mozilla/5.0" "POST" 8080 ABC123XYZ 0x1A2B YmFzZTY0ZGF0YQ=='
+    )
+    cr = compile_rule(parse_wpl(rule_text)[0])
+    row = cr.extract(spark.createDataFrame([(line,)], ["value"])).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["bool_val"] is True
+    assert row["quoted_str"] == "hello world"
+    assert row["integer"] == 123 and row["float_val"] == 3.14
+    assert row["time_iso"].isoformat() == "2026-01-19T12:34:56"
+    assert row["time_rfc3339"].isoformat() == "2022-03-21T12:34:56"
+    assert row["time_rfc2822"].isoformat() == "2025-07-07T09:20:32"
+    assert row["time_clf"].isoformat() == "2019-08-06T04:12:19"  # +0800->UTC
+    assert row["timestamp"].isoformat() == "2022-03-21T08:00:00"
+    assert row["ip_addr"] == "192.168.1.100"
+    assert row["ip_network"] == "192.168.0.0/24"
+    assert row["kv_data"] == {"name": "test"} and row["name"] == "test"
+    assert row["strict"] is True
+    assert row["http_req"]["method"] == "GET"
+    assert row["http_req"]["uri"] == "/api/users"
+    assert row["http_status"] == 200
+    assert row["user_agent"] == "Mozilla/5.0"
+    assert row["http_method"] == "POST"
+    assert row["port_num"] == 8080
+    assert row["serial"] == "ABC123XYZ"
+    assert row["hex_data"] == "0x1A2B"
+    assert row["base64_data"] == "YmFzZTY0ZGF0YQ=="
+
+
+def test_peek_symbol_zero_width_capture(spark):
+    """peek_symbol (base/symbol.rs parse_peek): asserts without consuming
+    — the NEXT field matches the SAME text; a NAMED peek captures it."""
+    cr = compile_rule(
+        parse_wpl("rule p { (peek_symbol(GET):m,http/method:meth,*_) }")[0]
+    )
+    df = spark.createDataFrame([("GET /x",), ("POST /x",)], ["value"])
+    out = {
+        r["value"]: (r["_disposition"], r.asDict().get("m"), r.asDict().get("meth"))
+        for r in cr.extract(df, keep=["value"]).collect()
+    }
+    # zero-width: the method field consumed the very token the peek saw
+    assert out["GET /x"] == ("success", "GET", "GET")
+    assert out["POST /x"][0] == "miss"  # peek assertion fails the rule

@@ -152,7 +152,8 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
         "http/status": r"\d{3}",
         "float": r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?",
         "bool": r"(?i:true|false)",
-        "hex": r"[0-9A-Fa-f]+",
+        # base/hex.rs:24 — optional case-insensitive 0x prefix
+        "hex": r"(?:0[xX])?[0-9A-Fa-f]+",
         # network/domain.rs: labels start/end alphanumeric, total <= 67
         # chars (the lookahead caps the run — in a separator-bounded token
         # the whole run must match, so it bounds the token itself)
@@ -204,6 +205,9 @@ class _Ctx:
         # previous field self-delimits (scope/quote fmt or symbol) -> the
         # separator before the next field becomes optional ("<188>May ...")
         self.last_self_delim: bool = False
+        # previous field was zero-width (peek_symbol) -> the separator
+        # before the next field is dropped entirely
+        self.suppress_next_sep: bool = False
 
 
 def _mark_tail_field(groups: list[WplGroup]) -> None:
@@ -358,6 +362,9 @@ def _emit_field(ctx: _Ctx, fld: WplField, gsep_lit: str | None, gsep_pat: str | 
 
 
 def _flush_sep(ctx: _Ctx) -> None:
+    if ctx.suppress_next_sep:
+        ctx.pending_sep = None
+        ctx.suppress_next_sep = False
     if ctx.pending_sep:
         sep = ctx.pending_sep
         if ctx.last_self_delim:
@@ -382,7 +389,18 @@ def _emit_single(
 
     if dtype == "peek_symbol":
         _flush_sep(ctx)
-        ctx.parts.append(f"(?={re.escape(fld.symbol or '')})")
+        sym = re.escape(fld.symbol or "")
+        if fld.name:  # a named peek CAPTURES the peeked text
+            ctx.group_idx += 1
+            ctx.parts.append(f"(?=({sym}))")
+            ctx.outputs.append(
+                FieldOutput(ctx.group_idx, fld.name, "chars", pipes=fld.pipes)
+            )
+        else:
+            ctx.parts.append(f"(?={sym})")
+        # zero-width: the NEXT field matches at the same position, so the
+        # inter-field separator must not be required before it
+        ctx.suppress_next_sep = True
         return
     if dtype == "symbol":
         _flush_sep(ctx)
@@ -531,10 +549,13 @@ def _time_cast(col: Column, dtype: str) -> Column:
             .otherwise(F.timestamp_seconds(secs))
         )
     if dtype == "time_2822":
+        # Spark >= 3.0 cannot PARSE day-of-week ('EEE' throws
+        # DATETIME_PATTERN_RECOGNITION, even under try_to_timestamp), so
+        # the optional "Mon, " prefix is stripped before parsing
+        bare = F.regexp_replace(col, r"^[A-Za-z]{3},\s*", "")
         return F.coalesce(
-            F.try_to_timestamp(col, F.lit("EEE, d MMM yyyy HH:mm:ss Z")),
-            F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm:ss Z")),
-            F.try_to_timestamp(col, F.lit("EEE, d MMM yyyy HH:mm:ss zzz")),
+            F.try_to_timestamp(bare, F.lit("d MMM yyyy HH:mm:ss Z")),
+            F.try_to_timestamp(bare, F.lit("d MMM yyyy HH:mm:ss zzz")),
         )
     # time (auto) / time_iso / time_3339: ordered cascade. A cheap anchored
     # sniff picks the single matching parser per row first — the common

@@ -322,6 +322,19 @@ def _parse_field(cur: _Cursor) -> WplField:
         cur.pos += 1
         sub = cur.match_re(re.compile(r"[A-Za-z_][A-Za-z0-9_]*"))
         fld.dtype = f"array/{sub}"
+    # format may sit BEFORE the name too (`chars":quoted_str`,
+    # `time/clf<[,]>:time_clf` — 07-complete-types-example.md), in
+    # addition to the post-name position (`time:recv_time<[,]>`)
+    if cur.peek() == "<":
+        end = _find_scope_end(cur.text, cur.pos)
+        fld.fmt = _split_scope(cur.text[cur.pos + 1 : end])
+        cur.pos = end + 1
+    elif cur.peek() == '"' and re.match(
+        r'"\s*:', cur.text[cur.pos :]
+    ):  # quote directly followed by :name (a bare trailing quote still
+        # belongs to the post-name branch below)
+        fld.fmt = ('"', '"')
+        cur.pos += 1
     # :name
     if cur.try_tok(":"):
         fld.name = cur.match_re(_NAME_RE)
@@ -332,9 +345,12 @@ def _parse_field(cur: _Cursor) -> WplField:
         if m:
             fld.length = int(m.group(1))
             cur.pos += m.end()
-    # format: scope <b,e> or quote "
+    # format: scope <b,e> or quote " (post-name position; skipped when the
+    # pre-name position above already set it)
     cur.skip_ws()
-    if cur.peek() == "<":
+    if fld.fmt is not None:
+        pass
+    elif cur.peek() == "<":
         # scope fmt: <beg,end> where beg/end are arbitrary char runs
         end = _find_scope_end(cur.text, cur.pos)
         inner = cur.text[cur.pos + 1 : end]
