@@ -248,3 +248,64 @@ def test_json_unescape_escaped_backslash(spark):
     assert vals[1] == "a\nb"       # \n -> newline
     assert vals[2] == 'say "hi"'   # \" -> quote
     assert vals[3] == "p\\\\q"     # \\\\ -> two backslashes
+
+
+def test_complete_example_golden(spark):
+    """The reference's full OML feature showcase (docs/usage/zh/04-oml/
+    07-complete-example.md): the ENTIRE program — literals, option/default
+    reads, take-vs-read, wildcards, Now::*, all match forms (single,
+    range, multi-source, negation, bool, OR, multi+OR), 20+ pipe fns, fmt,
+    object/collect — compiles and runs over the doc's own input line with
+    the documented values."""
+    import re
+
+    from wp_motor_spark.oml.compiler import compile_oml
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    doc = open(
+        "/root/reference/docs/usage/zh/04-oml/07-complete-example.md"
+    ).read()
+    oml = re.findall(r"```oml\n(.*?)```", doc, re.S)[0]
+    wpl = re.findall(r"```wpl\n(.*?)```", doc, re.S)[0]
+    line = re.findall(r"## 原始数据\n\n```\n(.*?)\n```", doc, re.S)[0]
+
+    tr = compile_oml(oml)
+    cr = compile_rule(parse_wpl(wpl)[0])
+    parsed = cr.extract(spark.createDataFrame([(line,)], ["value"]))
+    out = tr.apply(parsed.drop("value", "_rule", "_disposition", "_residue"))
+    row = out.collect()[0].asDict()
+
+    assert row["direct_chars"] == "13" and row["direct_digit"] == 13
+    assert row["simple_chars"] == "simple_chars"
+    assert row["simple_port"] == 80 and row["simple_ip"] == "192.168.1.10"
+    assert row["select_chars"] == "select_one"
+    assert row["field_with_default"] == "DEFAULT_VALUE"
+    assert row["version_fallback"] == "v1.0.0"
+    assert row["field_taken_again"] == "already_taken"
+    # match forms
+    assert row["match_chars"] == "1"  # chars(left) => chars(1)
+    assert row["num_range"] == 500  # in (0, 1000)
+    assert row["location"] == "east_region"  # multi-source tuple
+    assert row["region_by_ip"] == "internal"
+    assert row["valid_status"] == "ok"  # negation arm
+    assert row["city_tier"] == "tier1"  # OR arms
+    assert row["priority"] == "high"  # multi-source + OR
+    # pipes
+    assert row["timestamp_zone"] == 1767009600000  # to_ts_zone(0, ms)
+    assert row["timestamp_s"] == 1766980800  # read() sees the ORIGINAL field
+    # the WPL layer already decoded `base64 | (chars:base64)` to "hello
+    # world", so the doc's base64_decoded (a second decode) is null in
+    # both engines; the ENCODE of the decoded field is well-defined:
+    assert row["base64_encoded"] == "aGVsbG8gd29ybGQ="
+    assert row["ip_to_int"] == 3232235786
+    assert row["array_first"] == "val1"
+    assert row["obj_nested"] == "nested"  # nth(0) | get(one/two)
+    assert row["file_name"] == "file.txt"
+    assert row["file_path"] == "/home/user"
+    assert row["url_domain"] == "example.com"
+    assert row["url_uri"] == "/path/to/resource?foo=1&bar=2"
+    assert row["url_params"] == "foo=1&bar=2"
+    # string + aggregate surfaces
+    assert row["splice"] == "foo:bar|baz:qux"
+    assert row["extends"]["extend1"] == "ext_value_1"
+    assert row["extends"]["extend2"] == "ext_value_2"

@@ -154,6 +154,19 @@ class _State:
             return _Val(F.col(name), self._kind_of_input(name))
         return None
 
+    def _input_read(self, name: str) -> _Val | None:
+        """read(): the SOURCE record wins — an output that reuses an input
+        field's name must not shadow it (the complete-example doc reassigns
+        timestamp_zone and then read()s the original; prior-output access
+        is spelled @name/FieldRef, which stays outputs-first)."""
+        if name in self.input_cols:
+            return _Val(F.col(name), self._kind_of_input(name))
+        if name in self.statics:
+            return self.statics[name]
+        if name in self.outputs:
+            return self.outputs[name]
+        return None
+
     def _input_take(self, name: str) -> _Val | None:
         """take(): destructive — consumed fields read as absent."""
         if name in self.input_cols and name not in self.taken:
@@ -193,7 +206,7 @@ class _State:
             # batch glob read/take: matched fields pass through under their
             # own names (BatchEvalExp, evaluators/pattern.rs:12)
             for f in [h for g in expr.keys for h in self.glob_fields(g)]:
-                v = self._input_take(f) if expr.kind == "take" else self.lookup(f)
+                v = self._input_take(f) if expr.kind == "take" else self._input_read(f)
                 if v is not None:
                     self._emit(f, v, a.dtype)
             return
@@ -276,7 +289,7 @@ class _State:
                 names = [acc.field]
             cols = []
             for f in names:
-                v = self._input_take(f) if acc.kind == "take" else self.lookup(f)
+                v = self._input_take(f) if acc.kind == "take" else self._input_read(f)
                 cols.append((v.col if v else F.lit(None)).cast("string"))
             arr = F.array(*cols) if cols else F.array()
             return _Val(F.filter(arr, lambda x: x.isNotNull()), "array")
@@ -294,14 +307,14 @@ class _State:
             cols = []
             kind = None
             for f in acc.options:
-                got = self._input_take(f) if acc.kind == "take" else self.lookup(f)
+                got = self._input_take(f) if acc.kind == "take" else self._input_read(f)
                 if got is not None:
                     cols.append(got.col)
                     kind = kind or got.kind
             if cols:
                 v = _Val(F.coalesce(*cols) if len(cols) > 1 else cols[0], kind)
         elif field is not None:
-            v = self._input_take(field) if acc.kind == "take" else self.lookup(field)
+            v = self._input_take(field) if acc.kind == "take" else self._input_read(field)
         if v is None:
             if acc.default is not None:
                 return self.compile_expr(acc.default)
