@@ -86,6 +86,11 @@ def main() -> None:
     except Exception as exc:
         throughput = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
+    # connected-components convergence telemetry: iteration count is the
+    # cost driver for dedup_clusters/semantic_dedup_keep — recording it
+    # makes a slow run attributable (rounds vs shared-box noise)
+    from wp_motor_spark.operators.dedup import CC_TELEMETRY
+
     result = {
         "metric": "query_suite_wall_seconds",
         "value": total,
@@ -93,6 +98,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "throughput": throughput,
+        "cc_telemetry": list(CC_TELEMETRY),
         # shared-box context: same-code timings swing up to ~1.6x with
         # other tenants' load (PROFILE.md measurement discipline section)
         "loadavg_1m": round(os.getloadavg()[0], 2),
@@ -100,6 +106,19 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # Persist the full artifact next to the repo: the driver stores only
+    # the stdout TAIL, which truncated 13 queries' timings in round 5 —
+    # the file keeps every per-query number regardless of pipe limits.
+    try:
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full.json"),
+        )
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line remains the artifact
     spark.stop()
 
 

@@ -83,6 +83,87 @@ def test_instance_workspace_full_e2e(spark, tmp_path):
     assert all("dev_src_ip=10.0.0.1" in ln for ln in kv)  # wpsrc.toml tag
 
 
+def test_victorialogs_sink_through_connector_registry(spark, tmp_path):
+    """v2 sink connector resolution must carry the resolved params into
+    SinkSpec.options — a workspace-configured victorialogs sink posts to
+    the configured endpoint (16-victorialogs.md: connect = id + params)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    got = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.append((self.path, body.decode()))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        'package /t { rule kv { (chars:word,digit:n) } }\n'
+    )
+    (root / "oml").mkdir()
+    (root / "oml" / "t.oml").write_text(
+        "name : t/all\nrule :\n    /t/kv\n---\n*  = take() ;\n"
+    )
+    (root / "connectors" / "sink.d").mkdir(parents=True)
+    (root / "connectors" / "sink.d" / "20-vlogs.toml").write_text(
+        '[[connectors]]\n'
+        'id = "victorialog_sink"\n'
+        'type = "victorialogs"\n'
+        'allow_override = ["endpoint", "insert_path", "fmt"]\n'
+        '[connectors.params]\n'
+        'endpoint = "http://localhost:9428"\n'
+        'insert_path = "/insert/jsonline"\n'
+        'fmt = "json"\n'
+    )
+    (root / "topology" / "sinks").mkdir(parents=True)
+    (root / "topology" / "sinks" / "sink.toml").write_text(
+        'version = "2.0"\n'
+        '[sink_group]\n'
+        'name = "vlogs"\n'
+        'oml = ["*"]\n'
+        '[[sink_group.sinks]]\n'
+        'name = "vlogs"\n'
+        'connect = "victorialog_sink"\n'
+        f'params = {{ endpoint = "http://127.0.0.1:{port}" }}\n'
+    )
+    (root / "topology" / "sources").mkdir(parents=True)
+
+    try:
+        ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+        spec = next(s for s in ws.sinks if s.name == "vlogs")
+        assert spec.kind == "victorialogs"
+        # the resolved connector params reach the write path via options
+        assert spec.options["endpoint"] == f"http://127.0.0.1:{port}"
+        assert spec.options["insert_path"] == "/insert/jsonline"
+
+        pipe, _ = build_pipeline(ws)
+        raw = spark.createDataFrame([("hello 7",), ("world 9",)], ["value"])
+        pipe.write_batch(raw)
+        assert got, "no POST reached the configured endpoint"
+        assert all(p == "/insert/jsonline" for p, _ in got)
+        recs = [
+            json.loads(ln)
+            for _, body in got
+            for ln in body.strip().split("\n")
+        ]
+        msgs = sorted(json.loads(r["_msg"])["word"] for r in recs)
+        assert msgs == ["hello", "world"]
+    finally:
+        srv.shutdown()
+
+
 def test_write_batch_to_configured_paths(spark, tmp_path):
     ws = load_workspace(INSTANCE, out_root=str(tmp_path))
     pipe, _ = build_pipeline(ws)
@@ -96,3 +177,58 @@ def test_write_batch_to_configured_paths(spark, tmp_path):
     assert counts["miss"] == 1
     miss_dir = next(s.path for s in ws.sinks if s.name == "miss")
     assert spark.read.text(miss_dir).collect()[0]["value"] == "unparseable junk ###"
+
+
+def test_daemon_checkpoint_restart_infra_parity(spark, tmp_path):
+    """wparse daemon (service.rs:96-101) as Structured Streaming: the
+    foreachBatch daemon over the instance workspace, killed after batch 1
+    and resumed from the SAME checkpoint, must (a) not re-deliver batch-1
+    records and (b) land batch-2's junk/partial lines in the same infra
+    sink files a single uninterrupted run would produce."""
+    import shutil
+
+    from wp_motor_spark.pipeline import stream_lines
+    from wp_motor_spark.wpl.generator import generate_lines
+
+    root = tmp_path / "instance"
+    shutil.copytree(INSTANCE, root)
+    gen_rule = (root / "wpl" / "example" / "simple" / "gen_rule.wpl").read_text()
+    lines = [r[0] for r in generate_lines(spark, gen_rule, 10, seed=3).collect()]
+    spool = root / "spool"
+    spool.mkdir()
+    (spool / "f1.dat").write_text("\n".join(lines[:5]) + "\n")
+
+    ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+    pipe, _ = build_pipeline(ws)
+    ckpt = str(tmp_path / "ckpt")
+
+    # rate limit: one file per trigger (speed_limit -> reader trigger caps)
+    q = pipe.run_stream(
+        stream_lines(spark, str(spool), max_files_per_trigger=1),
+        checkpoint=ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()  # "kill" the daemon after batch 1
+
+    other_path = next(s.path for s in ws.sinks if s.name == "other")
+    assert spark.read.text(other_path).count() == 5
+
+    # new arrivals while the daemon is down: good lines + junk + partial
+    junk = "unparseable junk ###"
+    partial = lines[5] + " tail=42"
+    (spool / "f2.dat").write_text("\n".join(lines[5:] + [junk, partial]) + "\n")
+
+    q2 = pipe.run_stream(
+        stream_lines(spark, str(spool), max_files_per_trigger=1),
+        checkpoint=ckpt,  # resume from the same offsets
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    # batch 1 NOT re-delivered; batch 2 delivered exactly once
+    assert spark.read.text(other_path).count() == 5 + 6  # 5 good + partial
+    miss_path = next(s.path for s in ws.sinks if s.name == "miss")
+    assert [r["value"] for r in spark.read.text(miss_path).collect()] == [junk]
+    residue_path = next(s.path for s in ws.sinks if s.name == "residue")
+    res = [r["value"] for r in spark.read.text(residue_path).collect()]
+    assert len(res) == 1 and "tail=42" in res[0]

@@ -171,6 +171,31 @@ def test_connected_components_small_and_distributed_paths_agree(spark):
     assert {c for _, c in small} == {1, 10, 40}
 
 
+def test_connected_components_convergence_telemetry(spark):
+    """Worst-case chain pins the propagation-round count: min-label moves
+    ONE hop per iteration, so an n-edge path whose min sits at one end
+    needs n rounds + 1 confirming round. Telemetry makes bench wobbles on
+    dedup_clusters attributable (rounds vs shared-box noise)."""
+    n = 7  # path 0-1-...-7: diameter 7
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    dedup.CC_TELEMETRY.clear()
+    comp = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(
+            pairs, small_graph_threshold=0, max_iters=20
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+    assert dedup.CC_TELEMETRY[-1] == {
+        "path": "propagation", "edges": 2 * n, "rounds": n + 1
+    }
+    # union-find gate records its path + edge count too
+    dedup.connected_components(pairs).collect()
+    assert dedup.CC_TELEMETRY[-1] == {"path": "union_find", "edges": 2 * n}
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     # 10 tokens, chunk 4, overlap 2 -> stride 2 -> ceil((10-2)/2) = 4 chunks
     txt = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"

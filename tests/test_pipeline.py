@@ -356,3 +356,21 @@ eid = read(wp_event_id);
     drows = d.collect()
     assert all(r["wp_src_key"] == "file_1" for r in drows)
     assert all(r["wp_src_ip"] is None for r in drows)
+
+
+def test_wp_event_id_stable_across_actions(spark):
+    """One PkgID per SourceEvent (processor.rs:143-150): re-executing the
+    plan (a second sink write, a count, the residue branch) must see the
+    SAME wp_event_id per record — uuid() would redraw per action and break
+    cross-channel correlation."""
+    pipe = Pipeline(wpl="rule r { (chars:msg) }", omls=[], src_key="s1")
+    raw = spark.createDataFrame([("a",), ("b",), ("c",)], ["value"])
+    d = pipe.run_batch(raw).branches["default"]
+    first = {r["msg"]: r["wp_event_id"] for r in d.collect()}
+    second = {r["msg"]: r["wp_event_id"] for r in d.collect()}  # new action
+    assert first == second
+    assert len(set(first.values())) == 3  # still unique per record
+    # a fresh run over the same input is also reproducible
+    d2 = pipe.run_batch(raw).branches["default"]
+    third = {r["msg"]: r["wp_event_id"] for r in d2.collect()}
+    assert first == third

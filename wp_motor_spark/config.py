@@ -174,25 +174,45 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
     ) -> None:
         for s in sinks:
             kind = s.get("target", "file")
-            if "use" in s:  # v2: use = <sink connector id> + params_override
+            options: dict = {}
+            # v2: use/connect = <sink connector id> + params override.
+            # Both spellings appear in the reference: `use` in the
+            # tests/instance tree, `connect` in the connector docs
+            # (05-connectors/02-sinks/*.md).
+            use = s.get("use") or s.get("connect")
+            if use is not None:
                 conn = (
-                    sink_registry.connectors.get(s["use"]) if sink_registry else None
+                    sink_registry.connectors.get(use) if sink_registry else None
                 )
                 if conn is not None:
                     params = conn.resolve(s.get("params"))
                     kind = conn.type if conn.type != "file" else kind
                     fmt = params.get("fmt") or (
-                        "raw" if "raw" in s["use"] else "json"
+                        "raw" if "raw" in use else "json"
                     )
                 else:  # no registry on disk: the documented name heuristic
                     params = s.get("params", {})
-                    fmt = "raw" if "raw" in s["use"] else "json"
+                    fmt = "raw" if "raw" in use else "json"
                 path = rebase(
                     os.path.join(params.get("base", "out"), params.get("file", f"{name}.dat"))
                 )
+                # Non-file connector targets (victorialogs/kafka/tcp/syslog)
+                # read endpoint/brokers/host/port/... from SinkSpec.options at
+                # write time — pass every resolved param through except the
+                # file-layout keys consumed above.
+                options = {
+                    k: v for k, v in params.items()
+                    if k not in ("base", "file", "fmt")
+                }
             else:  # v1: fmt/target/path
                 path = rebase(s.get("path", f"out/{name}.dat"))
                 fmt = s.get("fmt", "json")
+                options = {
+                    k: v for k, v in s.items()
+                    if k not in (
+                        "target", "path", "fmt", "condition", "expect", "oml",
+                    )
+                }
             ws.sinks.append(
                 SinkSpec(
                     name=name,
@@ -201,6 +221,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     format=fmt,
                     condition=condition or s.get("condition"),
                     models=list(models) if models is not None else ["*"],
+                    options=options,
                     expect=s.get("expect") or group_expect,
                 )
             )

@@ -321,8 +321,11 @@ def extract_main_word(col: Column) -> Column:
             F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
             lambda w: (F.length(w) > 1) & ~w.isin(*sorted(d.stop_words)),
         )
-        domain_hit = F.array_max(
-            F.filter(words, lambda w: w.isin(*sorted(d.domain_words)))
+        # FIRST domain word in token order (extract_word.rs rule-1 loop
+        # scans tokens left-to-right), not the lexicographic max
+        domain_hit = F.try_element_at(
+            F.filter(words, lambda w: w.isin(*sorted(d.domain_words))),
+            F.lit(1),
         )
         longest = F.array_max(
             F.transform(

@@ -539,6 +539,19 @@ def embedding_neardup_pairs(
     )
 
 
+# Convergence telemetry, most-recent-last (read by bench.py so a slow
+# dedup_clusters run is attributable to iteration count vs box noise —
+# min-label propagation cost is rounds × (join + groupBy), and the round
+# count depends only on component diameter, not data volume).
+CC_TELEMETRY: list[dict] = []
+_CC_TELEMETRY_CAP = 32
+
+
+def _cc_observe(rec: dict) -> None:
+    CC_TELEMETRY.append(rec)
+    del CC_TELEMETRY[:-_CC_TELEMETRY_CAP]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -582,6 +595,7 @@ def connected_components(
     # gate (1e5 edges = a few MB of longs). Same min-label output.
     n_edges = edges.count()
     if n_edges <= small_graph_threshold:
+        _cc_observe({"path": "union_find", "edges": n_edges})
         return _union_find_components(pairs.sparkSession, edges.collect())
     labels = (
         edges.select(F.col("u").alias("id"))
@@ -589,7 +603,9 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
@@ -620,6 +636,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
         )
+    _cc_observe({"path": "propagation", "edges": n_edges, "rounds": rounds})
     return labels
 
 

@@ -33,6 +33,31 @@ from wp_motor_spark.sinks.spec import SinkSpec
 from wp_motor_spark.wpl.compiler import MultiParser
 
 
+def _event_uuid(col: str | None, src_key: str | None):
+    """Deterministic per-event UUID column (uuid-v4 shaped).
+
+    md5(payload, src_key, monotonically_increasing_id) — all three inputs
+    are stable across plan re-executions for batch file scans, so every
+    action (each sink write, count, residue/monitor branch) sees the SAME
+    id for the same record, unlike F.expr("uuid()") which is re-drawn per
+    evaluation. Mirrors the reference's one-PkgID-per-SourceEvent contract
+    (src/core/parser/wpl_engine/processor.rs:143-150).
+    """
+    parts = [F.monotonically_increasing_id().cast("string"),
+             F.lit(src_key or "")]
+    if col is not None:
+        parts.insert(0, F.col(col))
+    h = F.md5(F.concat_ws("", *parts))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("4"), F.substring(h, 14, 3)),
+        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 def _model_selected(globs: list[str], model_name: str) -> bool:
     import fnmatch
 
@@ -86,6 +111,15 @@ class Pipeline:
     def transform(self, raw: DataFrame, col: str = "value") -> dict[str, DataFrame]:
         """Raw lines -> named branches: one per rule (transformed), plus
         miss/residue/default/error side-channels."""
+        # mechanism metadata: ONE wp_event_id per SourceEvent, assigned at
+        # ingest (processor.rs:143-150) and DETERMINISTIC — uuid() would be
+        # re-evaluated on every action (each sink write, count, residue
+        # branch), giving the same record a different id per channel and
+        # defeating cross-channel correlation. Derive it from the payload +
+        # src_key + partition-stable row id instead; it then flows through
+        # parse() like any other extra input column.
+        if "wp_event_id" not in raw.columns:
+            raw = raw.withColumn("wp_event_id", _event_uuid(col, self.src_key))
         parsed = self.parser.parse(raw, col)
         branches: dict[str, DataFrame] = {}
         residue_parts: list[DataFrame] = []
@@ -103,8 +137,11 @@ class Pipeline:
             # wp_src_key from the source identifier, wp_src_ip passthrough
             # (net sources attach it; file sources have no upstream peer).
             # Declared only-if-absent; unused ones die in column pruning.
-            if "wp_event_id" not in ok.columns:
-                ok = ok.withColumn("wp_event_id", F.expr("uuid()"))
+            if "wp_event_id" not in ok.columns:  # belt-and-braces: set at ingest
+                ok = ok.withColumn(
+                    "wp_event_id",
+                    _event_uuid(col if col in ok.columns else None, self.src_key),
+                )
             if "wp_src_key" not in ok.columns:
                 ok = ok.withColumn(
                     "wp_src_key",
@@ -335,7 +372,6 @@ class Pipeline:
         col: str = "value",
         checkpoint: str | None = None,
         trigger_seconds: int | None = None,
-        max_files_per_trigger: int | None = None,
     ):
         """Daemon mode: the same batch assembly inside foreachBatch.
 

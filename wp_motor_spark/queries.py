@@ -3586,61 +3586,11 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # Driver-window ordering: CORRECTNESS_r{N} covers the first 50 entries,
-    # so the 31 queries that had no driver row in r4 come first; the r4-green
-    # veterans follow (the first 19 of them get re-checked each round).
-    "ivf_ann_topk": (ivf_ann_topk, None),
-    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
-    "lsh_ann_topk": (lsh_ann_topk, None),
-    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
-    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
-    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
-    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
-    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
-    "embedding_pca": (embedding_pca_q, None),
-    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
-    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
-    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
-    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
-    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
-    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
-    "kmeans_clusters": (kmeans_clusters, None),
-    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
-    "doc_information": (doc_information_q, DOC_INFO_SQL),
-    "compression_quality": (compression_quality, None),
-    "html_extract": (html_extract, HTML_EXTRACT_SQL),
-    "zorder_events": (zorder_events, _zorder_sql()),
-    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
-    "bpe_token_counts": (bpe_token_counts, None),
-    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
-    "train_val_split": (train_val_split, _train_val_split_sql()),
-    # --- round-5 additions (also inside the 50-row driver window) ---
-    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
-    "bm25_search": (bm25_search, BM25_SQL),
-    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
-    # --- r4 driver-green veterans (CORRECTNESS_r04.json) ---
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_orders": (q3_top_orders, Q3_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
-    "user_sessions": (user_sessions, SESSIONS_SQL),
-    "events_alerts": (events_alerts, ALERTS_SQL),
-    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
-    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
-    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
+    # entries. Rotated for r6: the 41 queries whose last driver row is
+    # CORRECTNESS_r04 (locally re-verified in r5) come first so every
+    # registry query has a driver-green row in r5 ∪ r6; the 50
+    # r5-driver-green queries follow (the first 9 of them re-check).
     "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
     "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
     "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
@@ -3682,4 +3632,55 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (multimodal_features, None),
     "multimodal_real_decode": (multimodal_real_decode, None),
     "image_neardup": (image_neardup, None),
+    # --- r5 driver-green (CORRECTNESS_r05.json) ---
+    "ivf_ann_topk": (ivf_ann_topk, None),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
+    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
+    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
+    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
+    "embedding_pca": (embedding_pca_q, None),
+    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
+    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
+    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "kmeans_clusters": (kmeans_clusters, None),
+    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
+    "doc_information": (doc_information_q, DOC_INFO_SQL),
+    "compression_quality": (compression_quality, None),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "zorder_events": (zorder_events, _zorder_sql()),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    "bpe_token_counts": (bpe_token_counts, None),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "train_val_split": (train_val_split, _train_val_split_sql()),
+    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
+    "user_sessions": (user_sessions, SESSIONS_SQL),
+    "events_alerts": (events_alerts, ALERTS_SQL),
+    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
+    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
+    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
 }

@@ -100,9 +100,11 @@ class _Gen:
             base: Column | None = None
             if "choices" in ov:
                 base = _choice(self.id, self.nsalt(), ov["choices"])
-            elif "ip_range" in ov:  # GenScopeEnum::Ip — inclusive IPv4 range
+            elif "ip_range" in ov:  # GenScopeEnum::Ip — HALF-OPEN [beg, end)
+                # like the digit/float scopes (reference rng.random_range):
+                # the configured end address is never emitted.
                 lo, hi = (_ip4_to_long(x) for x in ov["ip_range"])
-                n = _rnd(self.id, self.nsalt(), hi - lo + 1) + F.lit(lo)
+                n = _rnd(self.id, self.nsalt(), max(hi - lo, 1)) + F.lit(lo)
                 base = F.format_string(
                     "%d.%d.%d.%d",
                     F.shiftright(n, 24).bitwiseAND(F.lit(255)),
