@@ -41,6 +41,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
     ALLOWED = {
         "cosine_topk": {"NESTED_LOOP"},       # broadcast tiny query set
         "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
+        "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -3581,6 +3581,234 @@ GROUP BY 1
 """
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; distinct active users per (cohort_week, week_offset) — the
+    classic product-analytics retention triangle.
+
+    Scale shape: first-seen = one user-keyed agg; the events→first-seen
+    join shuffles on the SAME key so the exchange is reused, then one
+    (cohort, offset)-keyed agg with partial count-distinct. No windows,
+    no broadcast of the fact side."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(wk, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH fw AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, CAST(date_trunc('week', ts) AS DATE)) / 7
+            AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN fw USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile revenue stats WITHOUT a global-sort window: NTILE over
+    an unpartitioned window would pull every row into one task, so decile
+    membership comes from exact percentile boundaries (a tiny aggregate,
+    broadcast back) — bucket = 1 + #boundaries strictly below the value.
+    This is the 100 TB-safe spelling of "decile analysis"."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = rev.agg(
+        F.percentile(F.col("revenue"), F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    return (
+        rev.join(F.broadcast(bounds))
+        .select(
+            "revenue",
+            (
+                F.size(F.filter(F.col("bs"), lambda b: F.col("revenue") > b)) + 1
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+    )
+
+
+DECILES_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT quantile_cont(revenue, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM rev
+)
+SELECT 1 + len(list_filter(bs, x -> revenue > x)) AS decile,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue,
+       round(min(revenue), 2) AS min_revenue,
+       round(max(revenue), 2) AS max_revenue
+FROM rev, b
+GROUP BY 1
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority): all four grouping
+    combinations in ONE pass — Spark expands the sets map-side and
+    aggregates them in a single shuffle, vs four separate scans."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of event value): Spark's
+    percentile() is a distributed exact aggregate (per-group sorted merge)
+    matching DuckDB quantile_cont's linear interpolation bit-for-bit on
+    the same doubles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations over the corpus: ln(N·c(a,b) / (c(a)·c(b)))
+    for bigrams seen ≥ 20 times — the classic phrase-mining signal
+    (Church & Hanks 1990). Top 20 by PMI.
+
+    Scale shape: ONE bigram-keyed shuffle for c(a,b); unigram counts are
+    a rollup of bigram rows plus the tail word; totals are one-row aggs;
+    both count tables BROADCAST into the scoring join. Text never
+    shuffles — only (w1, w2, count) triples move; TakeOrderedAndProject
+    caps the result."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(text.tokens(F.col("text")).alias("a")).where(
+        F.size("a") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(a, 1, size(a) - 1)"),
+                F.expr("slice(a, 2, size(a) - 1)"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("z")
+    ).select("z.w1", "z.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.select(F.explode("a").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    n_bg = bg.count()
+    n_uni = uni.agg(F.sum("cw")).collect()[0][0]
+    return (
+        c12.where(F.col("c") >= 20)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("cw", "c1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+        .withColumnRenamed("cw", "c2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") / F.lit(float(n_bg)))
+                    / (
+                        (F.col("c1").cast("double") / F.lit(float(n_uni)))
+                        * (F.col("c2").cast("double") / F.lit(float(n_uni)))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+BIGRAM_PMI_SQL = r"""
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), bg AS (
+  SELECT u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS z) u
+), c12 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS cw FROM (SELECT unnest(a) AS w FROM tok) GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM bg) AS n_bg, (SELECT sum(cw) FROM uni) AS n_uni
+)
+SELECT c12.w1, c12.w2, c12.c AS pair_count,
+       round(ln((CAST(c12.c AS DOUBLE) / n_bg)
+                / ((CAST(u1.cw AS DOUBLE) / n_uni)
+                   * (CAST(u2.cw AS DOUBLE) / n_uni))), 4) AS pmi
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN tot
+WHERE c12.c >= 20
+ORDER BY pmi DESC, c12.w1, c12.w2
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3632,6 +3860,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (multimodal_features, None),
     "multimodal_real_decode": (multimodal_real_decode, None),
     "image_neardup": (image_neardup, None),
+    # --- NEW r6 (inside the driver window) ---
+    "events_retention": (events_retention, RETENTION_SQL),
+    "customer_deciles": (customer_deciles, DECILES_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
     # --- r5 driver-green (CORRECTNESS_r05.json) ---
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),

@@ -33,6 +33,10 @@ def victorialogs_payload(
             .cast("decimal(30,9)")
             * 1_000_000_000
         ).cast("long")
+    # Fallback _time: current_timestamp() is Spark's QUERY-start time, so
+    # all rows of one batch/micro-batch share a single timestamp (vs the
+    # reference's per-record clock read). Acceptable — _time then marks
+    # ingest batch time; pass create_time_col for true per-record times.
     time_ns = F.coalesce(
         *( [ts] if ts is not None else [] ),
         (F.unix_micros(F.current_timestamp()) * 1000).cast("long"),
