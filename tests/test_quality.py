@@ -195,3 +195,51 @@ def test_kmeans_assignment_matches_numpy_and_refinement_helps(emb):
             assert abs(got[i][1] - round(sims[j, best[j]], 6)) < 1e-9
         mean_sim[iters] = float(np.mean(sims[np.arange(len(Xn)), best]))
     assert mean_sim[5] > mean_sim[0]
+
+
+def test_sketch_distinct_users_within_hll_error(spark, sf001_dir):
+    """sketch_distinct_users gate: HLL++ (rsd=0.01) per-group estimate
+    within 3·rsd of the exact distinct count computed independently in
+    DuckDB."""
+    from wp_motor_spark.queries import sketch_distinct_users
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_distinct_users(spark, sf001_dir).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf001_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for et, ex in exact.items():
+        assert abs(got[et] - ex) / ex <= 0.03, (et, got[et], ex)
+
+
+def test_sketch_value_quantiles_near_exact_twin(spark, sf001_dir):
+    """sketch_value_quantiles gate: the GK sketch (accuracy 10k) must sit
+    within the exact twin's value-neighborhood — with n << accuracy at
+    this sf the rank error is < 1, so each approx quantile must equal one
+    of the two order statistics bracketing the exact interpolated value."""
+    from wp_motor_spark.queries import events_quantiles, sketch_value_quantiles
+
+    approx = {
+        r["event_type"]: (r["ap50"], r["ap90"], r["ap99"])
+        for r in sketch_value_quantiles(spark, sf001_dir).collect()
+    }
+    vals = {}
+    for et, v in duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf001_dir}/events.parquet')"
+    ).fetchall():
+        vals.setdefault(et, []).append(v)
+    for et, (a50, a90, a99) in approx.items():
+        s = sorted(vals[et])
+        n = len(s)
+        for p, a in ((0.5, a50), (0.9, a90), (0.99, a99)):
+            i = p * (n - 1)
+            lo, hi = s[int(i)], s[min(int(i) + 1, n - 1)]
+            assert round(lo, 4) - 1e-9 <= a <= round(hi, 4) + 1e-9, (
+                et, p, a, lo, hi,
+            )

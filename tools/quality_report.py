@@ -362,6 +362,54 @@ def main() -> None:
         "gate": "every ratio identical to driver-side zlib.compress(level=6)",
     }
 
+    # --- sketch_distinct_users: HLL++ per-group error vs DuckDB exact ---
+    from wp_motor_spark.queries import sketch_distinct_users, sketch_value_quantiles
+
+    got_hll = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_distinct_users(spark, sf_dir).collect()
+    }
+    exact_users = dict(
+        duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    max_err = max(
+        abs(got_hll[et] - ex) / ex for et, ex in exact_users.items()
+    )
+    report["gates"]["sketch_distinct_users"] = {
+        "metric": "hll_max_group_rel_error_vs_exact",
+        "value": bool(set(got_hll) == set(exact_users) and max_err <= 0.03),
+        "max_rel_error": round(max_err, 5),
+        "gate": "<= 0.03 (3x rsd=0.01) per event_type",
+    }
+
+    # --- sketch_value_quantiles: GK sketch within exact order-stat bracket ---
+    q_approx = {
+        r["event_type"]: (r["ap50"], r["ap90"], r["ap99"])
+        for r in sketch_value_quantiles(spark, sf_dir).collect()
+    }
+    vals: dict = {}
+    for et, v in duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall():
+        vals.setdefault(et, []).append(v)
+    gk_ok = True
+    for et, (a50, a90, a99) in q_approx.items():
+        s = sorted(vals[et])
+        n = len(s)
+        for p, a in ((0.5, a50), (0.9, a90), (0.99, a99)):
+            i = p * (n - 1)
+            lo, hi = s[int(i)], s[min(int(i) + 1, n - 1)]
+            gk_ok = gk_ok and (round(lo, 4) - 1e-9 <= a <= round(hi, 4) + 1e-9)
+    report["gates"]["sketch_value_quantiles"] = {
+        "metric": "gk_quantiles_within_exact_order_stat_bracket",
+        "value": bool(gk_ok),
+        "groups": len(q_approx),
+        "gate": "each approx p in [floor(p(n-1)), ceil(p(n-1))] order stats",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

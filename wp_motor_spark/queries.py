@@ -3809,6 +3809,41 @@ LIMIT 20
 """
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type
+    (approx_count_distinct, rsd=0.01): THE cardinality sketch for 100 TB
+    rollups — fixed-size mergeable registers instead of a count-distinct
+    shuffle carrying every key. Engine-specific sketch state → rows-only
+    driver check; the numeric gate (|approx−exact|/exact ≤ 3·rsd per
+    group vs a DuckDB exact twin) lives in tests/test_quality.py and the
+    QUALITY artifact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+
+
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (Greenwald-Khanna, accuracy 10k) per event
+    type — the bounded-memory quantile path whose EXACT twin is
+    events_quantiles. Rows-only driver check; gate: approx within the
+    twin's p-neighborhood (rank error ≤ 1/accuracy) in
+    tests/test_quality.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)), 4
+        ).alias("ap50"),
+        F.round(
+            F.percentile_approx(F.col("value"), F.lit(0.9), F.lit(10000)), 4
+        ).alias("ap90"),
+        F.round(
+            F.percentile_approx(F.col("value"), F.lit(0.99), F.lit(10000)), 4
+        ).alias("ap99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3866,6 +3901,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
     "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "sketch_distinct_users": (sketch_distinct_users, None),
+    "sketch_value_quantiles": (sketch_value_quantiles, None),
     # --- r5 driver-green (CORRECTNESS_r05.json) ---
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
