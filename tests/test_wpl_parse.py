@@ -671,3 +671,25 @@ def test_peek_symbol_zero_width_capture(spark):
     # zero-width: the method field consumed the very token the peek saw
     assert out["GET /x"] == ("success", "GET", "GET")
     assert out["POST /x"][0] == "miss"  # peek assertion fails the rule
+
+
+def test_quoted_take_field_names():
+    """take() quoting forms (docs 03-wpl/examples/take_quoted_demo.wpl):
+    bare identifiers, double-quoted names with full escapes, single-quoted
+    raw strings where only \\' is escaped and backslashes stay literal."""
+    from wp_motor_spark.wpl.parser import parse_wpl
+
+    rules = parse_wpl(
+        'rule q { (kv | take("@timestamp") | take("field\\"name") '
+        "| take('field\\'s name') | take('path\\\\to\\\\file') "
+        "| take('C:\\Windows\\System32') | take(simple_field)) }"
+    )
+    calls = [c for c in rules[0].groups[0].items[0].pipes if c.name == "take"]
+    assert [c.args[0] for c in calls] == [
+        "@timestamp",
+        'field"name',
+        "field's name",
+        "path\\\\to\\\\file",  # single-quote raw: \\ stays literal
+        "C:\\Windows\\System32",
+        "simple_field",
+    ]

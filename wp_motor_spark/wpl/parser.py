@@ -489,10 +489,29 @@ def _parse_fun_call(cur: _Cursor) -> FunCall:
         if cur.peek() == '"' or cur.text.startswith("r#\"", cur.pos):
             call.args.append(_parse_string(cur))
         elif cur.peek() == "'":
+            # single-quoted = raw string: backslashes stay literal EXCEPT
+            # \' which escapes the closing quote (take_quoted_demo.wpl
+            # example 4: take('field\'s name'))
             cur.pos += 1
-            end = cur.text.find("'", cur.pos)
-            call.args.append(cur.text[cur.pos : end])
-            cur.pos = end + 1
+            buf = []
+            while not cur.eof():
+                ch = cur.text[cur.pos]
+                if (
+                    ch == "\\"
+                    and cur.pos + 1 < len(cur.text)
+                    and cur.text[cur.pos + 1] == "'"
+                ):
+                    buf.append("'")
+                    cur.pos += 2
+                elif ch == "'":
+                    cur.pos += 1
+                    break
+                else:
+                    buf.append(ch)
+                    cur.pos += 1
+            else:
+                raise WplSyntaxError("unterminated string")
+            call.args.append("".join(buf))
         elif cur.peek() == "[":
             depth = 0
             i = cur.pos
