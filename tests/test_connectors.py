@@ -221,3 +221,26 @@ tags = ["dev_src_ip : 10.0.0.9"]
     other_path = next(s.path for s in ws.sinks if s.name == "other")
     line = spark.read.text(other_path).collect()[0]["value"]
     assert "src_ip=222.133.52.20" in line and "dev_src_ip=10.0.0.9" in line
+
+
+def test_kafka_sink_option_mapping():
+    """connectors/sink.d/30-kafka.toml params -> Spark writer options:
+    brokers becomes kafka.bootstrap.servers, config entries get the
+    kafka. prefix, topic passes through, admin-only keys are dropped."""
+    from wp_motor_spark.sources.kafka import sink_options
+
+    got = sink_options(
+        {
+            "brokers": "localhost:9092",
+            "topic": "wparse_output",
+            "num_partitions": 1,
+            "replication": 1,
+            "config": ["compression.type=snappy", "acks=all"],
+        }
+    )
+    assert got == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "wparse_output",
+        "kafka.compression.type": "snappy",
+        "kafka.acks": "all",
+    }

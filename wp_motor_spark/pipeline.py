@@ -240,10 +240,12 @@ class Pipeline:
 
             rsc.write_or_raise(lines, spec.path)
         elif spec.kind == "kafka":
+            from wp_motor_spark.sources.kafka import sink_options
+
             (
                 lines.selectExpr("CAST(line AS STRING) AS value")
                 .write.format("kafka")
-                .options(**spec.options)
+                .options(**sink_options(spec.options))
                 .save()
             )
         elif spec.kind == "tcp":

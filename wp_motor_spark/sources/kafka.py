@@ -52,3 +52,30 @@ def read_kafka_batch(
 ) -> DataFrame:
     reader = _apply_conf(spark.read.format("kafka"), brokers, topics, config)
     return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def sink_options(params: dict) -> dict:
+    """Reference kafka-sink connector params (connectors/sink.d/
+    30-kafka.toml: brokers/topic/config/num_partitions/replication) ->
+    Spark kafka-writer options.
+
+    num_partitions/replication are topic-ADMIN settings the reference
+    applies when auto-creating the topic; Spark's writer cannot create
+    topics, so they are dropped here (create the topic out-of-band).
+    Already-spark-spelled keys (kafka.*, topic) pass through unchanged so
+    hand-written workspaces can use either spelling.
+    """
+    out: dict = {}
+    for k, v in (params or {}).items():
+        if k == "brokers":
+            out["kafka.bootstrap.servers"] = v
+        elif k == "config":
+            for entry in v or []:
+                ck, _, cv = entry.partition("=")
+                if ck.strip():
+                    out[f"kafka.{ck.strip()}"] = cv.strip()
+        elif k in ("num_partitions", "replication"):
+            continue
+        else:
+            out[k] = v
+    return out
