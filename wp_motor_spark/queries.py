@@ -3844,6 +3844,50 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded shard export for training order: every doc
+    gets a shard (md5-derived, seed-keyed) and a reproducible position
+    within its shard — the op that makes a 100 TB training run resumable
+    and exactly repeatable (same seed → same global example order).
+
+    Scale shape: the permutation hash is map-only; position assignment
+    shuffles once on shard (each shard's window sorts independently, so
+    parallelism = shard count — size shards to executor memory; the
+    standard export then writes each shard partitionBy-style). Seed is a
+    literal so both engines compute the identical permutation."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.lit("seed42"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(8)
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard)
+        .select(
+            "shard",
+            F.row_number().over(w).alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+TRAINING_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         md5('seed42' || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, h,
+         ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+  FROM t
+)
+SELECT shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+       doc_id
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3903,6 +3947,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
     "sketch_distinct_users": (sketch_distinct_users, None),
     "sketch_value_quantiles": (sketch_value_quantiles, None),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
     # --- r5 driver-green (CORRECTNESS_r05.json) ---
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
