@@ -693,3 +693,21 @@ def test_quoted_take_field_names():
         "C:\\Windows\\System32",
         "simple_field",
     ]
+
+
+def test_strip_bom_all_positions(spark):
+    """strip/bom removes BOM marks at ALL positions, not just leading
+    (bom.rs remove_all_boms full-scan): U+FEFF is what a UTF-8 BOM decodes
+    to in a string column; interior and repeated marks all go."""
+    from wp_motor_spark.wpl.preproc import apply_preprocs
+
+    rows = [
+        ("﻿Hello",),              # leading
+        ("Hel﻿lo",),              # interior
+        ("﻿﻿a﻿b﻿",),  # repeated everywhere
+        ("clean",),
+    ]
+    df = spark.createDataFrame(rows, ["value"]).select(
+        apply_preprocs(F.col("value"), ["strip/bom"]).alias("s")
+    )
+    assert [r["s"] for r in df.collect()] == ["Hello", "Hello", "ab", "clean"]

@@ -16,8 +16,10 @@ _B64_RE = r"^[A-Za-z0-9+/\s]*={0,2}\s*$"
 _HEX_RE = r"^(?:[0-9A-Fa-f]{2}\s*)+$"
 # BOM table (strip/bom, crates/wp-lang/src/eval/builtins/bom.rs): UTF-8 BOM
 # survives a utf-8 decode as U+FEFF; UTF-16/32 BOMs can't appear in a decoded
-# string column, so the FEFF strip covers the string-typed pipeline.
-_BOM_RE = "^﻿+"
+# string column, so the FEFF strip covers the string-typed pipeline. The
+# reference removes BOMs at ALL positions (remove_all_boms byte scan),
+# not only a leading run.
+_BOM = "﻿"
 
 
 def apply_preprocs(col: Column, preprocs: list[str]) -> Column:
@@ -41,7 +43,7 @@ def apply_preprocs(col: Column, preprocs: list[str]) -> Column:
             # substitutes "" for $1 when that group didn't participate.
             out = F.regexp_replace(out, r'(?s)\\(.)|\\$|"', "$1")
         elif step == "strip/bom":
-            out = F.regexp_replace(out, _BOM_RE, "")
+            out = F.replace(out, F.lit(_BOM), F.lit(""))
         elif step.startswith("plg_pipe/"):
             from wp_motor_spark.wpl.registry import get_plg_pipe
 
