@@ -711,3 +711,47 @@ def test_strip_bom_all_positions(spark):
         apply_preprocs(F.col("value"), ["strip/bom"]).alias("s")
     )
     assert [r["s"] for r in df.collect()] == ["Hello", "Hello", "ab", "clean"]
+
+
+def test_quoted_json_field_refs(spark):
+    """@'...'/@"..." quoted refs (field_reference.md): LITERAL top-level
+    key names — dots, dashes, @ and slashes inside a quoted ref never
+    become path segments, while unquoted refs keep a/b nesting."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    rule = parse_wpl(
+        "rule j { (json(chars@'@client-ip':client, chars@'event.type':etype, "
+        "chars@'log/level':lvl, chars@proc/name:pname)) }"
+    )[0]
+    subs = rule.groups[0].items[0].subfields
+    assert [(s.ref, s.quoted) for s in subs] == [
+        ("@client-ip", True),
+        ("event.type", True),
+        ("log/level", True),
+        ("proc/name", False),
+    ]
+    cr = compile_rule(rule)
+    df = spark.createDataFrame(
+        [(
+            '{"@client-ip":"1.2.3.4","event.type":"login",'
+            '"log/level":"warn","proc":{"name":"sshd"}}',
+        )],
+        ["value"],
+    )
+    row = cr.extract(df).first()
+    assert row["_disposition"] == "success"
+    assert row["client"] == "1.2.3.4"
+    assert row["etype"] == "login"    # literal key, not nested event->type
+    assert row["lvl"] == "warn"       # literal key, not nested log->level
+    assert row["pname"] == "sshd"     # unquoted proc/name IS nested
+
+
+def test_malformed_subfield_raises_not_hangs():
+    """A stray token inside json(...) must raise a syntax error — the
+    subfield loop previously failed to advance and spun forever."""
+    import pytest as _pytest
+
+    from wp_motor_spark.wpl.parser import WplSyntaxError, parse_wpl
+
+    with _pytest.raises(WplSyntaxError, match="bad subfield|expected"):
+        parse_wpl("rule j { (json(chars@a:b, %bogus)) }")

@@ -29,6 +29,10 @@ class WplSubfield:
     ref: str = "*"
     name: str | None = None
     optional: bool = False
+    # quoted refs (@'event.type' / @"a\"b") are LITERAL key names: no
+    # path segmentation on '/' or '.' (field_reference.md single-quote
+    # section); unquoted refs keep path semantics (@a/b = nested)
+    quoted: bool = False
 
 
 @dataclass

@@ -608,7 +608,8 @@ def _exact_json_guard(raw: Column, subfields) -> Column:
         ref = (sf.ref or "*").strip()
         if ref == "*":
             return F.lit(True)
-        segs = ref.split("/")
+        # quoted refs are one literal key, never a '/' path
+        segs = [ref] if getattr(sf, "quoted", False) else ref.split("/")
         for i, seg in enumerate(segs):
             parent = "/".join(segs[:i])
             allowed, required = levels.setdefault(parent, (set(), set()))
@@ -914,7 +915,12 @@ class CompiledRule:
                     if ref == "*":
                         cols.append((nm, F.nullif(raw, F.lit(""))))
                         continue
-                    jp = "$." + ref.replace("/", ".")
+                    if getattr(sf, "quoted", False):
+                        # quoted ref = LITERAL top-level key (may contain
+                        # . / @ - etc.) -> JsonPath bracket notation
+                        jp = "$['" + ref.replace("'", "\\'") + "']"
+                    else:
+                        jp = "$." + ref.replace("/", ".")
                     sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
                     cols.append((nm, _cast_subfield(sub, sf.dtype)))
                 continue

@@ -448,6 +448,7 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
             break
         if cur.try_tok(","):
             continue
+        start = cur.pos
         sf = WplSubfield()
         if re.match(r"opt\s*\(", cur.text[cur.pos :]):
             cur.expect("opt")
@@ -459,9 +460,64 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
             dt = cur.match_re(_FIELD_TYPE_RE)
             sf.dtype = _TYPE_ALIASES.get(dt, dt) if dt else "auto"
         if cur.try_tok("@"):
-            sf.ref = cur.match_re(re.compile(r"[A-Za-z0-9_./\-\[\]*]+")) or "*"
+            if cur.peek() == "'":
+                # single-quoted ref for special field names
+                # (field_reference.md: @'@client-ip', @'event.type');
+                # raw string, only \' escapes the closing quote
+                cur.pos += 1
+                buf = []
+                while not cur.eof():
+                    ch = cur.text[cur.pos]
+                    if (
+                        ch == "\\"
+                        and cur.pos + 1 < len(cur.text)
+                        and cur.text[cur.pos + 1] == "'"
+                    ):
+                        buf.append("'")
+                        cur.pos += 2
+                    elif ch == "'":
+                        cur.pos += 1
+                        break
+                    else:
+                        buf.append(ch)
+                        cur.pos += 1
+                else:
+                    raise WplSyntaxError("unterminated quoted field ref")
+                sf.ref = "".join(buf)
+                sf.quoted = True
+            elif cur.peek() == '"':
+                # double-quoted ref: full escapes \" \\ \n \t \r \xHH
+                # (field_reference.md escape table)
+                cur.pos += 1
+                buf = []
+                while not cur.eof():
+                    ch = cur.text[cur.pos]
+                    if ch == "\\" and cur.pos + 1 < len(cur.text):
+                        nxt = cur.text[cur.pos + 1]
+                        if nxt == "x" and cur.pos + 3 < len(cur.text):
+                            buf.append(chr(int(cur.text[cur.pos + 2 : cur.pos + 4], 16)))
+                            cur.pos += 4
+                        else:
+                            buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                            cur.pos += 2
+                    elif ch == '"':
+                        cur.pos += 1
+                        break
+                    else:
+                        buf.append(ch)
+                        cur.pos += 1
+                else:
+                    raise WplSyntaxError("unterminated quoted field ref")
+                sf.ref = "".join(buf)
+                sf.quoted = True
+            else:
+                sf.ref = cur.match_re(re.compile(r"[A-Za-z0-9_./\-\[\]*]+")) or "*"
         if cur.try_tok(":"):
             sf.name = cur.match_re(_NAME_RE)
+        if cur.pos == start:  # no token consumed: malformed input, not a loop
+            raise WplSyntaxError(
+                f"bad subfield at {cur.pos}: {cur.text[cur.pos:cur.pos+20]!r}"
+            )
         subs.append(sf)
     return subs
 
