@@ -755,3 +755,27 @@ def test_malformed_subfield_raises_not_hangs():
 
     with _pytest.raises(WplSyntaxError, match="bad subfield|expected"):
         parse_wpl("rule j { (json(chars@a:b, %bogus)) }")
+
+
+def test_json_ref_array_index_and_wildcard(spark):
+    """Array refs (field_reference.md): @items[0] indexes, @data[5]/value
+    nests through an element, and a bare '*' segment is the array
+    wildcard (@logs/*/message collects every element's key)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    rule = parse_wpl(
+        "rule j { (json(chars@items[0]:first, chars@data[5]/value:v5, "
+        "chars@logs/*/message:msgs)) }"
+    )[0]
+    cr = compile_rule(rule)
+    df = spark.createDataFrame(
+        [(
+            '{"items":[10,20],"data":[0,1,2,3,4,{"value":"v5"}],'
+            '"logs":[{"message":"m1"},{"message":"m2"}]}',
+        )],
+        ["value"],
+    )
+    row = cr.extract(df).first()
+    assert row["first"] == "10"
+    assert row["v5"] == "v5"
+    assert row["msgs"] == '["m1","m2"]'

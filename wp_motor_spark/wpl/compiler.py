@@ -610,14 +610,19 @@ def _exact_json_guard(raw: Column, subfields) -> Column:
             return F.lit(True)
         # quoted refs are one literal key, never a '/' path
         segs = [ref] if getattr(sf, "quoted", False) else ref.split("/")
+        if "*" in segs:  # wildcard segment: glob conf disables strictness
+            continue     # for this subtree (json_impl.rs short-circuit)
         for i, seg in enumerate(segs):
             parent = "/".join(segs[:i])
             allowed, required = levels.setdefault(parent, (set(), set()))
-            allowed.add(seg)
+            # an indexed segment (items[0]) covers the KEY 'items' —
+            # json_object_keys reports bare key names
+            key = seg.split("[", 1)[0]
+            allowed.add(key)
             # only a LEAF marked optional is optional; path prefixes are
             # required containers
             if i < len(segs) - 1 or not sf.optional:
-                required.add(seg)
+                required.add(key)
     g = F.lit(True)
     for parent, (allowed, required) in levels.items():
         node = (
@@ -920,7 +925,12 @@ class CompiledRule:
                         # . / @ - etc.) -> JsonPath bracket notation
                         jp = "$['" + ref.replace("'", "\\'") + "']"
                     else:
-                        jp = "$." + ref.replace("/", ".")
+                        # path ref: '/' nests; a bare '*' segment is the
+                        # array wildcard (@logs/*/message -> $.logs[*].message,
+                        # field_reference.md wildcard section)
+                        jp = "$"
+                        for seg in ref.split("/"):
+                            jp += "[*]" if seg == "*" else "." + seg
                     sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
                     cols.append((nm, _cast_subfield(sub, sf.dtype)))
                 continue
