@@ -779,3 +779,31 @@ def test_json_ref_array_index_and_wildcard(spark):
     assert row["first"] == "10"
     assert row["v5"] == "v5"
     assert row["msgs"] == '["m1","m2"]'
+
+
+def test_shortcut_separators(spark):
+    """Shortcut separators (wpl_sep.rs:59-66 + separator.md): \\s = space,
+    \\t = tab (TSV fields may contain spaces), \\S = space-or-tab,
+    \\0 = end-of-line (field takes the rest, even containing '0')."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    cases = [
+        (r"rule a { (chars:ip\s,chars:method\s,chars:path) }",
+         "192.168.1.1 GET /api/users",
+         {"ip": "192.168.1.1", "method": "GET", "path": "/api/users"}),
+        (r"rule b { (chars:u\t,chars:age\t,chars:city) }",
+         "user one\t2 5\tBei jing",
+         {"u": "user one", "age": "2 5", "city": "Bei jing"}),
+        (r"rule c { (chars:c1\S,chars:c2\S,chars:c3) }",
+         "field1 field2\tfield3",
+         {"c1": "field1", "c2": "field2", "c3": "field3"}),
+        (r"rule d { (chars:prefix,chars:rest\0) }",
+         "prefix_value tail with 0 inside",
+         {"prefix": "prefix_value", "rest": "tail with 0 inside"}),
+    ]
+    for wpl, line, want in cases:
+        cr = compile_rule(parse_wpl(wpl)[0])
+        row = cr.extract(spark.createDataFrame([(line,)], ["value"])).first()
+        assert row["_disposition"] == "success", (wpl, row)
+        for k, v in want.items():
+            assert row[k] == v, (wpl, k, row[k], v)

@@ -78,8 +78,21 @@ _TIME_AUTO_RE = "(?:" + "|".join(p for p, _ in _TIME_PATTERNS) + ")"
 _IP_RE = r"(?:\d{1,3}(?:\.\d{1,3}){3}|(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})"
 
 
+# Shortcut separators (wpl_sep.rs:59-66): \0/0 = end-of-line (field takes
+# the rest), \s/s = space, \t/t = tab, \S/S = space-or-tab. The parser
+# stores the bare letter; both regex builders normalize here.
+
+
 def _neg_class(sep: str | None) -> str:
     """Character class matching anything but the separator (first char)."""
+    if sep == "0":
+        return r"[^\n]"  # End sep: the field takes the whole rest of line
+    if sep == "S":
+        return r"[^ \t]"
+    if sep in ("t", "\t"):
+        return r"[^\t]"  # TSV fields may contain spaces
+    if sep == "s":
+        sep = " "
     if sep is None or sep.strip() == "" or sep == _WS:
         return r"[^\s]"
     return "[^" + re.escape(sep[0]) + "]"
@@ -90,6 +103,17 @@ def _sep_regex(sep_lit: str | None, pattern_sep: str | None) -> str:
         return _compile_pattern_sep(pattern_sep)
     if sep_lit is None:
         return _WS
+    if sep_lit == "0":
+        return r"$"  # End sep: nothing to consume
+    if sep_lit == "S":
+        # one space-or-tab; the reference's next-field multispace0 strip
+        # collapses runs, so match the run here
+        return r"[ \t]+"
+    if sep_lit in ("t", "\t"):
+        # exact tab + the leading-whitespace strip of the next field
+        return r"\t[ \t]*"
+    if sep_lit == "s":
+        sep_lit = " "
     if sep_lit.strip() == "":
         return _WS
     # literal separators tolerate surrounding whitespace ("k=v, k=v")
