@@ -807,3 +807,27 @@ def test_shortcut_separators(spark):
         assert row["_disposition"] == "success", (wpl, row)
         for k, v in want.items():
             assert row[k] == v, (wpl, k, row[k], v)
+
+
+def test_subfield_format_and_pipes(spark):
+    """Grammar: subfield = [type][@ref][:name][format][sep]{pipe} — the
+    quote fmt parses (inert: JSON strings are already unquoted) and
+    transform pipes apply to the extracted subfield value."""
+    import base64
+
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    b64 = base64.b64encode(b"hello world").decode()
+    cases = [
+        ('rule a { (json(chars"@msg:alias)) }', '{"msg":"hi"}',
+         {"alias": "hi"}),
+        ('rule b { (json(chars@enc:dec | base64_decode())) }',
+         '{"enc":"%s"}' % b64, {"dec": "hello world"}),
+        ('rule c { (kvarr(chars@k:v | chars_replace(error,warning))) }',
+         "k=error_code x=1", {"v": "warning_code"}),
+    ]
+    for txt, line, want in cases:
+        cr = compile_rule(parse_wpl(txt)[0])
+        row = cr.extract(spark.createDataFrame([(line,)], ["value"])).first()
+        for k, v in want.items():
+            assert row[k] == v, (txt, k, row[k])

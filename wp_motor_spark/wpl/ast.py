@@ -33,6 +33,11 @@ class WplSubfield:
     # path segmentation on '/' or '.' (field_reference.md single-quote
     # section); unquoted refs keep path semantics (@a/b = nested)
     quoted: bool = False
+    # grammar: subfield = [type] [@ref] [:name] [format] [sep] {pipe} —
+    # transform pipes apply to the extracted value; fmt/sep accepted and
+    # currently inert (JSON strings are already unquoted on extraction)
+    fmt: str | None = None
+    pipes: list = field(default_factory=list)
 
 
 @dataclass

@@ -767,6 +767,19 @@ def _auto_cascade(s: Column) -> Column:
     return F.when(s.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
 
 
+def _apply_subfield_pipes(col: Column, sf) -> Column:
+    """Transform pipes declared on a subfield (grammar: subfield {pipe}),
+    applied to the extracted value before the type cast. Selector/guard
+    pipes at subfield position are inert here — guards gate matching at
+    the FIELD level (compile_guards), where take()/last() retarget them."""
+    from wp_motor_spark.wpl.functions import _transform_expr
+
+    for call in getattr(sf, "pipes", []) or []:
+        if call.name in ("json_unescape", "base64_decode", "chars_replace"):
+            col = _transform_expr(call, col)
+    return col
+
+
 def _cast_subfield(col: Column, dtype: str) -> Column:
     """Typed cast for a composite subfield ((type@ref:name) forms).
 
@@ -956,6 +969,7 @@ class CompiledRule:
                         for seg in ref.split("/"):
                             jp += "[*]" if seg == "*" else "." + seg
                     sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
+                    sub = _apply_subfield_pipes(sub, sf)
                     cols.append((nm, _cast_subfield(sub, sf.dtype)))
                 continue
             if out.sub_pattern is not None:
@@ -987,7 +1001,10 @@ class CompiledRule:
                             (
                                 sf.name or sf.ref.replace("/", "_"),
                                 _cast_subfield(
-                                    F.try_element_at(typed, F.lit(sf.ref)), sf.dtype
+                                    _apply_subfield_pipes(
+                                        F.try_element_at(typed, F.lit(sf.ref)), sf
+                                    ),
+                                    sf.dtype,
                                 ),
                             )
                         )

@@ -459,6 +459,10 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
         else:
             dt = cur.match_re(_FIELD_TYPE_RE)
             sf.dtype = _TYPE_ALIASES.get(dt, dt) if dt else "auto"
+        if cur.peek() == '"' and cur.text[cur.pos : cur.pos + 2] == '"@':
+            # quote fmt directly after the type (chars"@msg:alias)
+            sf.fmt = '"'
+            cur.pos += 1
         if cur.try_tok("@"):
             if cur.peek() == "'":
                 # single-quoted ref for special field names
@@ -514,6 +518,18 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
                 sf.ref = cur.match_re(re.compile(r"[A-Za-z0-9_./\-\[\]*]+")) or "*"
         if cur.try_tok(":"):
             sf.name = cur.match_re(_NAME_RE)
+        if cur.peek() == '"':  # quote fmt (grammar: [format] after name)
+            sf.fmt = '"'
+            cur.pos += 1
+        _try_parse_sep(cur)  # subfield sep: accepted, inert (grammar allows)
+        while True:  # {pipe}: transform/guard calls on the extracted value
+            save = cur.pos
+            cur.skip_ws()
+            if not cur.try_tok("|"):
+                cur.pos = save
+                break
+            cur.skip_ws()
+            sf.pipes.append(_parse_fun_call(cur))
         if cur.pos == start:  # no token consumed: malformed input, not a loop
             raise WplSyntaxError(
                 f"bad subfield at {cur.pos}: {cur.text[cur.pos:cur.pos+20]!r}"
