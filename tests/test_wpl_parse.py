@@ -831,3 +831,28 @@ def test_subfield_format_and_pipes(spark):
         row = cr.extract(spark.createDataFrame([(line,)], ["value"])).first()
         for k, v in want.items():
             assert row[k] == v, (txt, k, row[k])
+
+
+def test_guard_null_semantics_missing_field(spark):
+    """pipe_fun.rs NULL discipline: positive guards FAIL on a missing
+    field (CharsHas/DigitRange process(None) -> Err); chars_not_has and
+    not(...) SUCCEED ('field doesn't exist -> TRUE, permissive')."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    line = '{"a":"x"}'  # field b absent
+
+    def disp(wpl):
+        cr = compile_rule(parse_wpl(wpl)[0])
+        return cr.extract(
+            spark.createDataFrame([(line,)], ["value"])
+        ).first()["_disposition"]
+
+    # positive guard on missing field -> miss
+    assert disp('rule t { (json(chars@a) | take(b) | chars_has(x)) }') == "miss"
+    assert disp('rule t { (json(chars@a) | take(b) | digit_range(1,9)) }') == "miss"
+    # permissive negative forms on missing field -> success
+    assert disp('rule t { (json(chars@a) | take(b) | chars_not_has(x)) }') == "success"
+    assert disp('rule t { (json(chars@a) | take(b) | not(chars_has(x))) }') == "success"
+    # sanity: guard against the PRESENT field still works both ways
+    assert disp('rule t { (json(chars@a) | take(a) | chars_has(x)) }') == "success"
+    assert disp('rule t { (json(chars@a) | take(a) | chars_has(y)) }') == "miss"

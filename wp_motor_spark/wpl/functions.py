@@ -37,6 +37,14 @@ def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Colum
     def fcol(key: str) -> Column:
         return cols.get(key, F.lit(None))
 
+    # NULL discipline (pipe_fun.rs): every guard is a NON-NULL boolean —
+    # positive checks FAIL on a missing field (CharsHas/DigitRange
+    # process(None) -> Err), the *_not_has family SUCCEEDS ("field
+    # doesn't exist -> TRUE, permissive"). A nullable guard would leak
+    # through the `when(~guard)` miss-rewrite as success.
+    def t(expr: Column) -> Column:  # positive guard: NULL -> False
+        return F.coalesce(expr, F.lit(False))
+
     if name == "not":
         inner = _guard_expr(call.inner, active, cols)
         return ~inner if inner is not None else None
@@ -45,35 +53,35 @@ def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Colum
     if name == "f_has":
         return fcol(a[0]).isNotNull()
     if name == "chars_has":
-        return active == F.lit(a[0])
+        return active.eqNullSafe(F.lit(a[0]))
     if name == "f_chars_has":
-        return fcol(a[0]) == F.lit(a[1])
+        return fcol(a[0]).eqNullSafe(F.lit(a[1]))
     if name == "chars_not_has":
-        return active != F.lit(a[0])
+        return ~active.eqNullSafe(F.lit(a[0]))
     if name == "f_chars_not_has":
-        return fcol(a[0]) != F.lit(a[1])
+        return ~fcol(a[0]).eqNullSafe(F.lit(a[1]))
     if name == "chars_in":
-        return active.isin(_parse_array(a[0]))
+        return t(active.isin(_parse_array(a[0])))
     if name == "f_chars_in":
-        return fcol(a[0]).isin(_parse_array(a[1]))
+        return t(fcol(a[0]).isin(_parse_array(a[1])))
     if name == "starts_with":
-        return active.startswith(a[0])
+        return t(active.startswith(a[0]))
     if name == "regex_match":
-        return active.rlike(a[0])
+        return t(active.rlike(a[0]))
     if name == "digit_has":
-        return active == F.lit(int(a[0]))
+        return active.eqNullSafe(F.lit(int(a[0])))
     if name == "f_digit_has":
-        return fcol(a[0]) == F.lit(int(a[1]))
+        return fcol(a[0]).eqNullSafe(F.lit(int(a[1])))
     if name == "digit_in":
-        return active.isin([int(x) for x in _parse_array(a[0])])
+        return t(active.isin([int(x) for x in _parse_array(a[0])]))
     if name == "f_digit_in":
-        return fcol(a[0]).isin([int(x) for x in _parse_array(a[1])])
+        return t(fcol(a[0]).isin([int(x) for x in _parse_array(a[1])]))
     if name == "digit_range":
-        return active.between(int(a[0]), int(a[1]))
+        return t(active.between(int(a[0]), int(a[1])))
     if name == "ip_in":
-        return active.isin(_parse_array(a[0]))
+        return t(active.isin(_parse_array(a[0])))
     if name == "f_ip_in":
-        return fcol(a[0]).isin(_parse_array(a[1]))
+        return t(fcol(a[0]).isin(_parse_array(a[1])))
     return None  # selector / transform pipes are not guards
 
 
