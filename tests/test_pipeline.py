@@ -374,3 +374,39 @@ def test_wp_event_id_stable_across_actions(spark):
     d2 = pipe.run_batch(raw).branches["default"]
     third = {r["msg"]: r["wp_event_id"] for r in d2.collect()}
     assert first == third
+
+
+def test_robust_modes_on_sink_failure(spark, tmp_path):
+    """robust = debug|normal|strict (01-wparse.md, wp-error
+    sys_robust_mode): strict fails the batch even with a rescue spool;
+    normal rescues when configured and raises otherwise; debug tolerates
+    a failing sink even without a spool."""
+    import pytest as _pytest
+
+    from wp_motor_spark.sinks import rescue as rsc
+
+    wpl = "rule r { (chars:msg) }"
+    raw = spark.createDataFrame([("a",), ("b",)], ["value"])
+
+    def mk(robust, with_rescue):
+        sink_dir = str(tmp_path / f"out_{robust}_{with_rescue}")
+        rsc.set_healthy(sink_dir, False)  # failure injection
+        return Pipeline(
+            wpl=wpl,
+            omls=[],
+            sinks=[SinkSpec(name="default", kind="test_rescue",
+                            path=sink_dir, format="raw")],
+            rescue_dir=str(tmp_path / f"rsc_{robust}") if with_rescue else None,
+            robust=robust,
+        )
+
+    # strict: raises despite the spool
+    with _pytest.raises(Exception):
+        mk("strict", True).write_batch(raw)
+    # normal + spool: rescued, batch survives
+    assert mk("normal", True).write_batch(raw)["default"] == 0
+    # normal without spool: raises
+    with _pytest.raises(Exception):
+        mk("normal", False).write_batch(raw)
+    # debug without spool: tolerated
+    assert mk("debug", False).write_batch(raw)["default"] == 0

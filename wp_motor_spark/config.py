@@ -53,6 +53,12 @@ class Workspace:
         return int(self.conf.get("parallel", 2))
 
     @property
+    def robust(self) -> str:
+        """Error-handling strategy (01-wparse.md: robust = debug|normal|
+        strict; wp-error sys_robust_mode)."""
+        return str(self.conf.get("robust", "normal"))
+
+    @property
     def speed_limit(self) -> int:
         return int(self.conf.get("speed_limit", 10000))
 
@@ -280,5 +286,6 @@ def build_pipeline(ws: Workspace, knowdb=None):
         tags=tags,
         # wp_src_key is well-defined when ONE source feeds the pipeline
         src_key=keys[0] if len(keys) == 1 else None,
+        robust=ws.robust,
     )
     return pipe, inputs

@@ -87,6 +87,7 @@ class Pipeline:
         tags: dict[str, str] | None = None,
         rescue_dir: str | None = None,
         src_key: str | None = None,
+        robust: str = "normal",
     ):
         self.parser = MultiParser(wpl)
         self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
@@ -99,6 +100,13 @@ class Pipeline:
         # source identifier for the wp_src_key mechanism field
         # (09-metadata.md; SourceEvent.src_key)
         self.src_key = src_key
+        # error-handling strategy (conf robust = debug|normal|strict,
+        # wp-error ErrorHandlingStrategy via sys_robust_mode):
+        #   strict -> a failing sink write fails the batch even with a
+        #             rescue spool configured (Terminate)
+        #   normal -> rescue when configured, else raise (FixRetry-ish)
+        #   debug  -> tolerate: log + continue, rescuing when possible
+        self.robust = robust
 
     # ------------------------------------------------------------- assembly
 
@@ -293,11 +301,14 @@ class Pipeline:
             try:
                 self._write_sink(spec, lines)
             except Exception:
-                if self.rescue_dir is None:
-                    raise
-                from wp_motor_spark.sinks import rescue as rsc
+                if self.robust == "strict":
+                    raise  # Terminate: no rescue masks a failing sink
+                if self.rescue_dir is not None:
+                    from wp_motor_spark.sinks import rescue as rsc
 
-                rsc.rescue_lines(lines, self.rescue_dir, spec.name)
+                    rsc.rescue_lines(lines, self.rescue_dir, spec.name)
+                elif self.robust != "debug":
+                    raise
                 counts[spec.name] = 0
                 continue
             counts[spec.name] = lines.count()
