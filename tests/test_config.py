@@ -30,6 +30,13 @@ def test_load_workspace(tmp_path):
     assert {"other", "default", "miss", "residue", "error", "monitor"} <= names
     other = next(s for s in ws.sinks if s.name == "other")
     assert other.format == "kv" and other.path.startswith(str(tmp_path))
+    # [[stat.*]] collector declarations (wparse.toml [stat] tables)
+    specs = ws.stat_specs
+    assert ws.robust == "normal"
+    for stage in ("pick", "parse", "sink"):
+        assert specs[stage] == [
+            {"key": f"{stage}_stat", "target": "*", "fields": [], "top_n": 20}
+        ]
 
 
 def test_workspace_end_to_end(spark, tmp_path):

@@ -66,6 +66,26 @@ class Workspace:
     def stat_window_sec(self) -> int:
         return int(self.conf.get("stat", {}).get("window_sec", 60))
 
+    @property
+    def stat_specs(self) -> dict[str, list[dict]]:
+        """[[stat.pick/parse/sink]] collector declarations (wparse.toml
+        [stat] tables; wp-stats collector config): per-stage key/target
+        glob/dimension fields/top_n, feeding operators.stats
+        windowed_counts."""
+        st = self.conf.get("stat", {})
+        out: dict[str, list[dict]] = {}
+        for stage in ("pick", "parse", "sink"):
+            out[stage] = [
+                {
+                    "key": s.get("key", f"{stage}_stat"),
+                    "target": s.get("target", "*"),
+                    "fields": list(s.get("fields", [])),
+                    "top_n": int(s.get("top_n", 20)),
+                }
+                for s in st.get(stage, [])
+            ]
+        return out
+
 
 def _parse_tags(tags: list[str]) -> dict[str, str]:
     out = {}
