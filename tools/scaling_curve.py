@@ -36,6 +36,13 @@ DEFAULT_QUERIES = [
     "bm25_search",
     "cosine_topk",
     "curation_pipeline",
+    # r6 additions: cohort join-reuse, boundary-bucketed deciles,
+    # grouping sets, PMI token shuffle, seeded shard windows
+    "events_retention",
+    "customer_deciles",
+    "orders_cube",
+    "bigram_pmi",
+    "training_shards",
 ]
 
 SF_DIRS = [
