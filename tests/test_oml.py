@@ -309,3 +309,48 @@ def test_complete_example_golden(spark):
     assert row["splice"] == "foo:bar|baz:qux"
     assert row["extends"]["extend1"] == "ext_value_1"
     assert row["extends"]["extend2"] == "ext_value_2"
+
+
+def test_match_comma_arms_and_or_conditions(spark):
+    """match_functions.md OR syntax + match_prm.rs arm terminators: arms
+    may end with ',' or ';' (both optional); '|' separates alternative
+    conditions per position, including inside multi-source tuples."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+tier = match read(city) {
+    chars(bj) | chars(sh) | chars(gz) => chars(tier1),
+    chars(cd) | chars(wh) => chars(tier2),
+    _ => chars(other),
+};
+etype = match read(line) {
+    starts_with('[ERROR]') | starts_with('[FATAL]') => chars(critical),
+    starts_with('[WARN]') => chars(warning),
+    _ => chars(info),
+};
+prio = match (read(city), read(level)) {
+    (chars(bj) | chars(sh), chars(high)) => chars(priority),
+    (chars(gz), chars(low) | chars(mid)) => chars(normal),
+    _ => chars(default),
+};
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame(
+        [
+            ("sh", "[FATAL] x", "high"),
+            ("cd", "[WARN] y", "low"),
+            ("gz", "ok", "mid"),
+            ("xx", "z", "q"),
+        ],
+        ["city", "line", "level"],
+    )
+    got = [(r["tier"], r["etype"], r["prio"]) for r in om.apply(df).collect()]
+    assert got == [
+        ("tier1", "critical", "priority"),
+        ("tier2", "warning", "default"),
+        ("tier1", "info", "normal"),
+        ("other", "info", "default"),
+    ]

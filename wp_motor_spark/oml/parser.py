@@ -360,7 +360,7 @@ def _parse_arm(p: _P, n_sources: int) -> MatchArm:
         p.next()
         p.expect("=>")
         result = _parse_expr(p)
-        p.expect(";")
+        _arm_terminator(p)
         return MatchArm(conds=None, result=result)
     conds: list[MatchCond]
     if n_sources > 1 and p.peek() == "(":
@@ -373,8 +373,15 @@ def _parse_arm(p: _P, n_sources: int) -> MatchArm:
         conds = [_parse_cond(p)]
     p.expect("=>")
     result = _parse_expr(p)
-    p.expect(";")
+    _arm_terminator(p)
     return MatchArm(conds=conds, result=result)
+
+
+def _arm_terminator(p: _P) -> None:
+    """match arms end with ',' or ';' or nothing — the reference accepts
+    opt(comma) then opt(semicolon) (match_prm.rs match_calc_target)."""
+    p.accept(",")
+    p.accept(";")
 
 
 def _parse_cond(p: _P) -> MatchCond:
