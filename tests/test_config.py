@@ -239,3 +239,40 @@ def test_daemon_checkpoint_restart_infra_parity(spark, tmp_path):
     residue_path = next(s.path for s in ws.sinks if s.name == "residue")
     res = [r["value"] for r in spark.read.text(residue_path).collect()]
     assert len(res) == 1 and "tail=42" in res[0]
+
+
+def test_source_level_encode_base64_and_hex(spark, tmp_path):
+    """Source-level encode (02-file_source.md): base64/hex file sources
+    decode each whole LINE before parsing; text passes through."""
+    import base64
+
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        "package /t { rule kv { (chars:word,digit:n) } }\n"
+    )
+    (root / "data").mkdir()
+    (root / "data" / "plain.log").write_text("alpha 1\n")
+    (root / "data" / "enc.b64").write_text(
+        base64.b64encode(b"bravo 2").decode() + "\n"
+    )
+    (root / "data" / "enc.hex").write_text(b"charlie 3".hex() + "\n")
+    (root / "topology" / "sources").mkdir(parents=True)
+    (root / "topology" / "sources" / "wpsrc.toml").write_text(
+        "[[source_file]]\nkey='p'\npath='data/plain.log'\n"
+        "[[source_file]]\nkey='b'\npath='data/enc.b64'\nencode='base64'\n"
+        "[[source_file]]\nkey='h'\npath='data/enc.hex'\nencode='hex'\n"
+    )
+    (root / "topology" / "sinks").mkdir(parents=True)
+
+    from wp_motor_spark.config import read_workspace_lines
+
+    ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+    raw = read_workspace_lines(spark, ws)
+    assert sorted(r["value"] for r in raw.collect()) == [
+        "alpha 1", "bravo 2", "charlie 3",
+    ]
+    pipe, _ = build_pipeline(ws)
+    res = pipe.run_batch(raw)
+    got = {(r["word"], r["n"]) for r in res.branches["default"].collect()}
+    assert got == {("alpha", 1), ("bravo", 2), ("charlie", 3)}

@@ -309,3 +309,41 @@ def build_pipeline(ws: Workspace, knowdb=None):
         robust=ws.robust,
     )
     return pipe, inputs
+
+
+def read_workspace_lines(spark, ws: Workspace):
+    """Read every enabled file source as raw lines, applying the
+    source-level ``encode`` option (02-file_source.md: text | base64 |
+    hex — the whole LINE is decoded before parsing; WPL's decode/*
+    preprocessors are the per-field cousins). ``instances`` is accepted
+    and inert: Spark already range-splits file scans into parallel
+    partitions. Returns one unioned DataFrame[value]."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for s in ws.sources:
+        if not s.enable or s.kind != "file" or not s.path:
+            continue
+        df = spark.read.text(s.path)
+        enc = str(s.options.get("encode", "text"))
+        if enc == "base64":
+            df = df.select(
+                F.unbase64(F.regexp_replace("value", r"\s+", ""))
+                .cast("string")
+                .alias("value")
+            )
+        elif enc == "hex":
+            df = df.select(
+                F.unhex(F.regexp_replace("value", r"\s+", ""))
+                .cast("string")
+                .alias("value")
+            )
+        elif enc != "text":
+            raise ValueError(f"unknown source encode {enc!r}")
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], "value string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
