@@ -220,3 +220,31 @@ def test_victorialogs_sink_loopback(spark):
             write_victorialogs(df, "", "/x")
     finally:
         srv.shutdown()
+
+
+def test_syslog_header_modes(spark):
+    """header_mode (04-syslog_source.md): keep passes through, strip
+    removes just the header (fast_strip = one regexp pass, same output),
+    parse strips AND injects the header fields as tag columns;
+    unparseable lines pass through unchanged in every mode."""
+    from wp_motor_spark.sources.syslog import apply_header_mode
+
+    line = "<34>Oct 11 22:14:15 myhost sshd[123]: Failed password for root"
+    junk = "no header at all"
+    df = spark.createDataFrame([(line,), (junk,)], ["value"])
+
+    assert [r["value"] for r in apply_header_mode(df, "keep").collect()] == [
+        line, junk,
+    ]
+    for fs in (False, True):
+        out = apply_header_mode(df, "strip", fast_strip=fs)
+        assert [r["value"] for r in out.collect()] == [
+            "Failed password for root", junk,
+        ]
+        assert out.columns == ["value"]
+    p = apply_header_mode(df, "parse")
+    rows = p.collect()
+    assert [r["value"] for r in rows] == ["Failed password for root", junk]
+    assert rows[0]["host"] == "myhost" and rows[0]["app"] == "sshd"
+    assert rows[0]["pri"] == 34 and rows[0]["facility"] == 4
+    assert rows[1]["host"] is None

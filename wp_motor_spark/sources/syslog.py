@@ -77,6 +77,15 @@ def frame_file(path: str) -> list[bytes]:
 # RFC3164: <pri>MMM dd HH:mm:ss host tag[pid]: msg   (+ RFC5424-ish year form)
 _R3164 = r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2}(?:\s+\d{4})?\s+\d{2}:\d{2}:\d{2}|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.\d]*)?(?:Z|[+-]\d{2}:?\d{2})?)\s+(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:?\s(.*)$"
 
+# header-only prefix (fast_strip): everything _R3164 captures BEFORE the
+# MSG group, so a regexp_replace drops just the header in one pass
+_R3164_PREFIX = (
+    r"^<\d{1,3}>"
+    r"(?:[A-Z][a-z]{2}\s+\d{1,2}(?:\s+\d{4})?\s+\d{2}:\d{2}:\d{2}"
+    r"|\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.\d]*)?(?:Z|[+-]\d{2}:?\d{2})?)"
+    r"\s+\S+\s+[^:\[\s]+(?:\[\d+\])?:?\s"
+)
+
 
 def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
     """RFC3164 lines -> typed columns: pri, facility, severity, ts, host,
@@ -126,3 +135,43 @@ def encode_rfc3164(
         F.lit(": "),
         F.coalesce(msg, F.lit("")),
     )
+
+
+def apply_header_mode(
+    df: DataFrame, mode: str = "parse", fast_strip: bool = False, col: str = "value"
+) -> DataFrame:
+    """Syslog source header_mode (04-syslog_source.md):
+
+    - ``keep``  — pass lines through untouched
+    - ``strip`` — remove the RFC3164 header, keep only the MSG part; no
+      tag injection (with ``fast_strip`` this is one regexp_replace that
+      never builds the parsed columns)
+    - ``parse`` (default) — parse + inject the header fields as tag
+      columns (host/app/pri/facility/severity/ts/pid) and strip the
+      header from ``value``
+
+    Unparseable lines pass through unchanged in every mode (the
+    reference forwards them as-is rather than dropping).
+    """
+    if mode == "keep":
+        return df
+    if mode == "strip":
+        if fast_strip:
+            # single-pass prefix removal, no column materialization
+            return df.withColumn(
+                col, F.regexp_replace(F.col(col), _R3164_PREFIX, "")
+            )
+        p = parse_rfc3164(df, col)
+        return p.select(
+            F.when(F.col("_syslog_ok"), F.col("msg"))
+            .otherwise(F.col(col))
+            .alias(col)
+        )
+    if mode == "parse":
+        p = parse_rfc3164(df, col)
+        keep = F.col("_syslog_ok")
+        return p.select(
+            F.when(keep, F.col("msg")).otherwise(F.col(col)).alias(col),
+            "pri", "facility", "severity", "ts", "host", "app", "pid",
+        )
+    raise ValueError(f"unknown header_mode {mode!r}")
