@@ -354,3 +354,52 @@ prio = match (read(city), read(level)) {
         ("tier1", "info", "normal"),
         ("other", "info", "default"),
     ]
+
+
+def test_privacy_section_masks_outputs(spark):
+    """OML grammar 隐私段: a third `---` section declares per-field
+    desensitization; masks keep the conventional structure (CN shapes)
+    and non-matching values fall back to a full mask, never leaking."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : privacy_example
+rule : r
+---
+src_ip = read(ip);
+phone = read(ph);
+card = read(idc);
+mail = read(em);
+dom = read(d);
+pos_sn = read(sn);
+---
+src_ip : privacy_ip
+phone : privacy_mobile
+card : privacy_id_card
+mail : privacy_mail
+dom : privacy_domain
+pos_sn : privacy_keymsg
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame(
+        [(
+            "10.20.30.40", "13812345678", "110101199001011234",
+            "alice@example.com", "api.internal.example.com", "SN-777",
+        ),
+         ("not-an-ip", None, "bad", "bad", "bad", None)],
+        ["ip", "ph", "idc", "em", "d", "sn"],
+    )
+    rows = om.apply(df).collect()
+    assert rows[0].asDict() == {
+        "src_ip": "10.20.*.*",
+        "phone": "138****5678",
+        "card": "110101********1234",
+        "mail": "a***@example.com",
+        "dom": "*.example.com",
+        "pos_sn": "***",
+    }
+    # malformed values never leak through; NULLs stay NULL
+    assert rows[1].asDict() == {
+        "src_ip": "***", "phone": None, "card": "***",
+        "mail": "***", "dom": "***", "pos_sn": None,
+    }

@@ -181,6 +181,10 @@ class OmlModel:
     rule_patterns: list[str] = field(default_factory=list)
     statics: list[Assign] = field(default_factory=list)
     statements: list[Assign] = field(default_factory=list)
+    # third `---` section: output field -> privacy_* desensitization type
+    # (OML grammar 隐私段; the reference parses but does not ship a
+    # runtime masker — we apply deterministic masks at output time)
+    privacy: dict[str, str] = field(default_factory=dict)
 
 
 Expr = (

@@ -116,6 +116,10 @@ class OmlTransform:
             st.statics[a.targets[0]] = st.compile_expr(a.expr, target=a.targets[0])
         for a in self.model.statements:
             st.run_assign(a)
+        for fname, ptype in self.model.privacy.items():
+            v = st.outputs.get(fname)
+            if v is not None:
+                st.outputs[fname] = _Val(_privacy_mask(v.col, ptype), v.kind)
         return st.finish()
 
 
@@ -566,6 +570,60 @@ class _State:
             # this to the error sink; emit an error marker column
             return self.df.select(F.lit("oml_empty_output").alias("__err_kind"))
         return self.df.select(*cols)
+
+
+# -------------------------------------------------------------------- privacy
+
+
+def _privacy_mask(col, ptype: str):
+    """Deterministic desensitization for the OML privacy section (grammar
+    隐私段). The reference parses these declarations but ships no runtime
+    masker; these masks follow the conventional CN-desensitization shapes
+    for each declared type, keeping enough structure for joins/debugging:
+
+    - privacy_ip / privacy_specify_ip : keep the /16, mask host (a.b.*.*)
+    - privacy_mobile                  : 138****5678 (keep 3 + 4)
+    - privacy_id_card                 : keep first 6 + last 4
+    - privacy_mail                    : first char + ***@domain
+    - privacy_domain / specify_domain : mask all but the last two labels
+    - everything else (name/address/company/keymsg) : full mask ***
+
+    All pure regexp/substring expressions — map-only. Non-matching values
+    fall back to the full mask rather than leaking through.
+    """
+    s = col.cast("string")
+    if ptype in ("privacy_ip", "privacy_specify_ip"):
+        masked = F.regexp_replace(
+            s, r"^(\d{1,3}\.\d{1,3})\.\d{1,3}\.\d{1,3}$", r"$1.*.*"
+        )
+        return F.when(s.rlike(r"^\d{1,3}(\.\d{1,3}){3}$"), masked).otherwise(
+            F.when(s.isNull(), s).otherwise(F.lit("***"))
+        )
+    if ptype == "privacy_mobile":
+        ok = s.rlike(r"^1[0-9]{10}$")
+        return F.when(
+            ok, F.concat(F.substring(s, 1, 3), F.lit("****"), F.substring(s, 8, 4))
+        ).otherwise(F.when(s.isNull(), s).otherwise(F.lit("***")))
+    if ptype == "privacy_id_card":
+        ok = s.rlike(r"^[0-9]{17}[0-9Xx]$")
+        return F.when(
+            ok, F.concat(F.substring(s, 1, 6), F.lit("********"), F.substring(s, 15, 4))
+        ).otherwise(F.when(s.isNull(), s).otherwise(F.lit("***")))
+    if ptype == "privacy_mail":
+        ok = s.rlike(r"^[^@\s]+@[^@\s]+$")
+        return F.when(
+            ok,
+            F.concat(
+                F.substring(s, 1, 1), F.lit("***@"), F.substring_index(s, "@", -1)
+            ),
+        ).otherwise(F.when(s.isNull(), s).otherwise(F.lit("***")))
+    if ptype in ("privacy_domain", "privacy_specify_domain"):
+        ok = s.rlike(r"^[A-Za-z0-9.-]+\.[A-Za-z]{2,}$")
+        return F.when(
+            ok, F.concat(F.lit("*."), F.substring_index(s, ".", -2))
+        ).otherwise(F.when(s.isNull(), s).otherwise(F.lit("***")))
+    # privacy_specify_name / _address / _company / privacy_keymsg
+    return F.when(s.isNull(), s).otherwise(F.lit("***"))
 
 
 # --------------------------------------------------------------------- public

@@ -142,6 +142,17 @@ def parse_oml(text: str) -> OmlModel:
         head_txt, _, body_txt = text.partition("---")
     else:
         head_txt, body_txt = "", text
+    # optional third section (grammar 隐私段): `field : privacy_type` rows
+    privacy: dict[str, str] = {}
+    if "\n---" in body_txt:
+        body_txt, _, priv_txt = body_txt.partition("\n---")
+        for line in priv_txt.splitlines():
+            line = line.strip()
+            if not line or line.startswith(("//", "#", "-")):
+                continue
+            fld_name, _, ptype = line.partition(":")
+            if fld_name.strip() and ptype.strip().startswith("privacy_"):
+                privacy[fld_name.strip()] = ptype.strip()
     name = "model"
     patterns: list[str] = []
     for line in head_txt.splitlines():
@@ -168,7 +179,10 @@ def parse_oml(text: str) -> OmlModel:
             p.accept(";")
             continue
         stmts.append(_parse_assign(p))
-    return OmlModel(name=name, rule_patterns=patterns, statics=statics, statements=stmts)
+    return OmlModel(
+        name=name, rule_patterns=patterns, statics=statics, statements=stmts,
+        privacy=privacy,
+    )
 
 
 # ----------------------------------------------------------------- statements
