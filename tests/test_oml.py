@@ -403,3 +403,28 @@ pos_sn : privacy_keymsg
         "src_ip": "***", "phone": None, "card": "***",
         "mail": "***", "dom": "***", "pos_sn": None,
     }
+
+
+def test_read_json_path_and_get_arg(spark):
+    """Grammar read args: json_path (`read(/user/info/name)`, leading
+    slash optional) descends struct/map/JSON-string values, and the
+    `get :` arg navigates into the resolved value."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+v1 = read(/user/info/name) ;
+v2 = read(user/info/name) ;
+v3 = read(g, get: f1) ;
+v4 = read(in:[f1, f2]) | nth(0) ;
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame(
+        [('{"info":{"name":"alice"}}', '{"f1":"gv"}', "x", "y")],
+        ["user", "g", "f1", "f2"],
+    )
+    row = om.apply(df).first()
+    assert row["v1"] == "alice" and row["v2"] == "alice"
+    assert row["v3"] == "gv"

@@ -44,6 +44,9 @@ class Accessor:
     options: list[str] | None = None
     keys: list[str] | None = None
     default: "Expr | None" = None
+    # `get : <key>` arg (grammar arg = "get" ":" simple): navigate INTO
+    # the resolved value (struct field / map key / JSON object key)
+    get_path: str | None = None
 
 
 @dataclass

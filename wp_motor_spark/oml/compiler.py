@@ -78,6 +78,20 @@ def _glob_to_re(glob: str) -> re.Pattern:
     return re.compile("^" + re.escape(glob).replace(r"\*", ".*") + "$")
 
 
+def _navigate(v: "_Val", path: str) -> "_Val":
+    """Descend into a value by slash path: struct fields, map keys, or
+    JSON-string object keys (the shared logic behind the `get` pipe, the
+    accessor's `get:` arg and `/a/b/c` read paths)."""
+    if v.kind == "struct":
+        out = v.col
+        for seg in path.split("/"):
+            out = out.getField(seg)
+        return _Val(out)
+    if v.kind == "map":
+        return _Val(F.try_element_at(v.col, F.lit(path)))
+    return _Val(ofn.get_path(v.col.cast("string"), path))
+
+
 def _typed_lit(lit: Literal) -> Column:
     v = lit.value
     if lit.dtype == "digit":
@@ -319,6 +333,19 @@ class _State:
                 v = _Val(F.coalesce(*cols) if len(cols) > 1 else cols[0], kind)
         elif field is not None:
             v = self._input_take(field) if acc.kind == "take" else self._input_read(field)
+            if v is None and "/" in field:
+                # json-path read (grammar json_path / read(/user/info/name)):
+                # resolve the head field, then descend by the remaining path
+                head, _, tail = field.partition("/")
+                base = (
+                    self._input_take(head)
+                    if acc.kind == "take"
+                    else self._input_read(head)
+                )
+                if base is not None:
+                    v = _navigate(base, tail)
+        if v is not None and acc.get_path:
+            v = _navigate(v, acc.get_path)
         if v is None:
             if acc.default is not None:
                 return self.compile_expr(acc.default)
@@ -465,15 +492,7 @@ class _State:
             # JSON string array
             return _Val(F.get_json_object(c.cast("string"), f"$[{i}]"))
         if name == "get":
-            path = a[0]
-            if v.kind == "struct":
-                out = c
-                for seg in path.split("/"):
-                    out = out.getField(seg)
-                return _Val(out)
-            if v.kind == "map":
-                return _Val(F.try_element_at(c, F.lit(path)))
-            return _Val(ofn.get_path(c.cast("string"), path))
+            return _navigate(v, a[0])
         if name == "path":
             which = (a[0] if a else "name").lower()
             return _Val(ofn.path_name(c) if which == "name" else ofn.path_path(c))

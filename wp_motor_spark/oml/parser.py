@@ -59,6 +59,7 @@ _TOKEN_RE = re.compile(
     | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<bracket>\[(?:[^\[\]]|\[[^\]]*\])*\])
     | (?P<ident>[A-Za-z_](?:\w|::|[./\-])*)
+    | (?P<slashpath>/[A-Za-z_0-9][\w./\-]*)
     | (?P<dotted>\d+(?:\.\d+){2,})
     | (?P<number>-?\d+(?:\.\d+)?)
     | (?P<punct>[{}(),;:=|!@*<>_])
@@ -324,7 +325,7 @@ def _parse_accessor(p: _P) -> Accessor:
     tok = p.peek()
     if tok == ")":
         p.next()
-    elif tok in ("option", "keys"):
+    elif tok in ("option", "keys", "in"):
         p.next()
         p.accept(":")
         b = p.next()
@@ -333,11 +334,17 @@ def _parse_accessor(p: _P) -> Accessor:
         names = _split_bracket(b)
         if tok == "option":
             acc.options = names
-        else:
+        else:  # grammar: ("in"|"keys") are synonyms
             acc.keys = names
         p.expect(")")
     else:
-        acc.field = p.next()
+        # field name or /json/path (leading slash = path into the record,
+        # take_json_path); `, get : key` navigates into the value
+        acc.field = p.next().lstrip("/")
+        if p.accept(","):
+            p.expect("get")
+            p.expect(":")
+            acc.get_path = p.next()
         p.expect(")")
     # default clause { _ : expr }
     if p.peek() == "{" and p.peek(1) == "_":
