@@ -428,3 +428,26 @@ v4 = read(in:[f1, f2]) | nth(0) ;
     row = om.apply(df).first()
     assert row["v1"] == "alice" and row["v2"] == "alice"
     assert row["v3"] == "gv"
+
+
+def test_map_to_typed_and_str_unescape(spark):
+    """map_to types its constant by the ARG (other.rs MapValue: digit/
+    float/bool/chars); str_unescape round-trips str_escape exactly."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+a = read(x) | map_to('success') ;
+b = read(x) | map_to(200) ;
+c = read(x) | map_to(1.5) ;
+d = read(x) | map_to(true) ;
+rt = read(orig) | str_escape | str_unescape ;
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame([("v", "q'w\"e\\r")], ["x", "orig"])
+    row = om.apply(df).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == ("success", 200, 1.5, True)
+    assert isinstance(row["b"], int) and isinstance(row["c"], float)
+    assert row["rt"] == "q'w\"e\\r"

@@ -475,6 +475,8 @@ class _State:
             return _Val(ofn.json_unescape(c))
         if name == "str_escape":
             return _Val(ofn.str_escape(c))
+        if name == "str_unescape":
+            return _Val(ofn.str_unescape(c))
         if name == "to_str":
             if v.kind in ("array", "struct", "map"):
                 return _Val(F.to_json(c))
@@ -503,7 +505,21 @@ class _State:
         if name == "starts_with":
             return _Val(ofn.starts_with_or_ignore(c, a[0]))
         if name == "map_to":
-            return _Val(ofn.map_to(c, a[0]))
+            # the constant is typed by the ARG (other.rs MapValue):
+            # 200 -> digit, 1.5 -> float, true -> bool, quoted -> chars
+            raw = a[0]
+            val: object = raw
+            if raw in ("true", "false"):
+                val = raw == "true"
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        pass
+            return _Val(ofn.map_to(c, val))
         if name == "extract_main_word":
             return _Val(ofn.extract_main_word(c))
         if name == "extract_subject_object":

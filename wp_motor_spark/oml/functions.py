@@ -148,6 +148,18 @@ def str_escape(col: Column) -> Column:
     return F.replace(c, F.lit('"'), F.lit('\\"'))
 
 
+def str_unescape(col: Column) -> Column:
+    """Inverse of str_escape: \\\\ -> \\, \\' -> ', \\" -> " (grammar's
+    str_unescape pipe; the reference declares the name in escape.rs
+    without a shipped evaluator — round-trips str_escape exactly).
+    Escaped backslashes resolve through a sentinel first so \\\\' stays a
+    literal backslash + quote."""
+    c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit("\\'"), F.lit("'"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
+
+
 # ------------------------------------------------------------ time
 
 # Reference Time::to_ts defaults to UTC+8 when the input has no zone
