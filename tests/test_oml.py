@@ -451,3 +451,27 @@ rt = read(orig) | str_escape | str_unescape ;
     assert (row["a"], row["b"], row["c"], row["d"]) == ("success", 200, 1.5, True)
     assert isinstance(row["b"], int) and isinstance(row["c"], float)
     assert row["rt"] == "q'w\"e\\r"
+
+
+def test_glob_targets_and_hash_comments(spark):
+    """目标通配: `alert* = take()` / `*_log = take()` pass matching input
+    fields through under their own names; `#` comments parse like `//`."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+# hash comment
+// cpp comment
+alert* = take() ;
+*_log = take() ;
+x = take(option:[nope]) { _ : chars(n/a) } ;
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame(
+        [("A", "B", "L1", "other")], ["alert_a", "alert_b", "sys_log", "misc"]
+    )
+    assert om.apply(df).first().asDict() == {
+        "alert_a": "A", "alert_b": "B", "sys_log": "L1", "x": "n/a",
+    }

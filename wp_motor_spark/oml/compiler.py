@@ -217,6 +217,20 @@ class _State:
                     # remaining fields move to output; nothing left to take
                     pass
             return
+        # glob target (目标通配): alert* / *_log = take() — matching input
+        # fields pass through under their own names
+        if (
+            len(a.targets) == 1
+            and "*" in a.targets[0]
+            and a.targets[0] != "*"
+            and isinstance(expr, Accessor)
+            and not (expr.field or expr.keys or expr.options)
+        ):
+            for f in self.glob_fields(a.targets[0]):
+                v = self._input_take(f) if expr.kind == "take" else self._input_read(f)
+                if v is not None:
+                    self._emit(f, v, a.dtype)
+            return
         if isinstance(expr, SqlExpr):
             self._run_sql(a, expr)
             return

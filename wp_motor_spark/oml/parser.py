@@ -53,7 +53,7 @@ _LIT_RE = re.compile(
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
-    | (?P<comment>//[^\n]*)
+    | (?P<comment>//[^\n]*|\#[^\n]*)
     | (?P<litcall>(?:%s)\((?:[^()'"]|'[^']*'|"[^"]*")*\))
     | (?P<arrow>=>)
     | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
@@ -189,10 +189,24 @@ def parse_oml(text: str) -> OmlModel:
 # ----------------------------------------------------------------- statements
 
 
+def _parse_target(p: _P) -> str:
+    """One assignment target; glob targets (`alert*`, `*_log`) tokenize
+    as ident/'*' pairs and are merged back (grammar 目标通配)."""
+    t = p.next()
+    while True:
+        nxt = p.peek()
+        if nxt == "*":
+            t += p.next()
+        elif t.endswith("*") and nxt and re.match(r"^[A-Za-z_]\w*$", nxt):
+            t += p.next()
+        else:
+            return t
+
+
 def _parse_assign(p: _P) -> Assign:
-    targets = [p.next()]
+    targets = [_parse_target(p)]
     while p.accept(","):
-        targets.append(p.next())
+        targets.append(_parse_target(p))
     dtype = None
     if p.accept(":"):
         dtype = p.next()
