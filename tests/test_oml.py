@@ -475,3 +475,21 @@ x = take(option:[nope]) { _ : chars(n/a) } ;
     assert om.apply(df).first().asDict() == {
         "alert_a": "A", "alert_b": "B", "sys_log": "L1", "x": "n/a",
     }
+
+
+def test_sql_strict_mode_whitelist():
+    """SQL strict mode (default on): columns must be '*' or
+    [A-Za-z0-9_.]+ and the table a single plain name — functions in the
+    column list or weird table tokens fail at model load."""
+    import pytest as _pytest
+
+    from wp_motor_spark.oml.parser import OmlParseError, parse_oml
+
+    parse_oml("name : m\n---\na = select name, email from users "
+              "where id = read(uid) ;")  # clean form loads
+    with _pytest.raises(OmlParseError, match="strict mode"):
+        parse_oml("name : m\n---\na = select a, b from table-1 "
+                  "where id = read(uid) ;")  # dash in table name
+    with _pytest.raises(OmlParseError):  # function column fails to parse
+        parse_oml("name : m\n---\na = select sum(a) from t "
+                  "where id = read(uid) ;")

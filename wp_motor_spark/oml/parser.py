@@ -450,6 +450,9 @@ def _parse_cond_atom(p: _P):
 # ----------------------------------------------------------------------- SQL
 
 
+_SQL_IDENT_RE = re.compile(r"^[A-Za-z0-9_.]+$")
+
+
 def _parse_sql(p: _P) -> SqlExpr:
     p.expect("select")
     cols = [p.next()]
@@ -457,6 +460,18 @@ def _parse_sql(p: _P) -> SqlExpr:
         cols.append(p.next())
     p.expect("from")
     table = p.next()
+    # strict mode (default ON; OML_SQL_STRICT=0 disables — grammar SQL
+    # 严格模式): whitelist columns ('*' or [A-Za-z0-9_.]+) and the single
+    # table name; joins/subqueries/functions fail to parse upstream of
+    # KnowDB so misuse is caught at model load, not at run time.
+    import os
+
+    if os.environ.get("OML_SQL_STRICT", "1") != "0":
+        bad = [c for c in cols if c != "*" and not _SQL_IDENT_RE.match(c)]
+        if bad:
+            raise OmlParseError(f"OML SQL strict mode: bad column(s) {bad}")
+        if not _SQL_IDENT_RE.match(table):
+            raise OmlParseError(f"OML SQL strict mode: bad table {table!r}")
     conds: list[SqlCond] = []
     if p.peek() == "where":
         p.next()
