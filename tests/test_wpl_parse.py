@@ -856,3 +856,22 @@ def test_guard_null_semantics_missing_field(spark):
     # sanity: guard against the PRESENT field still works both ways
     assert disp('rule t { (json(chars@a) | take(a) | chars_has(x)) }') == "success"
     assert disp('rule t { (json(chars@a) | take(a) | chars_has(y)) }') == "miss"
+
+
+def test_plg_pipe_block_form(spark):
+    """Grammar plg_pipe_block: ["@"]? plg_pipe(id: key) { express } — the
+    registered plugin preprocessor wraps the whole express."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+    from wp_motor_spark.wpl.registry import register_plg_pipe
+
+    register_plg_pipe("upper_t", lambda c: F.upper(c))
+    for txt in (
+        "rule a { plg_pipe(id: upper_t) { (chars:x,digit:n) } }",
+        "rule b { @plg_pipe(id: upper_t) { (chars:x,digit:n) } }",
+    ):
+        r = parse_wpl(txt)[0]
+        assert r.preprocs == ["plg_pipe/upper_t"]
+        row = compile_rule(r).extract(
+            spark.createDataFrame([("hey 7",)], ["value"])
+        ).first()
+        assert (row["x"], row["n"], row["_disposition"]) == ("HEY", 7, "success")

@@ -196,6 +196,25 @@ def _parse_rule(cur: _Cursor) -> WplRule:
     cur.expect("{")
     rule = WplRule(name=name)
     cur.skip_ws()
+    # plg_pipe block (grammar: statement = plg_pipe_block | express;
+    # ["@"]? "plg_pipe" "(" "id" ":" key ")" "{" express "}") — the named
+    # plugin preprocessor wraps the whole express
+    plg_block = False
+    if re.match(r"@?plg_pipe\s*\(", cur.text[cur.pos :]):
+        if cur.peek() == "@":
+            cur.pos += 1
+        cur.expect("plg_pipe")
+        cur.expect("(")
+        cur.expect("id")
+        cur.expect(":")
+        key = cur.match_re(re.compile(r"[A-Za-z0-9_./\-]+"))
+        if not key:
+            raise WplSyntaxError(f"plg_pipe id expected at {cur.pos}")
+        cur.expect(")")
+        cur.expect("{")
+        rule.preprocs.append(f"plg_pipe/{key}")
+        plg_block = True
+        cur.skip_ws()
     # optional preproc chain: |decode/base64|... or shorthand |base64|
     if cur.peek() == "|":
         cur.pos += 1
@@ -217,6 +236,9 @@ def _parse_rule(cur: _Cursor) -> WplRule:
         cur.skip_ws()
         if cur.peek() == "}":
             break
+    if plg_block:
+        cur.expect("}")  # close the plg_pipe block
+        cur.skip_ws()
     cur.expect("}")
     return rule
 
