@@ -63,9 +63,15 @@ class UdpCollector:
     """UDP datagram receiver -> spool (udp_source.rs). One datagram = one
     message (syslog UDP semantics)."""
 
-    def __init__(self, host: str, port: int, spool_dir: str):
+    def __init__(
+        self, host: str, port: int, spool_dir: str, reuse_port: bool = False
+    ):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        if hasattr(socket, "SO_REUSEPORT"):  # docs/dar/udp_reuseport.md
+        # SO_REUSEPORT is OPT-IN only: the reference's design review
+        # (docs/dar/udp_reuseport.md) REJECTED enabling it by default —
+        # same-UID processes can bind the port and intercept traffic, and
+        # BSD/macOS deliver to one socket anyway (no kernel balancing).
+        if reuse_port and hasattr(socket, "SO_REUSEPORT"):
             self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
         self.sock.bind((host, port))
         self.port = self.sock.getsockname()[1]
