@@ -493,3 +493,47 @@ def test_sql_strict_mode_whitelist():
     with _pytest.raises(OmlParseError):  # function column fails to parse
         parse_oml("name : m\n---\na = select sum(a) from t "
                   "where id = read(uid) ;")
+
+
+def test_review_regressions_round6(spark):
+    """r6 review fixes: a field literally named 'in' still reads; nested
+    maps resolve multi-segment paths; map_to('200') (quoted) stays chars."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+direction = read(in) ;
+tier = read(labels/env/tier) ;
+qs = read(x) | map_to('200') ;
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame(
+        [("inbound", {"env": {"tier": "gold"}}, "v")],
+        "in string, labels map<string,map<string,string>>, x string",
+    )
+    row = om.apply(df).first()
+    assert row["direction"] == "inbound"
+    assert row["tier"] == "gold"
+    assert row["qs"] == "200" and isinstance(row["qs"], str)
+
+
+def test_privacy_masks_passthrough_fields(spark):
+    """`* = take()` passthrough must NOT bypass a declared privacy mask —
+    the masked value is emitted, never the raw field (data-leak class)."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    oml = """
+name : m
+rule : r
+---
+* = take() ;
+---
+client_ip : privacy_ip
+"""
+    om = compile_oml(oml)
+    df = spark.createDataFrame([("10.20.30.40", "u1")], ["client_ip", "user"])
+    row = om.apply(df).first()
+    assert row["client_ip"] == "10.20.*.*"   # masked, not raw
+    assert row["user"] == "u1"               # other passthrough untouched

@@ -231,7 +231,10 @@ def test_syslog_header_modes(spark):
 
     line = "<34>Oct 11 22:14:15 myhost sshd[123]: Failed password for root"
     junk = "no header at all"
-    df = spark.createDataFrame([(line,), (junk,)], ["value"])
+    # extra columns (e.g. wp_src_ip from the collectors) must survive
+    df = spark.createDataFrame(
+        [(line, "9.9.9.9"), (junk, "8.8.8.8")], ["value", "wp_src_ip"]
+    )
 
     assert [r["value"] for r in apply_header_mode(df, "keep").collect()] == [
         line, junk,
@@ -241,10 +244,11 @@ def test_syslog_header_modes(spark):
         assert [r["value"] for r in out.collect()] == [
             "Failed password for root", junk,
         ]
-        assert out.columns == ["value"]
+        assert "wp_src_ip" in out.columns
     p = apply_header_mode(df, "parse")
     rows = p.collect()
     assert [r["value"] for r in rows] == ["Failed password for root", junk]
     assert rows[0]["host"] == "myhost" and rows[0]["app"] == "sshd"
     assert rows[0]["pri"] == 34 and rows[0]["facility"] == 4
+    assert rows[0]["wp_src_ip"] == "9.9.9.9"  # preserved through parse
     assert rows[1]["host"] is None

@@ -875,3 +875,25 @@ def test_plg_pipe_block_form(spark):
             spark.createDataFrame([("hey 7",)], ["value"])
         ).first()
         assert (row["x"], row["n"], row["_disposition"]) == ("HEY", 7, "success")
+
+
+def test_exact_json_wildcard_prefix_registers_keys(spark):
+    """Regression: an exact_json wildcard path ref must still register
+    its non-wildcard PREFIX keys — otherwise the parent level rejects
+    every record that HAS the declared field."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    cr = compile_rule(
+        parse_wpl(
+            "rule t { (exact_json(chars@type:ty, chars@logs/*/message:msgs)) }"
+        )[0]
+    )
+    good = '{"type":"x","logs":[{"message":"m1"},{"message":"m2"}]}'
+    extra = '{"type":"x","logs":[],"unexpected":1}'
+    df = spark.createDataFrame([(good,), (extra,)], ["value"])
+    rows = cr.extract(df, keep=["value"]).collect()
+    disp = {r["value"]: r["_disposition"] for r in rows}
+    assert disp[good] == "success"      # wildcard field present -> match
+    assert disp[extra] == "miss"        # undeclared key still rejected
+    ok = [r for r in rows if r["_disposition"] == "success"][0]
+    assert ok["msgs"] == '["m1","m2"]'

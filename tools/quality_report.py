@@ -375,13 +375,17 @@ def main() -> None:
             f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
         ).fetchall()
     )
+    groups_match = set(got_hll) == set(exact_users)
     max_err = max(
-        abs(got_hll[et] - ex) / ex for et, ex in exact_users.items()
+        (abs(got_hll[et] - ex) / ex
+         for et, ex in exact_users.items() if et in got_hll),
+        default=float("inf"),
     )
     report["gates"]["sketch_distinct_users"] = {
         "metric": "hll_max_group_rel_error_vs_exact",
-        "value": bool(set(got_hll) == set(exact_users) and max_err <= 0.03),
-        "max_rel_error": round(max_err, 5),
+        "value": bool(groups_match and max_err <= 0.03),
+        "groups_match": groups_match,
+        "max_rel_error": round(max_err, 5) if max_err != float("inf") else None,
         "gate": "<= 0.03 (3x rsd=0.01) per event_type",
     }
 
@@ -399,9 +403,11 @@ def main() -> None:
     for et, (a50, a90, a99) in q_approx.items():
         s = sorted(vals[et])
         n = len(s)
+        tol = -(-n // 10000)  # GK accuracy=10000: rank error <= ceil(n/1e4)
         for p, a in ((0.5, a50), (0.9, a90), (0.99, a99)):
             i = p * (n - 1)
-            lo, hi = s[int(i)], s[min(int(i) + 1, n - 1)]
+            lo = s[max(int(i) - tol + 1, 0)]
+            hi = s[min(int(i) + tol, n - 1)]
             gk_ok = gk_ok and (round(lo, 4) - 1e-9 <= a <= round(hi, 4) + 1e-9)
     report["gates"]["sketch_value_quantiles"] = {
         "metric": "gk_quantiles_within_exact_order_stat_bracket",

@@ -29,6 +29,9 @@ class FunCall:
 
     name: str  # normalized lower, namespace kept: "time::to_ts_zone"
     args: list[str] = field(default_factory=list)
+    # pre-unquote spellings (same order as args): lets arg-typed functions
+    # (map_to) distinguish map_to('200') (chars) from map_to(200) (digit)
+    raw_args: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -88,7 +88,13 @@ def _navigate(v: "_Val", path: str) -> "_Val":
             out = out.getField(seg)
         return _Val(out)
     if v.kind == "map":
-        return _Val(F.try_element_at(v.col, F.lit(path)))
+        # descend per segment so nested maps resolve (map<string,map<...>>);
+        # a plain map<string,string> with extra segments is a schema error
+        # Spark reports at analysis time
+        out = v.col
+        for seg in path.split("/"):
+            out = F.try_element_at(out, F.lit(seg))
+        return _Val(out)
     return _Val(ofn.get_path(v.col.cast("string"), path))
 
 
@@ -134,6 +140,12 @@ class OmlTransform:
             v = st.outputs.get(fname)
             if v is not None:
                 st.outputs[fname] = _Val(_privacy_mask(v.col, ptype), v.kind)
+            elif st.passthrough and fname in st.input_cols:
+                # `* = take()` passthrough would otherwise emit the RAW
+                # field, silently bypassing its declared mask — promote it
+                # to an explicit (masked) output; finish() then skips the
+                # raw passthrough copy because the name is in outputs.
+                st.outputs[fname] = _Val(_privacy_mask(F.col(fname), ptype))
         return st.finish()
 
 
@@ -520,19 +532,18 @@ class _State:
             return _Val(ofn.starts_with_or_ignore(c, a[0]))
         if name == "map_to":
             # the constant is typed by the ARG (other.rs MapValue):
-            # 200 -> digit, 1.5 -> float, true -> bool, quoted -> chars
-            raw = a[0]
-            val: object = raw
-            if raw in ("true", "false"):
-                val = raw == "true"
-            else:
-                try:
-                    val = int(raw)
-                except ValueError:
-                    try:
-                        val = float(raw)
-                    except ValueError:
-                        pass
+            # 200 -> digit, 1.5 -> float, true -> bool; QUOTED spellings
+            # stay chars (map_to('200') emits the string "200"), and only
+            # plain decimal shapes convert — 'Infinity'/'nan' never do
+            raw_spelling = (fn.raw_args[0] if fn.raw_args else a[0]).strip()
+            val: object = a[0]
+            if not (raw_spelling[:1] in "'\""):
+                if val in ("true", "false"):
+                    val = val == "true"
+                elif re.fullmatch(r"-?\d+", val):
+                    val = int(val)
+                elif re.fullmatch(r"-?\d+\.\d+", val):
+                    val = float(val)
             return _Val(ofn.map_to(c, val))
         if name == "extract_main_word":
             return _Val(ofn.extract_main_word(c))

@@ -320,9 +320,12 @@ def _parse_funcall(p: _P) -> FunCall:
         lit = _as_literal(name)
         return FunCall(name=lit.dtype, args=[lit.value])
     args: list[str] = []
+    raw_args: list[str] = []
     if p.peek() == "(":
-        args = _split_args(_raw_paren(p))
-    return FunCall(name=name.lower(), args=args)
+        raw = _raw_paren(p)
+        raw_args = [a.strip() for a in raw.split(",")] if raw.strip() else []
+        args = [_unquote(a) for a in raw_args]
+    return FunCall(name=name.lower(), args=args, raw_args=raw_args)
 
 
 def _split_bracket(tok: str) -> list[str]:
@@ -339,7 +342,11 @@ def _parse_accessor(p: _P) -> Accessor:
     tok = p.peek()
     if tok == ")":
         p.next()
-    elif tok in ("option", "keys", "in"):
+    elif tok in ("option", "keys", "in") and (
+        p.peek(1) == ":" or (p.peek(1) or "").startswith("[")
+    ):
+        # only the LIST form is the keyword (option:[...] / keys:[...] /
+        # in:[...]) — a bare read(in) still reads a field named "in"
         p.next()
         p.accept(":")
         b = p.next()

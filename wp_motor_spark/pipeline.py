@@ -47,7 +47,9 @@ def _event_uuid(col: str | None, src_key: str | None):
              F.lit(src_key or "")]
     if col is not None:
         parts.insert(0, F.col(col))
-    h = F.md5(F.concat_ws("", *parts))
+    # unit-separator keeps the hash input injective: ("req4", id 12)
+    # and ("req41", id 2) must not concatenate to the same bytes
+    h = F.md5(F.concat_ws("\x1f", *parts))
     return F.concat_ws(
         "-",
         F.substring(h, 1, 8),
@@ -300,7 +302,7 @@ class Pipeline:
                 continue
             try:
                 self._write_sink(spec, lines)
-            except Exception:
+            except Exception as exc:
                 if self.robust == "strict":
                     raise  # Terminate: no rescue masks a failing sink
                 if self.rescue_dir is not None:
@@ -309,6 +311,15 @@ class Pipeline:
                     rsc.rescue_lines(lines, self.rescue_dir, spec.name)
                 elif self.robust != "debug":
                     raise
+                else:
+                    # debug tolerates the loss but must leave a trace —
+                    # silent drops are undebuggable
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "sink %s write failed (robust=debug, no rescue "
+                        "spool — lines dropped): %s", spec.name, exc
+                    )
                 counts[spec.name] = 0
                 continue
             counts[spec.name] = lines.count()

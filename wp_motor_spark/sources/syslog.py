@@ -87,16 +87,13 @@ _R3164_PREFIX = (
 )
 
 
-def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
-    """RFC3164 lines -> typed columns: pri, facility, severity, ts, host,
-    app, pid, msg (+ _syslog_ok flag). Pure regexp extraction."""
-    v = F.col(col)
-    pri = F.regexp_extract(v, _R3164, 1).try_cast("int")
+def _r3164_ts(v):
+    """Parsed header timestamp; the year-less RFC3164 form assumes the
+    CURRENT year (same rule as the reference's time/rfc.rs parse_date_4),
+    never 1970."""
     raw_ts = F.nullif(F.regexp_extract(v, _R3164, 2), F.lit(""))
     squashed = F.regexp_replace(raw_ts, r"\s+", " ")
-    ts = F.coalesce(
-        # the year-less RFC3164 form assumes the CURRENT year (same rule as
-        # the reference's time/rfc.rs parse_date_4), never 1970
+    return F.coalesce(
         F.try_to_timestamp(
             F.concat(F.date_format(F.current_date(), "yyyy"), F.lit(" "), squashed),
             F.lit("yyyy MMM d HH:mm:ss"),
@@ -104,6 +101,14 @@ def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
         F.try_to_timestamp(squashed, F.lit("MMM d yyyy HH:mm:ss")),
         F.try_to_timestamp(F.regexp_replace(squashed, "T", " ")),
     )
+
+
+def parse_rfc3164(df: DataFrame, col: str = "value") -> DataFrame:
+    """RFC3164 lines -> typed columns: pri, facility, severity, ts, host,
+    app, pid, msg (+ _syslog_ok flag). Pure regexp extraction."""
+    v = F.col(col)
+    pri = F.regexp_extract(v, _R3164, 1).try_cast("int")
+    ts = _r3164_ts(v)
     return df.select(
         v.alias("value"),
         pri.alias("pri"),
@@ -156,22 +161,29 @@ def apply_header_mode(
     if mode == "keep":
         return df
     if mode == "strip":
-        if fast_strip:
-            # single-pass prefix removal, no column materialization
-            return df.withColumn(
-                col, F.regexp_replace(F.col(col), _R3164_PREFIX, "")
-            )
-        p = parse_rfc3164(df, col)
-        return p.select(
-            F.when(F.col("_syslog_ok"), F.col("msg"))
-            .otherwise(F.col(col))
-            .alias(col)
+        # prefix removal in one pass (fast_strip disables nothing extra
+        # here — both spellings are a single regexp); OTHER columns
+        # (wp_src_ip etc. from the collectors) pass through untouched
+        return df.withColumn(
+            col, F.regexp_replace(F.col(col), _R3164_PREFIX, "")
         )
     if mode == "parse":
-        p = parse_rfc3164(df, col)
-        keep = F.col("_syslog_ok")
-        return p.select(
-            F.when(keep, F.col("msg")).otherwise(F.col(col)).alias(col),
-            "pri", "facility", "severity", "ts", "host", "app", "pid",
+        v = F.col(col)
+        ok = v.rlike(_R3164)
+        pri = F.regexp_extract(v, _R3164, 1).try_cast("int")
+        out = df.withColumns(
+            {
+                "pri": pri,
+                "facility": F.floor(pri / 8).cast("int"),
+                "severity": F.pmod(pri, F.lit(8)).cast("int"),
+                "ts": _r3164_ts(v),
+                "host": F.nullif(F.regexp_extract(v, _R3164, 3), F.lit("")),
+                "app": F.nullif(F.regexp_extract(v, _R3164, 4), F.lit("")),
+                "pid": F.regexp_extract(v, _R3164, 5).try_cast("long"),
+            }
+        )
+        return out.withColumn(
+            col,
+            F.when(ok, F.regexp_extract(v, _R3164, 6)).otherwise(v),
         )
     raise ValueError(f"unknown header_mode {mode!r}")

@@ -634,8 +634,23 @@ def _exact_json_guard(raw: Column, subfields) -> Column:
             return F.lit(True)
         # quoted refs are one literal key, never a '/' path
         segs = [ref] if getattr(sf, "quoted", False) else ref.split("/")
-        if "*" in segs:  # wildcard segment: glob conf disables strictness
-            continue     # for this subtree (json_impl.rs short-circuit)
+        if "*" in segs:
+            # wildcard segment: strictness stops AT the wildcard, but the
+            # non-wildcard PREFIX still registers its keys — otherwise the
+            # parent level would reject every record that HAS the declared
+            # field (allowed-set would exclude its head key)
+            segs = segs[: segs.index("*")]
+            if not segs:
+                continue
+            # prefix keys are containers: register as allowed+required at
+            # their level but add no level entry below the wildcard
+            for i, seg in enumerate(segs):
+                parent = "/".join(segs[:i])
+                allowed, required = levels.setdefault(parent, (set(), set()))
+                key = seg.split("[", 1)[0]
+                allowed.add(key)
+                required.add(key)
+            continue
         for i, seg in enumerate(segs):
             parent = "/".join(segs[:i])
             allowed, required = levels.setdefault(parent, (set(), set()))
