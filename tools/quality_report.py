@@ -7,7 +7,7 @@ tests/test_quality.py; this tool recomputes the SAME metrics (same fixture,
 same parameters, same exact twins) and writes them to a JSON artifact so
 round artifacts carry standing numbers, not only test logs.
 
-Usage: python tools/quality_report.py [out.json]   (default QUALITY_r5.json)
+Usage: python tools/quality_report.py [out.json]   (default QUALITY_r6.json)
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r5.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r6.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     import duckdb
