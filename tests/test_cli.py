@@ -195,3 +195,23 @@ def test_wparse_line_max_and_print_stat(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "wparse: sink out: 2 lines" in printed
     assert "stat[parse] r success: 2" in printed
+
+
+def test_parse_workers_flag(tmp_path, capsys):
+    """-w/--parse-workers maps the reference's thread count onto session
+    parallelism; the run still parses correctly at low parallelism."""
+    from wp_motor_spark.cli import main
+
+    inp = tmp_path / "in.dat"
+    inp.write_text("1.2.3.4 200 hello\n")
+    wpl_file = tmp_path / "r.wpl"
+    wpl_file.write_text("rule r { (ip:sip,digit:code,chars:msg) }\n")
+    rc = main([
+        "wparse", "--wpl", str(wpl_file),
+        "--input", str(inp),
+        "--sink", f"out={tmp_path / 'out'}:json",
+        "-w", "2", "-p",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "success" in out

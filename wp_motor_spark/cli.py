@@ -140,6 +140,16 @@ def main(argv: list[str] | None = None) -> int:
             "-p", "--print-stat", action="store_true",
             help="print per-rule/disposition parse stats after the run",
         )
+        p.add_argument(
+            "-w", "--parse-workers", type=int, default=None,
+            help="parallelism (reference parse_workers thread count -> "
+            "local[N] cores / shuffle partitions here)",
+        )
+        p.add_argument(
+            "--stat", dest="stat_sec", type=int, default=None,
+            help="daemon: stats print interval in seconds (batch mode "
+            "prints once at end with -p)",
+        )
         if cmd == "wprescue":
             # --from re-parses raw miss/error lines; --rescue-dir replays
             # already-formatted RescueEntry spools (05-wprescue.md)
@@ -169,7 +179,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=0)
 
     args = ap.parse_args(argv)
-    spark = get_spark(app_name=f"wp_motor_spark_{args.cmd}")
+    workers = getattr(args, "parse_workers", None)
+    spark = get_spark(
+        app_name=f"wp_motor_spark_{args.cmd}",
+        master=f"local[{workers}]" if workers else None,
+        shuffle_partitions=workers,
+    )
 
     if args.cmd == "wpgen":
         if args.config:
@@ -244,6 +259,23 @@ def main(argv: list[str] | None = None) -> int:
         q = pipe.run_stream(
             stream, checkpoint=args.checkpoint, trigger_seconds=args.trigger_seconds
         )
+        if args.stat_sec and args.print_stat:
+            # --stat N -p: periodic progress print (reference stat_sec)
+            import threading
+
+            def _stat_loop() -> None:
+                while q.isActive:
+                    p = q.lastProgress
+                    if p:
+                        print(
+                            f"stat: batch={p.get('batchId')} "
+                            f"rows={p.get('numInputRows')} "
+                            f"rps={p.get('processedRowsPerSecond')}",
+                            flush=True,
+                        )
+                    q.awaitTermination(args.stat_sec)
+
+            threading.Thread(target=_stat_loop, daemon=True).start()
         q.awaitTermination()
         return 0
 
