@@ -48,11 +48,16 @@ def main() -> None:
     # not a cache replay.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-query noise data: both raw pass times plus the 1-minute loadavg
+    # sampled at each measurement, so a slow artifact can be attributed to
+    # shared-box contention vs a plan regression from the JSON alone
+    noise: dict[str, dict] = {}
     for _pass in range(2):
         for name, (fn, _sql) in QUERIES.items():
             if name in errors:
                 continue  # failed on pass 1 — don't re-raise, keep the slot
             try:
+                load0 = os.getloadavg()[0]
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # force FULL execution of every output column: a bare count()
@@ -66,10 +71,19 @@ def main() -> None:
                 elapsed = round(time.perf_counter() - t0, 3)
                 if name not in timings or elapsed < timings[name]:
                     timings[name] = elapsed
+                rec = noise.setdefault(name, {"times": [], "loadavg": []})
+                rec["times"].append(elapsed)
+                rec["loadavg"].append(round(load0, 2))
             except Exception as exc:  # one red query must never zero the suite
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
+                noise.pop(name, None)
         spark.catalog.clearCache()
+    for rec in noise.values():
+        ts = rec["times"]
+        # best-of-2 spread: max/min ratio — 1.0 means both passes agreed;
+        # a large band marks the query's own timing as contention-noisy
+        rec["band"] = round(max(ts) / min(ts), 3) if min(ts) > 0 else None
 
     total = round(sum(timings.values()), 3)
 
@@ -102,6 +116,7 @@ def main() -> None:
         # shared-box context: same-code timings swing up to ~1.6x with
         # other tenants' load (PROFILE.md measurement discipline section)
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "query_noise": noise,
     }
     if errors:
         result["errors"] = errors
@@ -185,7 +200,9 @@ def _throughput_probe(spark, n: int = 8_000_000) -> dict:
 
     full_pass()  # warm codegen/JIT — steady-state is what BASELINE measures
     # best of 2 measured passes: the box is shared, min filters out noise
-    wall = min(full_pass(), full_pass())
+    load0 = os.getloadavg()[0]
+    w1, w2 = full_pass(), full_pass()
+    wall = min(w1, w2)
     lines.unpersist()
 
     return {
@@ -193,6 +210,11 @@ def _throughput_probe(spark, n: int = 8_000_000) -> dict:
         "parse_ok": n_ok,
         "wpl_oml_events_per_s": round(n / wall),
         "events_per_s_per_core": round(n / wall / cores),
+        # contention context for the probe itself: loadavg right before the
+        # timed passes + the two raw walls — a low events/s with a high
+        # loadavg or a wide pass spread is box noise, not a code regression
+        "loadavg_1m": round(load0, 2),
+        "pass_walls_s": [round(w1, 3), round(w2, 3)],
     }
 
 

@@ -42,6 +42,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "cosine_topk": {"NESTED_LOOP"},       # broadcast tiny query set
         "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
         "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
+        "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -216,3 +216,33 @@ def test_q6_filters_reach_the_scan(spark, sf001_dir):
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     for col in ("l_discount", "l_quantity"):
         assert col in pushed
+
+
+def test_bigram_pmi_builds_lazily(spark, sf001_dir):
+    """bigram_pmi used to run bg.count() + uni.agg().collect() while
+    BUILDING the plan — three corpus passes to feed two scalars. Guard:
+    constructing the DataFrame triggers ZERO Spark jobs (totals fold in
+    as a broadcast one-row frame), and the count-table exchanges are
+    reused rather than recomputed for the totals branch."""
+    # warm the parquet relation so schema-inference jobs don't pollute
+    # the job-group check
+    QUERIES["bigram_pmi"][0](spark, sf001_dir)
+    sc = spark.sparkContext
+    sc.setJobGroup("bigram-pmi-lazy", "plan construction must be lazy")
+    try:
+        df = QUERIES["bigram_pmi"][0](spark, sf001_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bigram-pmi-lazy")
+    assert list(jobs) == [], f"plan construction ran Spark jobs: {jobs}"
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # exactly two corpus passes: one bigram, one unigram; every other
+    # reference (w2 side, n_bg, n_uni) rides a ReusedExchange
+    assert final.count("FileScan") == 2, final.count("FileScan")
+    assert final.count("ReusedExchange") >= 3

@@ -3749,28 +3749,40 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z")
     ).select("z.w1", "z.w2")
+    # Explicit not-null filter (a no-op: split() never yields NULL tokens)
+    # so the c12 subtree canonicalizes identically in the scoring branch
+    # (where the inner join pushes isnotnull down) and the totals branch —
+    # otherwise ReuseExchange misses and the bigram pass runs twice.
+    bg = bg.where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uni = toks.select(F.explode("a").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw")
     )
-    n_bg = bg.count()
-    n_uni = uni.agg(F.sum("cw")).collect()[0][0]
+    # Corpus totals fold INTO the plan as a broadcast one-row frame (the
+    # customer_deciles bounds pattern): n_bg = Σ c(a,b) and n_uni = Σ c(w)
+    # derive from the already-aggregated count tables, so the query runs
+    # as ONE action with ReusedExchange on the c12/uni shuffles instead
+    # of separate count()/collect() passes re-tokenizing the corpus.
+    totals = c12.agg(F.sum("c").cast("double").alias("n_bg")).crossJoin(
+        uni.agg(F.sum("cw").cast("double").alias("n_uni"))
+    )
     return (
         c12.where(F.col("c") >= 20)
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
         .withColumnRenamed("cw", "c1")
         .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
         .withColumnRenamed("cw", "c2")
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1",
             "w2",
             F.col("c").alias("pair_count"),
             F.round(
                 F.log(
-                    (F.col("c").cast("double") / F.lit(float(n_bg)))
+                    (F.col("c").cast("double") / F.col("n_bg"))
                     / (
-                        (F.col("c1").cast("double") / F.lit(float(n_uni)))
-                        * (F.col("c2").cast("double") / F.lit(float(n_uni)))
+                        (F.col("c1").cast("double") / F.col("n_uni"))
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
                     )
                 ),
                 4,
@@ -3894,61 +3906,10 @@ FROM s
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r6: the 41 queries whose last driver row is
-    # CORRECTNESS_r04 (locally re-verified in r5) come first so every
-    # registry query has a driver-green row in r5 ∪ r6; the 50
-    # r5-driver-green queries follow (the first 9 of them re-check).
-    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
-    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
-    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
-    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
-    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
-    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
-    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
-    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
-    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
-    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
-    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "contamination_check": (contamination_check, CONTAMINATION_SQL),
-    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
-    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
-    "pii_redact": (pii_redact, _pii_sql()),
-    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
-    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
-    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
-    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
-    "gopher_quality": (gopher_quality, _gopher_sql()),
-    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
-    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
-    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
-    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
-    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
-    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
-    "minhash_lsh_dups": (minhash_lsh_dups, None),
-    "simhash_dups": (simhash_dups, None),
-    "text_stats": (text_stats, TEXT_STATS_SQL),
-    "language_id": (language_id, _language_id_sql()),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "quality_scores": (quality_scores, _quality_scores_sql()),
-    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
-    "multimodal_features": (multimodal_features, None),
-    "multimodal_real_decode": (multimodal_real_decode, None),
-    "image_neardup": (image_neardup, None),
-    # --- NEW r6 (inside the driver window) ---
-    "events_retention": (events_retention, RETENTION_SQL),
-    "customer_deciles": (customer_deciles, DECILES_SQL),
-    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
-    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
-    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
-    "sketch_distinct_users": (sketch_distinct_users, None),
-    "sketch_value_quantiles": (sketch_value_quantiles, None),
-    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
-    # --- r5 driver-green (CORRECTNESS_r05.json) ---
+    # entries. Rotated for r8: the 49 queries whose last driver row is
+    # CORRECTNESS_r05 (locally re-verified in r6/r7) come first so every
+    # registry query has a driver-green row in r7 ∪ r8; the 50
+    # r7-driver-green queries follow (the first 1 of them re-checks).
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
@@ -3999,4 +3960,54 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    # --- r7 driver-green (CORRECTNESS_r07.json) ---
+    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
+    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
+    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
+    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
+    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
+    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
+    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
+    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
+    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
+    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
+    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
+    "pii_redact": (pii_redact, _pii_sql()),
+    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
+    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
+    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
+    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
+    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
+    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "minhash_lsh_dups": (minhash_lsh_dups, None),
+    "simhash_dups": (simhash_dups, None),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "language_id": (language_id, _language_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, _quality_scores_sql()),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "multimodal_features": (multimodal_features, None),
+    "multimodal_real_decode": (multimodal_real_decode, None),
+    "image_neardup": (image_neardup, None),
+    "events_retention": (events_retention, RETENTION_SQL),
+    "customer_deciles": (customer_deciles, DECILES_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "sketch_distinct_users": (sketch_distinct_users, None),
+    "sketch_value_quantiles": (sketch_value_quantiles, None),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
 }
