@@ -252,7 +252,15 @@ def _observe_dropped_grams(grouped: DataFrame, max_df: int) -> DataFrame:
 
     from pyspark.sql import Observation
 
-    obs = Observation()
+    # DETERMINISTIC observation name: an auto-named Observation embeds a
+    # fresh uuid in the CollectMetrics node, which makes two otherwise
+    # identical pair pipelines canonicalize differently — defeating
+    # CacheManager plan-matching between ngram_jaccard_dups and
+    # dedup_clusters in one session. With a fixed name the plans match and
+    # the second query rides the first one's persisted pairs. (When a
+    # query replays from cache the metrics never fire and the waiter
+    # thread just parks — it is a daemon, same as the unexecuted case.)
+    obs = Observation("ngram_df_cap")
     out = grouped.observe(
         obs,
         F.sum(F.when(F.size("ids") > max_df, 1).otherwise(0)).alias("dropped_grams"),
@@ -345,6 +353,12 @@ def ngram_jaccard_pairs(
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # persist the (tiny: threshold survivors only) pair frame — with
+        # the deterministic observation name above, ngram_jaccard_dups
+        # and dedup_clusters build byte-identical plans, so whichever
+        # runs first materializes the pipeline once and the other reads
+        # the cached pairs instead of re-running shingle+index+expand
+        .persist()
     )
 
 
@@ -582,21 +596,30 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
-    edges = (
+    # ONE pass over the (usually expensive) pair pipeline: materialize the
+    # undirected pairs as-is, then decide the execution path on their
+    # count. The doubled + distinct-ed edge frame is only built for the
+    # distributed propagation path — union-find consumes each undirected
+    # edge once, so the small-graph path skips the union/distinct shuffles
+    # and the second checkpoint entirely.
+    upairs = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
         .localCheckpoint()
     )
     # Adaptive small-graph path (AQE-style size gate): near-dup edge sets
     # are typically tiny next to the corpus — pairs already survived
     # banding/blocking. Under the threshold, a driver union-find replaces
     # ~3 Spark jobs per iteration with zero; the collect is bounded by the
-    # gate (1e5 edges = a few MB of longs). Same min-label output.
-    n_edges = edges.count()
+    # gate (1e5 directed edges = a few MB of longs). Same min-label output.
+    n_edges = upairs.count() * 2  # directed-edge count, comparable across rounds
     if n_edges <= small_graph_threshold:
         _cc_observe({"path": "union_find", "edges": n_edges})
-        return _union_find_components(pairs.sparkSession, edges.collect())
+        return _union_find_components(pairs.sparkSession, upairs.collect())
+    edges = (
+        upairs.union(upairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
