@@ -276,3 +276,161 @@ def test_source_level_encode_base64_and_hex(spark, tmp_path):
     res = pipe.run_batch(raw)
     got = {(r["word"], r["n"]) for r in res.branches["default"].collect()}
     assert got == {("alpha", 1), ("bravo", 2), ("charlie", 3)}
+
+
+def test_engine_conf_canonical_keys(tmp_path, spark):
+    """wparse.toml key parity with engine.rs EngineConfig: [performance]
+    parse_workers/rate_limit_rps are the canonical keys (top-level legacy
+    parallel/speed_limit are unknown fields the reference's serde ignores);
+    version, [rescue] path, [semantic] enabled, skip_parse/skip_sink."""
+    root = tmp_path / "ws"
+    (root / "conf").mkdir(parents=True)
+    (root / "conf" / "wparse.toml").write_text(
+        """
+version = "1.0"
+robust  = "strict"
+skip_parse = true
+skip_sink = true
+parallel = 99        # legacy top-level key: must be IGNORED
+speed_limit = 1      # legacy top-level key: must be IGNORED
+
+[performance]
+rate_limit_rps = 5000
+parse_workers  = 4
+
+[rescue]
+path = "./my/rescue"
+
+[semantic]
+enabled = false
+"""
+    )
+    ws = load_workspace(str(root))
+    assert ws.version == "1.0"
+    assert ws.robust == "strict"
+    assert ws.parallel == 4          # NOT the legacy 99
+    assert ws.speed_limit == 5000    # NOT the legacy 1
+    assert ws.rescue_path == os.path.normpath(str(root / "my" / "rescue"))
+    assert ws.semantic_enabled is False
+    assert ws.skip_parse and ws.skip_sink
+
+    # defaults mirror engine.rs Default impls
+    empty = load_workspace(str(tmp_path / "nowhere"))
+    assert empty.version == "1.0"
+    assert empty.parallel == 2 and empty.speed_limit == 10000
+    assert empty.rescue_path.endswith(os.path.normpath("data/rescue"))
+    assert not empty.semantic_enabled
+    assert not empty.skip_parse and not empty.skip_sink
+
+
+def test_skip_parse_and_skip_sink_stage_switches(tmp_path, spark):
+    """engine.rs skip_parse/skip_sink: skip_parse removes every batch
+    input (the pick/parse stage never starts); skip_sink builds the
+    pipeline with no delivery sinks."""
+    import shutil
+
+    root = tmp_path / "instance"
+    shutil.copytree(INSTANCE, root)
+    conf = (root / "conf" / "wparse.toml").read_text()
+    # PREPEND: the instance file ends inside a [[stat.sink]] table, so an
+    # appended key would belong to that table, not the top level
+    (root / "conf" / "wparse.toml").write_text(
+        "skip_parse = true\nskip_sink = true\n" + conf
+    )
+    ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+    pipe, inputs = build_pipeline(ws)
+    assert inputs == []        # skip_parse: nothing to read
+    assert pipe.sinks == []    # skip_sink: nothing to deliver to
+
+
+def _mini_ws(tmp_path):
+    """Minimal workspace with one kv rule and a business.d sink tree."""
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        "package /t { rule kv { (chars:word,digit:n) } }\n"
+    )
+    (root / "oml").mkdir()
+    (root / "oml" / "t.oml").write_text(
+        "name : t_kv\nrule :\n    /t/kv\n---\n* = take() ;\n"
+    )
+    (root / "topology" / "sources").mkdir(parents=True)
+    return root
+
+
+def test_business_d_recursive_routes_filter_and_rule_globs(spark, tmp_path):
+    """03-sinks.md + sinks/io.rs: business.d/**/*.toml is collected
+    recursively; per-sink `name` (fallback "[index]"); group `rule` globs
+    (string form) select branches by WPL rule key; per-sink `filter` file
+    routes iff eval == filter_expect (reference default FALSE =
+    interception); defaults.toml [defaults.expect] backfills groups."""
+    root = _mini_ws(tmp_path)
+    sink_root = root / "topology" / "sinks"
+    nested = sink_root / "business.d" / "nested"
+    nested.mkdir(parents=True)
+    (sink_root / "defaults.toml").write_text(
+        "[defaults.expect]\nratio = 1.0\ntol = 0.5\n"
+    )
+    (sink_root / "filter.cond").write_text("n > 5\n")
+    (nested / "grp.toml").write_text(
+        'version = "2.0"\n'
+        "[sink_group]\n"
+        'name = "/sink/filter"\n'
+        'rule = "/t/kv"\n'  # string (StringOrArray), the qualified rule key
+        "[[sink_group.sinks]]\n"
+        'name = "all"\n'
+        'target = "file"\npath = "out/all.dat"\nfmt = "kv"\n'
+        "[[sink_group.sinks]]\n"
+        'name = "safe"\n'
+        'target = "file"\npath = "out/safe.dat"\nfmt = "kv"\n'
+        'filter = "topology/sinks/filter.cond"\n'
+        "[[sink_group.sinks]]\n"  # third sink without a name -> "[2]"
+        'target = "file"\npath = "out/anon.dat"\nfmt = "kv"\n'
+    )
+    (nested / "nomatch.toml").write_text(
+        "[sink_group]\n"
+        'name = "/sink/none"\n'
+        'rule = ["zzz*"]\n'  # glob matches no rule -> no lines
+        "[[sink_group.sinks]]\n"
+        'target = "file"\npath = "out/none.dat"\nfmt = "kv"\n'
+    )
+
+    ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
+    by_name = {s.name: s for s in ws.sinks}
+    assert {"all", "safe", "/sink/filter[2]", "/sink/none"} <= set(by_name)
+    assert by_name["all"].expect == {"ratio": 1.0, "tol": 0.5}  # defaults.toml
+    assert by_name["safe"].condition == "n > 5"
+    assert by_name["safe"].filter_expect is False  # reference default: intercept
+    assert by_name["all"].rules == ["/t/kv"]
+
+    pipe, _ = build_pipeline(ws)
+    raw = spark.createDataFrame([("alpha 3",), ("bravo 9",)], ["value"])
+    counts = pipe.write_batch(raw)
+    assert counts["all"] == 2
+    assert counts["safe"] == 1  # "bravo 9" intercepted (n > 5 true)
+    assert counts["/sink/filter[2]"] == 2
+    assert counts.get("/sink/none", 0) == 0
+    safe_lines = [
+        r["value"]
+        for r in spark.read.text(str(by_name["safe"].path)).collect()
+    ]
+    assert len(safe_lines) == 1 and "word=alpha" in safe_lines[0]
+
+
+def test_infra_group_rejects_parallel(tmp_path):
+    """build.rs:425: [sink_group].parallel is a config error for infra
+    groups (business.d parallel is the supported spelling)."""
+    import pytest as _pytest
+
+    root = _mini_ws(tmp_path)
+    infra = root / "topology" / "sinks" / "infra.d"
+    infra.mkdir(parents=True)
+    (infra / "miss.toml").write_text(
+        "[sink_group]\n"
+        'name = "miss"\n'
+        "parallel = 4\n"
+        "[[sink_group.sinks]]\n"
+        'target = "file"\npath = "out/miss.dat"\nfmt = "raw"\n'
+    )
+    with _pytest.raises(ValueError, match="does not support"):
+        load_workspace(str(root), out_root=str(tmp_path / "out"))

@@ -138,3 +138,134 @@ scope = { chars = ["alpha", "beta"] }
     assert all(c.startswith("SN-") and 100 <= int(c[3:]) < 200 for c, _, _ in rows)
     assert all(1.0 <= float(f) < 2.0 for _, f, _ in rows)
     assert {w for _, _, w in rows} <= {"alpha", "beta"}
+
+
+def test_speed_profile_models_match_reference_formulas():
+    """controller.rs calc_* golden values: sinusoidal peaks/troughs,
+    stepped boundaries + looping + clamp-to-last, ramp midpoint/clamp,
+    random_walk range, composite combine modes, burst windows."""
+    from wp_motor_spark.wpl.speed_profile import SpeedController
+
+    sin = SpeedController(
+        {"type": "sinusoidal", "base": 5000, "amplitude": 2000, "period_secs": 60.0}
+    )
+    assert sin.speed_at(0) == 5000
+    assert sin.speed_at(15) == 7000   # quarter period: +amplitude
+    assert sin.speed_at(45) == 3000   # three quarters: -amplitude
+    tiny = SpeedController(
+        {"type": "sinusoidal", "base": 10, "amplitude": 100, "period_secs": 4.0}
+    )
+    assert tiny.speed_at(3) == 1      # floor at 1, never 0/negative
+
+    st = SpeedController(
+        {"type": "stepped", "steps": [[30.0, 1000], [30.0, 5000], [30.0, 2000]],
+         "loop_forever": False}
+    )
+    assert st.speed_at(0) == 1000
+    assert st.speed_at(30) == 5000    # boundary belongs to the NEXT step
+    assert st.speed_at(59.9) == 5000
+    assert st.speed_at(60) == 2000
+    assert st.speed_at(1000) == 2000  # not looping: hold the last rate
+    lp = SpeedController(
+        {"type": "stepped", "steps": [[30.0, 1000], [30.0, 5000], [30.0, 2000]],
+         "loop_forever": True}
+    )
+    assert lp.speed_at(95) == 1000    # 95 % 90 = 5 -> first step
+
+    rmp = SpeedController(
+        {"type": "ramp", "start": 100, "end": 10000, "duration_secs": 300.0}
+    )
+    assert rmp.speed_at(0) == 100
+    assert rmp.speed_at(150) == 5050
+    assert rmp.speed_at(300) == 10000
+    assert rmp.speed_at(9999) == 10000  # hold after the ramp
+
+    rw = SpeedController({"type": "random_walk", "base": 5000, "variance": 0.3}, seed=7)
+    rates = [rw.speed_at(t) for t in range(200)]
+    assert all(3500 <= r <= 6500 for r in rates)
+    assert len(set(rates)) > 50  # actually random, not constant
+
+    comp = {
+        "type": "composite",
+        "profiles": [
+            {"type": "constant", "rate": 1000},
+            {"type": "constant", "rate": 3000},
+        ],
+    }
+    assert SpeedController({**comp, "combine_mode": "average"}).speed_at(0) == 2000
+    assert SpeedController({**comp, "combine_mode": "max"}).speed_at(0) == 3000
+    assert SpeedController({**comp, "combine_mode": "min"}).speed_at(0) == 1000
+    assert SpeedController({**comp, "combine_mode": "sum"}).speed_at(0) == 4000
+
+    b = SpeedController(
+        {"type": "burst", "base": 1000, "burst_rate": 10000,
+         "burst_duration_ms": 2000, "burst_probability": 1.0},
+        seed=3,
+    )
+    seen = [b.speed_at(float(t)) for t in range(30)]
+    assert 1000 in seen and 10000 in seen  # bursts fire and decay
+    # during a burst window the rate holds at burst_rate
+    first_burst = seen.index(10000)
+    if first_burst + 1 < len(seen):
+        assert seen[first_burst + 1] in (10000, 1000)
+
+
+def test_speed_profile_planned_rows_and_conf_mapping():
+    from wp_motor_spark.wpl.speed_profile import (
+        SpeedController,
+        profile_from_generator_conf,
+    )
+
+    c = SpeedController({"type": "constant", "rate": 500})
+    assert c.planned_rows(10) == 5000
+    assert c.planned_rows(2.5) == 1250  # fractional tail tick pro-rates
+
+    # speed_profile wins over scalar speed; speed=0 -> unlimited (None)
+    assert profile_from_generator_conf(
+        {"speed": 9, "speed_profile": {"type": "constant", "rate": 7}}
+    ) == {"type": "constant", "rate": 7}
+    assert profile_from_generator_conf({"speed": 250}) == {
+        "type": "constant", "rate": 250,
+    }
+    assert profile_from_generator_conf({"speed": 0}) is None
+    assert profile_from_generator_conf({}) is None
+
+
+def test_wpgen_config_sample_mode_and_duration(spark, tmp_path):
+    """04-wpgen.md config mode: mode="sample" + sample_pattern replicates
+    the sample pool under rule_root; duration_secs x speed integrates to
+    the generated row count."""
+    from wp_motor_spark.cli import main as cli_main
+
+    root = tmp_path / "ws"
+    (root / "conf").mkdir(parents=True)
+    (root / "samples").mkdir()
+    (root / "samples" / "a.txt").write_text("alpha 1\nbravo 2\n")
+    (root / "samples" / "sub").mkdir()
+    (root / "samples" / "sub" / "b.txt").write_text("charlie 3\n")
+    (root / "conf" / "wpgen.toml").write_text(
+        'version = "1.0"\n'
+        "[generator]\n"
+        'mode = "sample"\n'
+        "duration_secs = 4\n"
+        "speed = 25\n"
+        'rule_root = "./samples"\n'
+        'sample_pattern = "*.txt"\n'
+        "[output]\n"
+        'connect = "file_raw_sink"\n'
+        'params = { base = "out", file = "gen.dat" }\n'
+    )
+    (root / "connectors" / "sink.d").mkdir(parents=True)
+    (root / "connectors" / "sink.d" / "raw.toml").write_text(
+        '[[connectors]]\nid = "file_raw_sink"\ntype = "file"\n'
+        'params = { base = "out", file = "raw.dat", fmt = "raw" }\n'
+        'allow_override = ["base", "file"]\n'
+    )
+    rc = cli_main(["wpgen", "--config", str(root / "conf" / "wpgen.toml")])
+    assert rc == 0
+    out = [
+        r["value"]
+        for r in spark.read.text(str(root / "conf" / "out" / "gen.dat")).collect()
+    ]
+    assert len(out) == 100  # 4s x 25 rows/s
+    assert set(out) == {"alpha 1", "bravo 2", "charlie 3"}

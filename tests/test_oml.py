@@ -537,3 +537,37 @@ client_ip : privacy_ip
     row = om.apply(df).first()
     assert row["client_ip"] == "10.20.*.*"   # masked, not raw
     assert row["user"] == "u1"               # other passthrough untouched
+
+
+def test_knowdb_builtin_sql_function_parity(spark):
+    """The reference's built-in KnowDB SQL functions (sqlite_ext.rs,
+    07-knowdb_config.md) as Column expressions — golden values lifted
+    from sqlite_ext.rs test_ip4_scalar_funcs."""
+    from wp_motor_spark import knowdb as K
+
+    row = (
+        spark.range(1)
+        .select(
+            K._ip4_int0(F.lit("1.2.3.4")).alias("ip_int"),
+            K._ip4_int0(F.lit("not an ip")).alias("ip_bad"),
+            K.ip4_text(F.lit(16909060)).alias("ip_text"),
+            K.cidr4_min(F.lit("10.0.0.0/8")).alias("cmin"),
+            K.cidr4_max(F.lit("10.0.0.0/8")).alias("cmax"),
+            K.cidr4_min(F.lit("10.0.0.0/33")).alias("cbad"),
+            K.cidr4_max(F.lit("10.0.0.0/0")).alias("call"),
+            K.cidr4_contains(F.lit("10.1.2.3"), F.lit("10.0.0.0/8")).alias("in8"),
+            K.cidr4_contains(F.lit("11.1.2.3"), F.lit("10.0.0.0/8")).alias("out8"),
+            K.cidr4_contains(F.lit("10.1.2.3"), F.lit("junk")).alias("badcidr"),
+            K.trim_quotes(F.lit('  "work_zone"  ')).alias("tq"),
+            K.trim_quotes(F.lit("no_quotes")).alias("tq2"),
+            K.trim_quotes(F.lit('\\"work_zone\\"')).alias("tq3"),
+        )
+        .collect()[0]
+    )
+    assert row["ip_int"] == 0x01020304 and row["ip_bad"] == 0
+    assert row["ip_text"] == "1.2.3.4"
+    assert row["cmin"] == 167772160 and row["cmax"] == 184549375
+    assert row["cbad"] == 0 and row["call"] == 0xFFFFFFFF
+    assert row["in8"] is True and row["out8"] is False and row["badcidr"] is False
+    assert row["tq"] == "work_zone" and row["tq2"] == "no_quotes"
+    assert row["tq3"] == "work_zone"

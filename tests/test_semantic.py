@@ -78,9 +78,54 @@ def test_env_hook(tmp_path, monkeypatch):
     assert "failed" in semantic_dict().status_words
 
 
+def test_extract_pipes_disabled_by_default(spark):
+    """[semantic] enabled defaults to FALSE (semantic_dict_loader.rs:9);
+    disabled pipes return empty string / empty (all-null) object
+    (extract_word.rs:311,370) without consulting the dict."""
+    from wp_motor_spark.oml import functions as ofn
+    from wp_motor_spark.oml.semantic import set_semantic_enabled
+
+    # other tests (e.g. building a [semantic]-enabled workspace) may have
+    # flipped the process-global switch — pin the disabled state
+    set_semantic_enabled(False)
+    row = (
+        spark.createDataFrame([("user alice connect database failed",)], ["msg"])
+        .select(
+            ofn.extract_main_word(F.col("msg")).alias("main"),
+            ofn.extract_subject_object(F.col("msg")).alias("sao"),
+        )
+        .collect()[0]
+    )
+    assert row["main"] == ""
+    assert row["sao"]["subject"] is None and row["sao"]["status"] is None
+
+
+def test_workspace_conf_flips_semantic_switch(tmp_path):
+    """build_pipeline applies wparse.toml [semantic] enabled at startup
+    (facade/args.rs:125 -> service.rs:50); the reference instance tree
+    enables it."""
+    from wp_motor_spark.config import build_pipeline, load_workspace
+    from wp_motor_spark.oml.semantic import (
+        is_semantic_enabled,
+        set_semantic_enabled,
+    )
+
+    try:
+        ws = load_workspace(
+            "/root/reference/tests/instance", out_root=str(tmp_path)
+        )
+        assert ws.semantic_enabled is True
+        build_pipeline(ws)
+        assert is_semantic_enabled()
+    finally:
+        set_semantic_enabled(False)
+
+
 def test_extract_pipes_use_dict(spark, tmp_path, monkeypatch):
     from wp_motor_spark.oml import functions as ofn
+    from wp_motor_spark.oml.semantic import set_semantic_enabled
 
+    set_semantic_enabled(True)
     df = spark.createDataFrame(
         [
             ("user alice connect database failed",),
@@ -123,3 +168,4 @@ def test_extract_pipes_use_dict(spark, tmp_path, monkeypatch):
         .collect()[0]["sao"]
     )
     assert row["status"] == "archived"
+    set_semantic_enabled(False)

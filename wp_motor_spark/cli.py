@@ -44,7 +44,7 @@ def _build_pipeline(args):
     return Pipeline(
         wpl=wpl,
         omls=omls,
-        sinks=sinks,
+        sinks=sinks or None,  # no --sink flags -> the default memory sink
         knowdb=knowdb,
         rescue_dir=getattr(args, "rescue_dir", None),
     )
@@ -57,6 +57,7 @@ def _wpgen_from_config(spark, args) -> int:
     dir), or v1 `[main_conf]` gen_count + out_ref -> `[<out_ref>]`
     section with a file target. Rules load from --wpl (a gen_rule.wpl
     file or a directory holding one, with gen_field.toml alongside)."""
+    import glob
     import os
     import tomllib
 
@@ -71,7 +72,26 @@ def _wpgen_from_config(spark, args) -> int:
     conf_dir = os.path.dirname(os.path.abspath(args.config))
 
     if "generator" in doc:  # v2
-        count = int(doc["generator"].get("count", args.n))
+        gen = doc["generator"]
+        # count | duration_secs are alternatives (04-wpgen.md); with a
+        # duration the speed model integrates to the batch row total —
+        # pacing a batch engine by sleeping would just waste the cluster
+        if gen.get("count") is not None:
+            count = int(gen["count"])
+        elif gen.get("duration_secs") is not None:
+            from wp_motor_spark.wpl.speed_profile import (
+                SpeedController,
+                profile_from_generator_conf,
+            )
+
+            prof = profile_from_generator_conf(gen)
+            if prof is None:  # no pacing configured: default-rate plan
+                prof = {"type": "constant", "rate": 1000}
+            count = SpeedController(prof, seed=args.seed).planned_rows(
+                float(gen["duration_secs"])
+            )
+        else:
+            count = args.n
         connect = doc.get("output", {}).get("connect")
         if not connect:
             print("wpgen: [output] connect missing", file=sys.stderr)
@@ -85,7 +105,12 @@ def _wpgen_from_config(spark, args) -> int:
         except KeyError as e:
             print(f"wpgen: {e.args[0]}", file=sys.stderr)
             return 2
-        params = conn.resolve(doc.get("output", {}).get("params_override"))
+        # canonical key is `params` (wpgen.rs OutputConf.params);
+        # params_override tolerated as the older spelling
+        out_conf = doc.get("output", {})
+        params = conn.resolve(
+            out_conf.get("params") or out_conf.get("params_override")
+        )
         out_path = params.get("path") or os.path.join(
             params.get("base", "out"), params.get("file", "gen.dat")
         )
@@ -103,10 +128,58 @@ def _wpgen_from_config(spark, args) -> int:
         print("wpgen: config has neither [generator] nor [main_conf]", file=sys.stderr)
         return 2
 
-    if not args.wpl:
-        print("wpgen: --config mode needs --wpl (rule file or dir)", file=sys.stderr)
-        return 2
+    gen = doc.get("generator", {})
+    # rule_root ([generator], workspace-relative like v1 paths) backs up
+    # the --wpl flag; sample mode replicates sample_pattern-matched files
     rule_path = args.wpl
+    if not rule_path and gen.get("rule_root"):
+        rr = gen["rule_root"]
+        rule_path = rr if os.path.isabs(rr) else os.path.normpath(
+            os.path.join(conf_dir, "..", rr)
+        )
+    if str(gen.get("mode", "rule")) == "sample":
+        # sample.rs load_samples: every file under rule_root matching
+        # sample_pattern, all lines concatenated as the sample pool
+        pattern = gen.get("sample_pattern", "*.txt")
+        base = rule_path or os.path.normpath(os.path.join(conf_dir, ".."))
+        files = sorted(
+            glob.glob(os.path.join(base, "**", pattern), recursive=True)
+        )
+        lines: list[str] = []
+        for f in files:
+            lines.extend(open(f).read().splitlines())
+            if len(lines) > SAMPLE_LINE_CAP:
+                print(
+                    f"wpgen: sample pool exceeds {SAMPLE_LINE_CAP} lines",
+                    file=sys.stderr,
+                )
+                return 2
+        if not lines:
+            print(
+                f"wpgen: no {pattern} sample lines under {base}",
+                file=sys.stderr,
+            )
+            return 2
+        from pyspark.sql import functions as F
+
+        sample_df = spark.createDataFrame(
+            list(enumerate(lines)), ["__i", "value"]
+        )
+        out = (
+            spark.range(count)
+            .withColumn("__i", (F.col("id") % len(lines)).cast("bigint"))
+            .join(F.broadcast(sample_df), "__i")
+            .select("value")
+        )
+        out.write.mode("overwrite").text(out_path)
+        print(f"wpgen: {count} lines from samples -> {out_path}")
+        return 0
+    if not rule_path:
+        print(
+            "wpgen: --config rule mode needs --wpl or [generator] rule_root",
+            file=sys.stderr,
+        )
+        return 2
     if os.path.isdir(rule_path):
         rule_path = os.path.join(rule_path, "gen_rule.wpl")
     rule = open(rule_path).read()

@@ -47,10 +47,23 @@ class Workspace:
     oml_texts: list[str] = field(default_factory=list)
     sources: list[SourceSpec] = field(default_factory=list)
     sinks: list[SinkSpec] = field(default_factory=list)
+    # out_root given to load_workspace, if any — output paths (sinks,
+    # rescue spool) are rebased here so runs never write into the workspace
+    out_root: str | None = None
+
+    @property
+    def version(self) -> str:
+        """Config schema version (engine.rs default_version: "1.0")."""
+        return str(self.conf.get("version", "1.0"))
 
     @property
     def parallel(self) -> int:
-        return int(self.conf.get("parallel", 2))
+        """[performance] parse_workers (engine.rs PerformanceConf, default
+        2). The reference deserializes ONLY the [performance] table —
+        top-level legacy `parallel`/`speed_limit` keys (still present in
+        tests/instance/conf/wparse.toml) are unknown fields serde ignores,
+        so we ignore them too."""
+        return int(self.conf.get("performance", {}).get("parse_workers", 2))
 
     @property
     def robust(self) -> str:
@@ -60,7 +73,35 @@ class Workspace:
 
     @property
     def speed_limit(self) -> int:
-        return int(self.conf.get("speed_limit", 10000))
+        """[performance] rate_limit_rps (engine.rs, default 10000)."""
+        return int(self.conf.get("performance", {}).get("rate_limit_rps", 10000))
+
+    @property
+    def skip_parse(self) -> bool:
+        """Top-level skip_parse switch (engine.rs EngineConfig.skip_parse):
+        don't run the parse/pick stage — sources are not read."""
+        return bool(self.conf.get("skip_parse", False))
+
+    @property
+    def skip_sink(self) -> bool:
+        """Top-level skip_sink switch (engine.rs EngineConfig.skip_sink):
+        parse but don't start sink/infra delivery."""
+        return bool(self.conf.get("skip_sink", False))
+
+    @property
+    def semantic_enabled(self) -> bool:
+        """[semantic] enabled (engine.rs SemanticConf, default false):
+        gates loading the semantic dictionary for the OML extract_* pipes."""
+        return bool(self.conf.get("semantic", {}).get("enabled", False))
+
+    @property
+    def rescue_path(self) -> str:
+        """[rescue] path (engine.rs RescueConf, default "./data/rescue"),
+        resolved against the workspace root like conf_absolutize does."""
+        p = str(self.conf.get("rescue", {}).get("path", "./data/rescue"))
+        if os.path.isabs(p):
+            return p
+        return os.path.normpath(os.path.join(self.root, p))
 
     @property
     def stat_window_sec(self) -> int:
@@ -105,14 +146,26 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
     """Parse a reference-layout workspace. ``out_root``, when given,
     rebases every sink's relative output path (tests never write into the
     workspace)."""
-    ws = Workspace(root=root)
+    ws = Workspace(root=root, out_root=out_root)
     conf_path = os.path.join(root, "conf", "wparse.toml")
     if os.path.exists(conf_path):
         ws.conf = _toml(conf_path)
 
+    # model roots: engine.rs defaults are ./models/{wpl,oml}; fall back to
+    # the bare ./wpl ./oml layout (the tests/instance tree) when the
+    # canonical default is absent and no explicit conf overrides it
     models = ws.conf.get("models", {})
-    wpl_dir = os.path.join(root, models.get("wpl", "wpl"))
-    oml_dir = os.path.join(root, models.get("oml", "oml"))
+
+    def _model_dir(key: str) -> str:
+        d = os.path.join(root, models.get(key, f"models/{key}"))
+        if key not in models and not os.path.isdir(d):
+            legacy = os.path.join(root, key)
+            if os.path.isdir(legacy):
+                return legacy
+        return d
+
+    wpl_dir = _model_dir("wpl")
+    oml_dir = _model_dir("oml")
     topo = ws.conf.get("topology", {})
     src_dir = os.path.join(root, topo.get("sources", "topology/sources"))
     sink_dir = os.path.join(root, topo.get("sinks", "topology/sinks"))
@@ -194,18 +247,41 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
 
     sink_registry = ConnectorRegistry.load(root, "sink")
 
+    def _globs(v) -> list[str] | None:
+        """`oml`/`rule` accept a string or an array (types.rs
+        StringOrArray); None stays None (-> match-all default)."""
+        if v is None:
+            return None
+        return [v] if isinstance(v, str) else list(v)
+
     def add_group(
         name: str, sinks: list[dict], condition: str | None, models: list[str] | None,
-        group_expect: dict | None = None,
+        group_expect: dict | None = None, rules: list[str] | None = None,
     ) -> None:
-        for s in sinks:
+        for i, s in enumerate(sinks):
             kind = s.get("target", "file")
             options: dict = {}
-            # v2: use/connect = <sink connector id> + params override.
-            # Both spellings appear in the reference: `use` in the
-            # tests/instance tree, `connect` in the connector docs
-            # (05-connectors/02-sinks/*.md).
-            use = s.get("use") or s.get("connect")
+            # per-sink filter file (03-sinks.md): a condition-expression
+            # file; the record routes iff eval == filter_expect, whose
+            # reference default is FALSE (filter = interception)
+            filt_cond: str | None = None
+            filt_expect = True
+            fpath = s.get("filter")
+            if fpath:
+                cand = fpath if os.path.isabs(fpath) else os.path.join(root, fpath)
+                if not os.path.exists(cand):  # doc: path relative to sink_root
+                    cand = os.path.join(sink_dir, fpath)
+                try:
+                    filt_cond = open(cand).read().strip() or None
+                except OSError:
+                    filt_cond = None  # reference logs "not found filter", runs unfiltered
+                filt_expect = bool(s.get("filter_expect", False))
+            # v2: use/connect/connector = <sink connector id> + params
+            # override. All three spellings appear in the reference: `use`
+            # in the tests/instance tree, `connect` in the connector docs
+            # (05-connectors/02-sinks/*.md), `connector` as the documented
+            # compat alias (03-sinks.md).
+            use = s.get("use") or s.get("connect") or s.get("connector")
             if use is not None:
                 conn = (
                     sink_registry.connectors.get(use) if sink_registry else None
@@ -239,35 +315,73 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                         "target", "path", "fmt", "condition", "expect", "oml",
                     )
                 }
+            # per-sink name (unique in the group; fallback "[index]" per
+            # 03-sinks.md). Single-sink groups keep the GROUP name so infra
+            # channel matching (miss/error/residue/...) stays by group.
+            sink_name = name if len(sinks) == 1 else s.get("name") or f"{name}[{i}]"
+            cond = filt_cond or condition or s.get("condition")
             ws.sinks.append(
                 SinkSpec(
-                    name=name,
+                    name=sink_name,
                     kind=kind,
                     path=path,
                     format=fmt,
-                    condition=condition or s.get("condition"),
+                    condition=cond,
+                    filter_expect=filt_expect if filt_cond else True,
                     models=list(models) if models is not None else ["*"],
+                    rules=list(rules) if rules is not None else ["*"],
                     options=options,
                     expect=s.get("expect") or group_expect,
                 )
             )
 
-    for p in sorted(glob.glob(os.path.join(sink_dir, "*.toml"))) + sorted(
-        glob.glob(os.path.join(sink_dir, "infra.d", "*.toml"))
-    ):
+    # group-level default expectations (sinks/io.rs load_sink_defaults:
+    # <sink_root>/defaults.toml [defaults.expect])
+    defaults_expect: dict | None = None
+    defaults_path = os.path.join(sink_dir, "defaults.toml")
+    if os.path.exists(defaults_path):
+        defaults_expect = _toml(defaults_path).get("defaults", {}).get("expect")
+
+    # route discovery (sinks/io.rs load_route_files_from): business.d/ and
+    # infra.d/ are collected RECURSIVELY (**/*.toml, subdirs supported);
+    # top-level *.toml is the tests/instance legacy layout
+    route_paths = (
+        sorted(glob.glob(os.path.join(sink_dir, "*.toml")))
+        + sorted(glob.glob(os.path.join(sink_dir, "business.d", "**", "*.toml"),
+                           recursive=True))
+        + sorted(glob.glob(os.path.join(sink_dir, "infra.d", "**", "*.toml"),
+                           recursive=True))
+    )
+    seen_routes: set[str] = set()
+    for p in route_paths:
+        rp = os.path.realpath(p)
+        if rp in seen_routes or os.path.basename(p) == "defaults.toml":
+            continue
+        seen_routes.add(rp)
+        is_infra = f"{os.sep}infra.d{os.sep}" in p
         t = _toml(p)
         if "sink_group" in t:
             g = t["sink_group"]
+            gname = g.get("name", "data")
+            if is_infra and g.get("parallel") is not None:
+                # build.rs:425: infra groups reject [sink_group].parallel
+                raise ValueError(
+                    f"infra group '{gname}' does not support "
+                    "[sink_group].parallel; remove this field and use "
+                    "business.d parallel for throughput"
+                )
             add_group(
-                g.get("name", "data"), g.get("sinks", []), g.get("condition"),
-                g.get("oml"), g.get("expect"),
+                gname, g.get("sinks", []), g.get("condition"),
+                _globs(g.get("oml")), g.get("expect") or defaults_expect,
+                _globs(g.get("rule")),
             )
         else:  # framework.toml: one section per infra group
             for name, g in t.items():
                 if isinstance(g, dict) and "sinks" in g:
                     add_group(
                         g.get("name", name), g["sinks"], g.get("condition"),
-                        g.get("oml"), g.get("expect"),
+                        _globs(g.get("oml")), g.get("expect") or defaults_expect,
+                        _globs(g.get("rule")),
                     )
 
     # dedupe by (group, path): framework.toml and infra.d describe the same
@@ -285,8 +399,19 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
 
 
 def build_pipeline(ws: Workspace, knowdb=None):
-    """Workspace -> (Pipeline, enabled batch input paths)."""
+    """Workspace -> (Pipeline, enabled batch input paths).
+
+    skip_parse (engine.rs stage switch) empties the input list — no
+    sources are read. skip_sink hands the Pipeline an empty sink set —
+    the parse stage runs, delivery doesn't. The rescue spool is always
+    configured (the reference's RescueConf has a default path), rebased
+    under out_root when the workspace was loaded with one.
+    """
+    from wp_motor_spark.oml.semantic import set_semantic_enabled
     from wp_motor_spark.pipeline import Pipeline
+
+    # startup flip of the global semantic switch, like service.rs:50
+    set_semantic_enabled(ws.semantic_enabled)
 
     tags: dict[str, str] = {}
     inputs: list[str] = []
@@ -298,15 +423,21 @@ def build_pipeline(ws: Workspace, knowdb=None):
         keys.append(s.key)
         if s.kind == "file" and s.path:
             inputs.append(s.path)
+    if ws.skip_parse:
+        inputs = []
+    rescue_dir = (
+        os.path.join(ws.out_root, "rescue") if ws.out_root else ws.rescue_path
+    )
     pipe = Pipeline(
         wpl="\n".join(ws.wpl_texts),
         omls=ws.oml_texts,
-        sinks=ws.sinks,
+        sinks=[] if ws.skip_sink else ws.sinks,
         knowdb=knowdb,
         tags=tags,
         # wp_src_key is well-defined when ONE source feeds the pipeline
         src_key=keys[0] if len(keys) == 1 else None,
         robust=ws.robust,
+        rescue_dir=rescue_dir,
     )
     return pipe, inputs
 

@@ -164,3 +164,85 @@ def ip4_between(ip: Column, lo: Column, hi: Column) -> Column:
     lo_i = ip4_to_int(lo)
     hi_i = ip4_to_int(hi)
     return (ip_i >= lo_i) & (ip_i <= hi_i)
+
+
+# The rest of the reference's built-in KnowDB SQL functions
+# (sqlite_ext.rs, documented in 02-config/07-knowdb_config.md) as pure
+# JVM Column expressions — usable in enrichment joins and selects with
+# no Python worker in the path. Illegal input follows the reference's
+# resilience contract: ip4_int-style fns yield 0, cidr parses yield 0.
+
+
+def _ip4_int0(col: Column) -> Column:
+    """ip4_int(text): dotted quad -> u32; tolerates whitespace/quotes;
+    illegal input -> 0 (sqlite_ext.rs parse_ipv4_to_u32 | unwrap_or(0))."""
+    return F.coalesce(
+        ip4_to_int(F.regexp_replace(F.trim(col), '^"|"$', "")), F.lit(0)
+    )
+
+
+def _cidr_parts(cidr: Column) -> tuple[Column, Column]:
+    """(network u32, mask u32) for 'a.b.c.d/p'; invalid -> (null, null)."""
+    t = F.regexp_replace(F.trim(cidr), '^"|"$', "")
+    ip_s = F.substring_index(t, "/", 1)
+    pfx = F.when(
+        t.contains("/"), F.substring_index(t, "/", -1).try_cast("int")
+    )
+    pfx = F.when((pfx >= 0) & (pfx <= 32), pfx)
+    ip_i = ip4_to_int(ip_s)
+    # u32 mask = 2^32 - 2^(32-pfx); pow is exact for exponents <= 32
+    # (well under double's 2^53 integer range), so the long cast is safe
+    mask = (
+        F.lit(4294967296).cast("long")
+        - F.pow(F.lit(2.0), (32 - pfx).cast("double")).cast("long")
+    )
+    valid = pfx.isNotNull() & ip_i.isNotNull()
+    return (
+        F.when(valid, ip_i.bitwiseAND(mask)),
+        F.when(valid, mask),
+    )
+
+
+def cidr4_min(cidr: Column) -> Column:
+    """cidr4_min('10.0.0.0/8') -> 167772160; invalid -> 0."""
+    net, _mask = _cidr_parts(cidr)
+    return F.coalesce(net, F.lit(0).cast("long"))
+
+
+def cidr4_max(cidr: Column) -> Column:
+    """cidr4_max('10.0.0.0/8') -> 184549375; invalid -> 0."""
+    net, mask = _cidr_parts(cidr)
+    hi = net + (F.lit(0xFFFFFFFF).cast("long") - mask)
+    return F.coalesce(hi, F.lit(0).cast("long"))
+
+
+def cidr4_contains(ip: Column, cidr: Column) -> Column:
+    """cidr4_contains(ip, cidr) -> boolean (reference returns 1/0);
+    invalid ip or cidr -> false."""
+    net, mask = _cidr_parts(cidr)
+    ip_i = ip4_to_int(F.regexp_replace(F.trim(ip), '^"|"$', ""))
+    return F.coalesce(ip_i.bitwiseAND(mask) == net, F.lit(False))
+
+
+def ip4_text(v: Column) -> Column:
+    """ip4_text(int) -> dotted quad (sqlite_ext.rs ipv4_from_u32)."""
+    i = v.cast("long")
+    return F.concat_ws(
+        ".",
+        F.shiftright(i, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(i, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(i, 8).bitwiseAND(F.lit(255)).cast("string"),
+        i.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def trim_quotes(col: Column) -> Column:
+    """trim_quotes(text): trim whitespace, then strip ONE matching pair of
+    quotes (' or \"), tolerating a leading/trailing backslash escape;
+    unpaired quotes return the trimmed string (sqlite_ext.rs trim_quotes)."""
+    t = F.trim(col)
+    # paired plain or escaped quotes at both ends, same quote char
+    stripped = F.regexp_replace(
+        t, r"""^\\?(["'])(.*?)\\?\1$""", "$2"
+    )
+    return stripped

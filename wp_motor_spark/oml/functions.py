@@ -302,7 +302,14 @@ def extract_main_word(col: Column) -> Column:
     jieba isn't available in this environment; provide a deterministic
     whitespace/ASCII fallback with the same shape (longest non-stopword
     token). Gate: swap in a jieba pandas_udf when the library is present.
+
+    Honors the global [semantic] enabled switch (extract_word.rs:370 —
+    disabled => empty string, the dict/tokenizer are never consulted).
     """
+    from wp_motor_spark.oml.semantic import is_semantic_enabled
+
+    if not is_semantic_enabled():
+        return F.lit("")
     try:
         import jieba  # noqa: F401
 
@@ -356,8 +363,20 @@ def extract_subject_object(col: Column) -> Column:
     token after the action = object, and any STATUS WORD anywhere in the
     line = status — both word sets come from the semantic dictionary
     (built-ins + semantic_dict.toml merge, oml/semantic.py).
+
+    Honors the global [semantic] enabled switch (extract_word.rs:311 —
+    disabled => empty object; here: the same struct shape, all-null).
     """
-    from wp_motor_spark.oml.semantic import semantic_dict
+    from wp_motor_spark.oml.semantic import is_semantic_enabled, semantic_dict
+
+    if not is_semantic_enabled():
+        null_s = F.lit(None).cast("string")
+        return F.struct(
+            null_s.alias("subject"),
+            null_s.alias("action"),
+            null_s.alias("object"),
+            null_s.alias("status"),
+        )
 
     d = semantic_dict()
     toks = F.split(F.trim(F.lower(col)), r"\s+")

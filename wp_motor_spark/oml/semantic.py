@@ -157,3 +157,20 @@ def reset_semantic_dict() -> None:
     """Test hook: drop the cached global so SEMANTIC_DICT_CONFIG re-reads."""
     global _GLOBAL
     _GLOBAL = None
+
+
+# Global semantic switch (semantic_dict_loader.rs SEMANTIC_ENABLED
+# AtomicBool, default FALSE): wparse.toml [semantic] enabled flips it at
+# startup (service.rs:50 set_semantic_enabled(conf.semantic().enabled)).
+# When disabled, extract_main_word returns an empty string and
+# extract_subject_object an empty object (extract_word.rs:311,370).
+_SEMANTIC_ENABLED = False
+
+
+def set_semantic_enabled(v: bool) -> None:
+    global _SEMANTIC_ENABLED
+    _SEMANTIC_ENABLED = bool(v)
+
+
+def is_semantic_enabled() -> bool:
+    return _SEMANTIC_ENABLED

@@ -93,7 +93,11 @@ class Pipeline:
     ):
         self.parser = MultiParser(wpl)
         self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
-        self.sinks = sinks or [SinkSpec(name="default", kind="memory")]
+        # None = caller configured nothing -> default memory sink;
+        # an explicit [] means NO delivery (engine.rs skip_sink)
+        self.sinks = (
+            [SinkSpec(name="default", kind="memory")] if sinks is None else list(sinks)
+        )
         self.knowdb = knowdb
         self.tags = tags or {}
         # failed sink writes spool here as RescueEntry JSONL for wprescue
@@ -210,7 +214,11 @@ class Pipeline:
         all sinks whose condition matches (oml.rs:351-363); infra channels
         (miss/residue/error) go to same-named sinks when declared."""
         result = PipelineResult(branches=self.transform(raw, col))
-        infra = {"miss", "residue", "error", "default"}
+        # intercept is an infra CHANNEL name, but the reference removed
+        # intercept delivery (infrastructure.rs:107 "intercept 组彻底移除"):
+        # no branch ever carries that key, so a configured intercept sink
+        # stays empty instead of double-receiving every data row
+        infra = {"miss", "residue", "error", "default", "monitor", "intercept"}
         data_branches = {k: v for k, v in result.branches.items() if k not in infra}
         for spec in self.sinks:
             if spec.name in infra:
@@ -226,6 +234,10 @@ class Pipeline:
                 # (sink.toml `oml = [...]`, dispatcher/oml.rs:59-70)
                 model_name = getattr(self, "_branch_model", {}).get(key, "")
                 if not _model_selected(spec.models, model_name):
+                    continue
+                # rule-key selection (route file `rule = [...]`; branches
+                # are keyed by WPL rule, so the glob applies directly)
+                if not _model_selected(spec.rules, key):
                     continue
                 sub = df
                 if spec.condition:

@@ -20,6 +20,9 @@ class SinkSpec:
     condition: str | None = None  # routing condition expression (§2.6)
     filter_expect: bool = True  # keep records where condition == this
     models: list[str] = field(default_factory=lambda: ["*"])  # OML model globs
+    # WPL rule-key globs (route file `rule = [...]`, the sibling of `oml`
+    # in wp-config sinks/types.rs:37-39); default matches every rule
+    rules: list[str] = field(default_factory=lambda: ["*"])
     options: dict = field(default_factory=dict)  # connector passthrough
     # delivery expectation (wp-cli-core observability/validate.rs):
     # {"ratio": 1.0, "tol": 0.0} — fraction of total input expected to
