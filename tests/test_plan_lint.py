@@ -43,6 +43,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
         "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
         "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
+        "domain_kl": {"NESTED_LOOP"},         # broadcast ONE-row totals agg
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

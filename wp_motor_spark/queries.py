@@ -3900,6 +3900,233 @@ FROM s
 """
 
 
+def _gram_join(a, start: int, n: int):
+    """n-gram strings from token array slice starting at `start` (1-based)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(a) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(a, i, n)),
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1): type-token ratio, top-2-gram occupancy (count of the most
+    frequent 2-gram over all 2-grams), and the fraction of 5-gram
+    instances whose gram repeats within the doc.
+
+    Scale shape: MAP-ONLY — per-doc counts come from sort_array + one
+    F.aggregate pass over the sorted grams (run-length scan, O(k log k)
+    per doc), not an explode+groupBy that would shuffle every token.
+    Zero Exchange in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+
+    def max_run(arr):
+        # longest equal-run in sorted array == max per-gram count
+        fin = F.aggregate(
+            F.sort_array(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("cur"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )
+        return fin.getField("best")
+
+    def dup_instances(arr):
+        # tokens covered by grams occurring >= 2 times = n - (# singleton runs)
+        fin = F.aggregate(
+            F.sort_array(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("cur"),
+                F.lit(0).alias("singles"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+                (
+                    acc.singles
+                    + F.when((x != acc.prev) & (acc.cur == 1), 1).otherwise(0)
+                ).alias("singles"),
+            ),
+        )
+        singles = fin.getField("singles") + F.when(
+            fin.getField("cur") == 1, 1
+        ).otherwise(0)
+        return F.size(arr) - singles
+
+    g2 = _gram_join(F.col("a"), 1, 2)
+    g5 = _gram_join(F.col("a"), 1, 5)
+    return (
+        docs.select("doc_id", toks.alias("a"))
+        .select(
+            "doc_id",
+            F.size("a").alias("n_tokens"),
+            F.round(F.size(F.array_distinct("a")) / F.size("a"), 4).alias("ttr"),
+            F.when(
+                F.size("a") >= 2,
+                F.round(max_run(g2) / (F.size("a") - 1), 4),
+            ).alias("top2_frac"),
+            F.when(
+                F.size("a") >= 5,
+                F.round(dup_instances(g5) / (F.size("a") - 4), 4),
+            ).alias("dup5_frac"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         i -> array_to_string(a[i:i+1], ' '))) AS g
+  FROM tok WHERE len(a) >= 2
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(a) - 3),
+         i -> array_to_string(a[i:i+4], ' '))) AS g
+  FROM tok WHERE len(a) >= 5
+), c2 AS (
+  SELECT doc_id, max(c) AS top2, sum(c) AS tot2
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), c5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup5, sum(c) AS tot5
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT t.doc_id,
+       len(a) AS n_tokens,
+       round(CAST(len(list_distinct(a)) AS DOUBLE) / len(a), 4) AS ttr,
+       round(CAST(c2.top2 AS DOUBLE) / c2.tot2, 4) AS top2_frac,
+       round(CAST(c5.dup5 AS DOUBLE) / c5.tot5, 4) AS dup5_frac
+FROM tok t
+LEFT JOIN c2 ON c2.doc_id = t.doc_id
+LEFT JOIN c5 ON c5.doc_id = t.doc_id
+"""
+
+
+def domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the corpus distribution — the standard domain-skew signal when mixing
+    training-data sources (cf. DoReMi / data-mixture papers).
+
+    Scale shape: one (source, token)-keyed count shuffle; corpus counts
+    and source totals derive from it (ReusedExchange); the corpus total
+    folds in as a broadcast one-row frame; final agg is per-source (tiny).
+    Documents never shuffle — only (source, token, count) triples."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    corpus = cnt.groupBy("w").agg(F.sum("c").alias("cw"))
+    src_tot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_tot = src_tot.agg(F.sum("ns").cast("double").alias("n"))
+    p_s = F.col("c").cast("double") / F.col("ns")
+    p_c = F.col("cw").cast("double") / F.col("n")
+    return (
+        cnt.join(F.broadcast(src_tot), "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.first("ns").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl"),
+        )
+    )
+
+
+DOMAIN_KL_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT w, sum(c) AS cw FROM cnt GROUP BY 1
+), src_tot AS (
+  SELECT source, sum(c) AS ns FROM cnt GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ns) AS DOUBLE) AS n FROM src_tot
+)
+SELECT cnt.source,
+       CAST(first(ns) AS BIGINT) AS n_tokens,
+       round(sum((CAST(c AS DOUBLE) / ns)
+                 * ln((CAST(c AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n))),
+             4) AS kl
+FROM cnt
+JOIN src_tot USING (source)
+JOIN corpus USING (w)
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-derived
+    vocabulary (top 1000 tokens with count >= 5, ties broken by token) —
+    the coverage check run before committing to a tokenizer vocab.
+
+    Scale shape: vocabulary = token-keyed count agg + TakeOrdered top-K,
+    then BROADCAST into the per-token probe (no vocab-side shuffle);
+    the only other exchange groups (doc_id, flag) pairs. The vocab is a
+    lazy subplan — no driver collect during query build."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 5)
+        .orderBy(F.desc("c"), "w")
+        .limit(1000)
+        .select("w", F.lit(1).alias("__in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+VOCAB_OOV_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY 1
+  ) WHERE c >= 5
+  ORDER BY c DESC, w
+  LIMIT 1000
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*),
+             4) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (w)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3973,6 +4200,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
+    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
+    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
+    # so the simpler pair query pays the materialization and the CC query
+    # rides the cache — suite order is the scheduling knob here
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
@@ -3991,7 +4223,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
     "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "minhash_lsh_dups": (minhash_lsh_dups, None),
     "simhash_dups": (simhash_dups, None),
     "text_stats": (text_stats, TEXT_STATS_SQL),
@@ -4010,4 +4241,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sketch_distinct_users": (sketch_distinct_users, None),
     "sketch_value_quantiles": (sketch_value_quantiles, None),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    # --- NEW r8 (at the END: the first-50 driver window must keep
+    # covering the r5-stale block this round; these get driver rows
+    # after the r9 rotation, oracle-verified locally meanwhile) ---
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "domain_kl": (domain_kl, DOMAIN_KL_SQL),
+    "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
 }
