@@ -40,7 +40,14 @@ def norm_cell(v):
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        s = v.isoformat()
+        # pandas/Arrow promote DATE columns to midnight Timestamps (the
+        # exact-mode .df() path); the round driver accepts date==datetime
+        # at midnight (events_retention was driver-green in r7), so the
+        # replica normalizes symmetrically instead of false-failing
+        if s.endswith("T00:00:00"):
+            s = s[: -len("T00:00:00")]
+        return s
     if EXACT:
         return repr(v)
     return v
