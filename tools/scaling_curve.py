@@ -43,6 +43,11 @@ DEFAULT_QUERIES = [
     "orders_cube",
     "bigram_pmi",
     "training_shards",
+    # r8 additions: map-only repetition signals, token-keyed KL,
+    # broadcast-vocab OOV probe
+    "doc_repetition",
+    "domain_kl",
+    "vocab_oov",
 ]
 
 SF_DIRS = [
