@@ -55,3 +55,120 @@ def test_generated_lines_parse(rule_text):
     parsed = compile_rule(rule).extract(lines)
     bad = parsed.where(F.col("_disposition") != "success")
     assert bad.count() == 0, (rule_text, bad.first())
+
+
+# ---------------------------------------------------------------- r8 surfaces
+
+
+@st.composite
+def _speed_profiles(draw):
+    kind = draw(st.sampled_from(
+        ["constant", "sinusoidal", "stepped", "ramp", "random_walk"]
+    ))
+    if kind == "constant":
+        return {"type": kind, "rate": draw(st.integers(1, 100000))}
+    if kind == "sinusoidal":
+        return {
+            "type": kind,
+            "base": draw(st.integers(1, 50000)),
+            "amplitude": draw(st.integers(0, 50000)),
+            "period_secs": draw(st.floats(0.1, 1000)),
+        }
+    if kind == "stepped":
+        steps = draw(st.lists(
+            st.tuples(st.floats(0.1, 60), st.integers(1, 50000)),
+            min_size=1, max_size=5,
+        ))
+        return {
+            "type": kind,
+            "steps": [[d, r] for d, r in steps],
+            "loop_forever": draw(st.booleans()),
+        }
+    if kind == "ramp":
+        return {
+            "type": kind,
+            "start": draw(st.integers(1, 50000)),
+            "end": draw(st.integers(1, 50000)),
+            "duration_secs": draw(st.floats(0.1, 1000)),
+        }
+    return {
+        "type": kind,
+        "base": draw(st.integers(1, 50000)),
+        "variance": draw(st.floats(0.0, 1.0)),
+    }
+
+
+@given(profile=_speed_profiles(), t=st.floats(0, 10000))
+@settings(max_examples=200, deadline=None)
+def test_speed_profiles_always_positive_and_bounded(profile, t):
+    """controller.rs invariants: every model floors at 1 row/s and stays
+    within its documented envelope."""
+    from wp_motor_spark.wpl.speed_profile import SpeedController
+
+    rate = SpeedController(profile, seed=1).speed_at(t)
+    assert rate >= 1
+    kind = profile["type"]
+    if kind == "constant":
+        assert rate == profile["rate"]
+    elif kind == "sinusoidal":
+        assert rate <= profile["base"] + profile["amplitude"]
+    elif kind == "stepped":
+        assert rate in {r for _, r in profile["steps"]}
+    elif kind == "ramp":
+        lo = min(profile["start"], profile["end"])
+        hi = max(profile["start"], profile["end"])
+        assert lo <= rate <= hi or rate == 1
+    elif kind == "random_walk":
+        assert rate <= profile["base"] * (1 + profile["variance"]) + 1
+
+
+@given(profile=_speed_profiles(),
+       d1=st.floats(0.5, 100), d2=st.floats(0.5, 100))
+@settings(max_examples=60, deadline=None)
+def test_planned_rows_monotone_in_duration(profile, d1, d2):
+    from wp_motor_spark.wpl.speed_profile import SpeedController
+
+    lo, hi = sorted([d1, d2])
+    a = SpeedController(profile, seed=2).planned_rows(lo)
+    b = SpeedController(profile, seed=2).planned_rows(hi)
+    assert a <= b
+
+
+def _trim_quotes_ref(s: str) -> str:
+    """Literal port of sqlite_ext.rs trim_quotes, as the test oracle."""
+    t = s.strip()
+    b = t.encode("utf-8", "surrogatepass")
+    if len(b) >= 2:
+        hidx = 0
+        if len(b) >= 2 and b[0:1] == b"\\" and b[1:2] in (b'"', b"'"):
+            hidx = 1
+        if len(b) >= 2:
+            tidx = len(b) - 1
+            head, tail = b[hidx], b[tidx]
+            if (head == ord('"') and tail == ord('"')) or (
+                head == ord("'") and tail == ord("'")
+            ):
+                start = hidx + 1
+                end_excl = tidx
+                if tidx >= 1 and b[tidx - 1 : tidx] == b"\\":
+                    end_excl = tidx - 1
+                if start <= end_excl:
+                    return b[start:end_excl].decode("utf-8", "surrogatepass")
+                return ""
+    return t
+
+
+@given(s=st.text(
+    alphabet=st.sampled_from(list("ab \"'\\x1")), min_size=0, max_size=8
+))
+@settings(max_examples=150, deadline=None)
+def test_trim_quotes_matches_reference_port(s):
+    from wp_motor_spark import knowdb as K
+
+    spark = _spark_holder["s"]
+    got = (
+        spark.createDataFrame([(s,)], ["v"])
+        .select(K.trim_quotes(F.col("v")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == _trim_quotes_ref(s), repr(s)

@@ -897,3 +897,18 @@ def test_exact_json_wildcard_prefix_registers_keys(spark):
     assert disp[extra] == "miss"        # undeclared key still rejected
     ok = [r for r in rows if r["_disposition"] == "success"][0]
     assert ok["msgs"] == '["m1","m2"]'
+
+
+def test_plg_pipe_registry_is_case_insensitive(spark):
+    """registry.rs uppercases names on both register (:18) and create
+    (:23), so plg_pipe ids resolve case-insensitively."""
+    from wp_motor_spark.wpl.registry import get_plg_pipe, register_plg_pipe
+
+    register_plg_pipe("Mixed-Case", lambda c: F.upper(c))
+    assert get_plg_pipe("mixed-case") is get_plg_pipe("MIXED-CASE")
+    row = (
+        spark.createDataFrame([("ab",)], ["v"])
+        .select(get_plg_pipe("mIxEd-CaSe")(F.col("v")).alias("u"))
+        .collect()[0]
+    )
+    assert row["u"] == "AB"

@@ -16,10 +16,13 @@ _REGISTRY: dict[str, Callable[[Column], Column]] = {}
 
 
 def register_plg_pipe(key: str, fn: Callable[[Column], Column]) -> None:
-    _REGISTRY[key] = fn
+    # case-INSENSITIVE names: registry.rs uppercases on both register
+    # (line 18) and create (line 23)
+    _REGISTRY[key.upper()] = fn
 
 
 def get_plg_pipe(key: str) -> Callable[[Column], Column]:
-    if key not in _REGISTRY:
+    k = key.upper()
+    if k not in _REGISTRY:
         raise KeyError(f"plg_pipe {key!r} not registered")
-    return _REGISTRY[key]
+    return _REGISTRY[k]
