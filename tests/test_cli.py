@@ -215,3 +215,42 @@ def test_parse_workers_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "success" in out
+
+
+def test_wpgen_subcommand_forms(spark, tmp_path):
+    """01-cli/04-wpgen.md subcommand surface: conf init/check, rule -c -n,
+    sample -n, data clean."""
+    import os
+
+    from wp_motor_spark.cli import main as cli_main
+
+    root = str(tmp_path / "ws")
+    # conf init writes the default config; check validates it
+    assert cli_main(["wpgen", "conf", "init", "-w", root]) == 0
+    assert os.path.exists(os.path.join(root, "conf", "wpgen.toml"))
+    assert cli_main(["wpgen", "conf", "check", "-w", root]) == 0
+
+    # rule mode needs a rule tree + the connector the default conf names
+    os.makedirs(os.path.join(root, "models", "wpl"))
+    with open(os.path.join(root, "models", "wpl", "gen_rule.wpl"), "w") as fh:
+        fh.write("rule g { (chars:word,digit:n) }\n")
+    os.makedirs(os.path.join(root, "connectors", "sink.d"))
+    with open(os.path.join(root, "connectors", "sink.d", "raw.toml"), "w") as fh:
+        fh.write(
+            '[[connectors]]\nid = "file_raw_sink"\ntype = "file"\n'
+            'params = { base = "data/in_dat", file = "gen.dat", fmt = "raw" }\n'
+            'allow_override = ["base", "file"]\n'
+        )
+    assert cli_main(["wpgen", "rule", "-w", root, "-n", "37"]) == 0
+    out_dir = os.path.join(root, "data", "in_dat", "gen.dat")
+    n = spark.read.text(out_dir).count()
+    assert n == 37  # explicit -n overrides the config count
+
+    # data clean removes the configured output base
+    assert cli_main(["wpgen", "data", "clean", "-w", root]) == 0
+    assert not os.path.exists(out_dir)
+
+    # conf check fails loudly on a broken config
+    with open(os.path.join(root, "conf", "wpgen.toml"), "w") as fh:
+        fh.write("version = !!!")
+    assert cli_main(["wpgen", "conf", "check", "-w", root]) == 1

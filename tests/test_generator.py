@@ -265,7 +265,7 @@ def test_wpgen_config_sample_mode_and_duration(spark, tmp_path):
     assert rc == 0
     out = [
         r["value"]
-        for r in spark.read.text(str(root / "conf" / "out" / "gen.dat")).collect()
+        for r in spark.read.text(str(root / "out" / "gen.dat")).collect()
     ]
     assert len(out) == 100  # 4s x 25 rows/s
     assert set(out) == {"alpha 1", "bravo 2", "charlie 3"}

@@ -50,6 +50,86 @@ def _build_pipeline(args):
     )
 
 
+def _wpgen_subcommand(spark, args) -> int:
+    """Reference subcommand forms (01-cli/04-wpgen.md): `wpgen rule|sample`
+    run config mode with the generator mode forced; `wpgen conf
+    init|check|clean` and `wpgen data clean` manage conf/wpgen.toml."""
+    import os
+    import tomllib
+
+    conf_path = os.path.join(args.work_root, "conf", args.conf)
+
+    if args.action == "conf":
+        sub = args.subaction or "init"
+        if sub == "init":
+            os.makedirs(os.path.dirname(conf_path), exist_ok=True)
+            if not os.path.exists(conf_path):
+                with open(conf_path, "w") as fh:
+                    fh.write(
+                        'version = "1.0"\n\n[generator]\nmode = "rule"\n'
+                        "count = 1000\nspeed = 1000\nparallel = 2\n"
+                        'rule_root = "./models/wpl"\n\n[output]\n'
+                        'connect = "file_raw_sink"\n'
+                        'params = { base = "./data/in_dat", file = "gen.dat" }\n'
+                    )
+            print(f"wpgen: conf init -> {conf_path}")
+            return 0
+        if sub == "check":
+            try:
+                with open(conf_path, "rb") as fh:
+                    doc = tomllib.load(fh)
+            except (OSError, tomllib.TOMLDecodeError) as e:
+                print(f"wpgen: conf check FAILED: {e}", file=sys.stderr)
+                return 1
+            if "generator" not in doc and "main_conf" not in doc:
+                print(
+                    "wpgen: conf check FAILED: neither [generator] nor "
+                    "[main_conf]",
+                    file=sys.stderr,
+                )
+                return 1
+            print(f"wpgen: conf check OK: {conf_path}")
+            return 0
+        if sub == "clean":
+            if os.path.exists(conf_path):
+                os.remove(conf_path)
+            print(f"wpgen: conf clean -> removed {conf_path}")
+            return 0
+        print(f"wpgen: unknown conf subcommand {sub!r}", file=sys.stderr)
+        return 2
+
+    if args.action == "data":
+        if args.subaction != "clean":
+            print("wpgen: data supports only `clean`", file=sys.stderr)
+            return 2
+        import shutil
+
+        try:
+            with open(conf_path, "rb") as fh:
+                doc = tomllib.load(fh)
+        except OSError as e:
+            print(f"wpgen: data clean: {e}", file=sys.stderr)
+            return 1
+        out = doc.get("output", {})
+        params = out.get("params") or out.get("params_override") or {}
+        base = params.get("base", "./data/in_dat")
+        target = base if os.path.isabs(base) else os.path.join(args.work_root, base)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+            print(f"wpgen: data clean -> removed {target}")
+        else:
+            print(f"wpgen: data clean -> nothing at {target}")
+        return 0
+
+    # rule | sample: config mode with the generator mode forced
+    if not os.path.exists(conf_path):
+        print(f"wpgen: no config at {conf_path}", file=sys.stderr)
+        return 2
+    args.config = conf_path
+    args.force_mode = args.action
+    return _wpgen_from_config(spark, args)
+
+
 def _wpgen_from_config(spark, args) -> int:
     """Config-driven wpgen (tests/wpgen_rule_exec.rs; conf/wpgen.toml):
     v2 `[generator]` (mode/count) + `[output] connect = "<sink id>"`
@@ -73,10 +153,18 @@ def _wpgen_from_config(spark, args) -> int:
 
     if "generator" in doc:  # v2
         gen = doc["generator"]
+        # CLI overrides (04-wpgen.md subcommand table): forced mode from
+        # `wpgen rule|sample`, -s speed, -n count
+        if getattr(args, "force_mode", None):
+            gen["mode"] = args.force_mode
+        if getattr(args, "speed", None):
+            gen["speed"] = args.speed
         # count | duration_secs are alternatives (04-wpgen.md); with a
         # duration the speed model integrates to the batch row total —
         # pacing a batch engine by sleeping would just waste the cluster
-        if gen.get("count") is not None:
+        if getattr(args, "cli_n", None) is not None:
+            count = int(args.cli_n)
+        elif gen.get("count") is not None:
             count = int(gen["count"])
         elif gen.get("duration_secs") is not None:
             from wp_motor_spark.wpl.speed_profile import (
@@ -115,7 +203,16 @@ def _wpgen_from_config(spark, args) -> int:
             params.get("base", "out"), params.get("file", "gen.dat")
         )
         if not os.path.isabs(out_path):
-            out_path = os.path.join(conf_dir, out_path)
+            # reference layout (conf/wpgen.toml): output paths are
+            # WORKSPACE-relative ("Generated files are typically located
+            # in ./data/in_dat/", 04-wpgen.md); a standalone config not
+            # living in a conf/ dir resolves next to itself
+            base_dir = (
+                os.path.dirname(conf_dir)
+                if os.path.basename(conf_dir) == "conf"
+                else conf_dir
+            )
+            out_path = os.path.normpath(os.path.join(base_dir, out_path))
     elif "main_conf" in doc:  # v1 (conf/wpgen.toml)
         mc = doc["main_conf"]
         count = int(mc.get("gen_count", args.n))
@@ -239,6 +336,27 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--trigger-seconds", type=int, default=None)
 
     g = sub.add_parser("wpgen")
+    g.add_argument(
+        "action", nargs="?", default=None,
+        choices=["rule", "sample", "conf", "data"],
+        help="reference subcommand form (01-cli/04-wpgen.md): rule|sample "
+        "run config mode with the generator mode forced; conf init/check "
+        "and data clean manage conf/wpgen.toml",
+    )
+    g.add_argument(
+        "subaction", nargs="?", default=None,
+        help="conf: init|check|clean; data: clean",
+    )
+    g.add_argument("-w", "--work-root", default=".")
+    g.add_argument(
+        "-c", "--conf", default="wpgen.toml",
+        help="config filename under <work-root>/conf (subcommand form)",
+    )
+    g.add_argument(
+        "-s", "--speed", type=int, default=None,
+        help="generation speed override (lines/sec; with duration_secs "
+        "it scales the planned row count)",
+    )
     g.add_argument("--wpl", help="rule mode: generate lines matching the rule")
     g.add_argument("--sample", help="sample mode: replicate sample-file lines")
     g.add_argument(
@@ -247,11 +365,17 @@ def main(argv: list[str] | None = None) -> int:
         "connector-resolved sink, or [main_conf]/out_ref v1); rule files "
         "come from --wpl (a gen_rule.wpl or its directory)",
     )
-    g.add_argument("-n", type=int, default=1000)
+    g.add_argument("-n", type=int, default=None)
     g.add_argument("--out", help="output dir (rule/sample modes)")
     g.add_argument("--seed", type=int, default=0)
 
     args = ap.parse_args(argv)
+    if args.cmd == "wpgen":
+        # -n: remember whether it was explicit (overrides config count in
+        # subcommand form), then default the effective value
+        args.cli_n = args.n
+        if args.n is None:
+            args.n = 1000
     workers = getattr(args, "parse_workers", None)
     spark = get_spark(
         app_name=f"wp_motor_spark_{args.cmd}",
@@ -260,6 +384,8 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.cmd == "wpgen":
+        if args.action:
+            return _wpgen_subcommand(spark, args)
         if args.config:
             return _wpgen_from_config(spark, args)
         if not args.out:
