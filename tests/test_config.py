@@ -398,7 +398,7 @@ def test_business_d_recursive_routes_filter_and_rule_globs(spark, tmp_path):
     ws = load_workspace(str(root), out_root=str(tmp_path / "out"))
     by_name = {s.name: s for s in ws.sinks}
     assert {"all", "safe", "/sink/filter[2]", "/sink/none"} <= set(by_name)
-    assert by_name["all"].expect == {"ratio": 1.0, "tol": 0.5}  # defaults.toml
+    assert by_name["all"].group_expect == {"ratio": 1.0, "tol": 0.5}  # defaults.toml
     assert by_name["safe"].condition == "n > 5"
     assert by_name["safe"].filter_expect is False  # reference default: intercept
     assert by_name["all"].rules == ["/t/kv"]

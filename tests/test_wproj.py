@@ -127,7 +127,7 @@ def test_data_check_and_validate_lifecycle(spark, tmp_path, capsys):
     sink_toml = root / "topology" / "sinks" / "sink.toml"
     sink_toml.write_text(
         sink_toml.read_text()
-        + "\n[sink_group.expect]\nratio = 1.0\ntol = 0.0\n"
+        + "\n[sink_group.expect]\nbasis = \"total_input\"\nmode = \"error\"\nratio = 1.0\ntol = 0.0\n"
     )
     assert main(["data", "validate", "-w", str(root)]) == 1
     out = capsys.readouterr().out
@@ -180,3 +180,83 @@ def test_knowdb_toml_spark_loader(spark, tmp_path):
     conf.write_text(conf.read_text().replace("min = 1", "min = 3"))
     with _pytest.raises(ValueError, match="outside expected"):
         KnowDB(spark).load_knowdb_toml(root)
+
+
+def test_data_validate_group_semantics(spark, tmp_path, capsys):
+    """validate/core.rs validate_groups parity: group_input default
+    basis, min_samples skip, per-sink min/max, others_max, sum_tol, and
+    warn-vs-error mode. Built on a synthetic 2-sink business group."""
+    import os
+
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        "package /t { rule kv { (chars:word,digit:n) } }\n"
+    )
+    (root / "oml").mkdir()
+    (root / "oml" / "t.oml").write_text(
+        "name : t_kv\nrule :\n    /t/kv\n---\n* = take() ;\n"
+    )
+    (root / "topology" / "sources").mkdir(parents=True)
+    biz = root / "topology" / "sinks" / "business.d"
+    biz.mkdir(parents=True)
+    (root / "topology" / "sinks" / "filter.cond").write_text("n > 5\n")
+    (biz / "grp.toml").write_text(
+        "[sink_group]\n"
+        'name = "/g"\n'
+        "[sink_group.expect]\n"
+        'mode = "error"\n'
+        "sum_tol = 0.1\n"
+        "others_max = 0.0\n"
+        "[[sink_group.sinks]]\n"
+        'name = "hot"\n'
+        'target = "file"\npath = "out/hot.dat"\nfmt = "raw"\n'
+        'filter = "topology/sinks/filter.cond"\nfilter_expect = true\n'
+        "[sink_group.sinks.expect]\n"
+        "ratio = 0.5\ntol = 0.2\n"
+        "[[sink_group.sinks]]\n"
+        'name = "cold"\n'
+        'target = "file"\npath = "out/cold.dat"\nfmt = "raw"\n'
+        "[sink_group.sinks.expect]\n"
+        "min = 0.3\nmax = 0.8\n"
+    )
+    from wp_motor_spark.config import build_pipeline, load_workspace
+
+    ws = load_workspace(str(root))
+    pipe, _ = build_pipeline(ws)
+    # 4 rows: one routes hot (n>5), all four route cold
+    raw = spark.createDataFrame(
+        [("a 1",), ("b 2",), ("c 9",), ("d 3",)], ["value"]
+    )
+    pipe.write_batch(raw)
+
+    from wp_motor_spark.wproj import main
+
+    # group basis (default group_input): denom = 1 + 4 = 5;
+    # hot 1/5 = 0.2 (outside 0.5±0.2 -> FAIL under mode=error);
+    # cold 4/5 = 0.8 (inside [0.3, 0.8] -> PASS);
+    # sum(ratio-configured) = 0.2, |0.2-1| > 0.1 -> sum_tol FAIL
+    rc = main(["data", "validate", "-w", str(root), "--input-cnt", "4"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "sink hot: 1/5" in out and "FAIL" in out
+    assert "sink cold: 4/5" in out and "PASS" in out
+    assert "sum(ratio)=0.2000" in out
+
+    # warn mode: same violations, but rc 0
+    (biz / "grp.toml").write_text(
+        (biz / "grp.toml").read_text().replace('mode = "error"', 'mode = "warn"')
+    )
+    rc = main(["data", "validate", "-w", str(root), "--input-cnt", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "WARN" in out
+
+    # min_samples above the denominator: whole group skipped
+    (biz / "grp.toml").write_text(
+        (biz / "grp.toml").read_text().replace(
+            "sum_tol = 0.1", "sum_tol = 0.1\nmin_samples = 1000"
+        )
+    )
+    rc = main(["data", "validate", "-w", str(root), "--input-cnt", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "ignored (samples 5 < min_samples 1000)" in out

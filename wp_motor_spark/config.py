@@ -331,7 +331,11 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     models=list(models) if models is not None else ["*"],
                     rules=list(rules) if rules is not None else ["*"],
                     options=options,
-                    expect=s.get("expect") or group_expect,
+                    # SINK-level override only (expect.rs ratio/tol/min/max);
+                    # the group spec travels separately
+                    expect=s.get("expect"),
+                    group=name,
+                    group_expect=group_expect,
                 )
             )
 

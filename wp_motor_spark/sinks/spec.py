@@ -24,7 +24,12 @@ class SinkSpec:
     # in wp-config sinks/types.rs:37-39); default matches every rule
     rules: list[str] = field(default_factory=lambda: ["*"])
     options: dict = field(default_factory=dict)  # connector passthrough
-    # delivery expectation (wp-cli-core observability/validate.rs):
-    # {"ratio": 1.0, "tol": 0.0} — fraction of total input expected to
-    # reach this sink, checked by `wproj data validate`
+    # delivery expectation (wp-cli-core utils/validate/core.rs):
+    # SINK-level override {ratio, tol, min, max} — fraction of the group
+    # basis expected to reach this sink (`wproj data validate`)
     expect: dict | None = None
+    # group membership + GROUP-level expect spec {basis, min_samples,
+    # mode, sum_tol, others_max} (wp-config structure/group.rs
+    # GroupExpectSpec; defaults.toml [defaults.expect] backfills it)
+    group: str | None = None
+    group_expect: dict | None = None

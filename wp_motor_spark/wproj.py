@@ -269,12 +269,17 @@ def _sink_line_count(path: str) -> int:
 
 
 def cmd_data_validate(root: str, input_cnt: int | None) -> int:
-    """wproj data validate (wp-cli-core observability/validate.rs):
-    per-sink delivered-line ratio against the total input count. Input
-    defaults to the enabled file sources' line total; --input-cnt
-    overrides it (the reference's denominator flag). Sinks carrying an
-    `expect` block ({ratio, tol}) PASS when |ratio - expect| <= tol;
-    sinks without one are reported informationally. rc 1 on any FAIL."""
+    """wproj data validate (wp-cli-core utils/validate/core.rs
+    validate_groups): per-GROUP checks with the reference's semantics —
+    denominator by `basis` (group_input default | total_input |
+    mdl:<name>, group.rs Basis), `min_samples` skip, per-sink
+    ratio±tol and [min,max] gates, `others_max` on unexpected sinks,
+    `sum_tol` on the configured ratios, and `mode` (warn default |
+    error | panic) deciding whether a violation fails the run. Group
+    ratio/tol/min/max keys (this engine's compatibility extension) act
+    as the default sink expectation for sinks without their own.
+    --input-cnt overrides total input (validate_groups total_override);
+    it defaults to the enabled file sources' line totals."""
     from wp_motor_spark.config import load_workspace
 
     ws = load_workspace(root)
@@ -283,26 +288,87 @@ def cmd_data_validate(root: str, input_cnt: int | None) -> int:
         for s in ws.sources:
             if s.kind == "file" and s.enable and s.path and os.path.exists(s.path):
                 input_cnt += _path_line_count(s.path)
-    if not input_cnt:
+    file_sinks = [sk for sk in ws.sinks if sk.kind == "file" and sk.path]
+    lines = {
+        sk.name: (_sink_line_count(sk.path) if os.path.isdir(sk.path) else 0)
+        for sk in file_sinks
+    }
+    total_input = input_cnt or sum(lines.values())
+    if not total_input:
         print("wproj data validate: no input lines (use --input-cnt)")
         return 2
+
+    groups: dict[str, list] = {}
+    for sk in file_sinks:
+        groups.setdefault(sk.group or sk.name, []).append(sk)
+
     failed = 0
-    for sk in ws.sinks:
-        if sk.kind != "file" or not sk.path:
+
+    def _violate(mode: str, msg: str) -> None:
+        nonlocal failed
+        sev = {"warn": "WARN", "error": "FAIL", "panic": "PANIC"}.get(mode, "WARN")
+        if sev != "WARN":
+            failed += 1
+        print(msg + f" {sev}")
+
+    for gname, members in groups.items():
+        ge = next((m.group_expect for m in members if m.group_expect), None)
+        if ge is None:
+            for m in members:
+                print(f"sink {m.name}: {lines[m.name]}/{total_input} "
+                      f"ratio={lines[m.name] / total_input:.4f}")
             continue
-        n = _sink_line_count(sk.path) if os.path.isdir(sk.path) else 0
-        ratio = n / input_cnt
-        if sk.expect and "ratio" in sk.expect:
-            want = float(sk.expect["ratio"])
-            tol = float(sk.expect.get("tol", 0.0))
-            ok = abs(ratio - want) <= tol
-            failed += 0 if ok else 1
-            print(
-                f"sink {sk.name}: {n}/{input_cnt} ratio={ratio:.4f} "
-                f"expect={want}±{tol} {'PASS' if ok else 'FAIL'}"
-            )
-        else:
-            print(f"sink {sk.name}: {n}/{input_cnt} ratio={ratio:.4f}")
+        basis = str(ge.get("basis", "group_input"))
+        group_sum = sum(lines[m.name] for m in members)
+        denom = total_input if basis == "total_input" else group_sum
+        if denom == 0:
+            print(f"group {gname}: ignored (denominator is zero)")
+            continue
+        ms = ge.get("min_samples")
+        if ms is not None and denom < int(ms):
+            print(f"group {gname}: ignored (samples {denom} < min_samples {ms})")
+            continue
+        mode = str(ge.get("mode", "warn"))
+        # compatibility: group-level ratio/tol/min/max default the sinks
+        gdefault = {
+            k: ge[k] for k in ("ratio", "tol", "min", "max") if k in ge
+        } or None
+        sum_r = 0.0
+        others = 0
+        for m in members:
+            n = lines[m.name]
+            r = n / denom
+            se = m.expect or gdefault
+            if not se:
+                others += n
+                print(f"sink {m.name}: {n}/{denom} ratio={r:.4f}")
+                continue
+            shown = f"sink {m.name}: {n}/{denom} ratio={r:.4f}"
+            ok = True
+            if se.get("ratio") is not None:
+                want = float(se["ratio"])
+                tol = float(se.get("tol", 0.0))
+                sum_r += r
+                shown += f" expect={want}±{tol}"
+                if abs(r - want) > tol + 1e-12:
+                    ok = False
+            lo = float(se.get("min", float("-inf")))
+            hi = float(se.get("max", float("inf")))
+            if not (lo <= r <= hi):
+                shown += f" range=[{se.get('min', 0.0)},{se.get('max', 1.0)}]"
+                ok = False
+            if ok:
+                print(shown + " PASS")
+            else:
+                _violate(mode, shown)
+        om = ge.get("others_max")
+        if om is not None and others / denom > float(om) + 1e-12:
+            _violate(mode, f"group {gname}: others ratio "
+                           f"{others / denom:.4f} > max={om}")
+        st = ge.get("sum_tol")
+        if st is not None and abs(sum_r - 1.0) > float(st) + 1e-12:
+            _violate(mode, f"group {gname}: sum(ratio)={sum_r:.4f} "
+                           f"not within 1±{st}")
     print(f"wproj data validate: {failed} failure(s)")
     return 1 if failed else 0
 
