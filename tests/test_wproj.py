@@ -260,3 +260,38 @@ def test_data_validate_group_semantics(spark, tmp_path, capsys):
     rc = main(["data", "validate", "-w", str(root), "--input-cnt", "4"])
     out = capsys.readouterr().out
     assert rc == 0 and "ignored (samples 5 < min_samples 1000)" in out
+
+
+def test_check_connectors_item(tmp_path, capsys):
+    """02-wproj.md --what connectors: connector defs validate (id/type
+    present, TOML parses) and sink-route connect references resolve."""
+    root = tmp_path / "ws"
+    (root / "connectors" / "sink.d").mkdir(parents=True)
+    (root / "connectors" / "sink.d" / "ok.toml").write_text(
+        '[[connectors]]\nid = "file_kv_sink"\ntype = "file"\n'
+        'params = { base = "out", file = "a.dat", fmt = "kv" }\n'
+    )
+    (root / "topology" / "sinks").mkdir(parents=True)
+    (root / "topology" / "sinks" / "grp.toml").write_text(
+        '[sink_group]\nname = "g"\n'
+        '[[sink_group.sinks]]\nconnect = "file_kv_sink"\n'
+    )
+    assert main(["check", "-w", str(root), "--what", "connectors"]) == 0
+    out = capsys.readouterr().out
+    assert "1 connector(s)" in out
+
+    # a dangling connect reference fails the check
+    (root / "topology" / "sinks" / "bad.toml").write_text(
+        '[sink_group]\nname = "b"\n'
+        '[[sink_group.sinks]]\nconnect = "nope_sink"\n'
+    )
+    assert main(["check", "-w", str(root), "--what", "connectors"]) == 1
+    out = capsys.readouterr().out
+    assert "unresolved connect 'nope_sink'" in out
+
+    # missing id/type fails
+    (root / "connectors" / "sink.d" / "broken.toml").write_text(
+        '[[connectors]]\ntype = "file"\n'
+    )
+    assert main(["check", "-w", str(root), "--what", "connectors",
+                 "--only-fail"]) == 1

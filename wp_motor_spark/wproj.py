@@ -95,11 +95,38 @@ def cmd_init(root: str, mode: str) -> int:
     return 0
 
 
+def _model_dirs(root: str) -> tuple[str, str]:
+    """Configured model roots (engine.rs defaults ./models/{wpl,oml} with
+    the bare ./wpl ./oml legacy fallback — same rules as load_workspace)."""
+    import tomllib
+
+    conf: dict = {}
+    p = os.path.join(root, "conf", "wparse.toml")
+    if os.path.exists(p):
+        try:
+            conf = tomllib.load(open(p, "rb"))
+        except Exception:  # noqa: BLE001 - conf check reports this itself
+            conf = {}
+    models = conf.get("models", {})
+
+    def one(key: str) -> str:
+        d = os.path.join(root, models.get(key, f"models/{key}"))
+        if key not in models and not os.path.isdir(d):
+            legacy = os.path.join(root, key)
+            if os.path.isdir(legacy):
+                return legacy
+        return d
+
+    return one("wpl"), one("oml")
+
+
 def _checks(root: str, what: set[str]):
     """Yield (item, name, ok, detail) tuples."""
     import glob as g
 
     import tomllib
+
+    wpl_root, oml_root = _model_dirs(root)
 
     if "conf" in what:
         p = os.path.join(root, "conf/wparse.toml")
@@ -111,6 +138,46 @@ def _checks(root: str, what: set[str]):
                 yield ("conf", p, True, "")
             except Exception as ex:  # noqa: BLE001
                 yield ("conf", p, False, str(ex))
+    if "connectors" in what:
+        found = False
+        known_ids: set[str] = set()
+        for scope in ("source", "sink"):
+            paths = {
+                os.path.realpath(p)
+                for p in g.glob(
+                    os.path.join(root, f"**/connectors/{scope}.d/*.toml"),
+                    recursive=True,
+                )
+            }
+            for p in sorted(paths):
+                found = True
+                try:
+                    doc = tomllib.load(open(p, "rb"))
+                    conns = doc.get("connectors", [])
+                    known_ids |= {c["id"] for c in conns if c.get("id")}
+                    bad = [c for c in conns if not c.get("id") or not c.get("type")]
+                    if bad:
+                        yield ("connectors", p, False, "connector missing id/type")
+                    else:
+                        yield ("connectors", p, True, f"{len(conns)} connector(s)")
+                except Exception as ex:  # noqa: BLE001
+                    yield ("connectors", p, False, str(ex))
+        if found:
+            # route files referencing connect=<id> must resolve against
+            # the ids seen in the defs just validated
+            for p in sorted(
+                g.glob(os.path.join(root, "topology/sinks/**/*.toml"),
+                       recursive=True)
+            ):
+                try:
+                    doc = tomllib.load(open(p, "rb"))
+                except Exception:  # noqa: BLE001 - sinks check reports parse errors
+                    continue
+                grp = doc.get("sink_group", {})
+                for sdef in grp.get("sinks", []):
+                    use = sdef.get("connect") or sdef.get("use") or sdef.get("connector")
+                    if use and use not in known_ids:
+                        yield ("connectors", p, False, f"unresolved connect {use!r}")
     if "sources" in what or "sinks" in what:
         for kind in ("sources", "sinks"):
             if kind not in what:
@@ -126,7 +193,7 @@ def _checks(root: str, what: set[str]):
         from wp_motor_spark.wpl import compile_rule, parse_wpl
         from wp_motor_spark.wpl.compiler import unknown_field_types
 
-        for p in sorted(g.glob(os.path.join(root, "wpl/**/*.wpl"), recursive=True)):
+        for p in sorted(g.glob(os.path.join(wpl_root, "**/*.wpl"), recursive=True)):
             try:
                 rules = parse_wpl(open(p).read())
                 bad: list[str] = []
@@ -144,7 +211,7 @@ def _checks(root: str, what: set[str]):
     if "oml" in what:
         from wp_motor_spark.oml.parser import parse_oml
 
-        for p in sorted(g.glob(os.path.join(root, "oml/**/*.oml"), recursive=True)):
+        for p in sorted(g.glob(os.path.join(oml_root, "**/*.oml"), recursive=True)):
             try:
                 model = parse_oml(open(p).read())
                 yield ("oml", p, True, f"model {model.name}")
@@ -155,7 +222,7 @@ def _checks(root: str, what: set[str]):
 def cmd_check(root: str, what: str, as_json: bool, only_fail: bool,
               fail_fast: bool) -> int:
     sel = (
-        {"conf", "sources", "sinks", "wpl", "oml"}
+        {"conf", "connectors", "sources", "sinks", "wpl", "oml"}
         if what == "all"
         else {w.strip() for w in what.split(",")}
     )
@@ -580,6 +647,11 @@ def main(argv: list[str] | None = None) -> int:
     p_check.add_argument("--json", action="store_true")
     p_check.add_argument("--only-fail", action="store_true")
     p_check.add_argument("--fail-fast", action="store_true")
+    p_check.add_argument(
+        "--console", action="store_true",
+        help="console log output (02-wproj.md; check lines already print "
+        "to stdout, so this is accepted for CLI parity)",
+    )
 
     p_rule = sub.add_parser("rule")
     rsub = p_rule.add_subparsers(dest="rule_cmd", required=True)
