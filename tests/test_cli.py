@@ -254,3 +254,29 @@ def test_wpgen_subcommand_forms(spark, tmp_path):
     with open(os.path.join(root, "conf", "wpgen.toml"), "w") as fh:
         fh.write("version = !!!")
     assert cli_main(["wpgen", "conf", "check", "-w", root]) == 1
+
+
+def test_wparse_wpl_directory_override(spark, tmp_path):
+    """03-wparse.md: --wpl is the WPL rules DIRECTORY override — all
+    *.wpl under it load into the multi-rule cascade."""
+    import os
+
+    from wp_motor_spark.cli import main as cli_main
+
+    rules = tmp_path / "rules"
+    (rules / "sub").mkdir(parents=True)
+    (rules / "a.wpl").write_text("rule kv { (chars:word,digit:n) }\n")
+    (rules / "sub" / "b.wpl").write_text("rule ip_line { (ip:addr) }\n")
+    data = tmp_path / "in.dat"
+    data.write_text("alpha 7\n10.1.2.3\n")
+    sink = tmp_path / "out"
+    rc = cli_main([
+        "wparse", "--wpl", str(rules), "--input", str(data),
+        "--sink", f"default={sink}:kv",  # no OML -> default branch
+    ])
+    assert rc == 0
+    lines = sorted(
+        r["value"] for r in spark.read.text(str(sink)).collect()
+    )
+    assert any("word=alpha" in ln for ln in lines)
+    assert any("addr=10.1.2.3" in ln for ln in lines)

@@ -26,10 +26,23 @@ SAMPLE_LINE_CAP = 100_000
 
 
 def _build_pipeline(args):
+    import glob
+    import os
+
     from wp_motor_spark.pipeline import Pipeline
     from wp_motor_spark.sinks import SinkSpec
 
-    wpl = open(args.wpl).read()
+    # --wpl accepts a rule FILE or a rules DIRECTORY (03-wparse.md: the
+    # flag is documented as "WPL rules directory override")
+    if os.path.isdir(args.wpl):
+        wpl = "\n".join(
+            open(p).read()
+            for p in sorted(
+                glob.glob(os.path.join(args.wpl, "**", "*.wpl"), recursive=True)
+            )
+        )
+    else:
+        wpl = open(args.wpl).read()
     omls = [open(p).read() for p in (args.oml or [])]
     sinks = []
     for s in args.sink or []:
