@@ -44,6 +44,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
         "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
         "domain_kl": {"NESTED_LOOP"},         # broadcast ONE-row totals agg
+        "bm25_search": {"NESTED_LOOP"},       # broadcast ONE-row stats agg
+        "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

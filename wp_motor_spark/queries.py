@@ -3454,7 +3454,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token explode is FILTERED to the query terms
     map-side, so the shuffle carries only (doc, term) hits — O(matches),
     not O(tokens). Document length rides the same row (computed before
-    the filter); N and avgdl are a one-row driver collect; df is a
+    the filter); N and avgdl fold in as a broadcast one-row frame (the
+    bigram_pmi totals pattern — no eager collect at plan build); df is a
     |terms|-row broadcast. Top-20 via TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -3467,24 +3468,24 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1, b = _BM25_K1, _BM25_B
     contrib = (
-        F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         * F.col("tf")
         * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     return (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib).cast("double"), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3900,6 +3901,160 @@ FROM s
 """
 
 
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: per-query BM25 (text side) fused with exact
+    embedding cosine (vector side) by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009: rrf = Σ 1/(60 + rank) over each list's
+    top-20); top-10 per query — the retrieval stack a curation/RAG
+    pipeline runs for contamination checks and eval-set mining. Query
+    set: docs 0-4 (their tokens as terms, their embeddings as vectors;
+    vec_id aligns with doc_id in the testdata).
+
+    Scale shape: the query term set and the one-row corpus stats frame
+    BROADCAST into the map-side hit filter, so the text shuffle carries
+    only (query, doc, term) hits; the vector side broadcasts 5 query
+    vectors into a one-pass corpus scan; ranking windows partition by
+    query (|Q| partitions); fusion joins two |Q|x20 frames. Both ranks
+    sort on ROUNDED scores (4/6 dp) with doc-id tie-breaks so the
+    ordering is reproducible across engines."""
+    K, RRF_K, TOP = 20, 60, 10
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # ---- vector side: exact cosine ranks for the 5 query vectors
+    vr = (
+        similarity.brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=K
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_v"),
+        )
+    )
+
+    # ---- text side: per-query BM25 against the query doc's term set
+    toks = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("dl"),
+        F.explode(text.tokens(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
+    )
+    qterms = (
+        docs.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("term"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scores = (
+        tf.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib).cast("double"), 4).alias("s"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    tr = (
+        scores.withColumn("rank_t", F.row_number().over(wt))
+        .where(F.col("rank_t") <= K)
+        .select("query_id", "doc_id", "rank_t")
+    )
+
+    # ---- reciprocal rank fusion over the union of the two lists
+    fused = (
+        tr.join(vr, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_t")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_v")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= TOP)
+        .select("query_id", "doc_id", F.col("rrf"), "rank")
+    )
+
+
+HYBRID_SEARCH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+), dl AS (
+  SELECT doc_id, len(a) AS dl FROM tok
+), hits AS (
+  SELECT doc_id, u.t AS term FROM tok, LATERAL (SELECT unnest(a) AS t) u
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(a)) AS term
+  FROM tok WHERE doc_id < 5
+), scores AS (
+  SELECT q.query_id, t.doc_id,
+         round(CAST(sum(
+           ln((n - df + 0.5) / (df + 0.5) + 1) * tf * ({_BM25_K1} + 1)
+           / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+         ) AS DOUBLE), 4) AS s
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats
+  WHERE t.doc_id <> q.query_id
+  GROUP BY 1, 2
+), tr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank_t
+  FROM scores QUALIFY rank_t <= 20
+), vr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank_v
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cos
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) QUALIFY rank_v <= 20
+), fused AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + t.rank_t), 0)
+               + coalesce(1.0 / (60 + v.rank_v), 0), 6) AS rrf
+  FROM tr t FULL OUTER JOIN vr v
+    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rrf,
+       row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 def _gram_join(a, start: int, n: int):
     """n-gram strings from token array slice starting at `start` (1-based)."""
     return F.transform(
@@ -4247,4 +4402,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "domain_kl": (domain_kl, DOMAIN_KL_SQL),
     "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
+    "hybrid_search": (hybrid_search, HYBRID_SEARCH_SQL),
 }
