@@ -46,6 +46,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "domain_kl": {"NESTED_LOOP"},         # broadcast ONE-row totals agg
         "bm25_search": {"NESTED_LOOP"},       # broadcast ONE-row stats agg
         "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set
+        "q22_dormant_customers": {"NESTED_LOOP"},  # broadcast ONE-row AVG
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -3410,17 +3410,20 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: well-funded customers gone quiet — above-average
     balance AND no recent orders (NOT EXISTS -> LEFT ANTI join), grouped
     by nation (the schema has no phone column, so nationkey plays the
-    country-code role). The scalar AVG is a one-row driver collect (same
-    bounded-scalar pattern as tfidf's n_docs); the anti-join build side
-    is only the RECENT order keys."""
+    country-code role). The scalar AVG folds in as a broadcast one-row
+    frame (the bigram_pmi totals pattern — one action, no eager collect
+    at plan build); the anti-join build side is only the RECENT order
+    keys."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal")
-    ).collect()[0][0]
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
     recent = orders.where(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
     return (
-        cust.where(F.col("c_acctbal") > float(avg_bal))
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
