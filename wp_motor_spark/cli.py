@@ -43,7 +43,17 @@ def _build_pipeline(args):
         )
     else:
         wpl = open(args.wpl).read()
-    omls = [open(p).read() for p in (args.oml or [])]
+    omls: list[str] = []
+    for o in args.oml or []:
+        if os.path.isdir(o):  # directory: every model under it
+            omls += [
+                open(p).read()
+                for p in sorted(
+                    glob.glob(os.path.join(o, "**", "*.oml"), recursive=True)
+                )
+            ]
+        else:
+            omls.append(open(o).read())
     sinks = []
     for s in args.sink or []:
         name, _, rest = s.partition("=")
