@@ -912,3 +912,35 @@ def test_plg_pipe_registry_is_case_insensitive(spark):
         .collect()[0]
     )
     assert row["u"] == "AB"
+
+
+def test_json_field_guards_address_into_the_object(spark):
+    """The reference flattens parsed json keys into record fields
+    (protocol/json.rs), so pipe guards address them: f_has(key) checks
+    key EXISTENCE (a JSON null still exists), take(key) retargets the
+    active field into the object, and digit guards coerce the extracted
+    string safely (doc examples: 03-wpl grammar + digit_range guide)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def probe(rule_text, lines):
+        cr = compile_rule(parse_wpl(rule_text)[0])
+        df = spark.createDataFrame([(l,) for l in lines], ["value"])
+        rows = cr.extract(df, keep=["value"]).select(
+            "value", "_disposition"
+        ).collect()
+        return {r["value"]: r["_disposition"] for r in rows}
+
+    assert probe(
+        "rule a { (json | f_has(src)) }",
+        ['{"src":"a"}', '{"dst":"b"}', '{"src":null}'],
+    ) == {'{"src":"a"}': "success", '{"dst":"b"}': "miss",
+          '{"src":null}': "success"}
+    assert probe(
+        "rule b { (json | take(status) | digit_range(200,299)) }",
+        ['{"status":200}', '{"status":404}', '{"status":"204"}'],
+    ) == {'{"status":200}': "success", '{"status":404}': "miss",
+          '{"status":"204"}': "success"}
+    assert probe(
+        'rule c { (json | f_chars_has(level,"error")) }',
+        ['{"level":"error"}', '{"level":"info"}'],
+    ) == {'{"level":"error"}': "success", '{"level":"info"}': "miss"}

@@ -30,12 +30,25 @@ def _parse_array(arg: str) -> list[str]:
     return [arg]
 
 
-def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Column | None:
+def _guard_expr(
+    call: FunCall,
+    active: Column,
+    cols: dict[str, Column],
+    json_col: Column | None = None,
+) -> Column | None:
     name = call.name
     a = call.args
 
     def fcol(key: str) -> Column:
-        return cols.get(key, F.lit(None))
+        if key in cols:
+            return cols[key]
+        # json/exact_json fields keep the raw object in ONE column; the
+        # reference flattens parsed keys into record fields, so f_* pipes
+        # (and take(key) selectors) address INTO the object (pipe_fun.rs
+        # guards run on record fields; protocol/json.rs materializes keys)
+        if json_col is not None:
+            return F.get_json_object(json_col, f"$.{key}")
+        return F.lit(None)
 
     # NULL discipline (pipe_fun.rs): every guard is a NON-NULL boolean —
     # positive checks FAIL on a missing field (CharsHas/DigitRange
@@ -46,11 +59,18 @@ def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Colum
         return F.coalesce(expr, F.lit(False))
 
     if name == "not":
-        inner = _guard_expr(call.inner, active, cols)
+        inner = _guard_expr(call.inner, active, cols, json_col)
         return ~inner if inner is not None else None
     if name == "has":
         return active.isNotNull()
     if name == "f_has":
+        if a[0] not in cols and json_col is not None:
+            # key EXISTENCE in the json object (a JSON null value still
+            # exists as a record field in the reference)
+            return F.coalesce(
+                F.array_contains(F.json_object_keys(json_col), a[0]),
+                F.lit(False),
+            )
         return fcol(a[0]).isNotNull()
     if name == "chars_has":
         return active.eqNullSafe(F.lit(a[0]))
@@ -68,16 +88,18 @@ def _guard_expr(call: FunCall, active: Column, cols: dict[str, Column]) -> Colum
         return t(active.startswith(a[0]))
     if name == "regex_match":
         return t(active.rlike(a[0]))
+    # digit guards try_cast the operand: a no-op on real digit columns,
+    # and ANSI-safe on string values addressed out of a json object
     if name == "digit_has":
-        return active.eqNullSafe(F.lit(int(a[0])))
+        return active.try_cast("bigint").eqNullSafe(F.lit(int(a[0])))
     if name == "f_digit_has":
-        return fcol(a[0]).eqNullSafe(F.lit(int(a[1])))
+        return fcol(a[0]).try_cast("bigint").eqNullSafe(F.lit(int(a[1])))
     if name == "digit_in":
-        return t(active.isin([int(x) for x in _parse_array(a[0])]))
+        return t(active.try_cast("bigint").isin([int(x) for x in _parse_array(a[0])]))
     if name == "f_digit_in":
-        return t(fcol(a[0]).isin([int(x) for x in _parse_array(a[1])]))
+        return t(fcol(a[0]).try_cast("bigint").isin([int(x) for x in _parse_array(a[1])]))
     if name == "digit_range":
-        return t(active.between(int(a[0]), int(a[1])))
+        return t(active.try_cast("bigint").between(int(a[0]), int(a[1])))
     if name == "ip_in":
         return t(active.isin(_parse_array(a[0])))
     if name == "f_ip_in":
@@ -116,6 +138,14 @@ def _select(call: FunCall, cols: dict[str, Column], current: str) -> str:
 
 def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
     """AND together all guard pipes over extracted columns; None if no guards."""
+    # first json/exact_json field, if any: f_*/take(key) guards address
+    # into it when the key is not an extracted column (reference records
+    # flatten parsed json keys into fields)
+    json_col: Column | None = None
+    for out in outputs:
+        if getattr(out, "dtype", None) in ("json", "exact_json") and out.name in cols:
+            json_col = cols[out.name]
+            break
     guard: Column | None = None
     for out in outputs:
         active_name = out.name
@@ -123,7 +153,13 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
             if call.name in ("take", "last"):
                 active_name = _select(call, cols, active_name)
                 continue
-            g = _guard_expr(call, cols.get(active_name, F.lit(None)), cols)
+            if active_name in cols:
+                active = cols[active_name]
+            elif json_col is not None:  # take(<json key>)
+                active = F.get_json_object(json_col, f"$.{active_name}")
+            else:
+                active = F.lit(None)
+            g = _guard_expr(call, active, cols, json_col)
             if g is not None:
                 guard = g if guard is None else (guard & g)
     return guard
