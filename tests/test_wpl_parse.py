@@ -944,3 +944,17 @@ def test_json_field_guards_address_into_the_object(spark):
         'rule c { (json | f_chars_has(level,"error")) }',
         ['{"level":"error"}', '{"level":"info"}'],
     ) == {'{"level":"error"}': "success", '{"level":"info"}': "miss"}
+
+
+def test_underscore_target_means_active_field(spark):
+    """normalize_target (ast/processor/function.rs:215): `_` as the f_*
+    target selects the ACTIVE field — f_chars_has(_, v) == chars_has(v)
+    (wpl_fun.rs:801 parser test)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    cr = compile_rule(parse_wpl("rule a { (chars:t|f_chars_has(_,foo)) }")[0])
+    df = spark.createDataFrame([("foo",), ("bar",)], ["value"])
+    rows = cr.extract(df, keep=["value"]).select("value", "_disposition").collect()
+    assert {r["value"]: r["_disposition"] for r in rows} == {
+        "foo": "success", "bar": "miss",
+    }

@@ -40,6 +40,10 @@ def _guard_expr(
     a = call.args
 
     def fcol(key: str) -> Column:
+        if key == "_":
+            # normalize_target (function.rs:215): `_` = the ACTIVE field,
+            # making f_chars_has(_, v) equivalent to chars_has(v)
+            return active
         if key in cols:
             return cols[key]
         # json/exact_json fields keep the raw object in ONE column; the
@@ -64,6 +68,8 @@ def _guard_expr(
     if name == "has":
         return active.isNotNull()
     if name == "f_has":
+        if a[0] == "_":
+            return active.isNotNull()
         if a[0] not in cols and json_col is not None:
             # key EXISTENCE in the json object (a JSON null value still
             # exists as a record field in the reference)
