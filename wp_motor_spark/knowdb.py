@@ -239,10 +239,13 @@ def ip4_text(v: Column) -> Column:
 def trim_quotes(col: Column) -> Column:
     """trim_quotes(text): trim whitespace, then strip ONE matching pair of
     quotes (' or \"), tolerating a leading/trailing backslash escape;
-    unpaired quotes return the trimmed string (sqlite_ext.rs trim_quotes)."""
+    unpaired quotes return the trimmed string (sqlite_ext.rs trim_quotes).
+
+    Degenerate reference edge (byte-walk at trim_quotes: after skipping a
+    leading backslash, the head and tail index may be the SAME byte): a
+    bare escaped quote — exactly `\\"` or `\\'` — counts as a pair around
+    nothing and yields the empty string."""
     t = F.trim(col)
-    # paired plain or escaped quotes at both ends, same quote char
-    stripped = F.regexp_replace(
-        t, r"""^\\?(["'])(.*?)\\?\1$""", "$2"
+    return F.when(t.rlike(r"""^\\["']$"""), F.lit("")).otherwise(
+        F.regexp_replace(t, r"""^\\?(["'])(.*?)\\?\1$""", "$2")
     )
-    return stripped
