@@ -172,3 +172,57 @@ def test_trim_quotes_matches_reference_port(s):
         .collect()[0]["t"]
     )
     assert got == _trim_quotes_ref(s), repr(s)
+
+
+import re as _re
+
+
+def _cidr4_ref(s: str):
+    """Literal port of sqlite_ext.rs parse_cidr4 -> (min, max) or (0, 0):
+    Ipv4Addr::from_str octets (no leading zeros/signs/spaces, <= 255) and
+    u32::from_str prefix (optional '+', leading zeros fine, <= 32)."""
+    t = s.strip().strip('"')
+    parts = t.split("/")
+    if len(parts) != 2:
+        return 0, 0
+    ip_s, pfx_s = parts
+    if not _re.fullmatch(
+        r"(0|[1-9]\d{0,2})\.(0|[1-9]\d{0,2})\.(0|[1-9]\d{0,2})\.(0|[1-9]\d{0,2})",
+        ip_s,
+    ):
+        return 0, 0
+    vals = [int(x) for x in ip_s.split(".")]
+    if any(v > 255 for v in vals):
+        return 0, 0
+    if not _re.fullmatch(r"\+?\d+", pfx_s):
+        return 0, 0
+    pfx = int(pfx_s)
+    if pfx > 32:
+        return 0, 0
+    ip = (vals[0] << 24) | (vals[1] << 16) | (vals[2] << 8) | vals[3]
+    mask = 0 if pfx == 0 else (0xFFFFFFFF << (32 - pfx)) & 0xFFFFFFFF
+    return ip & mask, (ip & mask) | (~mask & 0xFFFFFFFF)
+
+
+@given(
+    a=st.integers(0, 255), b=st.integers(0, 255),
+    c=st.integers(0, 255), d=st.integers(0, 255),
+    pfx=st.integers(-2, 40),
+    junk=st.sampled_from(["", " ", '"', "/", "x", "08"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_cidr4_matches_reference_port(a, b, c, d, pfx, junk):
+    from wp_motor_spark import knowdb as K
+
+    spark = _spark_holder["s"]
+    s = f"{a}.{b}.{c}.{d}/{pfx}{junk}"
+    want = _cidr4_ref(s)
+    row = (
+        spark.createDataFrame([(s,)], ["v"])
+        .select(
+            K.cidr4_min(F.col("v")).alias("lo"),
+            K.cidr4_max(F.col("v")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (row["lo"], row["hi"]) == want, s

@@ -173,23 +173,44 @@ def ip4_between(ip: Column, lo: Column, hi: Column) -> Column:
 # resilience contract: ip4_int-style fns yield 0, cidr parses yield 0.
 
 
+_OCTET_RE = r"(0|[1-9]\d{0,2})"
+
+
+def _strict_ip4_int(col: Column) -> Column:
+    """Rust `Ipv4Addr::from_str` parity (what parse_ipv4_to_u32 calls):
+    exactly four dot-separated octets, no leading zeros, no signs, no
+    internal whitespace, each <= 255; surrounding whitespace and quotes
+    are shed first (s.trim().trim_matches('\"') strips ALL edge quotes).
+    Invalid -> NULL."""
+    t = F.regexp_replace(F.trim(col), '^"+|"+$', "")
+    valid = t.rlike(
+        rf"^{_OCTET_RE}\.{_OCTET_RE}\.{_OCTET_RE}\.{_OCTET_RE}$"
+    ) & F.forall(F.split(t, r"\."), lambda x: x.try_cast("int") <= 255)
+    return F.when(valid, ip4_to_int(t))
+
+
 def _ip4_int0(col: Column) -> Column:
-    """ip4_int(text): dotted quad -> u32; tolerates whitespace/quotes;
-    illegal input -> 0 (sqlite_ext.rs parse_ipv4_to_u32 | unwrap_or(0))."""
-    return F.coalesce(
-        ip4_to_int(F.regexp_replace(F.trim(col), '^"|"$', "")), F.lit(0)
-    )
+    """ip4_int(text): dotted quad -> u32; tolerates edge whitespace and
+    quotes; illegal input -> 0 (sqlite_ext.rs parse_ipv4_to_u32 |
+    unwrap_or(0))."""
+    return F.coalesce(_strict_ip4_int(col), F.lit(0))
 
 
 def _cidr_parts(cidr: Column) -> tuple[Column, Column]:
-    """(network u32, mask u32) for 'a.b.c.d/p'; invalid -> (null, null)."""
-    t = F.regexp_replace(F.trim(cidr), '^"|"$', "")
+    """(network u32, mask u32) for 'a.b.c.d/p'; invalid -> (null, null).
+    The prefix follows Rust `u32::from_str`: optional '+', any number of
+    digits (leading zeros fine), no whitespace; value must be <= 32."""
+    t = F.regexp_replace(F.trim(cidr), '^"+|"+$', "")
     ip_s = F.substring_index(t, "/", 1)
+    pfx_s = F.substring_index(t, "/", -1)
     pfx = F.when(
-        t.contains("/"), F.substring_index(t, "/", -1).try_cast("int")
+        t.contains("/")
+        & (F.size(F.split(t, "/")) == 2)
+        & pfx_s.rlike(r"^\+?\d+$"),
+        pfx_s.try_cast("bigint"),
     )
-    pfx = F.when((pfx >= 0) & (pfx <= 32), pfx)
-    ip_i = ip4_to_int(ip_s)
+    pfx = F.when((pfx >= 0) & (pfx <= 32), pfx.cast("int"))
+    ip_i = _strict_ip4_int(ip_s)
     # u32 mask = 2^32 - 2^(32-pfx); pow is exact for exponents <= 32
     # (well under double's 2^53 integer range), so the long cast is safe
     mask = (
@@ -220,7 +241,7 @@ def cidr4_contains(ip: Column, cidr: Column) -> Column:
     """cidr4_contains(ip, cidr) -> boolean (reference returns 1/0);
     invalid ip or cidr -> false."""
     net, mask = _cidr_parts(cidr)
-    ip_i = ip4_to_int(F.regexp_replace(F.trim(ip), '^"|"$', ""))
+    ip_i = _strict_ip4_int(ip)
     return F.coalesce(ip_i.bitwiseAND(mask) == net, F.lit(False))
 
 
