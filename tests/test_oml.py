@@ -571,3 +571,35 @@ def test_knowdb_builtin_sql_function_parity(spark):
     assert row["in8"] is True and row["out8"] is False and row["badcidr"] is False
     assert row["tq"] == "work_zone" and row["tq2"] == "no_quotes"
     assert row["tq3"] == "work_zone"
+
+
+def test_ip4_between_unwrap_defaults(spark):
+    """sqlite_ext.rs ip4_between: unparseable ip/start unwrap to
+    u32::MAX, unparseable end to 0 — so invalid input compares FALSE,
+    except the reference's quirky corollary (invalid ip AND start with
+    end = 255.255.255.255 -> TRUE). Integer bound columns pass through
+    the i64 branch."""
+    from wp_motor_spark import knowdb as K
+
+    row = (
+        spark.range(1)
+        .select(
+            K.ip4_between(F.lit("10.0.0.5"), F.lit("10.0.0.1"),
+                          F.lit("10.0.0.10")).alias("a"),
+            K.ip4_between(F.lit("bad"), F.lit("10.0.0.1"),
+                          F.lit("10.0.0.10")).alias("b"),
+            K.ip4_between(F.lit("10.0.0.5"), F.lit("bad"),
+                          F.lit("10.0.0.10")).alias("c"),
+            K.ip4_between(F.lit("10.0.0.5"), F.lit("10.0.0.1"),
+                          F.lit("bad")).alias("d"),
+            K.ip4_between(F.lit("bad"), F.lit("bad"),
+                          F.lit("255.255.255.255")).alias("quirk"),
+            K.ip4_between(F.lit("10.0.0.5"), F.lit(167772161),
+                          F.lit(167772170)).alias("intcols"),
+        )
+        .collect()[0]
+    )
+    assert row["a"] is True
+    assert row["b"] is False and row["c"] is False and row["d"] is False
+    assert row["quirk"] is True
+    assert row["intcols"] is True

@@ -159,10 +159,21 @@ class KnowDB:
 
 
 def ip4_between(ip: Column, lo: Column, hi: Column) -> Column:
-    """sqlite_ext.rs:13-49 — numeric containment of ip in [lo, hi]."""
-    ip_i = ip4_to_int(ip)
-    lo_i = ip4_to_int(lo)
-    hi_i = ip4_to_int(hi)
+    """sqlite_ext.rs ip4_between — numeric containment of ip in [lo, hi].
+
+    Bound parity with the reference: each bound tries the integer branch
+    (*_int columns) and the strict dotted-quad parse; an unparseable ip
+    or start unwraps to u32::MAX and an unparseable end to 0, so invalid
+    input yields FALSE rather than NULL (the quirky corollary — invalid
+    ip AND start with end=255.255.255.255 -> TRUE — matches too)."""
+    u32max = F.lit(0xFFFFFFFF).cast("long")
+
+    def bound(col: Column, default: Column) -> Column:
+        return F.coalesce(_strict_ip4_int(col), col.try_cast("bigint"), default)
+
+    ip_i = F.coalesce(_strict_ip4_int(ip), u32max)
+    lo_i = bound(lo, u32max)
+    hi_i = bound(hi, F.lit(0).cast("long"))
     return (ip_i >= lo_i) & (ip_i <= hi_i)
 
 
