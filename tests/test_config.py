@@ -362,8 +362,10 @@ def test_business_d_recursive_routes_filter_and_rule_globs(spark, tmp_path):
     """03-sinks.md + sinks/io.rs: business.d/**/*.toml is collected
     recursively; per-sink `name` (fallback "[index]"); group `rule` globs
     (string form) select branches by WPL rule key; per-sink `filter` file
-    routes iff eval == filter_expect (reference default FALSE =
-    interception); defaults.toml [defaults.expect] backfills groups."""
+    routes iff eval == filter_expect (sinks/types.rs:83
+    crate_default_true: reference default TRUE = deliver on match;
+    explicit filter_expect=false = interception); defaults.toml
+    [defaults.expect] backfills groups."""
     root = _mini_ws(tmp_path)
     sink_root = root / "topology" / "sinks"
     nested = sink_root / "business.d" / "nested"
@@ -386,6 +388,11 @@ def test_business_d_recursive_routes_filter_and_rule_globs(spark, tmp_path):
         'filter = "topology/sinks/filter.cond"\n'
         "[[sink_group.sinks]]\n"  # third sink without a name -> "[2]"
         'target = "file"\npath = "out/anon.dat"\nfmt = "kv"\n'
+        "[[sink_group.sinks]]\n"  # explicit intercept (filter_expect=false)
+        'name = "blocked"\n'
+        'target = "file"\npath = "out/blocked.dat"\nfmt = "kv"\n'
+        'filter = "topology/sinks/filter.cond"\n'
+        "filter_expect = false\n"
     )
     (nested / "nomatch.toml").write_text(
         "[sink_group]\n"
@@ -400,21 +407,28 @@ def test_business_d_recursive_routes_filter_and_rule_globs(spark, tmp_path):
     assert {"all", "safe", "/sink/filter[2]", "/sink/none"} <= set(by_name)
     assert by_name["all"].group_expect == {"ratio": 1.0, "tol": 0.5}  # defaults.toml
     assert by_name["safe"].condition == "n > 5"
-    assert by_name["safe"].filter_expect is False  # reference default: intercept
+    assert by_name["safe"].filter_expect is True  # reference default: deliver
+    assert by_name["blocked"].filter_expect is False  # explicit intercept
     assert by_name["all"].rules == ["/t/kv"]
 
     pipe, _ = build_pipeline(ws)
     raw = spark.createDataFrame([("alpha 3",), ("bravo 9",)], ["value"])
     counts = pipe.write_batch(raw)
     assert counts["all"] == 2
-    assert counts["safe"] == 1  # "bravo 9" intercepted (n > 5 true)
+    assert counts["safe"] == 1  # "bravo 9" delivered (n > 5 true)
+    assert counts["blocked"] == 1  # "bravo 9" intercepted -> "alpha 3" only
     assert counts["/sink/filter[2]"] == 2
     assert counts.get("/sink/none", 0) == 0
     safe_lines = [
         r["value"]
         for r in spark.read.text(str(by_name["safe"].path)).collect()
     ]
-    assert len(safe_lines) == 1 and "word=alpha" in safe_lines[0]
+    assert len(safe_lines) == 1 and "word=bravo" in safe_lines[0]
+    blocked_lines = [
+        r["value"]
+        for r in spark.read.text(str(by_name["blocked"].path)).collect()
+    ]
+    assert len(blocked_lines) == 1 and "word=alpha" in blocked_lines[0]
 
 
 def test_infra_group_rejects_parallel(tmp_path):

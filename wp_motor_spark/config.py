@@ -262,8 +262,10 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
             kind = s.get("target", "file")
             options: dict = {}
             # per-sink filter file (03-sinks.md): a condition-expression
-            # file; the record routes iff eval == filter_expect, whose
-            # reference default is FALSE (filter = interception)
+            # file; the record routes iff eval == filter_expect
+            # (dispatcher/oml.rs:356). Reference default is TRUE
+            # (sinks/types.rs:83 crate_default_true,
+            # structure/sink/instance.rs:122) — deliver on match.
             filt_cond: str | None = None
             filt_expect = True
             fpath = s.get("filter")
@@ -275,7 +277,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     filt_cond = open(cand).read().strip() or None
                 except OSError:
                     filt_cond = None  # reference logs "not found filter", runs unfiltered
-                filt_expect = bool(s.get("filter_expect", False))
+                filt_expect = bool(s.get("filter_expect", True))
             # v2: use/connect/connector = <sink connector id> + params
             # override. All three spellings appear in the reference: `use`
             # in the tests/instance tree, `connect` in the connector docs
