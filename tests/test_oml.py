@@ -596,6 +596,24 @@ def test_ip4_between_unwrap_defaults(spark):
                           F.lit("255.255.255.255")).alias("quirk"),
             K.ip4_between(F.lit("10.0.0.5"), F.lit(167772161),
                           F.lit(167772170)).alias("intcols"),
+            # i64 -> u32 wraps two's-complement: lo=-1 -> u32::MAX, so
+            # the lower bound can never pass (sqlite_ext.rs `i as u32`)
+            K.ip4_between(F.lit("10.0.0.5"), F.lit(-1),
+                          F.lit(0xFFFFFFFF)).alias("neg_lo"),
+            # hi=-1 wraps to u32::MAX -> upper bound always passes
+            K.ip4_between(F.lit("10.0.0.5"), F.lit(167772161),
+                          F.lit(-1)).alias("neg_hi"),
+            # i64 beyond u32 truncates low 32 bits: 2^32+5 -> 5
+            K.ip4_between(F.lit("0.0.0.3"), F.lit(0),
+                          F.lit((1 << 32) + 5)).alias("wrap_hi"),
+            # TEXT "123" is NOT an integer bound in SQLite (rusqlite
+            # get::<i64> fails on TEXT) and fails the strict IP parse
+            # -> lo unwraps to u32::MAX -> FALSE
+            K.ip4_between(F.lit("10.0.0.5"), F.lit("123"),
+                          F.lit("10.0.0.10")).alias("text_num_lo"),
+            # ...and as end it unwraps to 0 -> FALSE
+            K.ip4_between(F.lit("10.0.0.5"), F.lit("10.0.0.1"),
+                          F.lit("4294967295")).alias("text_num_hi"),
         )
         .collect()[0]
     )
@@ -603,3 +621,7 @@ def test_ip4_between_unwrap_defaults(spark):
     assert row["b"] is False and row["c"] is False and row["d"] is False
     assert row["quirk"] is True
     assert row["intcols"] is True
+    assert row["neg_lo"] is False
+    assert row["neg_hi"] is True
+    assert row["wrap_hi"] is True
+    assert row["text_num_lo"] is False and row["text_num_hi"] is False

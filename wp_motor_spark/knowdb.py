@@ -161,15 +161,26 @@ class KnowDB:
 def ip4_between(ip: Column, lo: Column, hi: Column) -> Column:
     """sqlite_ext.rs ip4_between — numeric containment of ip in [lo, hi].
 
-    Bound parity with the reference: each bound tries the integer branch
-    (*_int columns) and the strict dotted-quad parse; an unparseable ip
-    or start unwraps to u32::MAX and an unparseable end to 0, so invalid
-    input yields FALSE rather than NULL (the quirky corollary — invalid
-    ip AND start with end=255.255.255.255 -> TRUE — matches too)."""
+    Bound parity with the reference: the integer branch
+    (`ctx.get::<i64>` in sqlite_ext.rs) only fires for INTEGER-typed
+    values — rusqlite's i64 FromSql fails on TEXT — and wraps the i64
+    as u32 (`i as u32` truncates two's-complement low bits, e.g.
+    -1 -> u32::MAX); TEXT bounds go through the strict dotted-quad
+    parse only (a numeric string like "123" is NOT a valid bound).
+    An unparseable ip or start unwraps to u32::MAX and an unparseable
+    end to 0, so invalid input yields FALSE rather than NULL (the
+    quirky corollary — invalid ip AND start with
+    end=255.255.255.255 -> TRUE — matches too). We branch on the
+    column's static type (typeof) to mirror SQLite's value typing."""
     u32max = F.lit(0xFFFFFFFF).cast("long")
 
     def bound(col: Column, default: Column) -> Column:
-        return F.coalesce(_strict_ip4_int(col), col.try_cast("bigint"), default)
+        # Rust `i as u32` == mathematical mod 2^32 for any i64: pmod.
+        int_branch = F.pmod(col.try_cast("bigint"), F.lit(1 << 32))
+        return F.when(
+            F.typeof(col) == F.lit("string"),
+            F.coalesce(_strict_ip4_int(col), default),
+        ).otherwise(F.coalesce(int_branch, default))
 
     ip_i = F.coalesce(_strict_ip4_int(ip), u32max)
     lo_i = bound(lo, u32max)
