@@ -30,7 +30,7 @@ TABLES = [
 EXACT = False
 
 
-def norm_cell(v):
+def norm_cell(v, strip_midnight=False):
     if v is None:
         return None
     if isinstance(v, float):
@@ -41,11 +41,14 @@ def norm_cell(v):
         return v.hex()
     if hasattr(v, "isoformat"):
         s = v.isoformat()
-        # pandas/Arrow promote DATE columns to midnight Timestamps (the
-        # exact-mode .df() path); the round driver accepts date==datetime
-        # at midnight (events_retention was driver-green in r7), so the
-        # replica normalizes symmetrically instead of false-failing
-        if s.endswith("T00:00:00"):
+        # Only when the OTHER side's column is date-typed (caller sets
+        # strip_midnight per column): pandas/Arrow promote DATE columns
+        # to midnight Timestamps (the exact-mode .df() path), and the
+        # round driver accepts date==datetime at midnight
+        # (events_retention was driver-green in r7). A timestamp column
+        # compared against a timestamp column is never stripped, so a
+        # genuine date-truncation regression on midnight rows fails.
+        if strip_midnight and s.endswith("T00:00:00"):
             s = s[: -len("T00:00:00")]
         return s
     if EXACT:
@@ -53,11 +56,14 @@ def norm_cell(v):
     return v
 
 
-def frame_to_set(cols, rows):
+def frame_to_set(cols, rows, strip_cols=frozenset()):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    strip = [cols[i] in strip_cols for i in order]
     out = []
     for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
+        out.append(
+            tuple(norm_cell(r[i], strip[j]) for j, i in enumerate(order))
+        )
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
@@ -103,6 +109,7 @@ def main():
         try:
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]
+            dtypes = {d[0]: str(d[1]) for d in cur.description}
             if EXACT:
                 # driver-style: through pandas, so HUGEINT/epoch -> float64
                 import numpy as np
@@ -130,8 +137,17 @@ def main():
             print(f"{name:28s} DUCKDB-ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
-        sc, sv = frame_to_set(scols, [list(r) for r in srows])
-        dc, dv = frame_to_set(dcols, [list(r) for r in drows])
+        # type-aware midnight normalization: strip T00:00:00 from a
+        # side's datetime values only where the OTHER side is date-typed
+        # (plus the oracle's own DATE cols in EXACT mode, where pandas
+        # promoted them to midnight Timestamps)
+        stypes = dict(sdf.dtypes)
+        oracle_date = {c for c in dcols if dtypes.get(c, "").upper() == "DATE"}
+        spark_date = {c for c in scols if stypes.get(c) == "date"}
+        strip_spark = {c for c in scols if c in oracle_date}
+        strip_oracle = spark_date | (oracle_date if EXACT else set())
+        sc, sv = frame_to_set(scols, [list(r) for r in srows], strip_spark)
+        dc, dv = frame_to_set(dcols, [list(r) for r in drows], strip_oracle)
         status = []
         if sc != dc:
             status.append(f"cols {sc} != {dc}")
