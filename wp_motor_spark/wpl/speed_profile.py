@@ -118,19 +118,23 @@ class SpeedController:
         raise ValueError(f"unknown speed_profile type {kind!r}")
 
     # ------------------------------------------------------------------
-    def planned_rows(self, duration_secs: float, tick: float = 1.0) -> int:
+    def planned_rows(self, duration_secs: float, tick: float = 0.1) -> int:
         """Integrate the profile over [0, duration): the batch-mode total
         a paced generator would have produced. One rate sample per `tick`
-        seconds (the reference limiter re-reads the controller on a
-        sub-second cadence; 1 s matches its per-second probability
-        semantics for burst)."""
-        total = 0
+        seconds. Default 0.1 s matches the reference limiter's ~100 ms
+        check cadence (controller.rs:200: per-check burst probability is
+        the per-second probability / 10, calibrated for 100 ms calls), so
+        expected burst frequency AND sub-second burst_duration_ms windows
+        integrate at the reference's resolution. Accumulates in float and
+        rounds once so fractional per-tick rates don't undercount (0.1 s
+        ticks are inexact in binary: 25 x 50.0 sums to 1249.999...)."""
+        total = 0.0
         t = 0.0
         while t < duration_secs:
             step = min(tick, duration_secs - t)
-            total += int(self.speed_at(t) * step)
+            total += self.speed_at(t) * step
             t += tick
-        return total
+        return int(round(total, 6))
 
 
 def profile_from_generator_conf(gen: dict) -> dict | None:
