@@ -45,6 +45,16 @@ def brute_force_topk(
     """Exact top-k neighbors per query row. Returns (query_id, neighbor_id,
     score, rank). Queries are broadcast (small side); corpus scan is one
     pass, ranking shuffles only (query_id, neighbor_id, score) triples.
+
+    Two-phase exact top-k: phase 1 ranks within (query_id,
+    spark_partition_id()) — the shuffle spreads over P keys per query, no
+    reducer ever holds more than one scan partition's scores — and keeps
+    each partition's local top-k. Phase 2 ranks the <= k*P survivors per
+    query (tiny). Exact because every global top-k row is by definition
+    inside its own partition's local top-k, and both phases break ties
+    the same way (score desc, neighbor_id asc). A single per-query window
+    over the full scored frame would send ALL corpus scores for one query
+    to one reducer — the 100TB scale-killer this shape avoids.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -52,10 +62,20 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     score = (cosine if metric == "cosine" else dot)(F.col("__qv"), F.col("__cv"))
-    scored = scored.select("query_id", "neighbor_id", score.alias("score"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", score.alias("score"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    order = (F.desc("score"), F.asc("neighbor_id"))
+    w_part = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    partial = (
+        scored.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= k)
+        .drop("__pr", "__pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 

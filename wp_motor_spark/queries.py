@@ -3459,7 +3459,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(tokens). Document length rides the same row (computed before
     the filter); N and avgdl fold in as a broadcast one-row frame (the
     bigram_pmi totals pattern — no eager collect at plan build); df is a
-    |terms|-row broadcast. Top-20 via TakeOrderedAndProject."""
+    |terms|-row broadcast. Top-20 via TakeOrderedAndProject.
+
+    (A persisted shared inverted index cache-shared with hybrid_search
+    was measured SLOWER for the pair at sf0.1 — 8.2 s build + 5.5 s ride
+    vs ~1 s + ~2.5 s with both sides O(matches) — so each query filters
+    to its own terms below the aggregation instead; see hybrid_search.)"""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -3936,12 +3941,25 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ---- text side: per-query BM25 against the query doc's term set
+    # ---- text side: per-query BM25 against the query doc's term set.
+    # The query-term SET semi-joins the token stream map-side (broadcast,
+    # BEFORE the tf aggregation), so the shuffle carries only (doc, term)
+    # hits — the same O(matches) shape as bm25_search with a dynamic term
+    # set instead of literals. (tf and df per term are unchanged by the
+    # term-only filter: it keeps every occurrence/doc of a kept term.)
+    qterms = (
+        docs.where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("term"),
+        )
+    )
+    qterm_set = qterms.select("term").distinct()
     toks = docs.select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).alias("dl"),
         F.explode(text.tokens(F.col("text"))).alias("term"),
-    )
+    ).join(F.broadcast(qterm_set), "term")
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
@@ -3949,13 +3967,6 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
-    )
-    qterms = (
-        docs.where(F.col("doc_id") < 5)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("term"),
-        )
     )
     k1, b = _BM25_K1, _BM25_B
     contrib = (
