@@ -4086,7 +4086,10 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: MAP-ONLY — per-doc counts come from sort_array + one
     F.aggregate pass over the sorted grams (run-length scan, O(k log k)
     per doc), not an explode+groupBy that would shuffle every token.
-    Zero Exchange in the plan."""
+    Zero Exchange in the plan. Grams are xxhash64'd to longs BEFORE the
+    sort, so the sort and the run-length equality compare 8-byte ints
+    instead of 5-gram strings (equal-count semantics are collision-free
+    for any realistic per-doc gram count: ~1e-12 at 5k grams/doc)."""
     docs = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
 
@@ -4095,7 +4098,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin = F.aggregate(
             F.sort_array(arr),
             F.struct(
-                F.lit(None).cast("string").alias("prev"),
+                F.lit(None).cast("bigint").alias("prev"),
                 F.lit(0).alias("cur"),
                 F.lit(0).alias("best"),
             ),
@@ -4115,7 +4118,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin = F.aggregate(
             F.sort_array(arr),
             F.struct(
-                F.lit(None).cast("string").alias("prev"),
+                F.lit(None).cast("bigint").alias("prev"),
                 F.lit(0).alias("cur"),
                 F.lit(0).alias("singles"),
             ),
@@ -4133,8 +4136,11 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
         return F.size(arr) - singles
 
-    g2 = _gram_join(F.col("a"), 1, 2)
-    g5 = _gram_join(F.col("a"), 1, 5)
+    def hashed(grams):
+        return F.transform(grams, lambda g: F.xxhash64(g))
+
+    g2 = hashed(_gram_join(F.col("a"), 1, 2))
+    g5 = hashed(_gram_join(F.col("a"), 1, 5))
     return (
         docs.select("doc_id", toks.alias("a"))
         .select(
