@@ -4308,10 +4308,75 @@ GROUP BY 1
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r8: the 49 queries whose last driver row is
-    # CORRECTNESS_r05 (locally re-verified in r6/r7) come first so every
-    # registry query has a driver-green row in r7 ∪ r8; the 50
-    # r7-driver-green queries follow (the first 1 of them re-checks).
+    # entries. Rotated for r9: the four r8-new queries (never driver-
+    # certified) lead, followed by 46 of the 49 r7-driver-green queries
+    # (locally re-verified in r8) - together the window certifies all
+    # value-checkable queries whose last driver row predates r8. Three
+    # rows-only queries (no oracle_sql by design: multimodal_features,
+    # sketch_distinct_users, sketch_value_quantiles) sit at 51-53: a
+    # driver row adds nothing beyond their r7 rows-only row, and each
+    # carries a passing numeric gate in QUALITY_r9.json. The 50
+    # r8-driver-green queries follow.
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "domain_kl": (domain_kl, DOMAIN_KL_SQL),
+    "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
+    "hybrid_search": (hybrid_search, HYBRID_SEARCH_SQL),
+    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
+    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
+    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
+    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
+    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
+    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
+    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
+    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
+    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
+    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
+    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
+    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
+    # so the simpler pair query pays the materialization and the CC query
+    # rides the cache - suite order is the scheduling knob here
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
+    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
+    "pii_redact": (pii_redact, _pii_sql()),
+    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
+    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
+    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
+    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
+    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
+    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_lsh_dups": (minhash_lsh_dups, None),
+    "simhash_dups": (simhash_dups, None),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "language_id": (language_id, _language_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, _quality_scores_sql()),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "multimodal_real_decode": (multimodal_real_decode, None),
+    "image_neardup": (image_neardup, None),
+    "events_retention": (events_retention, RETENTION_SQL),
+    "customer_deciles": (customer_deciles, DECILES_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    # --- rows-only (gate-covered) queries rotated just outside the
+    # window; driver records rows-only for these regardless ---
+    "multimodal_features": (multimodal_features, None),
+    "sketch_distinct_users": (sketch_distinct_users, None),
+    "sketch_value_quantiles": (sketch_value_quantiles, None),
+    # --- r8 driver-green (CORRECTNESS_r08.json) ---
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
@@ -4362,65 +4427,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
-    # --- r7 driver-green (CORRECTNESS_r07.json) ---
-    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
-    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
-    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
-    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
-    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
-    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
-    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
-    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
-    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
-    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
-    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
-    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
-    # so the simpler pair query pays the materialization and the CC query
-    # rides the cache — suite order is the scheduling knob here
-    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
-    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "contamination_check": (contamination_check, CONTAMINATION_SQL),
-    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
-    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
-    "pii_redact": (pii_redact, _pii_sql()),
-    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
-    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
-    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
-    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
-    "gopher_quality": (gopher_quality, _gopher_sql()),
-    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
-    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
-    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
-    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
-    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
-    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_lsh_dups": (minhash_lsh_dups, None),
-    "simhash_dups": (simhash_dups, None),
-    "text_stats": (text_stats, TEXT_STATS_SQL),
-    "language_id": (language_id, _language_id_sql()),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "quality_scores": (quality_scores, _quality_scores_sql()),
-    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
-    "multimodal_features": (multimodal_features, None),
-    "multimodal_real_decode": (multimodal_real_decode, None),
-    "image_neardup": (image_neardup, None),
-    "events_retention": (events_retention, RETENTION_SQL),
-    "customer_deciles": (customer_deciles, DECILES_SQL),
-    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
-    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
-    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
-    "sketch_distinct_users": (sketch_distinct_users, None),
-    "sketch_value_quantiles": (sketch_value_quantiles, None),
-    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
-    # --- NEW r8 (at the END: the first-50 driver window must keep
-    # covering the r5-stale block this round; these get driver rows
-    # after the r9 rotation, oracle-verified locally meanwhile) ---
-    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
-    "domain_kl": (domain_kl, DOMAIN_KL_SQL),
-    "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
-    "hybrid_search": (hybrid_search, HYBRID_SEARCH_SQL),
 }
