@@ -47,6 +47,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "bm25_search": {"NESTED_LOOP"},       # broadcast ONE-row stats agg
         "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set
         "q22_dormant_customers": {"NESTED_LOOP"},  # broadcast ONE-row AVG
+        "dsir_weights": {"NESTED_LOOP"},      # broadcast ONE-row totals agg
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -4302,6 +4302,156 @@ GROUP BY 1
 """
 
 
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per-doc
+    log w(x) = Σ_tokens [ln p_target(w) − ln p_raw(w)] under add-one
+    smoothed unigram models, target = the `src0` source slice, raw = the
+    whole corpus. The op a pretraining pipeline runs to up-sample data
+    that looks like a trusted target domain.
+
+    Scale shape: ONE token-keyed shuffle builds BOTH models (conditional
+    aggregation — c_raw and c_tgt in the same groupBy, no second pass);
+    the smoothing totals fold in as a broadcast one-row frame (the
+    bigram_pmi pattern, no driver collect); the per-doc sum joins the
+    exploded tokens against the BROADCAST count table — word-level
+    vocabularies are bounded (~1e6-1e7 rows) regardless of corpus size,
+    and the (doc, token) stream never shuffles (doc-keyed agg is
+    map-side partial + one shuffle of per-doc partials)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("c_raw").cast("double").alias("R"),
+        F.sum("c_tgt").cast("double").alias("T"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    return (
+        toks.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.log((F.col("c_tgt") + 1.0) / (F.col("T") + F.col("V")))
+                    - F.log((F.col("c_raw") + 1.0) / (F.col("R") + F.col("V")))
+                ),
+                4,
+            ).alias("dsir_logw"),
+        )
+    )
+
+
+DSIR_WEIGHTS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w,
+         count(*) AS c_raw,
+         count(*) FILTER (WHERE source = 'src0') AS c_tgt
+  FROM tok JOIN (SELECT doc_id, source FROM documents) USING (doc_id)
+  GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS R,
+         CAST(sum(c_tgt) AS DOUBLE) AS T,
+         CAST(count(*) AS DOUBLE) AS V
+  FROM cnt
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(sum(ln((c_tgt + 1.0) / (T + V)) - ln((c_raw + 1.0) / (R + V))),
+             4) AS dsir_logw
+FROM tok JOIN cnt USING (w), tot
+GROUP BY doc_id
+"""
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier scores: cosine distance of each vector
+    to its label centroid, z-scored within the label (population stddev).
+    The curation op that flags mislabeled / off-distribution examples in
+    an embedded training set.
+
+    Scale shape: centroids come from a posexplode + (label, pos) agg —
+    map-side partial aggregation reduces each partition to |labels|×d
+    rows before the ONE shuffle; centroids reassemble via sorted
+    collect_list into a |labels|-row frame that BROADCASTS back into a
+    one-pass corpus scan (distance is a JVM HOF dot product, no UDF);
+    per-label μ/σ of the distance is a second |labels|-row broadcast.
+    The embedding column itself never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    scored = emb.join(F.broadcast(cen), "label").select(
+        "vec_id",
+        "label",
+        (1.0 - similarity.cosine(F.col("embedding"), F.col("centroid"))).alias(
+            "__dist"
+        ),
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("__dist").alias("mu"),
+        F.stddev_pop("__dist").alias("sigma"),
+    )
+    return scored.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("__dist"), 4).alias("dist"),
+        F.round(
+            F.when(
+                F.col("sigma") > 0,
+                (F.col("__dist") - F.col("mu")) / F.col("sigma"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("z"),
+    )
+
+
+EMB_OUTLIERS_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(u.x AS DOUBLE) AS x,
+         u.i
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u
+), cen AS (
+  SELECT label, i, avg(x) AS m FROM e GROUP BY 1, 2
+), d AS (
+  SELECT vec_id, e.label,
+         1.0 - sum(e.x * c.m)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.m * c.m))) AS dist
+  FROM e JOIN cen c ON e.label = c.label AND e.i = c.i
+  GROUP BY 1, 2
+), st AS (
+  SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sigma
+  FROM d GROUP BY 1
+)
+SELECT vec_id, d.label,
+       round(dist, 4) AS dist,
+       round(CASE WHEN sigma > 0 THEN (dist - mu) / sigma ELSE 0.0 END,
+             4) AS z
+FROM d JOIN st ON d.label = st.label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4427,4 +4577,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
     "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
     "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    # --- NEW r9 (at the END: the first-50 driver window must keep
+    # covering the never-r8-certified block this round; these get driver
+    # rows after the r10 rotation, oracle-verified locally meanwhile) ---
+    "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
+    "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
 }
