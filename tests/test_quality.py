@@ -245,3 +245,38 @@ def test_sketch_value_quantiles_near_exact_twin(spark, sf001_dir):
             assert round(lo, 4) - 1e-9 <= a <= round(hi, 4) + 1e-9, (
                 et, p, a, lo, hi,
             )
+
+
+def test_pq_codes_deterministic_and_beats_single_codebook(emb):
+    """pq_codes gate: (a) encoding is deterministic (no RNG state),
+    (b) avg reconstruction cosine beats the m=1 equivalent — a single
+    16-word codebook over the full vector (kmeans_assign's sim IS that
+    reconstruction's cosine) — because PQ spends 4 bits per SUBSPACE
+    (m*log2(k) = 32 bits) vs 4 bits total, and (c) a sane floor for
+    near-random synthetic embeddings (~0.67 at 16 words / 8-dim
+    subspace; info-theoretic, not a fit deficiency)."""
+    out = similarity.pq_codes(emb).cache()
+
+    def sig(df):
+        return df.agg(
+            F.bit_xor(
+                F.xxhash64(
+                    F.col("vec_id"),
+                    F.concat_ws(",", F.col("codes").cast("array<string>")),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    assert sig(out) == sig(similarity.pq_codes(emb))
+
+    m = out.select("codes").first()["codes"]
+    assert len(m) == 8 and all(0 <= c < 16 for c in m)
+
+    pq_avg = out.agg(F.avg("recon_cos")).collect()[0][0]
+    m1_avg = (
+        similarity.kmeans_assign(emb, n_cells=16)
+        .agg(F.avg("sim"))
+        .collect()[0][0]
+    )
+    assert pq_avg > m1_avg, (pq_avg, m1_avg)
+    assert pq_avg >= 0.6, pq_avg

@@ -416,6 +416,39 @@ def main() -> None:
         "gate": "each approx p in [floor(p(n-1)), ceil(p(n-1))] order stats",
     }
 
+    # --- pq_quantize: deterministic codes; avg reconstruction cosine
+    # beats the m=1 single-16-word-codebook baseline (kmeans_assign's
+    # sim IS that reconstruction's cosine) and a 0.6 floor (the
+    # near-random synthetic embeddings bound ~0.67 at 16 words / 8-dim
+    # subspace is info-theoretic, not a fit deficiency) ---
+    pq = similarity.pq_codes(emb).cache()
+
+    def _pq_sig(df):
+        return df.agg(
+            F.bit_xor(
+                F.xxhash64(
+                    F.col("vec_id"),
+                    F.concat_ws(",", F.col("codes").cast("array<string>")),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    pq_avg = pq.agg(F.avg("recon_cos")).collect()[0][0]
+    m1_avg = (
+        similarity.kmeans_assign(emb, n_cells=16)
+        .agg(F.avg("sim"))
+        .collect()[0][0]
+    )
+    pq_det = _pq_sig(pq) == _pq_sig(similarity.pq_codes(emb))
+    report["gates"]["pq_quantize"] = {
+        "metric": "deterministic_and_recon_cos_beats_m1_baseline",
+        "value": bool(pq_det and pq_avg > m1_avg and pq_avg >= 0.6),
+        "avg_recon_cos": round(pq_avg, 4),
+        "m1_baseline_avg_cos": round(m1_avg, 4),
+        "deterministic": bool(pq_det),
+        "gate": "deterministic and avg_recon_cos > m1 baseline and >= 0.6",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -331,3 +331,100 @@ def kmeans_assign(
 
     a = corpus.select(F.col(id_col), assign(F.col(vec_col)).alias("__a"))
     return a.select(id_col, "__a.cluster", F.round("__a.sim", 6).alias("sim"))
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    k: int,
+    iters: int = 5,
+    sample_n: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector is
+    split into `m` contiguous subvectors; each subspace gets its own
+    `k`-word L2 k-means codebook trained on the same bounded
+    deterministic sample `_kmeans_centroids` uses (first rows in
+    xxhash64(id) order — reproducible, driver-safe at any corpus size).
+    Returns an (m, k, d//m) float64 array."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[: min(k, len(S))].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for i in range(len(C)):
+                members = S[assign == i]
+                if len(members):  # empty cell keeps its previous word
+                    C[i] = members.mean(axis=0)
+        if len(C) < k:  # degenerate tiny corpus: pad by repeating words
+            C = np.vstack([C] * (k // len(C) + 1))[:k]
+        books[j] = C
+    return books
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding of the whole corpus: every vector
+    becomes `m` codebook indices (k <= 256 -> one byte each; a 64-dim
+    float32 vector compresses 32x to 8 bytes) plus the reconstruction
+    cosine against the decoded vector — the storage/recall trade a
+    100 TB-scale ANN index build makes before sharding.
+
+    Scale shape: codebooks are a driver-side numpy fit over the capped
+    deterministic sample (m*k*(d/m) = d*k floats broadcast to every
+    executor inside the serialized UDF); encoding is MAP-ONLY — one
+    Arrow-batched vectorized distance computation per subspace per
+    batch, no shuffle, no per-row Python. Returns (vec_id, codes
+    array<int>, recon_cos)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = _pq_codebooks(corpus, vec_col, id_col, m, k, iters=iters)
+    sub = books.shape[2]
+
+    @pandas_udf("struct<codes:array<int>, recon_cos:double>")
+    def encode(batch: pd.Series) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        n = len(X)
+        codes = np.empty((n, m), dtype=np.int32)
+        recon = np.empty_like(X)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            C = books[j]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over words
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+            cj = np.argmin(d2, axis=1)
+            codes[:, j] = cj
+            recon[:, j * sub : (j + 1) * sub] = C[cj]
+        num = (X * recon).sum(1)
+        den = np.linalg.norm(X, axis=1) * np.linalg.norm(recon, axis=1)
+        den[den == 0] = 1.0
+        return pd.DataFrame(
+            {"codes": list(codes), "recon_cos": num / den}
+        )
+
+    out = corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("__e"))
+    return out.select(
+        id_col, "__e.codes", F.round("__e.recon_cos", 6).alias("recon_cos")
+    )

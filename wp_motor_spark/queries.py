@@ -4452,6 +4452,22 @@ FROM d JOIN st ON d.label = st.label
 """
 
 
+def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus (Jegou,
+    Douze & Schmid 2011): each 64-dim vector -> 8 codebook indices
+    (32x compression) + reconstruction cosine. Rows-only for the driver
+    (k-means codebooks are iterative, not SQL-expressible); the numeric
+    gate lives in tests/test_quality.py::
+    test_pq_codes_deterministic_and_beats_single_codebook and
+    QUALITY_r{N}.json (deterministic codes; avg recon_cos beats the
+    m=1 single-codebook baseline and the 0.6 floor).
+
+    Scale shape: see operators/similarity.py::pq_codes — bounded
+    driver-side codebook fit, MAP-ONLY Arrow-batched encoding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(emb)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4582,4 +4598,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # rows after the r10 rotation, oracle-verified locally meanwhile) ---
     "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
     "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
+    "pq_quantize": (pq_quantize, None),
 }
