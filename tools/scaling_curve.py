@@ -48,6 +48,11 @@ DEFAULT_QUERIES = [
     "doc_repetition",
     "domain_kl",
     "vocab_oov",
+    # r9 additions: conditional-agg dual unigram models, posexplode
+    # centroid agg + broadcast z-scores, ADC codes-only ANN scoring
+    "dsir_weights",
+    "embedding_outliers",
+    "pq_ann_topk",
 ]
 
 SF_DIRS = [
