@@ -4452,6 +4452,150 @@ FROM d JOIN st ON d.label = st.label
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT 5-grams
+    that appear in no other document — the inverse of the cross-doc
+    boilerplate signal (Lee et al. 2022 dedup analyses rank docs by how
+    much of their content is corpus-unique).
+
+    Scale shape: grams are xxhash64'd to longs map-side, so the ONE
+    gram-keyed shuffle (df count) and the gram-keyed join back carry
+    8-byte keys, not ~30-byte strings; the per-doc fraction is a
+    doc-keyed agg with map-side partials. Gram-hash collisions merge
+    distinct grams with probability ~n²/2^64 (~1e-8 at 1e5 grams) —
+    the standard content-defined-dedup trade, noted here because the
+    oracle compares exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("a"))
+        .where(F.size("a") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_gram_join(F.col("a"), 1, 5), lambda g: F.xxhash64(g))
+                )
+            ).alias("g"),
+        )
+    )
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(a) - 3),
+                i -> array_to_string(a[i:i+4], ' '))) AS g
+  FROM tok WHERE len(a) >= 5
+), dfreq AS (
+  SELECT g, count(*) AS df FROM g GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       round(CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*),
+             4) AS novelty
+FROM g JOIN dfreq USING (g)
+GROUP BY 1
+"""
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 5-gram Jaccard overlap BETWEEN sources — the
+    contamination/provenance matrix a curation pipeline computes before
+    mixing corpora (which crawls duplicate which dumps).
+
+    Scale shape: ONE shuffle builds the distinct (source, gram-hash)
+    set; the per-gram source set is collected (bounded by the source
+    count, not the corpus) and exploded into pairs; per-source set
+    sizes fold in as a broadcast |sources|-row frame joined twice.
+    Gram strings never shuffle — xxhash64 longs do."""
+    docs = _t(spark, sf_dir, "documents")
+    sg = (
+        docs.select("source", text.tokens(F.col("text")).alias("a"))
+        .where(F.size("a") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_gram_join(F.col("a"), 1, 5), lambda g: F.xxhash64(g))
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sz = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    per_gram = sg.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda b: F.struct(a.alias("sa"), b.alias("sb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.sa", "p.sb")
+    inter = pairs.groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("i"))
+    a_sz = sz.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    b_sz = sz.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(a_sz), "sa")
+        .join(F.broadcast(b_sz), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("i").alias("common_grams"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = r"""
+WITH tok AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), sg AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(a) - 3),
+                i -> array_to_string(a[i:i+4], ' '))) AS g
+  FROM tok WHERE len(a) >= 5
+), sz AS (
+  SELECT source, count(*) AS n FROM sg GROUP BY 1
+), ix AS (
+  SELECT x.source AS sa, y.source AS sb, count(*) AS i
+  FROM sg x JOIN sg y ON x.g = y.g AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb,
+       i AS common_grams,
+       round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS jaccard
+FROM ix JOIN sz za ON ix.sa = za.source
+        JOIN sz zb ON ix.sb = zb.source
+"""
+
+
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN top-k: asymmetric-distance shortlist over the 8-byte code
     rows + exact cosine re-rank of the top-100 candidates per query
@@ -4616,4 +4760,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
     "pq_quantize": (pq_quantize, None),
     "pq_ann_topk": (pq_ann_topk, None),
+    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
 }
