@@ -53,6 +53,8 @@ DEFAULT_QUERIES = [
     "dsir_weights",
     "embedding_outliers",
     "pq_ann_topk",
+    "ngram_novelty",
+    "cross_source_overlap",
 ]
 
 SF_DIRS = [
