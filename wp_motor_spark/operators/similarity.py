@@ -385,6 +385,7 @@ def pq_codes(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization encoding of the whole corpus: every vector
     becomes `m` codebook indices (k <= 256 -> one byte each; a 64-dim
@@ -400,7 +401,8 @@ def pq_codes(
     array<int>, recon_cos)."""
     from pyspark.sql.functions import pandas_udf
 
-    books = _pq_codebooks(corpus, vec_col, id_col, m, k, iters=iters)
+    if books is None:
+        books = _pq_codebooks(corpus, vec_col, id_col, m, k, iters=iters)
     sub = books.shape[2]
 
     @pandas_udf("struct<codes:array<int>, recon_cos:double>")
@@ -493,7 +495,9 @@ def pq_topk(
         s /= rn[:, None] * qnorm[None, :]
         return pd.Series(list(s))
 
-    enc = pq_codes(corpus, m=m, k=kwords, vec_col=vec_col, id_col=id_col)
+    enc = pq_codes(
+        corpus, m=m, k=kwords, vec_col=vec_col, id_col=id_col, books=books
+    )
     qid_map = F.array(*[F.lit(int(q)) for q in qids])
     scored = (
         enc.select(F.col(id_col).alias("neighbor_id"), adc("codes").alias("__s"))
