@@ -55,6 +55,8 @@ DEFAULT_QUERIES = [
     "pq_ann_topk",
     "ngram_novelty",
     "cross_source_overlap",
+    "winnow_fingerprints",
+    "ccnet_buckets",
 ]
 
 SF_DIRS = [

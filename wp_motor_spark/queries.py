@@ -4596,6 +4596,137 @@ FROM ix JOIN sz za ON ix.sa = za.source
 """
 
 
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): md5 each 5-gram, slide a w=4 window over the
+    gram-hash sequence, keep each window's minimum, emit the distinct
+    set per doc — the guarantee is any shared substring of length
+    >= 5+4-1 tokens produces at least one shared fingerprint, at ~2/w
+    of the gram count. The local-fingerprint primitive plagiarism /
+    near-dup span detection builds on.
+
+    Scale shape: MAP-ONLY — grams, hashes, window minima, and the
+    distinct-set all happen inside one projection over the doc row
+    (transform/slice/array_min/array_distinct, no UDF); only the final
+    (doc_id, fp) explode leaves the row. md5 (not xxhash64) so the
+    DuckDB oracle computes the IDENTICAL fingerprints — lexicographic
+    min over identical hex strings."""
+    W = 4
+    docs = _t(spark, sf_dir, "documents")
+    h = F.transform(_gram_join(F.col("a"), 1, 5), lambda g: F.md5(g))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("h")) - (W - 1)),
+            lambda i: F.array_min(F.slice(F.col("h"), i, W)),
+        )
+    )
+    # short docs emit an EMPTY array (explode drops them) instead of a
+    # .where on a computed column — size(tokens(text)) can't push to the
+    # parquet scan, and sequence(1, n) with n < 1 would run DESCENDING
+    return (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("a"))
+        .select(
+            "doc_id",
+            F.when(F.size("a") >= 5 + W - 1, h).otherwise(
+                F.array().cast("array<string>")
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("h") >= W, fps).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+WINNOW_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(a) - 3),
+                          i -> array_to_string(a[i:i+4], ' ')),
+           s -> md5(s)) AS h
+  FROM tok WHERE len(a) >= 8
+)
+SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, len(h) - 2),
+              i -> list_min(h[i:i+3]))) AS fp
+FROM g
+"""
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    source, split documents into head / middle / tail by the tertiles
+    of their bigram-LM perplexity — the mixture knob CCNet uses to
+    up-sample fluent text per language/source shard.
+
+    Scale shape: per-source tertile CUT POINTS come from one exact
+    `percentile` aggregation (|sources| rows, broadcast back) and the
+    bucket label is a map-side comparison — deliberately NOT a
+    per-source ntile window, whose total order would send every doc of
+    one source through one reducer at 100 TB. Quantiles and the
+    comparison run on the ROUNDED ppl so the DuckDB oracle
+    (quantile_cont == Spark percentile, both p*(n-1) linear
+    interpolation on doubles) lands on identical cuts."""
+    ppl = lm_perplexity(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = ppl.join(src, "doc_id")
+    q = j.groupBy("source").agg(
+        F.percentile("ppl", 1.0 / 3).alias("q1"),
+        F.percentile("ppl", 2.0 / 3).alias("q2"),
+    )
+    return j.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("q1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+), bg AS (
+  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS z) u
+  WHERE len(a) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c) AS ctx FROM c12 GROUP BY 1
+), ppl AS (
+  SELECT bg.doc_id,
+         round(CAST(exp(-avg(ln(CAST(c12.c AS DOUBLE) / c1.ctx))) AS DOUBLE),
+               4) AS ppl
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY 1
+), j AS (
+  SELECT p.doc_id, d.source, p.ppl
+  FROM ppl p JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+), q AS (
+  SELECT source,
+         quantile_cont(ppl, 1.0/3) AS q1,
+         quantile_cont(ppl, 2.0/3) AS q2
+  FROM j GROUP BY 1
+)
+SELECT doc_id, j.source, ppl,
+       CASE WHEN ppl <= q1 THEN 'head'
+            WHEN ppl <= q2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN q ON j.source = q.source
+"""
+
+
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN top-k: asymmetric-distance shortlist over the 8-byte code
     rows + exact cosine re-rank of the top-100 candidates per query
@@ -4762,4 +4893,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pq_ann_topk": (pq_ann_topk, None),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
+    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
+    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
 }
