@@ -4727,6 +4727,63 @@ FROM j JOIN q ON j.source = q.source
 """
 
 
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over
+    the top-1000 token ranks — the corpus-health fingerprint (natural
+    language sits near -1; machine-generated or template-heavy sources
+    drift flatter), the quick screen a mixture pipeline runs per crawl.
+
+    Scale shape: one (source, token) shuffle builds the counts; the
+    top-1000 cut is the same TWO-PHASE rank brute_force_topk uses
+    (local top-1000 per scan partition first, so no reducer holds a
+    source's whole vocabulary); the regression is a per-source
+    aggregate over <= 1000 rows via built-in regr_slope. Ranks
+    tie-break (count desc, token asc) in both engines so the cut is
+    identical."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    order = (F.desc("c"), F.asc("w"))
+    w1 = Window.partitionBy("source", "__pid").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    ranked = (
+        cnt.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(w1))
+        .where(F.col("__pr") <= 1000)
+        .drop("__pid", "__pr")
+        .withColumn("r", F.row_number().over(w2))
+        .where(F.col("r") <= 1000)
+    )
+    return ranked.groupBy("source").agg(
+        F.round(
+            F.regr_slope(F.log(F.col("c").cast("double")), F.log("r")), 4
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+ZIPF_SLOPE_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), rk AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+  FROM cnt
+)
+SELECT source,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))),
+             4) AS zipf_slope,
+       count(*) AS n_ranks
+FROM rk WHERE r <= 1000
+GROUP BY 1
+"""
+
+
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN top-k: asymmetric-distance shortlist over the 8-byte code
     rows + exact cosine re-rank of the top-100 candidates per query
@@ -4895,4 +4952,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
     "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
+    "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
 }
