@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "cross_source_overlap",
     "winnow_fingerprints",
     "ccnet_buckets",
+    "zipf_slope",
 ]
 
 SF_DIRS = [
