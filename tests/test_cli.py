@@ -280,3 +280,53 @@ def test_wparse_wpl_directory_override(spark, tmp_path):
     )
     assert any("word=alpha" in ln for ln in lines)
     assert any("addr=10.1.2.3" in ln for ln in lines)
+
+
+def test_wparse_work_root_workspace_mode(spark, tmp_path, capsys, monkeypatch):
+    """facade/args.rs + 01-cli README: the reference's primary form is
+    `wparse batch --work-root <ws>` — wpl/oml/sinks/SOURCES all come
+    from the workspace tree; --max-line is the reference spelling of
+    -n; --robust release-stage aliases map onto Debug/Normal/Strict;
+    WP_PARSE_ROBUST is the documented env fallback."""
+    from wp_motor_spark.cli import main as cli_main
+
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        "package /t { rule kv { (chars:word,digit:n) } }\n"
+    )
+    (root / "oml").mkdir()
+    (root / "oml" / "t.oml").write_text(
+        "name : t_kv\nrule :\n    /t/kv\n---\n* = take() ;\n"
+    )
+    (root / "topology" / "sources").mkdir(parents=True)
+    (root / "topology" / "sinks").mkdir(parents=True)
+    (root / "src_dat").mkdir()
+    (root / "src_dat" / "gen.dat").write_text("alpha 1\nbravo 2\ncharlie 3\n")
+    (root / "topology" / "sources" / "wpsrc.toml").write_text(
+        "[[source_file]]\n"
+        'key = "file_1"\n'
+        'path = "./src_dat/gen.dat"\n'
+        "enable = true\n"
+        'encode = "text"\n'
+        "tags = []\n"
+    )
+    (root / "topology" / "sinks" / "sink.toml").write_text(
+        "[sink_group]\n"
+        'name = "out"\n'
+        "[[sink_group.sinks]]\n"
+        'target = "file"\npath = "out/out.dat"\nfmt = "kv"\n'
+    )
+
+    monkeypatch.setenv("WP_PARSE_ROBUST", "online")  # -> strict
+    rc = cli_main(
+        ["wparse", "--work-root", str(root), "--max-line", "2", "-p"]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "sink out: 2 lines" in printed  # --max-line capped 3 -> 2
+    # and the release-stage CLI alias wins over env
+    rc = cli_main(
+        ["wparse", "--work-root", str(root), "--robust", "develop", "-n", "1"]
+    )
+    assert rc == 0

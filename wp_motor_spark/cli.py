@@ -15,6 +15,7 @@ failed raw data: point the same pipeline at the miss/error output dir.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from wp_motor_spark.session import get_spark
@@ -320,14 +321,41 @@ def main(argv: list[str] | None = None) -> int:
 
     for cmd in ("wparse", "daemon", "wprescue"):
         p = sub.add_parser(cmd)
-        p.add_argument("--wpl", required=True)
+        p.add_argument("--wpl")
         p.add_argument("--oml", action="append")
+        p.add_argument(
+            "--work-root",
+            help="workspace root (facade/args.rs work_root + 01-cli "
+            "README: the reference's primary invocation loads "
+            "wpl/oml/sinks/sources from the workspace instead of "
+            "explicit --wpl/--oml flags)",
+        )
         p.add_argument("--sink", action="append", help="name=path:format")
         p.add_argument("--knowdb", help="CSV dimension dir")
         p.add_argument("--rescue-dir", help="failed-write spool dir (rescue.rs)")
         p.add_argument(
-            "-n", "--line-max", type=int, default=None,
-            help="max input lines to process (RunArgs line_max)",
+            "-n", "--line-max", "--max-line", type=int, default=None,
+            help="max input lines to process (RunArgs line_max; the "
+            "reference spells it --max-line)",
+        )
+        p.add_argument(
+            "--robust",
+            choices=[
+                "debug", "normal", "strict",
+                "develop", "alpha", "beta", "online", "crucial",
+            ],
+            default=None,
+            help="robustness override (args.rs --robust / env "
+            "WP_PARSE_ROBUST). The engine has three modes "
+            "(RobustnessMode Debug/Normal/Strict, strategies/mod.rs); "
+            "the release-stage spellings map onto them",
+        )
+        p.add_argument(
+            "--log-profile",
+            choices=["dev", "int", "prod"],
+            default=None,
+            help="log preset (args.rs --log-profile): dev/int/prod -> "
+            "Spark log level INFO/WARN/ERROR",
         )
         p.add_argument(
             "-p", "--print-stat", action="store_true",
@@ -353,7 +381,11 @@ def main(argv: list[str] | None = None) -> int:
                 "speed_limit; 0 = unlimited)",
             )
         else:
-            p.add_argument("--input", required=True)
+            p.add_argument(
+                "--input",
+                help="raw-lines path (optional with --work-root: the "
+                "workspace's enabled file sources are read instead)",
+            )
         if cmd == "daemon":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--trigger-seconds", type=int, default=None)
@@ -453,7 +485,6 @@ def main(argv: list[str] | None = None) -> int:
         if not args.wpl:
             print("wpgen: need --wpl or --sample", file=sys.stderr)
             return 2
-        import os
 
         from wp_motor_spark.wpl.generator import (
             generate_lines,
@@ -473,11 +504,63 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wpgen: {args.n} lines -> {args.out}")
         return 0
 
-    pipe = _build_pipeline(args)
+    # --log-profile (args.rs): dev/int/prod -> Spark driver log level
+    if getattr(args, "log_profile", None):
+        spark.sparkContext.setLogLevel(
+            {"dev": "INFO", "int": "WARN", "prod": "ERROR"}[args.log_profile]
+        )
+
+    ws = None
+    if getattr(args, "work_root", None) and not args.wpl:
+        # workspace mode (the reference's primary `wparse batch|daemon
+        # --work-root <ws>` form): wpl/oml/sinks/sources all come from
+        # the workspace tree, like orchestrator/config does
+        from wp_motor_spark.config import build_pipeline, load_workspace
+        from wp_motor_spark.knowdb import KnowDB
+
+        ws = load_workspace(args.work_root)
+        knowdb = None
+        kdir = os.path.join(args.work_root, "knowdb")
+        if args.knowdb or os.path.isdir(kdir):
+            knowdb = KnowDB(spark).load_csv_dir(args.knowdb or kdir)
+        pipe, _inputs = build_pipeline(ws, knowdb=knowdb)
+    elif not args.wpl:
+        print(f"{args.cmd}: need --wpl or --work-root", file=sys.stderr)
+        return 2
+    else:
+        pipe = _build_pipeline(args)
+
+    # --robust / WP_PARSE_ROBUST override (args.rs completion_from:
+    # CLI wins over conf; env is the documented global fallback).
+    # RobustnessMode has exactly three variants (strategies/mod.rs
+    # matches Debug/Normal/Strict exhaustively); the release-stage CLI
+    # spellings bucket onto them by maturity — develop->debug (the
+    # ERR_STRATEGY_DEV anchor), alpha/beta->normal (ERR_STRATEGY_BETA
+    # anchor is beta), online/crucial->strict (ERR_STRATEGY_STOIC).
+    robust = getattr(args, "robust", None) or os.environ.get("WP_PARSE_ROBUST")
+    if robust:
+        pipe.robust = {
+            "develop": "debug", "alpha": "normal", "beta": "normal",
+            "online": "strict", "crucial": "strict",
+        }.get(robust, robust)
+
     if args.cmd == "daemon":
         from wp_motor_spark.pipeline import stream_lines
 
-        stream = stream_lines(spark, args.input)
+        src = args.input
+        if src is None and ws is not None:
+            # workspace daemon: stream the first enabled file source's
+            # path (directory spool, like the reference's file source)
+            paths = [
+                x.path for x in ws.sources
+                if x.enable and x.kind == "file" and x.path
+            ]
+            if not paths:
+                print("daemon: workspace has no enabled file source",
+                      file=sys.stderr)
+                return 2
+            src = paths[0]
+        stream = stream_lines(spark, src)
         q = pipe.run_stream(
             stream, checkpoint=args.checkpoint, trigger_seconds=args.trigger_seconds
         )
@@ -510,7 +593,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wprescue: replayed {n} lines -> sink {name}")
         return 0
 
-    raw = spark.read.text(args.input)
+    if args.input:
+        raw = spark.read.text(args.input)
+    elif ws is not None:
+        # workspace mode: union every enabled file source, applying
+        # source-level encode (02-file_source.md) like the engine does
+        from wp_motor_spark.config import read_workspace_lines
+
+        raw = read_workspace_lines(spark, ws)
+    else:
+        print(f"{args.cmd}: need --input (or --work-root)", file=sys.stderr)
+        return 2
     if args.line_max:
         raw = raw.limit(args.line_max)
     counts = pipe.write_batch(raw)
