@@ -358,7 +358,7 @@ def main(argv: list[str] | None = None) -> int:
             "Spark log level INFO/WARN/ERROR",
         )
         p.add_argument(
-            "-p", "--print-stat", action="store_true",
+            "-p", "--print-stat", "--stat-print", action="store_true",
             help="print per-rule/disposition parse stats after the run",
         )
         p.add_argument(
