@@ -330,3 +330,22 @@ def test_wparse_work_root_workspace_mode(spark, tmp_path, capsys, monkeypatch):
         ["wparse", "--work-root", str(root), "--robust", "develop", "-n", "1"]
     )
     assert rc == 0
+
+
+def test_wparse_batch_subcommand_spelling(spark, tmp_path, capsys):
+    """facade/args.rs: the reference invokes `wparse batch ...` /
+    `wparse engine ...` — both normalize onto our batch path."""
+    from wp_motor_spark.cli import main as cli_main
+
+    wpl = tmp_path / "p.wpl"
+    wpl.write_text("package /t { rule kv { (chars:word,digit:n) } }\n")
+    oml = tmp_path / "t.oml"
+    oml.write_text("name : t_kv\nrule :\n    /t/kv\n---\n* = take() ;\n")
+    dat = tmp_path / "in.dat"
+    dat.write_text("alpha 1\nbravo 2\n")
+    rc = cli_main(
+        ["wparse", "batch", "--wpl", str(wpl), "--oml", str(oml),
+         "--input", str(dat), "--sink", f"out={tmp_path}/out.dat:kv"]
+    )
+    assert rc == 0
+    assert "sink out: 2 lines" in capsys.readouterr().out

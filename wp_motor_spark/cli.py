@@ -319,6 +319,18 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="wp-motor-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    # reference subcommand spellings (facade/args.rs: `wparse batch`,
+    # `wparse engine`): normalize to our flat command names before parse
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    if argv[:2] in (["wparse", "batch"], ["wparse", "engine"]):
+        argv = ["wparse"] + argv[2:]
+    elif argv[:2] == ["wparse", "daemon"]:
+        argv = ["daemon"] + argv[2:]
+    elif argv and argv[0] in ("batch", "engine"):
+        argv = ["wparse"] + argv[1:]
+
     for cmd in ("wparse", "daemon", "wprescue"):
         p = sub.add_parser(cmd)
         p.add_argument("--wpl")
