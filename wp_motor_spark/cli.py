@@ -416,11 +416,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("-w", "--work-root", default=".")
     g.add_argument(
-        "-c", "--conf", default="wpgen.toml",
-        help="config filename under <work-root>/conf (subcommand form)",
+        "-c", "--conf", "--conf-name", default="wpgen.toml",
+        help="config filename under <work-root>/conf (subcommand form; "
+        "--conf-name is the 01-cli README spelling)",
     )
     g.add_argument(
-        "-s", "--speed", type=int, default=None,
+        "-s", "--speed", "--gen-speed", type=int, default=None,
         help="generation speed override (lines/sec; with duration_secs "
         "it scales the planned row count)",
     )
@@ -432,7 +433,10 @@ def main(argv: list[str] | None = None) -> int:
         "connector-resolved sink, or [main_conf]/out_ref v1); rule files "
         "come from --wpl (a gen_rule.wpl or its directory)",
     )
-    g.add_argument("-n", type=int, default=None)
+    g.add_argument(
+        "-n", "--line-cnt", dest="n", type=int, default=None,
+        help="line count (--line-cnt is the 01-cli README spelling)",
+    )
     g.add_argument("--out", help="output dir (rule/sample modes)")
     g.add_argument("--seed", type=int, default=0)
 
