@@ -294,6 +294,12 @@ def _wpgen_from_config(spark, args) -> int:
         )
         out.write.mode("overwrite").text(out_path)
         print(f"wpgen: {count} lines from samples -> {out_path}")
+        if getattr(args, "print_stat", False):
+            print(
+                f"stat[gen]: {count} lines total (interval "
+                f"{getattr(args, 'stat_sec', 1)}s collapses to one "
+                "batch summary)"
+            )
         return 0
     if not rule_path:
         print(
@@ -312,6 +318,8 @@ def _wpgen_from_config(spark, args) -> int:
         spark, rule, count, overrides=overrides, seed=args.seed
     ).write.mode("overwrite").text(out_path)
     print(f"wpgen: {count} lines -> {out_path}")
+    if getattr(args, "print_stat", False):
+        print(f"stat[gen]: {count} lines total (interval {getattr(args, 'stat_sec', 1)}s collapses to one batch summary)")
     return 0
 
 
@@ -439,6 +447,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("--out", help="output dir (rule/sample modes)")
     g.add_argument("--seed", type=int, default=0)
+    # 04-wpgen.md common parameters: -p/--print_stat periodic stats and
+    # --stat <sec> interval (a batch generator prints one end-of-run
+    # summary); --local is the reference DataArgs default-true toggle
+    g.add_argument(
+        "-p", "--print_stat", "--print-stat", action="store_true",
+        dest="print_stat",
+    )
+    g.add_argument("--stat", dest="stat_sec", type=int, default=1)
+    g.add_argument("--local", action="store_true", default=True)
 
     args = ap.parse_args(argv)
     if args.cmd == "wpgen":
@@ -497,6 +514,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.write.mode("overwrite").text(args.out)
             print(f"wpgen: {args.n} lines from sample -> {args.out}")
+            if getattr(args, "print_stat", False):
+                print(f"stat[gen]: {args.n} lines total (interval {getattr(args, 'stat_sec', 1)}s collapses to one batch summary)")
             return 0
         if not args.wpl:
             print("wpgen: need --wpl or --sample", file=sys.stderr)
@@ -518,6 +537,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, rule, args.n, overrides=overrides, seed=args.seed
         ).write.mode("overwrite").text(args.out)
         print(f"wpgen: {args.n} lines -> {args.out}")
+        if getattr(args, "print_stat", False):
+            print(f"stat[gen]: {args.n} lines total (interval {getattr(args, 'stat_sec', 1)}s collapses to one batch summary)")
         return 0
 
     # --log-profile (args.rs): dev/int/prod -> Spark driver log level
