@@ -226,3 +226,44 @@ def test_cidr4_matches_reference_port(a, b, c, d, pfx, junk):
         .collect()[0]
     )
     assert (row["lo"], row["hi"]) == want, s
+
+
+def _ip4_text_ref(v) -> str:
+    """Literal port of sqlite_ext.rs ip4_text + ipv4_from_u32: integer
+    values wrap `i as u32`; TEXT trims then parse::<u64>() (digits with
+    optional leading '+', must fit u64) and truncates as u32; parse
+    failure -> 0."""
+    if isinstance(v, int):
+        u = v & 0xFFFFFFFF
+    else:
+        s = v.strip()
+        body = s[1:] if s.startswith("+") else s
+        if body.isdigit() and int(body) <= 0xFFFFFFFFFFFFFFFF:
+            u = int(body) & 0xFFFFFFFF
+        else:
+            u = 0
+    return f"{(u >> 24) & 255}.{(u >> 16) & 255}.{(u >> 8) & 255}.{u & 255}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.text(
+            alphabet="0123456789+- .abc\t",
+            max_size=24,
+        ),
+        st.integers(min_value=0, max_value=2**32 + 10).map(str),
+    )
+)
+def test_ip4_text_matches_reference_port(v):
+    from wp_motor_spark import knowdb as K
+
+    spark = _spark_holder["s"]
+    col = "bigint" if isinstance(v, int) else "string"
+    got = (
+        spark.createDataFrame([(v,)], schema=f"v {col}")
+        .select(K.ip4_text(F.col("v")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == _ip4_text_ref(v), repr(v)

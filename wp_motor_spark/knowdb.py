@@ -268,14 +268,33 @@ def cidr4_contains(ip: Column, cidr: Column) -> Column:
 
 
 def ip4_text(v: Column) -> Column:
-    """ip4_text(int) -> dotted quad (sqlite_ext.rs ipv4_from_u32)."""
-    i = v.cast("long")
+    """ip4_text(int|text) -> dotted quad (sqlite_ext.rs ip4_text +
+    ipv4_from_u32). Integer values wrap `i as u32` (low 32 bits of the
+    two's complement, = pmod 2^32); TEXT goes through Rust
+    `s.trim().parse::<u64>()` — digits only (optional leading '+'),
+    must fit u64 — then truncates `as u32`; any parse failure yields 0
+    (so "-1", "abc", "1.2.3.4" all print "0.0.0.0" while integer -1
+    prints "255.255.255.255"). Branches on the column's static type
+    (typeof) to mirror SQLite's value typing, like ip4_between."""
+    two32 = 1 << 32
+    # Rust str::trim strips ALL whitespace (Spark's trim: spaces only)
+    t = F.regexp_replace(v.cast("string"), r"^\s+|\s+$", "")
+    dec = t.try_cast("decimal(20,0)")
+    u64max = F.expr("CAST('18446744073709551615' AS DECIMAL(20,0))")
+    str_u = F.when(
+        t.rlike(r"^\+?\d+$") & dec.isNotNull() & (dec <= u64max),
+        F.pmod(dec, F.lit(two32).cast("decimal(20,0)")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    num_u = F.pmod(v.try_cast("bigint"), F.lit(two32))
+    u = F.when(F.typeof(v) == F.lit("string"), str_u).otherwise(
+        F.coalesce(num_u, F.lit(0).cast("long"))
+    )
     return F.concat_ws(
         ".",
-        F.shiftright(i, 24).bitwiseAND(F.lit(255)).cast("string"),
-        F.shiftright(i, 16).bitwiseAND(F.lit(255)).cast("string"),
-        F.shiftright(i, 8).bitwiseAND(F.lit(255)).cast("string"),
-        i.bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(u, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(u, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(u, 8).bitwiseAND(F.lit(255)).cast("string"),
+        u.bitwiseAND(F.lit(255)).cast("string"),
     )
 
 
