@@ -292,3 +292,17 @@ def test_pq_topk_recall_at_5(emb, exact_top5):
         for r in similarity.pq_topk(emb, queries, k=5).collect()
     }
     assert _recall(got, exact_top5) >= 0.8
+
+
+def test_ivfpq_recall_at_5(emb, exact_top5):
+    """ivfpq_ann_topk gate: coarse-cell probe + residual-PQ ADC
+    shortlist + exact re-rank, recall@5 >= 0.8 vs brute force
+    (measured 0.90 at sf0.001, n_probe=8/16 cells, shortlist=200)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_pq_topk(
+            emb, queries, k=5, n_probe=8, shortlist=200
+        ).collect()
+    }
+    assert _recall(got, exact_top5) >= 0.8

@@ -461,6 +461,21 @@ def main() -> None:
         "operating_point": "m=8 kwords=16 shortlist=100 (ADC + exact rerank)",
     }
 
+    # --- ivfpq_ann_topk: coarse cells + residual-PQ ADC + re-rank ---
+    ivfpq_got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_pq_topk(
+            emb, queries, k=5, n_probe=8, shortlist=200
+        ).collect()
+    }
+    report["gates"]["ivfpq_ann_topk"] = {
+        "metric": "recall@5_vs_brute_force",
+        "value": recall(ivfpq_got),
+        "gate": ">= 0.8",
+        "operating_point": "n_cells=16 n_probe=8 m=8 kwords=16 "
+        "shortlist=200 (residual ADC + exact rerank)",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

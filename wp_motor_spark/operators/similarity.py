@@ -534,3 +534,169 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    kwords: int = 16,
+    shortlist: int = 100,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = 1024,
+    sample_n: int = 4096,
+) -> DataFrame:
+    """IVFPQ ANN (Jegou et al. 2011 §V, the FAISS IVFADC layout): a
+    coarse spherical-k-means quantizer routes each vector to a cell;
+    the RESIDUAL (x - centroid) is product-quantized; queries probe the
+    n_probe nearest cells and score candidates by asymmetric distance
+    against per-(query, cell) lookup tables built from the query's own
+    residual in that cell; the top-`shortlist` re-rank exactly.
+
+    Scale shape: the index frame is (id, cell, m-byte codes) — the
+    vectors themselves stay in the base table and are touched again
+    only for the |Q| x shortlist re-rank (broadcast semi-join into one
+    corpus pass). Candidate generation is a broadcast hash join on the
+    cell key (corpus never explodes); ADC scoring is one Arrow-batched
+    LUT gather per batch (LUTs are |Q| * n_probe * m * kwords doubles
+    in the UDF closure); the shortlist cut is the two-phase rank. All
+    driver-side state is bounded: centroids (n_cells x d), codebooks
+    (d x kwords), the query batch (max_queries)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # --- coarse quantizer + residual codebooks from one bounded sample
+    cmat = _kmeans_centroids(
+        corpus, vec_col, id_col, n_cells, iters=kmeans_iters, sample_n=sample_n
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid")))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    assign = np.argmax((X / xn) @ cmat.T, axis=1)
+    R = X - cmat[assign]  # residuals (centroids are unit-norm rows)
+    books = np.empty((m, kwords, sub), dtype=np.float64)
+    for j in range(m):
+        S = R[:, j * sub : (j + 1) * sub]
+        C = S[: min(kwords, len(S))].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            aj = np.argmin(d2, axis=1)
+            for i in range(len(C)):
+                members = S[aj == i]
+                if len(members):
+                    C[i] = members.mean(axis=0)
+        if len(C) < kwords:
+            C = np.vstack([C] * (kwords // len(C) + 1))[:kwords]
+        books[j] = C
+
+    # --- index build: (id, cell, codes) map-only over the corpus
+    @pandas_udf("struct<cell:long, codes:array<int>>")
+    def encode(batch: pd.Series) -> pd.DataFrame:
+        Xb = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        nb = np.linalg.norm(Xb, axis=1, keepdims=True)
+        nb[nb == 0] = 1.0
+        cells = np.argmax((Xb / nb) @ cmat.T, axis=1)
+        Rb = Xb - cmat[cells]
+        codes = np.empty((len(Xb), m), dtype=np.int32)
+        for j in range(m):
+            S = Rb[:, j * sub : (j + 1) * sub]
+            C = books[j]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cells.astype(np.int64), "codes": list(codes)})
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("__e")
+    ).select("neighbor_id", "__e.cell", "__e.codes")
+
+    # --- query batch: probe cells + per-(query, cell) residual LUTs
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries)
+        .collect()
+    )
+    qids = [int(r["qid"]) for r in qrows]
+    Q = np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    probe = np.argsort(-((Q / qn[:, None]) @ cmat.T), axis=1)[:, :n_probe]
+    # luts[(qi, cell)][j, w] = (q - centroid_cell)[sub_j] . books[j, w]
+    # score(q, x) ~= q . (centroid + decoded residual) = q.c + sum_j lut
+    luts: dict = {}
+    qdotc: dict = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            r = Q[qi] - cmat[c]
+            luts[(qi, int(c))] = np.stack(
+                [Q[qi][j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
+            )
+            qdotc[(qi, int(c))] = float(Q[qi] @ cmat[c])
+
+    probe_rows = [
+        (qids[qi], int(c), qi) for qi in range(len(qids)) for c in probe[qi]
+    ]
+    qp = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, cell bigint, __qi int"
+    )
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, qi_s: pd.Series, cell_s: pd.Series) -> pd.Series:
+        Cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        qi_a = qi_s.to_numpy()
+        cell_a = cell_s.to_numpy()
+        out = np.empty(len(Cd))
+        for i in range(len(Cd)):
+            key = (int(qi_a[i]), int(cell_a[i]))
+            lut = luts[key]
+            out[i] = qdotc[key] + lut[np.arange(m), Cd[i]].sum()
+        return pd.Series(out)
+
+    cand = (
+        enc.join(F.broadcast(qp), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc("codes", "__qi", "cell").alias("score"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    order = (F.desc("score"), F.asc("neighbor_id"))
+    w_part = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    short = (
+        cand.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= shortlist)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).join(F.broadcast(short), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rer = c.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
