@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "winnow_fingerprints",
     "ccnet_buckets",
     "zipf_slope",
+    "ivfpq_ann_topk",
 ]
 
 SF_DIRS = [
