@@ -4800,6 +4800,90 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate telemetry: a doc is a duplicate copy
+    when another doc with the SAME md5(text) has a smaller doc_id (the
+    canonical keep-first convention dedup_exact uses). Reports each
+    source's doc count, duplicate-copy count and rate — the per-crawl
+    number a curation pipeline tracks to decide which sources to
+    re-fetch vs down-weight.
+
+    Scale shape: ONE digest-keyed shuffle (min doc_id per md5 — text
+    itself never shuffles, digests do) broadcast back? No: the join is
+    digest-keyed too, so the exchange is REUSED; the per-source rollup
+    is a |sources|-row agg with map-side partials."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    canon = d.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    return (
+        d.join(canon, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep"), 1).otherwise(0)).alias(
+                "dup_copies"
+            ),
+            F.round(
+                F.sum(F.when(F.col("doc_id") != F.col("keep"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SOURCE_DUP_RATES_SQL = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), canon AS (
+  SELECT h, min(doc_id) AS keep FROM d GROUP BY 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE doc_id <> keep) AS dup_copies,
+       round(CAST(count(*) FILTER (WHERE doc_id <> keep) AS DOUBLE)
+             / count(*), 4) AS dup_rate
+FROM d JOIN canon USING (h)
+GROUP BY 1
+"""
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed document-length histogram (the
+    sequence-length telemetry that sizes packing windows and context
+    budgets): bucket = floor(log2(n_tokens)), with doc counts and the
+    bucket's token share.
+
+    Scale shape: MAP-ONLY projection (tokenize + size + log2) feeding a
+    (source, bucket) agg — bounded output (|sources| x ~20 buckets),
+    map-side partials absorb everything."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(text.tokens(F.col("text")))
+    return (
+        docs.select("source", n.alias("n"))
+        .groupBy("source", F.floor(F.log2("n")).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("tokens"),
+        )
+    )
+
+
+TOKEN_LEN_HIST_SQL = r"""
+WITH t AS (
+  SELECT source,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(floor(log2(n)) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens
+FROM t
+GROUP BY 1, 2
+"""
+
+
 def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ ANN (the FAISS IVFADC layout): coarse k-means cells +
     residual product quantization; queries probe 8 of 16 cells, score
@@ -4973,4 +5057,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
     "ivfpq_ann_topk": (ivfpq_ann_topk, None),
+    "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
+    "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
 }
