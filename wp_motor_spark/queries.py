@@ -4925,15 +4925,86 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r9: the four r8-new queries (never driver-
-    # certified) lead, followed by 46 of the 49 r7-driver-green queries
-    # (locally re-verified in r8) - together the window certifies all
-    # value-checkable queries whose last driver row predates r8. Three
-    # rows-only queries (no oracle_sql by design: multimodal_features,
-    # sketch_distinct_users, sketch_value_quantiles) sit at 51-53: a
-    # driver row adds nothing beyond their r7 rows-only row, and each
-    # carries a passing numeric gate in QUALITY_r9.json. The 50
-    # r8-driver-green queries follow.
+    # entries. Rotated for r10: the 12 r9-new queries (never driver-
+    # certified; registry tail last round) lead, followed by 38 of the
+    # 50 r8-driver-green queries (the oldest value-certified block, in
+    # their r8 order). The remaining 12 r8-green queries sit at 51-62
+    # and lead the r11 window. Three rows-only queries (no oracle_sql
+    # by design: multimodal_features, sketch_distinct_users,
+    # sketch_value_quantiles) follow at 63-65 - a driver row adds
+    # nothing beyond their r7 rows-only row + passing numeric gates in
+    # QUALITY_r{N}.json. The 50 r9-driver-green queries close the
+    # registry.
+    # --- NEW r9 (driver rows land this round) ---
+    "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
+    "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
+    "pq_quantize": (pq_quantize, None),
+    "pq_ann_topk": (pq_ann_topk, None),
+    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
+    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
+    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
+    "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
+    "ivfpq_ann_topk": (ivfpq_ann_topk, None),
+    "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
+    "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
+    # --- r8 driver-green, oldest 38 (CORRECTNESS_r08.json) ---
+    "ivf_ann_topk": (ivf_ann_topk, None),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
+    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
+    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
+    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
+    "embedding_pca": (embedding_pca_q, None),
+    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
+    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
+    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "kmeans_clusters": (kmeans_clusters, None),
+    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
+    "doc_information": (doc_information_q, DOC_INFO_SQL),
+    "compression_quality": (compression_quality, None),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "zorder_events": (zorder_events, _zorder_sql()),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    "bpe_token_counts": (bpe_token_counts, None),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "train_val_split": (train_val_split, _train_val_split_sql()),
+    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    # --- r8 driver-green, remaining 12 (lead the r11 window) ---
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
+    "user_sessions": (user_sessions, SESSIONS_SQL),
+    "events_alerts": (events_alerts, ALERTS_SQL),
+    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
+    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
+    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    # --- rows-only (gate-covered) by design ---
+    "multimodal_features": (multimodal_features, None),
+    "sketch_distinct_users": (sketch_distinct_users, None),
+    "sketch_value_quantiles": (sketch_value_quantiles, None),
+    # --- r9 driver-green (CORRECTNESS_r09.json) ---
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "domain_kl": (domain_kl, DOMAIN_KL_SQL),
     "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
@@ -4988,75 +5059,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
     "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
-    # --- rows-only (gate-covered) queries rotated just outside the
-    # window; driver records rows-only for these regardless ---
-    "multimodal_features": (multimodal_features, None),
-    "sketch_distinct_users": (sketch_distinct_users, None),
-    "sketch_value_quantiles": (sketch_value_quantiles, None),
-    # --- r8 driver-green (CORRECTNESS_r08.json) ---
-    "ivf_ann_topk": (ivf_ann_topk, None),
-    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
-    "lsh_ann_topk": (lsh_ann_topk, None),
-    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
-    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
-    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
-    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
-    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
-    "embedding_pca": (embedding_pca_q, None),
-    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
-    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
-    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
-    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
-    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
-    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
-    "kmeans_clusters": (kmeans_clusters, None),
-    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
-    "doc_information": (doc_information_q, DOC_INFO_SQL),
-    "compression_quality": (compression_quality, None),
-    "html_extract": (html_extract, HTML_EXTRACT_SQL),
-    "zorder_events": (zorder_events, _zorder_sql()),
-    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
-    "bpe_token_counts": (bpe_token_counts, None),
-    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
-    "train_val_split": (train_val_split, _train_val_split_sql()),
-    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
-    "bm25_search": (bm25_search, BM25_SQL),
-    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_orders": (q3_top_orders, Q3_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
-    "user_sessions": (user_sessions, SESSIONS_SQL),
-    "events_alerts": (events_alerts, ALERTS_SQL),
-    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
-    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
-    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
-    # --- NEW r9 (at the END: the first-50 driver window must keep
-    # covering the never-r8-certified block this round; these get driver
-    # rows after the r10 rotation, oracle-verified locally meanwhile) ---
-    "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
-    "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
-    "pq_quantize": (pq_quantize, None),
-    "pq_ann_topk": (pq_ann_topk, None),
-    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
-    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
-    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
-    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
-    "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
-    "ivfpq_ann_topk": (ivfpq_ann_topk, None),
-    "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
-    "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
 }
