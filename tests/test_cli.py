@@ -349,3 +349,47 @@ def test_wparse_batch_subcommand_spelling(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "sink out: 2 lines" in capsys.readouterr().out
+
+
+def test_wprescue_workspace_explicit_rescue_dir_wins(spark, tmp_path, capsys):
+    """Workspace-mode wprescue with an explicit --rescue-dir must replay
+    THAT spool, not the workspace's configured one (args.rs
+    completion_from: CLI wins over conf). Regression: the flag used to be
+    presence-checked only, silently replaying the workspace spool."""
+    import json
+
+    from wp_motor_spark.cli import main as cli_main
+    from wp_motor_spark.sinks import rescue as rsc
+
+    root = tmp_path / "ws"
+    (root / "wpl").mkdir(parents=True)
+    (root / "wpl" / "parse.wpl").write_text(
+        "package /t { rule kv { (chars:word,digit:n) } }\n"
+    )
+    (root / "oml").mkdir()
+    (root / "oml" / "t.oml").write_text(
+        "name : t_kv\nrule :\n    /t/kv\n---\n* = take() ;\n"
+    )
+    (root / "topology" / "sources").mkdir(parents=True)
+    (root / "topology" / "sinks").mkdir(parents=True)
+    sink_path = root / "out" / "out.dat"
+    (root / "topology" / "sinks" / "sink.toml").write_text(
+        "[sink_group]\n"
+        'name = "out"\n'
+        "[[sink_group.sinks]]\n"
+        f'target = "file"\npath = "{sink_path}"\nfmt = "kv"\n'
+    )
+
+    # spool two pre-formatted lines in a NON-workspace rescue dir
+    custom = str(tmp_path / "elsewhere")
+    spool = spark.createDataFrame([("word=a n=1",), ("word=b n=2",)], ["line"])
+    rsc.rescue_lines(spool, custom, "out")
+
+    rc = cli_main(
+        ["wprescue", "--work-root", str(root), "--rescue-dir", custom]
+    )
+    assert rc == 0
+    assert "replayed 2 lines -> sink out" in capsys.readouterr().out
+    delivered = {r["value"] for r in spark.read.text(str(sink_path)).collect()}
+    assert delivered == {"word=a n=1", "word=b n=2"}
+    assert rsc.pending_sinks(custom) == []  # the CLI-given spool drained

@@ -455,7 +455,9 @@ def main(argv: list[str] | None = None) -> int:
         dest="print_stat",
     )
     g.add_argument("--stat", dest="stat_sec", type=int, default=1)
-    g.add_argument("--local", action="store_true", default=True)
+    g.add_argument(
+        "--local", action=argparse.BooleanOptionalAction, default=True
+    )
 
     args = ap.parse_args(argv)
     if args.cmd == "wpgen":
@@ -561,6 +563,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.knowdb or os.path.isdir(kdir):
             knowdb = KnowDB(spark).load_csv_dir(args.knowdb or kdir)
         pipe, _inputs = build_pipeline(ws, knowdb=knowdb)
+        if getattr(args, "rescue_dir", None):
+            # CLI wins over conf (args.rs completion_from): an explicit
+            # --rescue-dir overrides the workspace's [rescue] spool, so
+            # wprescue replays the directory the user pointed at
+            pipe.rescue_dir = args.rescue_dir
     elif not args.wpl:
         print(f"{args.cmd}: need --wpl or --work-root", file=sys.stderr)
         return 2

@@ -635,13 +635,14 @@ def ivf_pq_topk(
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0] = 1.0
     probe = np.argsort(-((Q / qn[:, None]) @ cmat.T), axis=1)[:, :n_probe]
-    # luts[(qi, cell)][j, w] = (q - centroid_cell)[sub_j] . books[j, w]
-    # score(q, x) ~= q . (centroid + decoded residual) = q.c + sum_j lut
+    # luts[(qi, cell)][j, w] = q[sub_j] . books[j, w] — the LUT is built
+    # from q's own subvectors (NOT the residual q - centroid): with
+    # score(q, x) ~= q . (centroid + decoded residual) = q.c + sum_j lut,
+    # the centroid term is the separate qdotc scalar below
     luts: dict = {}
     qdotc: dict = {}
     for qi in range(len(qids)):
         for c in probe[qi]:
-            r = Q[qi] - cmat[c]
             luts[(qi, int(c))] = np.stack(
                 [Q[qi][j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
             )

@@ -125,9 +125,11 @@ class SpeedController:
         check cadence (controller.rs:200: per-check burst probability is
         the per-second probability / 10, calibrated for 100 ms calls), so
         expected burst frequency AND sub-second burst_duration_ms windows
-        integrate at the reference's resolution. Accumulates in float and
-        rounds once so fractional per-tick rates don't undercount (0.1 s
-        ticks are inexact in binary: 25 x 50.0 sums to 1249.999...)."""
+        integrate at the reference's resolution. Accumulates in float,
+        scrubs float epsilon with round(.., 6), then truncates once —
+        rows are discrete emissions, so a genuine fractional total (e.g.
+        3.5 planned rows) floors to 3, while binary tick inexactness
+        (25 x 50.0 summing to 1249.999...) still lands on 1250."""
         total = 0.0
         t = 0.0
         while t < duration_secs:
