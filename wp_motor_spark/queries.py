@@ -3921,8 +3921,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the query term set and the one-row corpus stats frame
     BROADCAST into the map-side hit filter, so the text shuffle carries
     only (query, doc, term) hits; the vector side broadcasts 5 query
-    vectors into a one-pass corpus scan; ranking windows partition by
-    query (|Q| partitions); fusion joins two |Q|x20 frames. Both ranks
+    vectors into a one-pass corpus scan; BOTH ranks are two-phase exact
+    top-K (partial rank within (query, physical partition), then a
+    global rank over <= K*P survivors — no reducer ever holds one
+    query's full score list); fusion joins two |Q|x20 frames. Both ranks
     sort on ROUNDED scores (4/6 dp) with doc-id tie-breaks so the
     ordering is reproducible across engines."""
     K, RRF_K, TOP = 20, 60, 10
@@ -3983,9 +3985,22 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib).cast("double"), 4).alias("s"))
     )
-    wt = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    # Two-phase exact top-K (the brute_force_topk shape): a query whose
+    # terms are common matches most of the corpus, so a single
+    # per-query window would send ~all of one query's BM25 scores to
+    # one reducer at 100x. Phase 1 ranks within (query_id, physical
+    # partition of the agg output) and keeps each partition's local
+    # top-K; phase 2 ranks the <= K*P survivors. Exact: every global
+    # top-K row is inside its partition's local top-K, and both phases
+    # break ties identically (rounded score desc, doc_id asc).
+    t_order = (F.desc("s"), F.asc("doc_id"))
+    wt_part = Window.partitionBy("query_id", "__pid").orderBy(*t_order)
+    wt = Window.partitionBy("query_id").orderBy(*t_order)
     tr = (
-        scores.withColumn("rank_t", F.row_number().over(wt))
+        scores.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(wt_part))
+        .where(F.col("__pr") <= K)
+        .withColumn("rank_t", F.row_number().over(wt))
         .where(F.col("rank_t") <= K)
         .select("query_id", "doc_id", "rank_t")
     )
@@ -4667,20 +4682,56 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     of their bigram-LM perplexity — the mixture knob CCNet uses to
     up-sample fluent text per language/source shard.
 
-    Scale shape: per-source tertile CUT POINTS come from one exact
-    `percentile` aggregation (|sources| rows, broadcast back) and the
-    bucket label is a map-side comparison — deliberately NOT a
-    per-source ntile window, whose total order would send every doc of
-    one source through one reducer at 100 TB. Quantiles and the
-    comparison run on the ROUNDED ppl so the DuckDB oracle
-    (quantile_cont == Spark percentile, both p*(n-1) linear
-    interpolation on doubles) lands on identical cuts."""
+    Scale shape: per-source tertile CUT POINTS come from a TWO-LEVEL
+    exact computation with bounded state — (1) a (source, rounded-ppl)
+    count histogram (every agg buffer is one scalar count; a plain
+    `percentile` agg would buffer a per-source value->count map whose
+    size scales with the source's distinct-ppl count, ~1e7-1e8 entries
+    in one in-memory buffer at 100 TB), (2) a per-source cumulative sum
+    over the histogram (a window SORT, which spills to disk, over
+    distinct values only) locates the two p*(n-1) index positions and
+    linearly interpolates exactly like Spark `percentile` / DuckDB
+    `quantile_cont` (lower + frac*(upper - lower) on doubles). The
+    |sources|-row cut frame broadcasts back and the bucket label is a
+    map-side comparison — deliberately NOT a per-source ntile window,
+    whose total order would send every doc of one source through one
+    reducer at 100 TB. Cuts and the comparison use the ROUNDED ppl so
+    the DuckDB oracle lands on identical buckets."""
     ppl = lm_perplexity(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     j = ppl.join(src, "doc_id")
-    q = j.groupBy("source").agg(
-        F.percentile("ppl", 1.0 / 3).alias("q1"),
-        F.percentile("ppl", 2.0 / 3).alias("q2"),
+    hist = j.groupBy("source", "ppl").agg(F.count(F.lit(1)).alias("cnt"))
+    wsrc = Window.partitionBy("source").orderBy("ppl")
+    cum = (
+        hist.withColumn("hi", F.sum("cnt").over(wsrc))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+    )
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    # index positions for p in {1/3, 2/3}: pos = p*(n-1); the value at
+    # global 0-based index i lives on the histogram row with lo <= i < hi
+    cum = cum.join(F.broadcast(n), "source")
+
+    def _cut(p: float, tag: str):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        ilo, ihi = F.floor(pos), F.ceil(pos)
+        return [
+            F.max(
+                F.when((F.col("lo") <= ilo) & (ilo < F.col("hi")), F.col("ppl"))
+            ).alias(f"vlo_{tag}"),
+            F.max(
+                F.when((F.col("lo") <= ihi) & (ihi < F.col("hi")), F.col("ppl"))
+            ).alias(f"vhi_{tag}"),
+            F.max(pos - F.floor(pos).cast("double")).alias(f"frac_{tag}"),
+        ]
+
+    q = (
+        cum.groupBy("source")
+        .agg(*_cut(1.0 / 3, "1"), *_cut(2.0 / 3, "2"))
+        .select(
+            "source",
+            (F.col("vlo_1") + F.col("frac_1") * (F.col("vhi_1") - F.col("vlo_1"))).alias("q1"),
+            (F.col("vlo_2") + F.col("frac_2") * (F.col("vhi_2") - F.col("vlo_2"))).alias("q2"),
+        )
     )
     return j.join(F.broadcast(q), "source").select(
         "doc_id",
