@@ -37,9 +37,23 @@ def main() -> None:
     spark = get_spark(app_name="wp_motor_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    _warm_python_workers(spark)
+
+    # Throughput probe comparable to BASELINE.md's per-record numbers:
+    # generate nginx-style lines, run the full WPL parse + OML transform,
+    # report events/s (BASELINE: WPL ~300-500 MB/s, OML ~2.7M rec/s/core).
+    # The probe runs BEFORE the query suite: the r9 driver artifact read
+    # 2.6x low because the probe inherited the 100-second suite's heap/
+    # allocator debt and box contention, and its pre-recorded loadavg
+    # couldn't show that — probe-first makes the headline number
+    # interpretable from the artifact alone.
+    try:
+        throughput = _throughput_probe(spark)
+    except Exception as exc:
+        throughput = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+
     # Warm the JVM/codegen path so query 1 doesn't absorb session startup.
     next(iter(QUERIES.values()))[0](spark, sf_dir).limit(1).count()
-    _warm_python_workers(spark)
 
     # Two full passes, best-of-2 per query: the box is shared, so a single
     # shot can catch a noisy-neighbor spike (observed 7x swings on the same
@@ -86,19 +100,6 @@ def main() -> None:
         rec["band"] = round(max(ts) / min(ts), 3) if min(ts) > 0 else None
 
     total = round(sum(timings.values()), 3)
-
-    # Throughput probe comparable to BASELINE.md's per-record numbers:
-    # generate nginx-style lines, run the full WPL parse + OML transform,
-    # report events/s (BASELINE: WPL ~300-500 MB/s, OML ~2.7M rec/s/core).
-    try:
-        # measurement hygiene: the 80-second suite leaves the JVM heap full
-        # of dead shuffle/cache objects; without a GC the probe pays that
-        # collection debt and reads 30-40% low (isolated probe: 86-93k/core,
-        # post-suite without GC: 50-59k on the same HEAD)
-        spark.sparkContext._jvm.System.gc()
-        throughput = _throughput_probe(spark)
-    except Exception as exc:
-        throughput = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
     # connected-components convergence telemetry: iteration count is the
     # cost driver for dedup_clusters/semantic_dedup_keep — recording it
@@ -199,10 +200,18 @@ def _throughput_probe(spark, n: int = 8_000_000) -> dict:
         return time.perf_counter() - t0
 
     full_pass()  # warm codegen/JIT — steady-state is what BASELINE measures
-    # best of 2 measured passes: the box is shared, min filters out noise
-    load0 = os.getloadavg()[0]
-    w1, w2 = full_pass(), full_pass()
-    wall = min(w1, w2)
+    # best of 2 measured passes (a third when the spread exceeds 1.5x —
+    # that spread marks a contention spike, and one more sample usually
+    # brackets the true floor): the box is shared, min filters out noise
+    walls: list[float] = []
+    loads: list[float] = [round(os.getloadavg()[0], 2)]
+    for _ in range(2):
+        walls.append(full_pass())
+        loads.append(round(os.getloadavg()[0], 2))
+    if max(walls) / min(walls) > 1.5:
+        walls.append(full_pass())
+        loads.append(round(os.getloadavg()[0], 2))
+    wall = min(walls)
     lines.unpersist()
 
     return {
@@ -210,11 +219,13 @@ def _throughput_probe(spark, n: int = 8_000_000) -> dict:
         "parse_ok": n_ok,
         "wpl_oml_events_per_s": round(n / wall),
         "events_per_s_per_core": round(n / wall / cores),
-        # contention context for the probe itself: loadavg right before the
-        # timed passes + the two raw walls — a low events/s with a high
-        # loadavg or a wide pass spread is box noise, not a code regression
-        "loadavg_1m": round(load0, 2),
-        "pass_walls_s": [round(w1, 3), round(w2, 3)],
+        # contention context for the probe itself: loadavg before the timed
+        # passes AND after each one, plus every raw wall — a low events/s
+        # with a rising loadavg or a wide pass spread is box noise, not a
+        # code regression, and the artifact alone now shows which
+        "loadavg_1m": loads[0],
+        "loadavg_per_pass": loads,
+        "pass_walls_s": [round(w, 3) for w in walls],
     }
 
 
