@@ -48,6 +48,10 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set
         "q22_dormant_customers": {"NESTED_LOOP"},  # broadcast ONE-row AVG
         "dsir_weights": {"NESTED_LOOP"},      # broadcast ONE-row totals agg
+        "stupid_backoff_ppl": {"NESTED_LOOP"},  # broadcast ONE-row N total
+        "heaps_law": {"NESTED_LOOP"},         # broadcast ONE-row max(doc_id)
+        "hard_negative_mining": {"NESTED_LOOP"},  # broadcast tiny query set
+        "mrl_truncation_eval": {"NESTED_LOOP"},   # broadcast tiny query set
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

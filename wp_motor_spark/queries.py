@@ -4971,6 +4971,631 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# r10 additions: entropy/LM/vocab-growth corpus diagnostics, count-min
+# sketch, weighted sampling, hard-negative mining, MRL truncation eval
+# --------------------------------------------------------------------------
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy + type-token
+    ratio — the cheap repetitiveness screen a curation pipeline runs
+    before the expensive LM scorers (a doc whose tokens concentrate on
+    a few types has low entropy; spam/template text lands here first).
+
+    Scale shape: MAP-ONLY — the entropy is computed inside one
+    projection with array HOFs over each row's own token array
+    (distinct-types x tokens comparisons per row, bounded by doc
+    length), so NOTHING shuffles; the filter flag is a literal
+    comparison. At 100 TB this is a single scan with full codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        # n_chars > 0 guards empty docs with a SCAN-column comparison the
+        # parquet reader pushes down (a size(a) >= 1 post-split filter
+        # can't push; split of a trimmed non-empty string is never empty)
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", text.tokens(F.col("text")).alias("a"))
+        .select(
+            "doc_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(array_distinct(a),"
+                    " t -> size(filter(a, x -> x = t)) / cast(size(a) as double)),"
+                    " 0D, (acc, p) -> acc - p * ln(p))"
+                ),
+                4,
+            ).alias("token_entropy"),
+            F.round(
+                F.size(F.array_distinct(F.col("a")))
+                / F.size(F.col("a")).cast("double"),
+                4,
+            ).alias("ttr"),
+        )
+        .withColumn("low_entropy", F.col("token_entropy") < 3.0)
+    )
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE n_chars > 0
+), e AS (
+  SELECT doc_id,
+         round(CAST(-list_sum(list_transform(
+             list_transform(list_distinct(a),
+                            t -> len(list_filter(a, x -> x = t))
+                                 / CAST(len(a) AS DOUBLE)),
+             p -> p * ln(p))) AS DOUBLE), 4) AS token_entropy,
+         round(len(list_distinct(a)) / CAST(len(a) AS DOUBLE), 4) AS ttr
+  FROM tok
+)
+SELECT doc_id, token_entropy, ttr, token_entropy < 3.0 AS low_entropy
+FROM e
+"""
+
+
+def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram Stupid-Backoff score (Brants et al. 2007,
+    "Large Language Models in Machine Translation": S(w3|w1w2) =
+    c123/c12, backing off to 0.4*c23/c2, then 0.4^2*c3/N; unseen
+    unigrams floor at 0.4^2/N) with the model trained on the EVEN
+    doc_ids only — the held-out odd docs genuinely exercise the backoff
+    chain, which is the point of the scheme at web scale. Reported as
+    sbo_ppl = exp(-mean ln S): the distribution-shift screen that beats
+    the self-trained bigram `lm_perplexity` at flagging out-of-domain
+    shards.
+
+    Scale shape: counts build from the training half in bounded-vocab
+    shuffles (trigram/bigram/unigram keyed — word-level n-gram vocab is
+    ~1e6-1e8 rows regardless of corpus size); scoring left-joins the
+    exploded trigram stream against the BROADCAST count tables, so only
+    (doc, w1, w2, w3) tuples move and the doc text never shuffles. The
+    one-row (N) frame is a broadcast cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("train"),
+        text.tokens(F.col("text")).alias("a"),
+    ).where(F.size("a") >= 3)
+    tri = tok.select(
+        "doc_id",
+        "train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 2),"
+                " i -> struct(a[i-1] as w1, a[i] as w2, a[i+1] as w3))"
+            )
+        ).alias("z"),
+    ).select("doc_id", "train", "z.w1", "z.w2", "z.w3")
+    bg = tok.select(
+        "train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(a[i-1] as w1, a[i] as w2))"
+            )
+        ).alias("z"),
+    ).select("train", "z.w1", "z.w2")
+    un = tok.select("train", F.explode("a").alias("w"))
+
+    c123 = (
+        tri.where("train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    c12 = (
+        bg.where("train")
+        .groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = (
+        un.where("train").groupBy(F.col("w").alias("u1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_tot = un.where("train").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tot")
+    )
+
+    scored = (
+        tri.join(F.broadcast(c123), ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(c12),
+            (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")),
+            "left",
+        )
+        .join(
+            F.broadcast(c12.toDF("q2", "q3", "c23")),
+            (F.col("w2") == F.col("q2")) & (F.col("w3") == F.col("q3")),
+            "left",
+        )
+        .join(F.broadcast(c1.toDF("u2", "c2")), F.col("w2") == F.col("u2"), "left")
+        .join(F.broadcast(c1.toDF("u3", "c3")), F.col("w3") == F.col("u3"), "left")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    s = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            0.4 * F.col("c23").cast("double") / F.col("c2"),
+        )
+        .when(
+            F.col("c3").isNotNull(),
+            0.16 * F.col("c3").cast("double") / F.col("n_tot"),
+        )
+        .otherwise(0.16 / F.col("n_tot"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.exp(-F.avg(F.log(s))), 4).alias("sbo_ppl")
+    )
+
+
+STUPID_BACKOFF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 2 = 0 AS train,
+         string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), tok3 AS (
+  SELECT * FROM tok WHERE len(a) >= 3
+), tri AS (
+  SELECT doc_id, train, u.z[1] AS w1, u.z[2] AS w2, u.z[3] AS w3
+  FROM tok3, LATERAL (
+    SELECT unnest(list_zip(a[1:len(a)-2], a[2:len(a)-1], a[3:])) AS z) u
+), bg AS (
+  SELECT train, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok3, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS z) u
+), un AS (
+  SELECT train, u.w AS w FROM tok3, LATERAL (SELECT unnest(a) AS w) u
+), c123 AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE train GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE train GROUP BY 1, 2
+), c1 AS (
+  SELECT w, count(*) AS c1 FROM un WHERE train GROUP BY 1
+), n_tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM un WHERE train
+)
+SELECT doc_id,
+       round(CAST(exp(-avg(ln(
+         CASE
+           WHEN c123.c123 IS NOT NULL
+             THEN CAST(c123.c123 AS DOUBLE) / b12.c12
+           WHEN b23.c12 IS NOT NULL
+             THEN 0.4 * CAST(b23.c12 AS DOUBLE) / u2.c1
+           WHEN u3.c1 IS NOT NULL
+             THEN 0.16 * CAST(u3.c1 AS DOUBLE) / n_tot
+           ELSE 0.16 / n_tot
+         END))) AS DOUBLE), 4) AS sbo_ppl
+FROM tri
+LEFT JOIN c123 USING (w1, w2, w3)
+LEFT JOIN c12 b12 ON tri.w1 = b12.w1 AND tri.w2 = b12.w2
+LEFT JOIN c12 b23 ON tri.w2 = b23.w1 AND tri.w3 = b23.w2
+LEFT JOIN c1 u2 ON tri.w2 = u2.w
+LEFT JOIN c1 u3 ON tri.w3 = u3.w
+CROSS JOIN n_tot
+GROUP BY 1
+"""
+
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps'-law exponent (Heaps 1978: vocabulary grows as
+    V = K * N^beta, beta ~0.4-0.6 for natural language): OLS slope of
+    ln V on ln N over doc_id-prefix checkpoints — a corpus whose beta
+    collapses toward 0 is template/boilerplate-dominated; one drifting
+    toward 1 is ID/hash noise. The crawl-health twin of `zipf_slope`.
+
+    Scale shape: checkpoints are a FIXED power-of-two doc_id lattice, so
+    both V and N come from conditional aggregations with NO per-source
+    total order (the naive cumulative-distinct needs a per-source
+    ordered window = one reducer per source at 100 TB). V(thr) = count
+    of tokens whose FIRST doc_id <= thr — one (source, token)-keyed
+    shuffle bounded by vocab size; N(thr) = conditional sums over the
+    per-doc count frame. The lattice caps at 2*max(doc_id) via a
+    broadcast one-row max (lint: ALLOWED one-row broadcast), keeping
+    every checkpoint informative; the regression input is
+    |sources| x |lattice| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(text.tokens(F.col("text"))).alias("tk")
+    )
+    firstdoc = toks.groupBy("source", "tk").agg(F.min("doc_id").alias("fd"))
+    docn = toks.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    maxid = docs.agg(F.max("doc_id").alias("mx"))
+
+    thr = F.explode(
+        F.array(*[F.lit(2 ** k) for k in range(4, 31)])
+    ).alias("thr")
+    v = (
+        firstdoc.select("source", "fd")
+        .crossJoin(F.broadcast(maxid))
+        .select("source", "fd", thr, "mx")
+        .where((F.col("fd") <= F.col("thr")) & (F.col("thr") <= 2 * F.col("mx")))
+        .groupBy("source", "thr")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    n = (
+        docn.crossJoin(F.broadcast(maxid))
+        .select("source", "doc_id", "n", thr, "mx")
+        .where(
+            (F.col("doc_id") <= F.col("thr")) & (F.col("thr") <= 2 * F.col("mx"))
+        )
+        .groupBy("source", "thr")
+        .agg(F.sum("n").alias("n"))
+    )
+    return (
+        v.join(n, ["source", "thr"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("points"),
+            F.round(
+                F.regr_slope(F.log(F.col("v").cast("double")),
+                             F.log(F.col("n").cast("double"))),
+                4,
+            ).alias("heaps_beta"),
+        )
+    )
+
+
+HEAPS_LAW_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id, u.tk AS tk
+  FROM (SELECT source, doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS a
+        FROM documents) t,
+  LATERAL (SELECT unnest(a) AS tk) u
+), firstdoc AS (
+  SELECT source, tk, min(doc_id) AS fd FROM toks GROUP BY 1, 2
+), docn AS (
+  SELECT source, doc_id, count(*) AS n FROM toks GROUP BY 1, 2
+), maxid AS (
+  SELECT max(doc_id) AS mx FROM documents
+), lattice AS (
+  SELECT unnest([power(2, k)::BIGINT FOR k IN range(4, 31)]) AS thr
+), v AS (
+  SELECT source, thr, count(*) AS v
+  FROM firstdoc, lattice, maxid
+  WHERE fd <= thr AND thr <= 2 * mx
+  GROUP BY 1, 2
+), n AS (
+  SELECT source, thr, sum(docn.n) AS n
+  FROM docn, lattice, maxid
+  WHERE doc_id <= thr AND thr <= 2 * mx
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS points,
+       round(regr_slope(ln(CAST(v AS DOUBLE)), ln(CAST(n AS DOUBLE))), 4)
+         AS heaps_beta
+FROM v JOIN n USING (source, thr)
+GROUP BY 1
+"""
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream, evaluated on the exact top-20 heavy hitters: estimated vs
+    exact count and relative overestimate — the fixed-memory frequency
+    sketch a streaming curation pipeline keeps per shard (d=4 rows x
+    w=1024 buckets = 4096 counters regardless of vocabulary size).
+    Hashes are md5-derived so the DuckDB oracle computes the IDENTICAL
+    sketch (same convention as winnow_fingerprints/training_shards).
+
+    Scale shape: exact counts are one token-keyed shuffle (bounded
+    vocab); the sketch itself aggregates the |vocab| count frame into
+    <= 4096 (seed, bucket) cells — at 100 TB the sketch build is a
+    rollup of the count table, NOT a second pass over the corpus; the
+    top-20 cut is the two-phase rank. Estimate lookup joins the 20-row
+    frame against the broadcast 4096-cell table."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+
+    def bucket(seed: int, col):
+        h = F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(1024)
+        )
+
+    cells = (
+        cnt.select(
+            "exact_cnt",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("seed"), bucket(s, F.col("tk")).alias("b")
+                    )
+                    for s in range(4)
+                ])
+            ).alias("z"),
+        )
+        .groupBy("z.seed", "z.b")
+        .agg(F.sum("exact_cnt").alias("cell"))
+    )
+    order = (F.desc("exact_cnt"), F.asc("tk"))
+    w_part = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    w_all = Window.orderBy(*order)
+    top = (
+        cnt.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= 20)
+        .withColumn("rk", F.row_number().over(w_all))
+        .where(F.col("rk") <= 20)
+        .select("tk", "exact_cnt", "rk")
+    )
+    est = None
+    t = top
+    for s in range(4):
+        t = t.join(
+            F.broadcast(
+                cells.where(F.col("seed") == s).select(
+                    F.col("b").alias(f"b{s}"), F.col("cell").alias(f"cell{s}")
+                )
+            ),
+            bucket(s, F.col("tk")) == F.col(f"b{s}"),
+        )
+        e = F.col(f"cell{s}")
+        est = e if est is None else F.least(est, e)
+    return t.select(
+        "tk",
+        "exact_cnt",
+        est.alias("cm_est"),
+        F.round((est - F.col("exact_cnt")) / F.col("exact_cnt"), 4).alias(
+            "rel_overestimate"
+        ),
+        "rk",
+    )
+
+
+COUNTMIN_SQL = r"""
+WITH cnt AS (
+  SELECT u.tk AS tk, count(*) AS exact_cnt
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS a
+        FROM documents) t,
+  LATERAL (SELECT unnest(a) AS tk) u
+  GROUP BY 1
+), cells AS (
+  SELECT s.seed,
+         ('0x' || substr(md5(s.seed || ':' || tk), 1, 8))::BIGINT % 1024 AS b,
+         sum(exact_cnt) AS cell
+  FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS seed) s
+  GROUP BY 1, 2
+), top AS (
+  SELECT tk, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, tk) AS rk
+  FROM cnt QUALIFY rk <= 20
+)
+SELECT tk, exact_cnt,
+       min(cell) AS cm_est,
+       round((min(cell) - exact_cnt) / CAST(exact_cnt AS DOUBLE), 4)
+         AS rel_overestimate,
+       rk
+FROM top JOIN cells
+  ON cells.b = ('0x' || substr(md5(cells.seed || ':' || tk), 1, 8))::BIGINT
+               % 1024
+GROUP BY tk, exact_cnt, rk
+"""
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, 50 docs with probability
+    proportional to n_chars (Efraimidis & Spirakis 2006: draw u~U(0,1)
+    per item, keep the k largest u^(1/w) — equivalently the k SMALLEST
+    exponential race keys -ln(u)/w, the form used here). The standard
+    one-pass distributed reservoir for byte-budgeted corpus subsetting;
+    u is md5-derived so the draw is reproducible and the DuckDB oracle
+    computes the identical sample.
+
+    Scale shape: key assignment is MAP-ONLY; the global top-50 is the
+    two-phase rank (each scan partition surrenders <= 50 candidates, so
+    the final reducer sees <= 50*P rows, never the corpus). Keys are
+    ROUNDED (8 dp) with doc_id tie-break so JVM/DuckDB ln() ulp
+    differences cannot flip the cut."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.lit("aes7"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / (
+        float(16 ** 13) + 1.0
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars").cast("double"), 8).alias("key"),
+    )
+    order = (F.asc("key"), F.asc("doc_id"))
+    w_part = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    w_all = Window.orderBy(*order)
+    return (
+        keyed.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= 50)
+        .withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "n_chars", "key", "rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(-ln((('0x' || substr(md5('aes7:' || CAST(doc_id AS VARCHAR)),
+                                    1, 13))::BIGINT + 1.0)
+                   / (power(16, 13) + 1.0))
+               / CAST(n_chars AS DOUBLE), 8) AS key
+  FROM documents
+)
+SELECT doc_id, n_chars, key,
+       row_number() OVER (ORDER BY key, doc_id) AS rank
+FROM keyed QUALIFY rank <= 50
+"""
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch
+    negatives upgrade every embedding-model pipeline ships): for each
+    query vector, the top-5 most cosine-similar corpus vectors with a
+    DIFFERENT label — maximally confusable negatives.
+
+    Scale shape: queries broadcast into one corpus pass (the label
+    filter rides the same broadcast join); ranking is the two-phase
+    exact top-k, so no reducer holds one query's full score list.
+    Scores round to 6 dp with neighbor tie-break for cross-engine
+    rank stability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") != F.col("__ql"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                similarity.cosine(F.col("__qv"), F.col("embedding")), 6
+            ).alias("score"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    order = (F.desc("score"), F.asc("neighbor_id"))
+    w_part = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= 5)
+        .withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "neg_label", "score", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = """
+SELECT query_id, neighbor_id, neg_label, score, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(
+                      CAST(q.embedding AS DOUBLE[]),
+                      CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q
+  JOIN embeddings c
+    ON q.vec_id < 10 AND c.label <> q.label AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): for
+    prefix dimensionalities 8/16/32/64, the recall@5 of truncated-dim
+    cosine retrieval against the full-dim top-5 — the measurement that
+    decides how far an index can shrink its vectors before quality
+    drops, run before committing a 100 TB corpus to a truncated index.
+
+    Scale shape: ONE corpus pass computes all four truncated scores in
+    a single projection (queries broadcast); the per-(dim, query) rank
+    is the two-phase exact top-k over the 4x-exploded score stream;
+    recall joins two <= |dims| x |Q| x 5 frames. Scores round to 6 dp
+    with neighbor tie-break for cross-engine rank stability."""
+    dims = [8, 16, 32, 64]
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.round(
+                            similarity.cosine(
+                                F.slice(F.col("__qv"), 1, d),
+                                F.slice(F.col("embedding"), 1, d),
+                            ),
+                            6,
+                        ).alias("score"),
+                    )
+                    for d in dims
+                ])
+            ).alias("z"),
+        )
+        .select(
+            "query_id", "neighbor_id", "z.dim", "z.score",
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    order = (F.desc("score"), F.asc("neighbor_id"))
+    w_part = Window.partitionBy("dim", "query_id", "__pid").orderBy(*order)
+    w_all = Window.partitionBy("dim", "query_id").orderBy(*order)
+    ranked = (
+        scored.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= 5)
+        .withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= 5)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    full = ranked.where(F.col("dim") == 64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ranked.join(full, ["query_id", "neighbor_id"]).groupBy(
+        "dim", "query_id"
+    ).agg(F.count(F.lit(1)).alias("h"))
+    return (
+        ranked.select("dim", "query_id")
+        .distinct()
+        .join(hits, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            "query_id",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 2).alias("recall_at_5"),
+        )
+    )
+
+
+MRL_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, d.dim,
+         round(list_cosine_similarity(qv[1:d.dim],
+                                      CAST(c.embedding AS DOUBLE[])[1:d.dim]),
+               6) AS score
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) d
+), ranked AS (
+  SELECT dim, query_id, neighbor_id,
+         row_number() OVER (PARTITION BY dim, query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= 5
+), full5 AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE dim = 64
+), hits AS (
+  SELECT r.dim, r.query_id, count(*) AS h
+  FROM ranked r JOIN full5 f USING (query_id, neighbor_id)
+  GROUP BY 1, 2
+)
+SELECT d.dim, d.query_id,
+       round(coalesce(h, 0) / 5.0, 2) AS recall_at_5
+FROM (SELECT DISTINCT dim, query_id FROM ranked) d
+LEFT JOIN hits USING (dim, query_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5110,4 +5735,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
     "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
     "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    # --- NEW r10 (at the END: the first-50 driver window must cover the
+    # never-r9-certified block this round; these get driver rows after
+    # the r11 rotation, oracle-verified locally meanwhile) ---
+    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
+    "stupid_backoff_ppl": (stupid_backoff_ppl, STUPID_BACKOFF_SQL),
+    "heaps_law": (heaps_law, HEAPS_LAW_SQL),
+    "countmin_heavy_hitters": (countmin_heavy_hitters, COUNTMIN_SQL),
+    "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
+    "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
 }
