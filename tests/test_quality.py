@@ -306,3 +306,92 @@ def test_ivfpq_recall_at_5(emb, exact_top5):
         ).collect()
     }
     assert _recall(got, exact_top5) >= 0.8
+
+
+def test_mrl_truncation_monotone_and_self_consistent(spark, sf001_dir):
+    """mrl_truncation_eval gates: recall@5 at the FULL dim must be 1.0
+    (the full-dim list is its own reference) and mean recall must be
+    non-decreasing in dim — truncating away dimensions can only lose
+    ranking signal. (Random synthetic embeddings spread variance evenly,
+    so small-prefix recall is low — that's the worst case, not a bug.)"""
+    from wp_motor_spark.queries import mrl_truncation_eval
+
+    rows = (
+        mrl_truncation_eval(spark, sf001_dir)
+        .groupBy("dim")
+        .agg(F.avg("recall_at_5").alias("r"))
+        .orderBy("dim")
+        .collect()
+    )
+    by_dim = {r["dim"]: r["r"] for r in rows}
+    assert by_dim[64] == 1.0, by_dim
+    means = [by_dim[d] for d in (8, 16, 32, 64)]
+    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:])), means
+
+
+def test_countmin_never_underestimates(spark, sf001_dir):
+    """countmin_heavy_hitters gate: a count-min estimate is a MINIMUM of
+    bucket sums that each include the token's own count, so est >= exact
+    always (Cormode & Muthukrishnan 2005, Thm 1). Also record that the
+    overestimate stays small at this vocab/width ratio."""
+    from wp_motor_spark.queries import countmin_heavy_hitters
+
+    r = (
+        countmin_heavy_hitters(spark, sf001_dir)
+        .agg(
+            F.min(F.col("cm_est") >= F.col("exact_cnt")).alias("all_ge"),
+            F.avg("rel_overestimate").alias("mean_rel"),
+        )
+        .first()
+    )
+    assert r["all_ge"] is True
+    assert r["mean_rel"] < 0.5, r["mean_rel"]
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf001_dir):
+    """weighted_sample_aes gate: with weights = n_chars, the A-ES sample's
+    mean length must exceed the corpus mean — the defining property of
+    probability-proportional-to-size sampling (deterministic here: the
+    md5 draw is seeded)."""
+    from wp_motor_spark.queries import weighted_sample_aes
+
+    samp = (
+        weighted_sample_aes(spark, sf001_dir).agg(F.avg("n_chars")).first()[0]
+    )
+    corpus = (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert samp > corpus, (samp, corpus)
+
+
+def test_stupid_backoff_separates_held_out_docs(spark, sf001_dir):
+    """stupid_backoff_ppl gate: the model trains on EVEN doc_ids, so the
+    held-out odd docs must score a higher mean perplexity than the train
+    docs (measured ~39 vs ~11 at sf0.001) — the distribution-shift
+    signal the operator exists to produce."""
+    from wp_motor_spark.queries import stupid_backoff_ppl
+
+    rows = (
+        stupid_backoff_ppl(spark, sf001_dir)
+        .groupBy((F.col("doc_id") % 2 == 1).alias("held"))
+        .agg(F.avg("sbo_ppl").alias("m"))
+        .collect()
+    )
+    m = {bool(r["held"]): r["m"] for r in rows}
+    assert m[True] > m[False], m
+
+
+def test_heaps_beta_bounded(spark, sf001_dir):
+    """heaps_law gate: every per-source beta must sit in [0, 1) — Heaps'
+    law exponents above 1 would mean vocabulary growing faster than the
+    corpus (impossible); the synthetic word-soup's tiny vocab saturates
+    instantly, so betas near 0 are the expected value here."""
+    from wp_motor_spark.queries import heaps_law
+
+    rows = heaps_law(spark, sf001_dir).collect()
+    assert rows, "no sources"
+    assert all(0.0 <= r["heaps_beta"] < 1.0 for r in rows), sorted(
+        r["heaps_beta"] for r in rows
+    )

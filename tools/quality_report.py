@@ -476,6 +476,80 @@ def main() -> None:
         "shortlist=200 (residual ADC + exact rerank)",
     }
 
+    # --- r10 additions: MRL truncation, count-min, A-ES sample, SBO LM,
+    # Heaps exponent (each mirrors a tests/test_quality.py gate) ---
+    from wp_motor_spark import queries as Q
+
+    mrl_rows = (
+        Q.mrl_truncation_eval(spark, sf_dir)
+        .groupBy("dim")
+        .agg(F.avg("recall_at_5").alias("r"))
+        .collect()
+    )
+    mrl = {r["dim"]: round(r["r"], 4) for r in mrl_rows}
+    means = [mrl[d] for d in (8, 16, 32, 64)]
+    report["gates"]["mrl_truncation_eval"] = {
+        "metric": "mean_recall@5_by_prefix_dim",
+        "value": mrl[64] == 1.0
+        and all(a <= b + 1e-9 for a, b in zip(means, means[1:])),
+        "by_dim": mrl,
+        "gate": "recall@64 == 1.0 AND mean recall non-decreasing in dim",
+    }
+
+    cm = (
+        Q.countmin_heavy_hitters(spark, sf_dir)
+        .agg(
+            F.min(F.col("cm_est") >= F.col("exact_cnt")).alias("all_ge"),
+            F.avg("rel_overestimate").alias("mean_rel"),
+        )
+        .first()
+    )
+    report["gates"]["countmin_heavy_hitters"] = {
+        "metric": "never_underestimates_and_mean_rel_overestimate",
+        "value": bool(cm["all_ge"]) and cm["mean_rel"] < 0.5,
+        "mean_rel_overestimate": round(float(cm["mean_rel"]), 4),
+        "gate": "est >= exact for all (CM Thm 1) AND mean rel over < 0.5",
+    }
+
+    samp_mean = (
+        Q.weighted_sample_aes(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    report["gates"]["weighted_sample_aes"] = {
+        "metric": "pps_sample_mean_vs_corpus_mean_n_chars",
+        "value": samp_mean > corpus_mean,
+        "sample_mean": round(float(samp_mean), 1),
+        "corpus_mean": round(float(corpus_mean), 1),
+        "gate": "sample mean > corpus mean (weights = n_chars)",
+    }
+
+    sbo_rows = (
+        Q.stupid_backoff_ppl(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 2 == 1).alias("held"))
+        .agg(F.avg("sbo_ppl").alias("m"))
+        .collect()
+    )
+    sbo = {bool(r["held"]): round(r["m"], 2) for r in sbo_rows}
+    report["gates"]["stupid_backoff_ppl"] = {
+        "metric": "mean_ppl_held_out_vs_train",
+        "value": sbo[True] > sbo[False],
+        "held_out": sbo[True],
+        "train": sbo[False],
+        "gate": "held-out (odd doc_ids) mean ppl > train (even) mean ppl",
+    }
+
+    hl_rows = Q.heaps_law(spark, sf_dir).collect()
+    report["gates"]["heaps_law"] = {
+        "metric": "beta_in_unit_interval",
+        "value": bool(hl_rows)
+        and all(0.0 <= r["heaps_beta"] < 1.0 for r in hl_rows),
+        "beta_range": [
+            round(min(r["heaps_beta"] for r in hl_rows), 4),
+            round(max(r["heaps_beta"] for r in hl_rows), 4),
+        ],
+        "gate": "every per-source beta in [0, 1)",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)
