@@ -395,3 +395,44 @@ def test_heaps_beta_bounded(spark, sf001_dir):
     assert all(0.0 <= r["heaps_beta"] < 1.0 for r in rows), sorted(
         r["heaps_beta"] for r in rows
     )
+
+
+def test_semdedup_every_decision_re_verifiable(spark, sf001_dir, emb):
+    """semdedup gates (Abbas et al. 2023): replay every keep/drop
+    decision exactly — (a) each dropped vector's dup_of is a KEPT member
+    of the SAME cluster with cosine > threshold that precedes it in the
+    greedy order (centroid_sim asc, id asc); (b) no two kept vectors in
+    one cluster exceed the threshold (the greedy invariant)."""
+    from wp_motor_spark.operators import dedup as dd
+
+    thr = 0.4
+    out = {r["vec_id"]: r for r in dd.semdedup(emb, threshold=thr, n_cells=8).collect()}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for v in vecs:
+        n = np.linalg.norm(vecs[v])
+        vecs[v] = vecs[v] / (n if n else 1.0)
+
+    def order_key(vid):
+        r = out[vid]
+        return (r["centroid_sim"], vid)
+
+    assert set(out) == set(vecs)
+    dropped = [r for r in out.values() if not r["keep"]]
+    assert dropped, "threshold 0.4 should drop something at sf0.001"
+    for r in dropped:
+        k = out[r["dup_of"]]
+        assert k["keep"] and k["cluster"] == r["cluster"], r
+        assert float(vecs[r["vec_id"]] @ vecs[r["dup_of"]]) > thr, r
+        assert order_key(r["dup_of"]) < order_key(r["vec_id"]), r
+    kept_by_cluster: dict = {}
+    for r in out.values():
+        if r["keep"]:
+            kept_by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    for ids in kept_by_cluster.values():
+        M = np.vstack([vecs[i] for i in ids])
+        G = M @ M.T
+        np.fill_diagonal(G, 0.0)
+        assert G.max() <= thr + 1e-12, G.max()

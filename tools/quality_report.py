@@ -538,6 +538,42 @@ def main() -> None:
         "gate": "held-out (odd doc_ids) mean ppl > train (even) mean ppl",
     }
 
+    sd_rows = dedup.semdedup(emb, threshold=0.4, n_cells=8).collect()
+    sd = {r["vec_id"]: r for r in sd_rows}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for v in vecs:
+        nn = np.linalg.norm(vecs[v])
+        vecs[v] = vecs[v] / (nn if nn else 1.0)
+    drops_ok = all(
+        sd[r["dup_of"]]["keep"]
+        and sd[r["dup_of"]]["cluster"] == r["cluster"]
+        and float(vecs[r["vec_id"]] @ vecs[r["dup_of"]]) > 0.4
+        for r in sd_rows
+        if not r["keep"]
+    )
+    kept_by_cluster: dict = {}
+    for r in sd_rows:
+        if r["keep"]:
+            kept_by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    kept_ok = all(
+        (lambda G: (np.fill_diagonal(G, 0.0), G.max() <= 0.4 + 1e-12)[1])(
+            np.vstack([vecs[i] for i in ids]) @ np.vstack([vecs[i] for i in ids]).T
+        )
+        for ids in kept_by_cluster.values()
+        if len(ids) > 1
+    )
+    report["gates"]["semdedup_prune"] = {
+        "metric": "every_drop_justified_and_kept_set_pairwise_below_threshold",
+        "value": bool(drops_ok and kept_ok),
+        "n_dropped": sum(1 for r in sd_rows if not r["keep"]),
+        "n_kept": sum(1 for r in sd_rows if r["keep"]),
+        "gate": "drop => cos(dup_of) > 0.4, same cluster, kept; "
+        "kept pairs all <= 0.4 in-cluster",
+    }
+
     hl_rows = Q.heaps_law(spark, sf_dir).collect()
     report["gates"]["heaps_law"] = {
         "metric": "beta_in_unit_interval",

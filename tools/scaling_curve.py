@@ -59,6 +59,14 @@ DEFAULT_QUERIES = [
     "ccnet_buckets",
     "zipf_slope",
     "ivfpq_ann_topk",
+    # r10 additions: trigram backoff LM (the heaviest new token shuffle),
+    # 4x-exploded truncation ranks, sketch rollup, map-only entropy,
+    # two-level Heaps checkpoints
+    "stupid_backoff_ppl",
+    "mrl_truncation_eval",
+    "countmin_heavy_hitters",
+    "char_entropy",
+    "heaps_law",
 ]
 
 SF_DIRS = [

@@ -961,3 +961,77 @@ def remove_duplicate_spans(
         F.size("__t").alias("n_tokens"),
         (F.size("__t") - F.size(kept)).alias("n_removed"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with spherical k-means, then WITHIN each cluster greedily keep the
+    member farthest from the centroid (the paper's diversity-preserving
+    order: ascending centroid-cosine, id tie-break) unless it lies
+    within `threshold` cosine of an already-kept member — that kept
+    member is recorded as `dup_of`.
+
+    This is the SCALE path for semantic dedup: `embedding_neardup_pairs`
+    compares all O(n^2) pairs, SemDeDup only pairs within a cluster —
+    the clustering bounds candidate comparisons exactly the way the
+    paper runs at web scale (they shard each cluster further; here one
+    Arrow group per cluster, parallelism = n_cells). Returns
+    (vec_id, cluster, centroid_sim, keep, dup_of) — dup_of is NULL for
+    kept rows. Deterministic end-to-end (seeded centroids, fixed greedy
+    order), so the quality gate can re-verify every keep/drop decision
+    exactly.
+    """
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm
+        order = np.lexsort((pdf["vec_id"].to_numpy(), pdf["sim"].to_numpy()))
+        kept_rows: list[int] = []
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in order:
+            if kept_rows:
+                sims = M[kept_rows] @ M[i]
+                j = int(np.argmax(sims))
+                if sims[j] > threshold:
+                    dup_of[i] = pdf["vec_id"].iloc[kept_rows[j]]
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        out = pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "centroid_sim": pdf["sim"],
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+        out["dup_of"] = out["dup_of"].where(out["dup_of"] >= 0, None)
+        return out
+
+    from wp_motor_spark.operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(
+        corpus, n_cells=n_cells, kmeans_iters=kmeans_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).join(assigned.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    return joined.groupBy("cluster").applyInPandas(
+        prune,
+        schema=(
+            "vec_id long, cluster long, centroid_sim double, "
+            "keep boolean, dup_of long"
+        ),
+    )

@@ -5595,6 +5595,137 @@ LEFT JOIN hits USING (dim, query_id)
 """
 
 
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters
+    bound the candidate comparisons, then a greedy within-cluster prune
+    keeps the diversity-preserving representative set — the scale path
+    that replaces `embedding_neardup_pairs`' all-pairs O(n^2) scan.
+    Rows-only for the driver (k-means is iterative); the exactness gate
+    (every drop justified by a kept near-neighbor in-cluster, no kept
+    pair above threshold) lives in tests/test_quality.py and
+    QUALITY_r{N}.json.
+
+    Scale shape: see operators/dedup.py::semdedup — map-only assignment
+    against broadcast centroids, ONE cluster-keyed shuffle, greedy prune
+    per Arrow group (parallelism = n_cells; the paper shards clusters
+    the same way)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.semdedup(emb, threshold=0.4, n_cells=8)
+    return out.select(
+        "vec_id", "cluster", F.round("centroid_sim", 4).alias("centroid_sim"),
+        "keep", "dup_of",
+    )
+
+
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002) over the event stream:
+    with quasi-identifier (event_type, day), release only events whose
+    group contains >= 5 DISTINCT users — groups smaller than k are
+    suppressed outright, the release rule a privacy-reviewed telemetry
+    pipeline applies before events feed training.
+
+    Scale shape: the group census is one (type, day)-keyed shuffle with
+    map-side partials; the qualifying-group set is bounded by
+    |types| x |days| and BROADCASTS back into a map-side semi join —
+    events themselves shuffle zero times."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    groups = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .where(F.col("n_users") >= 5)
+    )
+    return (
+        ev.join(F.broadcast(groups), ["event_type", "day"])
+        .select("event_id", "event_type", "day", "n_users")
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day, user_id FROM events
+), groups AS (
+  SELECT event_type, day, count(DISTINCT user_id) AS n_users
+  FROM ev GROUP BY 1, 2 HAVING count(DISTINCT user_id) >= 5
+)
+SELECT event_id, ev.event_type, ev.day, n_users
+FROM ev JOIN groups USING (event_type, day)
+"""
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, Muthitacharoen
+    et al. 2001 LBFS): cut each document at token positions where the
+    hash of the trailing 5-token window lands in a fixed residue class
+    (md5 % 8 == 0, expected chunk ~8 tokens) — boundaries move WITH the
+    content, so an insertion only re-chunks its neighborhood instead of
+    shifting every fixed-size block. Emits (doc_id, chunk_idx, n_tokens,
+    chunk_hash): the chunk-granularity dedup primitive between exact
+    full-doc dedup and span dedup. md5-derived so the DuckDB oracle
+    computes identical boundaries.
+
+    Scale shape: MAP-ONLY — boundary detection, span assembly and chunk
+    hashing all run as array HOFs inside one projection; only the final
+    (doc, chunk) explode leaves the row. Nothing shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", text.tokens(F.col("text")).alias("a"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_sort(array_distinct(concat(array(0),"
+                " filter(sequence(5, size(a)),"
+                "  i -> pmod(cast(conv(substring("
+                "   md5(array_join(slice(a, i - 4, 5), ' ')), 1, 8),"
+                "   16, 10) as bigint), 8) = 0),"
+                " array(size(a)))))"
+            ).alias("b"),
+            "a",
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(b) - 1),"
+                    " j -> struct(j as chunk_idx,"
+                    "  element_at(b, j + 1) - element_at(b, j) as n_tokens,"
+                    "  md5(array_join(slice(a, element_at(b, j) + 1,"
+                    "   element_at(b, j + 1) - element_at(b, j)), ' '))"
+                    "   as chunk_hash))"
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", "z.chunk_idx", "z.n_tokens", "z.chunk_hash")
+    )
+
+
+CDC_CHUNKING_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE n_chars > 0
+), bounds AS (
+  SELECT doc_id, a,
+         list_sort(list_distinct(
+           [0]
+           || list_filter(range(5, len(a) + 1),
+                i -> ('0x' || substr(md5(array_to_string(a[i-4:i], ' ')),
+                                     1, 8))::BIGINT % 8 = 0)
+           || [len(a)])) AS b
+  FROM tok
+)
+SELECT doc_id, u.z.chunk_idx, u.z.n_tokens, u.z.chunk_hash
+FROM bounds, LATERAL (
+  SELECT unnest(list_transform(range(1, len(b)),
+    j -> struct_pack(
+      chunk_idx := j,
+      n_tokens := b[j + 1] - b[j],
+      chunk_hash := md5(array_to_string(a[b[j] + 1 : b[j + 1]], ' '))
+    ))) AS z) u
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5745,4 +5876,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
     "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
+    "semdedup_prune": (semdedup_prune, None),
+    "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
+    "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
 }
