@@ -330,3 +330,67 @@ def test_sessionize_stream_equals_batch_on_randomized_events(spark, tmp_path):
     }
     assert must_close <= streamed
     assert len(streamed) >= len(must_close) > 0
+
+
+def test_heavy_hitters_stream_spacesaving_guarantees(spark, tmp_path):
+    """SpaceSaving invariants over 3 micro-batches (Metwally et al. 2005):
+    (a) est >= true count and est - err <= true count for every reported
+    token; (b) every token whose true count exceeds n_seen/m appears in
+    its shard's final snapshot; (c) per-shard counter sets stay <= m."""
+    import collections
+
+    from pyspark.sql.types import StringType as _S, StructField as _F, StructType as _T
+
+    from wp_motor_spark.streaming import heavy_hitters_stream
+
+    m, n_shards = 4, 2
+    # skewed stream: 'alpha' dominates, mid/rare tokens churn the counters
+    batches = [
+        ["alpha"] * 10 + ["beta"] * 4 + ["gamma", "delta", "eps"],
+        ["alpha"] * 8 + ["beta"] * 3 + ["zeta", "eta", "theta", "gamma"],
+        ["alpha"] * 6 + ["iota", "kappa"] + ["beta"] * 2 + ["gamma"] * 3,
+    ]
+    src = tmp_path / "tokens"
+    src.mkdir()
+    for i, b in enumerate(batches, 1):
+        _write(str(src / f"b{i}.json"), [{"token": t} for t in b], order=i)
+
+    out = _run_stream(
+        spark,
+        str(src),
+        _T([_F("token", _S())]),
+        lambda s: heavy_hitters_stream(s, m=m, n_shards=n_shards),
+        "hh_test",
+        str(tmp_path),
+    )
+    rows = out.collect()
+    # final snapshot per shard = the max-n_seen emission
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_seen"])
+    final = [r for r in rows if r["n_seen"] == final_n[r["shard"]]]
+
+    true = collections.Counter(t for b in batches for t in b)
+    # shard of each token must match the operator's xxhash64 sharding
+    shard_of = {
+        r["token"]: r["s"]
+        for r in spark.createDataFrame([(t,) for t in true], ["token"])
+        .select("token", F.pmod(F.xxhash64("token"), F.lit(n_shards)).alias("s"))
+        .collect()
+    }
+
+    per_shard = collections.defaultdict(list)
+    for r in final:
+        per_shard[r["shard"]].append(r)
+        assert r["est"] >= true[r["token"]], r
+        assert r["est"] - r["err"] <= true[r["token"]], r
+    for shard, rs in per_shard.items():
+        assert len(rs) <= m, (shard, len(rs))
+        reported = {r["token"] for r in rs}
+        threshold = final_n[shard] / m
+        for tok, cnt in true.items():
+            if shard_of[tok] == shard and cnt > threshold:
+                assert tok in reported, (tok, cnt, threshold)
+    # the dominant token is reported with an exact count (never evicted)
+    alpha = [r for r in final if r["token"] == "alpha"]
+    assert alpha and alpha[0]["est"] == true["alpha"] and alpha[0]["err"] == 0

@@ -19,7 +19,14 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from wp_motor_spark.operators.dedup import content_digest
 
@@ -218,3 +225,99 @@ class BloomDedupState:
         )  # one bounded bit_or aggregation; executes the kept_df plan
         self.bloom.words |= add.words
         return kept_df
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    token_col: str = "token",
+    m: int = 16,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming heavy hitters by SpaceSaving (Metwally, Agrawal &
+    El Abbadi 2005, "Efficient computation of frequent and top-k
+    elements in data streams"): each shard keeps at most `m` counters;
+    an unseen token evicts the minimum counter, inheriting its count as
+    the error bound. Guarantees per shard: est >= true, est - err <=
+    true, and every token with true count > n_seen/m is present — the
+    fixed-memory streaming twin of the batch `countmin_heavy_hitters`.
+
+    Tokens shard by xxhash64 % n_shards, so state is n_shards * m
+    counters TOTAL regardless of vocabulary or stream length, and each
+    shard's counters evolve independently (parallelism = n_shards; at
+    1000 executors raise n_shards, the merge stays a k*n_shards-row
+    batch query). Emits each shard's full counter snapshot per
+    micro-batch, stamped with the shard's cumulative n_seen — readers
+    take the max-n_seen snapshot per shard (append sinks accumulate).
+
+    The NoTimeout mode is deliberate: heavy-hitter state must survive
+    idle periods; its size is already bounded by construction.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("token", StringType()),
+            StructField("est", LongType()),
+            StructField("err", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        if state.exists:
+            tokens, counts, errs, n_seen = state.get
+            ctr = {
+                t: [c, e] for t, c, e in zip(tokens, counts, errs)
+            }
+        else:
+            ctr, n_seen = {}, 0
+        for pdf in pdfs:
+            for tok in pdf[token_col]:
+                n_seen += 1
+                if tok in ctr:
+                    ctr[tok][0] += 1
+                elif len(ctr) < m:
+                    ctr[tok] = [1, 0]
+                else:
+                    # evict the minimum counter (ties: lexicographic token,
+                    # so the evolution is deterministic per arrival order)
+                    evict = min(ctr, key=lambda t: (ctr[t][0], t))
+                    base = ctr.pop(evict)[0]
+                    ctr[tok] = [base + 1, base]
+        items = sorted(ctr.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "n_seen": [n_seen] * len(items),
+                "token": [t for t, _ in items],
+                "est": [c for _, (c, _) in items],
+                "err": [e for _, (_, e) in items],
+            }
+        )
+
+    sharded = stream.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
