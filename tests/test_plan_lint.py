@@ -52,6 +52,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "heaps_law": {"NESTED_LOOP"},         # broadcast ONE-row max(doc_id)
         "hard_negative_mining": {"NESTED_LOOP"},  # broadcast tiny query set
         "mrl_truncation_eval": {"NESTED_LOOP"},   # broadcast tiny query set
+        "contrastive_triplets": {"NESTED_LOOP"},  # broadcast tiny anchor set
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -5595,6 +5595,148 @@ LEFT JOIN hits USING (dim, query_id)
 """
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per whitespace
+    word — the standard tokenizer-fit diagnostic, e.g. XLM-R App. A;
+    high fertility means the vocab fragments that language) plus
+    tokens-per-char, using the same BPE-ish counter as `token_counts`.
+    The number a multilingual mixture planner checks before committing
+    a token budget per language.
+
+    Scale shape: MAP-ONLY per-doc counting (array HOFs inside one
+    projection) into a |langs|-row aggregate with map-side partials —
+    one tiny shuffle, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    # n_chars > 0 is the pushable scan-column guard (parquet reader
+    # filter); n_ws > 0 below still excludes whitespace-only residue
+    per_doc = docs.where(F.col("n_chars") > 0).select(
+        "lang",
+        "n_chars",
+        text.token_count_ws(F.col("text")).alias("n_ws"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+    return (
+        per_doc.where(F.col("n_ws") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 6
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH t AS (
+  SELECT lang, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks,
+         text
+  FROM documents WHERE n_chars > 0
+), c AS (
+  SELECT lang, n_chars, len(toks) AS n_ws,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+           CAST(list_sum(list_transform(toks, w ->
+             CAST(ceil(length(regexp_replace(w, '[^\p{L}\p{N}]', '', 'g')) / 4.0) AS INT)
+             + length(regexp_replace(w, '[\p{L}\p{N}]', '', 'g')))) AS BIGINT)
+         END AS n_bpe
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(CAST(n_bpe AS DOUBLE) / n_ws), 4) AS fertility,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars), 6) AS tokens_per_char
+FROM c WHERE n_ws > 0
+GROUP BY 1
+"""
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (Schroff et al. 2015 FaceNet-style
+    (a, p, n) selection): for each anchor, the top-1 SAME-label cosine
+    neighbor as positive and the top-1 DIFFERENT-label neighbor as the
+    hard negative, with the margin — the training-pair artifact an
+    embedding-model pipeline exports from a curated corpus.
+
+    Scale shape: ONE corpus pass scores both roles (anchors broadcast;
+    the same-label/diff-label split is a projection, not two scans);
+    per-(anchor, role) top-1 is the two-phase exact rank; the final
+    frame joins two |anchors|-row results. Scores round to 6 dp with
+    neighbor tie-break for cross-engine stability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("__ql")).alias("same"),
+            F.round(
+                similarity.cosine(F.col("__qv"), F.col("embedding")), 6
+            ).alias("score"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    order = (F.desc("score"), F.asc("cand_id"))
+    w_part = Window.partitionBy("anchor_id", "same", "__pid").orderBy(*order)
+    w_all = Window.partitionBy("anchor_id", "same").orderBy(*order)
+    top1 = (
+        scored.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= 1)
+        .withColumn("__r", F.row_number().over(w_all))
+        .where(F.col("__r") == 1)
+    )
+    pos = top1.where("same").select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = top1.where(~F.col("same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("score").alias("neg_score"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "pos_score",
+        "negative_id",
+        "neg_score",
+        F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+    )
+
+
+CONTRASTIVE_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+         c.label = q.label AS same,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS score
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+), top1 AS (
+  SELECT anchor_id, cand_id, same, score,
+         row_number() OVER (PARTITION BY anchor_id, same
+                            ORDER BY score DESC, cand_id) AS r
+  FROM scored QUALIFY r = 1
+)
+SELECT p.anchor_id,
+       p.cand_id AS positive_id, p.score AS pos_score,
+       n.cand_id AS negative_id, n.score AS neg_score,
+       round(p.score - n.score, 6) AS margin
+FROM top1 p JOIN top1 n ON p.anchor_id = n.anchor_id
+WHERE p.same AND NOT n.same
+"""
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters
     bound the candidate comparisons, then a greedy within-cluster prune
@@ -5879,4 +6021,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semdedup_prune": (semdedup_prune, None),
     "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
     "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
+    "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
+    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
 }
