@@ -246,3 +246,60 @@ def test_bigram_pmi_builds_lazily(spark, sf001_dir):
     # reference (w2 side, n_bg, n_uni) rides a ReusedExchange
     assert final.count("FileScan") == 2, final.count("FileScan")
     assert final.count("ReusedExchange") >= 3
+
+
+def test_char_entropy_and_cdc_chunking_are_map_only(spark, sf001_dir):
+    """The r10 MAP-ONLY claims (SCALE.md): entropy and content-defined
+    chunk boundaries run as array HOFs inside one projection — zero
+    Exchange in either plan, and the n_chars guard reaches the scan."""
+    for name in ("char_entropy", "cdc_chunking"):
+        plan = _plan(spark, sf001_dir, name)
+        assert "Exchange" not in plan, name
+        scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+        assert "PushedFilters: [" in scan and "GreaterThan(n_chars" in scan, name
+
+
+def test_k_anonymity_broadcasts_group_census(spark, sf001_dir):
+    """Events must NOT shuffle: the qualifying-group census broadcasts
+    back into a hash join; the only Exchanges belong to the census
+    aggregation itself."""
+    plan = _plan(spark, sf001_dir, "k_anonymity_suppress")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_search_text_rank_is_two_phase(spark, sf001_dir):
+    """The r9 verdict's last single-reducer shape: the BM25 text-side
+    rank must carry the partial (query_id, partition) window before the
+    global one — two SPARK_PARTITION_ID()-keyed windows total (text +
+    vector side)."""
+    plan = _plan(spark, sf001_dir, "hybrid_search")
+    partial_windows = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "__pid" in l
+    ]
+    assert len(partial_windows) >= 2, plan
+
+
+def test_ccnet_buckets_has_no_wide_percentile_buffer(spark, sf001_dir):
+    """The tertile cuts must come from the two-level histogram+cumsum
+    path (bounded agg state), not a percentile aggregate whose buffer
+    scales with distinct-value count."""
+    plan = _plan(spark, sf001_dir, "ccnet_buckets")
+    assert "percentile" not in plan.lower()
+
+
+def test_countmin_sketch_is_count_table_rollup(spark, sf001_dir):
+    """The 4096-cell sketch must build from the exact count table, not a
+    second corpus pass: exactly one FileScan of documents feeds both the
+    counts and the cells (ReusedExchange covers the second consumer)."""
+    df = QUERIES["countmin_heavy_hitters"][0](spark, sf001_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan") == 1, final.count("FileScan")
