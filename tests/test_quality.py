@@ -436,3 +436,72 @@ def test_semdedup_every_decision_re_verifiable(spark, sf001_dir, emb):
         G = M @ M.T
         np.fill_diagonal(G, 0.0)
         assert G.max() <= thr + 1e-12, G.max()
+
+
+def test_cdc_chunking_edit_locality(spark, sf001_dir):
+    """The defining CDC property (LBFS, Muthitacharoen et al. 2001):
+    inserting one token re-chunks only the neighborhood of the edit —
+    every chunk lying entirely outside the window-reach of the insertion
+    point keeps its hash, unlike fixed-size blocking where one insert
+    shifts every later block."""
+    from wp_motor_spark.queries import cdc_chunking
+
+    base = spark.read.parquet(f"{sf001_dir}/documents.parquet").where(
+        "doc_id < 20"
+    )
+    edited = base.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        # insert one token roughly mid-document
+        "concat_ws(' ', concat(slice(split(text, ' '), 1, 15),"
+        " array('INSERTED'),"
+        " slice(split(text, ' '), 16, size(split(text, ' ')) - 15))) AS text",
+        "n_chars + 9 AS n_chars",
+    )
+    with_tmp = lambda df: {  # noqa: E731
+        (r["doc_id"], r["chunk_hash"]) for r in df.collect()
+    }
+    # chunk via the query fn against a temp parquet dir
+    import tempfile
+
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    base.write.mode("overwrite").parquet(f"{d1}/documents.parquet")
+    edited.write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    c_base = cdc_chunking(spark, d1)
+    c_edit = cdc_chunking(spark, d2)
+    base_hashes = with_tmp(c_base)
+    edit_hashes = with_tmp(c_edit)
+    # per doc: the edited version must RETAIN more than half of the
+    # original chunks (only the 1-2 chunks spanning the insertion plus
+    # window-reach change); a fixed-size blocker would retain ~the prefix
+    import collections
+
+    per_doc_base = collections.defaultdict(set)
+    per_doc_edit = collections.defaultdict(set)
+    for d, h in base_hashes:
+        per_doc_base[d].add(h)
+    for d, h in edit_hashes:
+        per_doc_edit[d].add(h)
+    retained = [
+        len(per_doc_base[d] & per_doc_edit[d]) / max(len(per_doc_base[d]), 1)
+        for d in per_doc_base
+    ]
+    assert sum(r > 0.5 for r in retained) >= 0.8 * len(retained), retained
+
+
+def test_stupid_backoff_scores_are_probability_like(spark, sf001_dir):
+    """Every backoff level yields S in (0, 1] (c123 <= c12, 0.4*c23/c2
+    <= 0.4, 0.16*c3/N <= 0.16), so sbo_ppl = exp(-mean ln S) >= 1 and
+    finite for every document."""
+    from wp_motor_spark.queries import stupid_backoff_ppl
+
+    r = (
+        stupid_backoff_ppl(spark, sf001_dir)
+        .agg(
+            F.min("sbo_ppl").alias("mn"),
+            F.max(F.isnan("sbo_ppl").cast("int")).alias("nan"),
+        )
+        .first()
+    )
+    assert r["mn"] >= 1.0 and r["nan"] == 0, r
