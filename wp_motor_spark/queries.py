@@ -4699,7 +4699,11 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle lands on identical buckets."""
     ppl = lm_perplexity(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    j = ppl.join(src, "doc_id")
+    # persist the tiny (doc_id, source, ppl) frame: it feeds BOTH the
+    # histogram/cut branch and the final bucket join, and without the
+    # cache the whole bigram-LM subtree executes twice (4 FileScans ->
+    # 2). |docs| rows x 3 scalars — disk-spillable at any corpus size.
+    j = ppl.join(src, "doc_id").persist()
     hist = j.groupBy("source", "ppl").agg(F.count(F.lit(1)).alias("cnt"))
     wsrc = Window.partitionBy("source").orderBy("ppl")
     cum = (
