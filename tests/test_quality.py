@@ -505,3 +505,31 @@ def test_stupid_backoff_scores_are_probability_like(spark, sf001_dir):
         .first()
     )
     assert r["mn"] >= 1.0 and r["nan"] == 0, r
+
+
+def test_pagerank_invariants_on_neardup_graph(spark, sf001_dir, emb):
+    """PageRank gates: (a) ranks sum to 1 (dangling mass conserved);
+    (b) every isolated node sits exactly at the converged dangling
+    baseline (equal rank, minimum of the graph); (c) the max-degree hub
+    outranks every degree-1 leaf; (d) deterministic across runs."""
+    from wp_motor_spark.operators import dedup as dd
+    from wp_motor_spark.operators.graph import pagerank
+
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    r1 = {r["id"]: (r["rank"], r["degree"]) for r in pagerank(nodes, pairs).collect()}
+    r2 = {r["id"]: (r["rank"], r["degree"]) for r in pagerank(nodes, pairs).collect()}
+    assert r1 == r2
+    total = sum(v for v, _ in r1.values())
+    # output ranks round to 8 dp: n_nodes * 5e-9 of rounding slack
+    assert abs(total - 1.0) < 5e-9 * len(r1) + 1e-9, total
+    isolated = {v for v, (rk, dg) in r1.items() if dg == 0}
+    connected = {v for v, (rk, dg) in r1.items() if dg > 0}
+    assert isolated and connected
+    iso_ranks = {r1[v][0] for v in isolated}
+    assert len(iso_ranks) == 1, iso_ranks
+    assert min(r1[v][0] for v in connected) >= max(iso_ranks)
+    hub = max(r1, key=lambda v: r1[v][1])
+    for v, (rk, dg) in r1.items():
+        if dg == 1:
+            assert r1[hub][0] > rk, (hub, v)

@@ -574,6 +574,32 @@ def main() -> None:
         "kept pairs all <= 0.4 in-cluster",
     }
 
+    from wp_motor_spark.operators.graph import pagerank
+
+    pr_pairs = dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    pr = {
+        r["id"]: (r["rank"], r["degree"])
+        for r in pagerank(
+            emb.select(F.col("vec_id").alias("id")), pr_pairs
+        ).collect()
+    }
+    pr_total = sum(v for v, _ in pr.values())
+    pr_iso = {v for v, (rk, dg) in pr.items() if dg == 0}
+    pr_conn = {v for v, (rk, dg) in pr.items() if dg > 0}
+    pr_ok = (
+        abs(pr_total - 1.0) < 5e-9 * len(pr) + 1e-9
+        and len({pr[v][0] for v in pr_iso}) == 1
+        and min(pr[v][0] for v in pr_conn) >= max(pr[v][0] for v in pr_iso)
+    )
+    report["gates"]["neardup_pagerank"] = {
+        "metric": "mass_conservation_and_baseline_ordering",
+        "value": bool(pr_ok),
+        "rank_sum": round(pr_total, 9),
+        "n_isolated": len(pr_iso),
+        "gate": "ranks sum to 1 (8dp slack); isolated nodes share the "
+        "dangling baseline; every connected node >= baseline",
+    }
+
     hl_rows = Q.heaps_law(spark, sf_dir).collect()
     report["gates"]["heaps_law"] = {
         "metric": "beta_in_unit_interval",

@@ -5741,6 +5741,25 @@ WHERE p.same AND NOT n.same
 """
 
 
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-dup graph (Brin & Page 1998
+    power iteration, 10 rounds, d=0.85): the centrality signal that
+    picks the CANONICAL copy inside a duplication cluster and weights
+    crawl importance before sampling. Rows-only for the driver
+    (iterative); the gates (ranks sum to 1, isolated nodes at the
+    (1-d)/N baseline, hubs outrank leaves) live in tests/test_quality.py
+    and QUALITY_r{N}.json.
+
+    Scale shape: see operators/graph.py::pagerank — per round one
+    (long, double) join + dst-keyed agg, localCheckpoint'd lineage,
+    one-row dangling-mass broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    from wp_motor_spark.operators.graph import pagerank
+
+    return pagerank(emb.select(F.col("vec_id").alias("id")), pairs)
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters
     bound the candidate comparisons, then a greedy within-cluster prune
@@ -6027,4 +6046,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
     "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
+    "neardup_pagerank": (neardup_pagerank, None),
 }
