@@ -326,7 +326,9 @@ def test_mrl_truncation_monotone_and_self_consistent(spark, sf001_dir):
     by_dim = {r["dim"]: r["r"] for r in rows}
     assert by_dim[64] == 1.0, by_dim
     means = [by_dim[d] for d in (8, 16, 32, 64)]
-    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:])), means
+    # monotone-in-dim is empirical, not a theorem: allow one rank flip
+    # (1/(5*|Q|) = 0.02) of slack so healthy data can't fail the gate
+    assert all(a <= b + 0.02 + 1e-9 for a, b in zip(means, means[1:])), means
 
 
 def test_countmin_never_underestimates(spark, sf001_dir):
@@ -392,9 +394,12 @@ def test_heaps_beta_bounded(spark, sf001_dir):
 
     rows = heaps_law(spark, sf001_dir).collect()
     assert rows, "no sources"
-    assert all(0.0 <= r["heaps_beta"] < 1.0 for r in rows), sorted(
-        r["heaps_beta"] for r in rows
-    )
+    # regr_slope returns NULL for a degenerate source (<2 lattice points
+    # or zero ln-N variance) — that must read as a failure, not TypeError
+    assert all(
+        r["heaps_beta"] is not None and 0.0 <= r["heaps_beta"] < 1.0
+        for r in rows
+    ), sorted((r["heaps_beta"] is None, r["heaps_beta"]) for r in rows)
 
 
 def test_semdedup_every_decision_re_verifiable(spark, sf001_dir, emb):
@@ -533,3 +538,36 @@ def test_pagerank_invariants_on_neardup_graph(spark, sf001_dir, emb):
     for v, (rk, dg) in r1.items():
         if dg == 1:
             assert r1[hub][0] > rk, (hub, v)
+
+
+def test_cdc_chunking_short_docs_single_chunk(spark, tmp_path):
+    """Docs with fewer tokens than the hash window (5) must yield exactly
+    one whole-doc chunk, matching the DuckDB oracle — regression for the
+    descending-sequence crash (Spark sequence(5, n) DESCENDS for n < 5
+    and slice(a, 0, 5) threw at i=4)."""
+    import duckdb
+
+    from wp_motor_spark.queries import CDC_CHUNKING_SQL, cdc_chunking
+
+    d = str(tmp_path)
+    rows = [
+        (0, "a b c", "en", "s", 5),
+        (1, "one two three four", "en", "s", 18),
+        (2, "x", "en", "s", 1),
+        (3, "alpha beta gamma delta eps zeta", "en", "s", 31),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in cdc_chunking(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(CDC_CHUNKING_SQL).fetchall())
+    assert got == want
+    assert all(idx == 1 for (doc, idx, n, h) in got if doc in (0, 1, 2))

@@ -106,9 +106,15 @@ def main() -> None:
         fn = QUERIES[name][0]
         per_sf = {}
         for sf_dir, sf in SF_DIRS:
-            # best-of-2: shared-box noise filter (PROFILE.md discipline)
-            per_sf[sf] = round(min(run_once(fn, sf_dir), run_once(fn, sf_dir)), 3)
+            # best-of-2: shared-box noise filter (PROFILE.md discipline).
+            # clearCache BETWEEN the two runs too: a query that persists
+            # an intermediate (ccnet_buckets) would otherwise serve run 2
+            # from run 1's cache and record a cache read, not the query.
+            t1 = run_once(fn, sf_dir)
             spark.catalog.clearCache()
+            t2 = run_once(fn, sf_dir)
+            spark.catalog.clearCache()
+            per_sf[sf] = round(min(t1, t2), 3)
         ratio = (
             round(per_sf[0.1] / per_sf[0.01], 2) if per_sf[0.01] > 0 else None
         )

@@ -449,15 +449,21 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=0)
     # 04-wpgen.md common parameters: -p/--print_stat periodic stats and
     # --stat <sec> interval (a batch generator prints one end-of-run
-    # summary); --local is the reference DataArgs default-true toggle
+    # summary). --local mirrors the reference's DataArgs.local
+    # (facade/args.rs:45-47): clap parses `--local <bool>` with default
+    # true, and NO reference code ever reads the field — it is an inert
+    # CLI-compat flag there, so it is (documentedly) inert here too;
+    # we accept the clap value spelling plus a --no-local convenience.
     g.add_argument(
         "-p", "--print_stat", "--print-stat", action="store_true",
         dest="print_stat",
     )
     g.add_argument("--stat", dest="stat_sec", type=int, default=1)
     g.add_argument(
-        "--local", action=argparse.BooleanOptionalAction, default=True
+        "--local", nargs="?", const=True, default=True,
+        type=lambda v: str(v).lower() not in ("false", "0", "no"),
     )
+    g.add_argument("--no-local", dest="local", action="store_false")
 
     args = ap.parse_args(argv)
     if args.cmd == "wpgen":

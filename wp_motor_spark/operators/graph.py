@@ -43,14 +43,23 @@ def pagerank(
     persist alone nests each round's join+agg and Catalyst analysis
     explodes by ~8 rounds).
     """
-    n_frame = nodes.select(F.col(id_col).alias("id")).distinct()
+    # materialize the loop-invariant frames ONCE: deg, the distinct node
+    # set, and the isolated-node set are all referenced every round, and
+    # without their own checkpoints each of the 10 rounds would re-run
+    # the |E|-row degree aggregation and the |V|-row distinct
+    n_frame = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    deg = (
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
+    )
     edges = edges.join(deg, "u").localCheckpoint()
+    isolated = n_frame.join(
+        deg, n_frame["id"] == deg["u"], "left_anti"
+    ).localCheckpoint()
 
     n_nodes = n_frame.count()
     ranks = n_frame.select(
@@ -66,9 +75,9 @@ def pagerank(
         )
         # dangling mass: rank held by degree-0 nodes, redistributed
         # uniformly (one-row agg, folded in as a broadcast cross join)
-        dangling = (
-            ranks.join(deg, ranks["id"] == deg["u"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # (no broadcast hint: the isolated set can be most of the graph)
+        dangling = ranks.join(isolated, "id", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             n_frame.join(contrib, "id", "left")

@@ -5048,12 +5048,14 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-trained bigram `lm_perplexity` at flagging out-of-domain
     shards.
 
-    Scale shape: counts build from the training half in bounded-vocab
-    shuffles (trigram/bigram/unigram keyed — word-level n-gram vocab is
-    ~1e6-1e8 rows regardless of corpus size); scoring left-joins the
-    exploded trigram stream against the BROADCAST count tables, so only
-    (doc, w1, w2, w3) tuples move and the doc text never shuffles. The
-    one-row (N) frame is a broadcast cross join."""
+    Scale shape: counts build from the training half in n-gram-keyed
+    shuffles; scoring left-joins the exploded trigram stream against the
+    count tables — the TRIGRAM join stays a shuffled hash join (distinct
+    trigrams grow ~linearly with corpus size, so broadcasting c123 would
+    OOM at 100 TB), while the bigram/unigram tables (vocab-bounded,
+    ~1e6-1e8 rows) broadcast. Only (doc, w1, w2, w3) tuples move; the
+    doc text never shuffles. The one-row (N) frame is a broadcast cross
+    join."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -5100,7 +5102,7 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = (
-        tri.join(F.broadcast(c123), ["w1", "w2", "w3"], "left")
+        tri.join(c123, ["w1", "w2", "w3"], "left")
         .join(
             F.broadcast(c12),
             (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")),
@@ -5839,11 +5841,16 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", text.tokens(F.col("text")).alias("a"))
         .select(
             "doc_id",
+            # sequence(1, n) stays ascending for every n >= 1 (a
+            # sequence(5, n) DESCENDS when n < 5 and the i=4 window
+            # would hit slice(a, 0, 5) — a runtime error on 1-4-token
+            # docs); greatest() keeps the slice start legal for the
+            # i < 5 candidates the i >= 5 predicate then discards
             F.expr(
                 "array_sort(array_distinct(concat(array(0),"
-                " filter(sequence(5, size(a)),"
-                "  i -> pmod(cast(conv(substring("
-                "   md5(array_join(slice(a, i - 4, 5), ' ')), 1, 8),"
+                " filter(sequence(1, size(a)),"
+                "  i -> i >= 5 and pmod(cast(conv(substring("
+                "   md5(array_join(slice(a, greatest(i - 4, 1), 5), ' ')), 1, 8),"
                 "   16, 10) as bigint), 8) = 0),"
                 " array(size(a)))))"
             ).alias("b"),
