@@ -67,6 +67,12 @@ DEFAULT_QUERIES = [
     "countmin_heavy_hitters",
     "char_entropy",
     "heaps_law",
+    # r10 batch 2/3: map-only CDC chunking, broadcast-census k-anon,
+    # clustered semantic dedup, iterative PageRank rounds
+    "cdc_chunking",
+    "k_anonymity_suppress",
+    "semdedup_prune",
+    "neardup_pagerank",
 ]
 
 SF_DIRS = [
