@@ -958,3 +958,67 @@ def test_underscore_target_means_active_field(spark):
     assert {r["value"]: r["_disposition"] for r in rows} == {
         "foo": "success", "bar": "miss",
     }
+
+
+def test_reference_eval_mod_test_parity(spark):
+    """Every case from the reference's eval/mod_test.rs, disposition-
+    compared: assert_suc cases must land in {success, partial} (the
+    reference's proc-Ok tolerates a small unparsed tail) and report_err
+    cases must miss. Covers the r10 grammar/semantics fixes: subfield
+    scope fmt after @ref order (`time<[,]>@curr` = TWO subfields per
+    wpl_id_field), symbol(args) subfields as equality guards, kv ':' and
+    '=' pair separators, pattern-first typed kv values (time spans the
+    field separator), and leading-whitespace tolerance (mechanism.rs
+    multispace0)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    CASES = [
+        (r"(ip,_,_,time<[,]>)", r"192.168.1 - - [06/Aug/2019:12:12:19 +0800] ", False),
+        (r"(ip,_,_,time<[,]>)", r"localhos - - [06/Aug/2019:12:12:19 +0800] ", False),
+        (r"(ip,_,_,time<[,]>)", r"localhost - - [06/Ast/2019:12:12:19 +0800] ", False),
+        (r"(ip,_,_,time<[,]>)\,", r"localhost - - [06/Ast/2019:12:12:19 +0800] ", False),
+        (r"(ip,_,_,time<[,]>)", r"localhost - - 06/Ast/2019:12:12:19 +0800] ", False),
+        (r"(ip,_,_,time<[,]>)", r"localhost - - [06/Ast/2019:12:12:19 +0800 ", False),
+        (r"(ip,_,_,time<[,]>)", 'localhost - - "[06/Ast/2019:12:12:19 +0800] ', False),
+        (r"(alt(ip,digit))", r"hello", False),
+        (r"(kv(time<[,]>@curr))", r"curr: [06/Ast/2019:12:12:19 +0800] ", True),
+        (r"(json(symbol(boy2)@key))", r'{"key":  "boy"}', False),
+        (
+            r'(chars:city_name",float:latitude,float:longitude,digit:ip_beg,digit:ip_end)\,',
+            r' "聊城市", 36.4837, 115.983, 3733321295, 3733321295',
+            True,
+        ),
+        (r"(peek_symbol(curr),kv(time<[,]>@curr))", r"curr: [06/Ast/2019:12:12:19 +0800] ", True),
+        (r'(peek_symbol({"sys": "unix"),json)', r'{"sys": "unix" ,"key":  "hello boy"}', True),
+        (r"(exact_json(@sys,@key))", r'{"sys": "unix" ,"key":  "hello boy"}', True),
+        (r"(exact_json(@sys))", r'{"sys": "unix" ,"key":  "hello boy"}', False),
+        (
+            r"(kv(time@fist_time),kv(time@last_time),kv)",
+            r"fist_time=2023-10-11 11:30:26 last_time=2023-10-11 11:30:26 tally=1",
+            True,
+        ),
+        (r'(peek_symbol({"sys":"unix"),json)', r'{"sys": "unix" ,"key":  "hello boy"}', False),
+    ]
+    bad = []
+    for expr, data, want in CASES:
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        row = cr.extract(spark.createDataFrame([(data,)], ["value"])).collect()[0]
+        got = row["_disposition"] in ("success", "partial")
+        if got != want:
+            bad.append((expr, want, row["_disposition"]))
+    assert not bad, bad
+    # the typed kv value must surface as a TIME column, space and all
+    cr = compile_rule(
+        parse_wpl(
+            "package /t { rule r { (kv(time@fist_time),kv(time@last_time),kv) } }"
+        )[0]
+    )
+    row = cr.extract(
+        spark.createDataFrame(
+            [("fist_time=2023-10-11 11:30:26 last_time=2023-10-11 11:30:27 tally=1",)],
+            ["value"],
+        )
+    ).collect()[0]
+    assert str(row["fist_time"]) == "2023-10-11 11:30:26"
+    assert str(row["last_time"]) == "2023-10-11 11:30:27"
+    assert row["kv"]["tally"] == "1"

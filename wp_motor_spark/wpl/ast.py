@@ -33,10 +33,14 @@ class WplSubfield:
     # path segmentation on '/' or '.' (field_reference.md single-quote
     # section); unquoted refs keep path semantics (@a/b = nested)
     quoted: bool = False
-    # grammar: subfield = [type] [@ref] [:name] [format] [sep] {pipe} —
-    # transform pipes apply to the extracted value; fmt/sep accepted and
-    # currently inert (JSON strings are already unquoted on extraction)
+    # grammar: subfield = [type] [symbol-args] [@ref] [:name] [format]
+    # [sep] {pipe} (wpl_field.rs wpl_id_field ordering) — transform pipes
+    # apply to the extracted value; quote fmt accepted-and-inert (JSON
+    # strings are already unquoted on extraction); a scope fmt wraps the
+    # typed kv-value pattern in its begin/end anchors
     fmt: str | None = None
+    scope: tuple | None = None  # <beg,end> scope anchors on the type
+    symbol: str | None = None  # content for symbol/peek_symbol subfields
     pipes: list = field(default_factory=list)
 
 

@@ -270,7 +270,11 @@ def compile_rule(rule: WplRule) -> "CompiledRule":
         _emit_group(ctx, grp, None, None)
     ctx.group_idx += 1
     residue_group = ctx.group_idx
-    pattern = "^" + "".join(ctx.parts) + r"(.*)$"
+    # leading \s*: the reference skips multispace0 before EVERY field
+    # (mechanism.rs blanket parse), so a line starting with whitespace
+    # before its first field still matches (eval/mod_test.rs test_suc_2:
+    # ' "聊城市", 36.4837, ...')
+    pattern = r"^\s*" + "".join(ctx.parts) + r"(.*)$"
     _dedupe_names(ctx.outputs)
     return CompiledRule(rule, pattern, ctx.group_idx, ctx.outputs, residue_group)
 
@@ -433,11 +437,48 @@ def _emit_single(
         return
 
     if dtype == "kv":
+        # keyval.rs pattern_parse: take_kv_key, multispace0, ':' OR '=',
+        # then value. A subfield typed with a PATTERN-FIRST type whose
+        # text can span the field separator (the time family: "2023-10-11
+        # 11:30:26", "06/Aug/2019:... +0800") gets a key-specific typed
+        # branch, so the value consumes type-first exactly like the
+        # reference's sub_fpu parse; a '*'-ref typed subfield (the
+        # WildMap default entry) extends the DEFAULT value branch the
+        # same way. Exact-key branches come first (WildMap: exact before
+        # wild).
         _flush_sep(ctx)
         ctx.group_idx += 1
         key_rx = _KEYCLS + "+"
+        pair_sep = r"\s*[:=]\s*"
         val_rx = _neg_class(sep_lit) + "*"
-        ctx.parts.append(f"({key_rx}={val_rx})")
+
+        def _typed_body(sf) -> str | None:
+            if not sf.dtype.startswith("time"):
+                return None
+            trx = _content_regex(sf.dtype, sep_lit, None)
+            if sf.scope:
+                trx = re.escape(sf.scope[0]) + trx + re.escape(sf.scope[1])
+            return trx
+
+        branches: list[str] = []
+        star_bodies: list[str] = []
+        for sf in fld.subfields:
+            body = _typed_body(sf)
+            if body is None:
+                continue
+            if sf.ref and sf.ref != "*":
+                branches.append(re.escape(sf.ref) + pair_sep + body)
+            else:
+                star_bodies.append(body)
+        default_val = (
+            "(?:" + "|".join(star_bodies) + "|" + val_rx + ")"
+            if star_bodies
+            else val_rx
+        )
+        pair = key_rx + pair_sep + default_val
+        if branches:
+            pair = "(?:" + "|".join(branches + [pair]) + ")"
+        ctx.parts.append(f"({pair})")
         ctx.outputs.append(
             FieldOutput(ctx.group_idx, fld.name or "kv", "kv", pipes=fld.pipes,
                         subfields=fld.subfields)
@@ -954,6 +995,7 @@ class CompiledRule:
         """(name, typed Column) for every non-ignore output + merged kv map."""
         cols: list[tuple[str, Column]] = []
         kv_parts: list[Column] = []
+        kv_subs: list = []
         kv_name = "kv"
         for out in self.outputs:
             raw = F.try_element_at(parts, F.lit(out.group))
@@ -961,6 +1003,7 @@ class CompiledRule:
                 continue
             if out.dtype == "kv" and not out.kv_run:
                 kv_parts.append(F.nullif(raw, F.lit("")))
+                kv_subs.extend(out.subfields)
                 if out.name != "kv":
                     kv_name = out.name
                 continue
@@ -1025,7 +1068,29 @@ class CompiledRule:
                         )
         if kv_parts:
             joined = F.nullif(F.concat_ws(PAIR_DELIM, *kv_parts), F.lit(""))
-            cols.append((kv_name, F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit("="))))
+            # keyValueDelim is a regex split with limit 2, so ':'-separated
+            # pairs work and a time value's internal ':' stays in the value
+            kv_map = F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit(r"\s*[:=]\s*"))
+            cols.append((kv_name, kv_map))
+            # typed subfield columns off the merged map (keyval.rs: the
+            # sub_fpu output is a NAMED typed field, e.g. kv(time@ts) ->
+            # Time column 'ts'); '*' refs stay map-only
+            for sf in kv_subs:
+                if not sf.ref or sf.ref == "*":
+                    continue
+                val = F.try_element_at(kv_map, F.lit(sf.ref))
+                val = _apply_subfield_pipes(val, sf)
+                if sf.scope:
+                    # scope anchors were part of the matched value text —
+                    # strip them before the typed cast
+                    b, e = re.escape(sf.scope[0]), re.escape(sf.scope[1])
+                    val = F.regexp_replace(
+                        F.regexp_replace(val, "^" + b, ""), e + "$", ""
+                    )
+                cols.append(
+                    (sf.name or sf.ref.replace("/", "_"),
+                     _cast_subfield(val, sf.dtype))
+                )
         # rule-level tag annotations -> constant columns (wpl_anno.rs:28-54)
         for k, v in self.rule.tags.items():
             cols.append((k, F.lit(v)))
@@ -1055,6 +1120,16 @@ class CompiledRule:
                 raw = F.try_element_at(parts, F.lit(out.group))
                 g = _exact_json_guard(raw, out.subfields)
                 guard = g if guard is None else guard & g
+            if out.dtype in ("json", "exact_json"):
+                # symbol subfields are equality guards on the extracted
+                # value (eval/mod_test.rs test_json_symbol_miss:
+                # json(symbol(boy2)@key) misses when $.key != 'boy2')
+                for sf in out.subfields:
+                    if sf.dtype in ("symbol", "peek_symbol") and sf.symbol is not None:
+                        raw = F.try_element_at(parts, F.lit(out.group))
+                        jp = "$." + (sf.ref or "*").replace("/", ".")
+                        g = F.get_json_object(raw, jp) == F.lit(sf.symbol)
+                        guard = g if guard is None else guard & g
         return guard
 
     # -- user-facing --------------------------------------------------------

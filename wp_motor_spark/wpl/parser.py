@@ -481,6 +481,24 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
         else:
             dt = cur.match_re(_FIELD_TYPE_RE)
             sf.dtype = _TYPE_ALIASES.get(dt, dt) if dt else "auto"
+        if sf.dtype in ("symbol", "peek_symbol") and cur.peek() == "(":
+            # symbol content args (wpl_id_field: take_parentheses for
+            # DataType::Symbol — json(symbol(boy2)@key) is an equality
+            # guard on the extracted value)
+            cur.pos += 1
+            buf = []
+            while not cur.eof():
+                ch = cur.text[cur.pos]
+                if ch == "\\" and cur.pos + 1 < len(cur.text):
+                    buf.append(cur.text[cur.pos + 1])
+                    cur.pos += 2
+                elif ch == ")":
+                    cur.pos += 1
+                    break
+                else:
+                    buf.append(ch)
+                    cur.pos += 1
+            sf.symbol = "".join(buf)
         if cur.peek() == '"' and cur.text[cur.pos : cur.pos + 2] == '"@':
             # quote fmt directly after the type (chars"@msg:alias)
             sf.fmt = '"'
@@ -543,6 +561,14 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
         if cur.peek() == '"':  # quote fmt (grammar: [format] after name)
             sf.fmt = '"'
             cur.pos += 1
+        elif cur.peek() == "<":
+            # scope fmt on the subfield type (wpl_id_field runs
+            # wpl_field_fmt after @ref/:name — `kv(time<[,]>@curr)` is
+            # therefore TWO subfields: time<[,]> bound to the default
+            # '*' key, then @curr with the default type)
+            end = _find_scope_end(cur.text, cur.pos)
+            sf.scope = _split_scope(cur.text[cur.pos + 1 : end])
+            cur.pos = end + 1
         _try_parse_sep(cur)  # subfield sep: accepted, inert (grammar allows)
         while True:  # {pipe}: transform/guard calls on the extracted value
             save = cur.pos
