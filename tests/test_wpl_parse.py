@@ -1022,3 +1022,57 @@ def test_reference_eval_mod_test_parity(spark):
     assert str(row["fist_time"]) == "2023-10-11 11:30:26"
     assert str(row["last_time"]) == "2023-10-11 11:30:27"
     assert row["kv"]["tally"] == "1"
+
+
+def test_reference_group_eval_parity(spark):
+    """Cases from the reference's group eval tests (eval/runtime/group/
+    {not,opt,alt,some_of}.rs): not() is a zero-width lookahead that
+    fails when its inner matches and must NOT strand the next group's
+    separator; opt tolerates absence; alt binds the matching branch's
+    field; some_of accepts members in any order. Dispositions compare
+    against parse_groups Ok/Err (success|partial ~ Ok)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    CASES = [
+        (r"not(symbol(ERROR)),(chars:lvl,chars:msg)", "INFO: hello", True),
+        (r"not(symbol(ERROR)),(chars:lvl,chars:msg)", "ERROR: wrong", False),
+        (r"not(peek_symbol(ERROR):test),(chars:msg)", "INFO", True),
+        (r"opt(ip:sip),(2*_,time<[,]>)",
+         "192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] ", True),
+        (r"(ip:sip) ,opt(ip:sip)", "192.168.1.2", True),
+        (r"alt(ip:sip,digit:id),(2*_,time<[,]>)",
+         "192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] ", True),
+        (r"alt(ip:sip,digit:id),(2*_,time<[,]>)",
+         "2002 - - [06/Aug/2019:12:12:19 +0800] ", True),
+        (r"some_of(ip:sip, time<[,]>,digit:id),(2*_,time<[,]>)",
+         " 2004 192.168.1.2 2002 - - [06/Aug/2019:12:12:19 +0800] ", True),
+        (r"some_of(kv(chars@b:bbbb<[,]>),kv(chars@c:ccc),kv(chars@a:aaaa))\|",
+         "b=[y]|c=z|a=x", True),
+        (r"some_of(kv(chars<[,]>),chars)\|", "b=[y]|c= |a=[x]", True),
+    ]
+    bad = []
+    for expr, data, want in CASES:
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        row = cr.extract(spark.createDataFrame([(data,)], ["value"])).collect()[0]
+        got = row["_disposition"] in ("success", "partial")
+        if got != want:
+            bad.append((expr, data, want, row["_disposition"]))
+    assert not bad, bad
+    # field bindings: not+peek leaves input unconsumed; alt binds one side
+    cr = compile_rule(
+        parse_wpl("package /t { rule r { not(peek_symbol(ERROR):test),(chars:msg) } }")[0]
+    )
+    row = cr.extract(spark.createDataFrame([("INFO",)], ["value"])).collect()[0]
+    assert row["msg"] == "INFO"
+    cr = compile_rule(
+        parse_wpl("package /t { rule r { alt(ip:sip,digit:id),(2*_,time<[,]>) } }")[0]
+    )
+    rows = cr.extract(
+        spark.createDataFrame(
+            [("192.168.1.2 - - [06/Aug/2019:12:12:19 +0800] ",),
+             ("2002 - - [06/Aug/2019:12:12:19 +0800] ",)],
+            ["value"],
+        )
+    ).orderBy("value").collect()
+    assert rows[0]["sip"] == "192.168.1.2" and rows[0]["id"] is None
+    assert rows[1]["id"] == 2002 and rows[1]["sip"] is None

@@ -357,6 +357,12 @@ def _emit_group(ctx: _Ctx, grp: WplGroup, parent_sep: str | None, parent_pat: st
         # multispace0, so an absent group never strands a required sep)
         if grp.meta in ("opt", "some_of"):
             ctx.last_self_delim = True
+        # not() is ZERO-WIDTH (a lookahead): the next field matches at the
+        # same position, so the inter-group separator must not be required
+        # before it (group/not.rs test_not_with_peek_symbol: chars right
+        # after not(peek_symbol(...)) reads from position 0)
+        if grp.meta == "not":
+            ctx.suppress_next_sep = True
         return
 
     # seq: the separator between item i-1 and i is item i-1's own declared
@@ -986,7 +992,11 @@ class CompiledRule:
         return (
             F.when(F.trim(F.coalesce(value, F.lit(""))) == "", F.lit("blank"))
             .when(~self.matched_col(parts, value), F.lit("miss"))
-            .when(F.length(residue) == 0, F.lit("success"))
+            # whitespace-only residue counts as full consumption: the
+            # reference runs multispace0 after every field, so a trailing
+            # blank run is consumed, not residue (group/some_of.rs tests
+            # assert data == "" on inputs with trailing spaces)
+            .when(F.length(F.trim(residue)) == 0, F.lit("success"))
             .when(frac_ok, F.lit("partial"))
             .otherwise(F.lit("miss"))
         )
