@@ -625,3 +625,83 @@ def test_ip4_between_unwrap_defaults(spark):
     assert row["neg_hi"] is True
     assert row["wrap_hi"] is True
     assert row["text_num_lo"] is False and row["text_num_hi"] is False
+
+
+def test_reference_pipe_eval_parity(spark):
+    """Exact-value cases from the reference's pipe eval tests
+    (core/evaluator/transform/pipe/{other,array_obj,net,path_url}.rs):
+    path(name) normalizes backslashes first; url(host) carries the
+    explicit non-default port; url(uri) includes query AND fragment
+    (Position::BeforePath..); url(params) is '' (not null) when absent;
+    skip_empty is type-aware (0 / 0.0 / [] / '' all Ignore);
+    ip4_to_int; Time::to_ts family."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    def run(oml, row, schema):
+        return compile_oml(oml).apply(
+            spark.createDataFrame([row], schema)
+        ).collect()[0].asDict()
+
+    r = run(
+        "name : test\n---\nX : chars =  pipe take(A1) | path(name);\n",
+        ("C:\\Users\\wplab\\AppData\\Local\\Temp\\B8A93152-2B59-426D-BE5F"
+         "-5521D4D2D957\\api-ms-win-core-file-l1-2-1.dll",),
+        "A1 string",
+    )
+    assert r["X"] == "api-ms-win-core-file-l1-2-1.dll"
+
+    r = run(
+        "name : test\n---\n"
+        "A : chars =  pipe read(A1) | url(domain);\n"
+        "B : chars =  pipe read(A1) | url(host);\n"
+        "C : chars =  pipe read(A1) | url(uri);\n"
+        "D : chars =  pipe read(A1) | url(path);\n"
+        "E : chars =  pipe read(A1) | url(params);\n",
+        ("https://a.b.com:8888/OneCollector/1.0?cors=true&content-type="
+         "application/x-json-stream#id1",),
+        "A1 string",
+    )
+    assert r["A"] == "a.b.com"
+    assert r["B"] == "a.b.com:8888"
+    assert r["C"] == ("/OneCollector/1.0?cors=true&content-type="
+                      "application/x-json-stream#id1")
+    assert r["D"] == "/OneCollector/1.0"
+    assert r["E"] == "cors=true&content-type=application/x-json-stream"
+
+    # default port normalized away like the url crate's Url::port()
+    r = run(
+        "name : test\n---\nB : chars =  pipe read(A1) | url(host);\n",
+        ("https://a.b.com:443/x",),
+        "A1 string",
+    )
+    assert r["B"] == "a.b.com"
+
+    r = run(
+        "name : test\n---\n"
+        "Y  =  pipe  read(A1) | skip_empty ;\n"
+        "Z  =  pipe  read(A2) | skip_empty ;\n"
+        "W  =  pipe  read(A3) | skip_empty ;\n"
+        "V  =  pipe  read(A4) | skip_empty ;\n",
+        (0, [], 0.0, "keep"),
+        "A1 long, A2 array<string>, A3 double, A4 string",
+    )
+    assert r["Y"] is None and r["Z"] is None and r["W"] is None
+    assert r["V"] == "keep"
+
+    r = run(
+        "name : test\n---\nX  =  pipe  read(src_ip) | ip4_to_int ;\n",
+        ("127.0.0.1",),
+        "src_ip string",
+    )
+    assert r["X"] == 2130706433
+
+    r = run(
+        "name : test\n---\n"
+        "Y  =  time(2000-10-10 0:0:0);\n"
+        "X  =  pipe  read(Y) | Time::to_ts ;\n"
+        "Z  =  pipe  read(Y) | Time::to_ts_ms ;\n"
+        "U  =  pipe  read(Y) | Time::to_ts_us ;\n",
+        ("x",),
+        "A1 string",
+    )
+    assert (r["X"], r["Z"], r["U"]) == (971107200, 971107200000, 971107200000000)

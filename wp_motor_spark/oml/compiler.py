@@ -72,6 +72,7 @@ _CAST = {
 class _Val:
     col: Column
     kind: str | None = None  # "struct" | "array" | None (scalar/unknown)
+    dtype: object | None = None  # Spark dtype when read straight off the input
 
 
 def _glob_to_re(glob: str) -> re.Pattern:
@@ -181,7 +182,7 @@ class _State:
         if name in self.statics:
             return self.statics[name]
         if name in self.input_cols:
-            return _Val(F.col(name), self._kind_of_input(name))
+            return _Val(F.col(name), self._kind_of_input(name), self.schema.get(name))
         return None
 
     def _input_read(self, name: str) -> _Val | None:
@@ -190,7 +191,7 @@ class _State:
         timestamp_zone and then read()s the original; prior-output access
         is spelled @name/FieldRef, which stays outputs-first)."""
         if name in self.input_cols:
-            return _Val(F.col(name), self._kind_of_input(name))
+            return _Val(F.col(name), self._kind_of_input(name), self.schema.get(name))
         if name in self.statics:
             return self.statics[name]
         if name in self.outputs:
@@ -201,7 +202,7 @@ class _State:
         """take(): destructive — consumed fields read as absent."""
         if name in self.input_cols and name not in self.taken:
             self.taken.add(name)
-            return _Val(F.col(name), self._kind_of_input(name))
+            return _Val(F.col(name), self._kind_of_input(name), self.schema.get(name))
         if name in self.outputs:  # taking a computed field: value visible
             return self.outputs[name]
         return None
@@ -512,7 +513,9 @@ class _State:
                 return _Val(ofn.to_json(c))
             return _Val(c.cast("string"))
         if name == "skip_empty":
-            return _Val(ofn.skip_empty(c), v.kind)
+            return _Val(
+                ofn.skip_empty(c, dt=v.dtype, kind=v.kind), v.kind, v.dtype
+            )
         if name == "nth":
             i = int(a[0]) if a else 0
             if v.kind == "array":

@@ -243,34 +243,99 @@ def to_json(col: Column) -> Column:
     return F.to_json(col)
 
 
-def skip_empty(col: Column) -> Column:
-    """other.rs — empty string -> Ignore(NULL)."""
-    return F.nullif(col, F.lit(""))
+def skip_empty(col: Column, dt=None, kind: str | None = None) -> Column:
+    """array_obj.rs SkipEmpty — TYPE-AWARE emptiness: '' (chars), 0
+    (digit), 0.0 (float), [] (array), {} (obj/map) all become Ignore
+    (NULL); other types pass through. The OML compiler threads the input
+    column's Spark dtype (`dt`) / container kind so non-string inputs
+    dispatch on their own type instead of hitting a string comparison;
+    with no type info the chars rule applies (string pipelines)."""
+    from pyspark.sql import types as T
+
+    if kind in ("array", "map") or isinstance(dt, (T.ArrayType, T.MapType)):
+        cond = F.size(col) == 0  # size() counts array elements / map entries
+    elif kind == "struct" or isinstance(dt, T.StructType):
+        return col  # structs are never 'empty' in the reference match
+    elif isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        cond = col == 0
+    elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        cond = col == 0.0
+    else:
+        cond = col.cast("string") == ""
+    return F.when(~cond, col)
+
+
+def _path_norm(col: Column) -> Column:
+    # path_url.rs PathGet: x.replace('\\', "/") FIRST — Windows paths
+    # resolve with the same component logic as POSIX ones
+    return F.replace(col, F.lit("\\"), F.lit("/"))
 
 
 def path_name(col: Column) -> Column:
-    """path_url.rs PathType::Name — last path component."""
-    return F.substring_index(col, "/", -1)
+    """path_url.rs PathType::FileName — last component of the
+    backslash-normalized path (C:\\..\\x.dll -> x.dll)."""
+    return F.substring_index(_path_norm(col), "/", -1)
 
 
 def path_path(col: Column) -> Column:
-    """path_url.rs PathType::Path — directory part."""
-    return F.when(col.contains("/"), F.regexp_extract(col, r"^(.*)/[^/]*$", 1))
+    """path_url.rs PathType::Path — Path::parent() of the normalized
+    path ('' for a bare filename, like Rust's Path("file").parent())."""
+    n = _path_norm(col)
+    return (
+        F.when(n == "/", F.lit("/"))
+        .when(n.contains("/"), F.regexp_extract(n, r"^(.*)/[^/]*$", 1))
+        .otherwise(F.lit(""))
+    )
+
+
+# url crate Url::port(): default scheme ports are normalized away, so
+# url(host) appends ':port' only when the port is explicit AND non-default
+_URL_DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
 
 
 def url_part(col: Column, part: str) -> Column:
-    """path_url.rs UrlType — domain|host|uri|path|params via parse_url."""
+    """path_url.rs UrlType — domain|host|uri|path|params.
+
+    Reference semantics (UrlGet::value_cacu): host = host_str + explicit
+    non-default :port; uri = url[Position::BeforePath..] = path + ?query
+    + #fragment; params = query or '' (empty, not null); every part
+    falls back to the ORIGINAL string when Url::parse fails (approximated
+    here as parse_url HOST being null)."""
     part = part.lower()
-    if part in ("domain", "host"):
-        return F.parse_url(col, F.lit("HOST"))
+    phost = F.parse_url(col, F.lit("HOST"))
+    parse_ok = phost.isNotNull()
+    if part == "domain":
+        return F.when(parse_ok, phost).otherwise(col)
+    if part == "host":
+        scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        port = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1)
+        default_port = F.coalesce(
+            *[F.when(scheme == s, F.lit(p)) for s, p in _URL_DEFAULT_PORTS.items()],
+            F.lit(""),
+        )
+        explicit = (port != "") & (port != default_port)
+        return F.when(
+            parse_ok,
+            F.when(explicit, F.concat(phost, F.lit(":"), port)).otherwise(phost),
+        ).otherwise(col)
     if part == "path":
-        return F.parse_url(col, F.lit("PATH"))
+        return F.when(parse_ok, F.parse_url(col, F.lit("PATH"))).otherwise(col)
     if part in ("params", "query"):
-        return F.parse_url(col, F.lit("QUERY"))
+        return F.when(
+            parse_ok, F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit(""))
+        ).otherwise(col)
     if part == "uri":
         p = F.parse_url(col, F.lit("PATH"))
         q = F.parse_url(col, F.lit("QUERY"))
-        return F.when(q.isNotNull(), F.concat(p, F.lit("?"), q)).otherwise(p)
+        frag = F.parse_url(col, F.lit("REF"))
+        uri = F.concat(
+            p,
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+            F.when(frag.isNotNull(), F.concat(F.lit("#"), frag)).otherwise(F.lit("")),
+        )
+        return F.when(parse_ok, uri).otherwise(col)
     raise ValueError(f"unknown url part {part!r}")
 
 
