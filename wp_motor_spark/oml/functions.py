@@ -197,11 +197,15 @@ def now_time() -> Column:
 
 
 def now_date() -> Column:
-    return F.date_format(F.current_timestamp(), "yyyyMMdd")
+    # functions/time.rs NowDate: from_digit(y*10000 + m*100 + d) — a
+    # DIGIT (long), not chars
+    return F.date_format(F.current_timestamp(), "yyyyMMdd").cast("long")
 
 
 def now_hour() -> Column:
-    return F.date_format(F.current_timestamp(), "yyyyMMddHH")
+    # functions/time.rs NowHour: from_digit(y*1000000 + m*10000 + d*100
+    # + H) — a DIGIT (long), not chars
+    return F.date_format(F.current_timestamp(), "yyyyMMddHH").cast("long")
 
 
 # ------------------------------------------------------------ array / obj
