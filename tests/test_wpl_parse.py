@@ -1076,3 +1076,46 @@ def test_reference_group_eval_parity(spark):
     ).orderBy("value").collect()
     assert rows[0]["sip"] == "192.168.1.2" and rows[0]["id"] is None
     assert rows[1]["id"] == 2002 and rows[1]["sip"] is None
+
+
+def test_reference_pipe_fun_eval_parity(spark):
+    """Cases from the reference's pipe_fun.rs unit tests: starts_with is
+    NOT a guard (mismatching / non-chars fields become Ignore, the rule
+    continues); base64_decode and json_unescape FAILURES miss the rule;
+    chars_replace on a non-chars field misses; digit_range bounds are
+    inclusive; regex_match is partial-match with inline (?i) flags."""
+    import base64 as _b64
+
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    r = run(r"(chars:url | starts_with(https://))", "https://example.com")
+    assert (r["_disposition"], r["url"]) == ("success", "https://example.com")
+    r = run(r"(chars:url | starts_with(https://))", "http://example.com")
+    assert (r["_disposition"], r["url"]) == ("success", None)  # Ignore, not miss
+    r = run(r"(digit:num | starts_with(test))", "42")
+    assert (r["_disposition"], r["num"]) == ("success", None)  # non-chars -> Ignore
+
+    enc = _b64.b64encode(b"hello world").decode()
+    r = run(r"(chars:payload | base64_decode)", enc)
+    assert (r["_disposition"], r["payload"]) == ("success", "hello world")
+    assert run(r"(chars:payload | base64_decode)", "***")["_disposition"] == "miss"
+
+    r = run(r"(chars:txt | json_unescape)", r"line1\nline2")
+    assert r["_disposition"] == "success" and "\n" in r["txt"]
+    assert run(r"(chars:txt | json_unescape)", r"line1\qline2")["_disposition"] == "miss"
+
+    assert run(r"(digit:num | chars_replace(old,new))", "123")["_disposition"] == "miss"
+
+    assert run(r"(digit:num | digit_range(100,200))", "100")["_disposition"] == "success"
+    assert run(r"(digit:num | digit_range(100,200))", "200")["_disposition"] == "success"
+    assert run(r"(digit:num | digit_range(1,10))", "50")["_disposition"] == "miss"
+
+    assert run(r'(chars:code | regex_match("[0-9]+"))', "ABC123")["_disposition"] == "success"
+    assert run(r'(chars:t | regex_match("(?i)^hello"))', "Hello_W")["_disposition"] == "success"
+    assert run(r'(chars:t | regex_match("^hello"))', "Hello_W")["_disposition"] == "miss"

@@ -90,8 +90,9 @@ def _guard_expr(
         return t(active.isin(_parse_array(a[0])))
     if name == "f_chars_in":
         return t(fcol(a[0]).isin(_parse_array(a[1])))
-    if name == "starts_with":
-        return t(active.startswith(a[0]))
+    # starts_with is NOT a guard (pipe_fun.rs StartsWith: a mismatching
+    # or non-chars field becomes Ignore and process returns Ok — the
+    # rule continues); it compiles as a transform in compile_transforms
     if name == "regex_match":
         return t(active.rlike(a[0]))
     # digit guards try_cast the operand: a no-op on real digit columns,
@@ -111,6 +112,18 @@ def _guard_expr(
     if name == "f_ip_in":
         return t(fcol(a[0]).isin(_parse_array(a[1])))
     return None  # selector / transform pipes are not guards
+
+
+# WPL field dtypes whose runtime Value is NOT Chars (pipe_fun.rs match
+# arms: ReplaceFunc/StartsWith only act on Value::Chars — digit/float/
+# time/ip/bool values hit the non-chars branch)
+_NON_CHARS_DTYPES = ("digit", "float", "port", "http/status", "bool")
+
+
+def _is_non_chars(dtype: str | None) -> bool:
+    return dtype is not None and (
+        dtype in _NON_CHARS_DTYPES or dtype.startswith("time")
+    )
 
 
 def _transform_expr(call: FunCall, col: Column) -> Column:
@@ -152,6 +165,7 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
         if getattr(out, "dtype", None) in ("json", "exact_json") and out.name in cols:
             json_col = cols[out.name]
             break
+    dtypes = {out.name: getattr(out, "dtype", None) for out in outputs}
     guard: Column | None = None
     for out in outputs:
         active_name = out.name
@@ -166,6 +180,22 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
             else:
                 active = F.lit(None)
             g = _guard_expr(call, active, cols, json_col)
+            # failing TRANSFORMS are rule misses in the reference
+            # (pipe_fun.rs: Base64Decode/JsonUnescape/ReplaceFunc return
+            # Err): an undecodable payload, an invalid JSON escape, or a
+            # chars-only pipe on a non-chars field all fail the rule
+            if g is None and call.name == "base64_decode":
+                g = F.coalesce(
+                    active.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"), F.lit(False)
+                )
+            elif g is None and call.name == "json_unescape":
+                g = F.coalesce(
+                    ~active.rlike(r'\\(?:[^"\\/bfnrtu]|$)'), F.lit(False)
+                )
+            elif g is None and call.name == "chars_replace" and _is_non_chars(
+                dtypes.get(active_name)
+            ):
+                g = F.lit(False)
             if g is not None:
                 guard = g if guard is None else (guard & g)
     return guard
@@ -175,6 +205,7 @@ def compile_transforms(outputs, cols: dict[str, Column]) -> dict[str, Column]:
     """Per-field value replacements from transform pipes. take()/last()
     selectors retarget transforms too — `take(path) | json_unescape() |
     take(txt) | json_unescape()` (json.rs tests) mutates BOTH subfields."""
+    dtypes = {out.name: getattr(out, "dtype", None) for out in outputs}
     repl: dict[str, Column] = {}
     for out in outputs:
         active_name = out.name
@@ -187,4 +218,17 @@ def compile_transforms(outputs, cols: dict[str, Column]) -> dict[str, Column]:
                 if base is None:
                     continue
                 repl[active_name] = _transform_expr(call, base)
+            elif call.name == "starts_with":
+                # pipe_fun.rs StartsWith: keep the value on a prefix
+                # match, otherwise (or on a non-chars field) the field
+                # becomes Ignore (NULL) — the rule does NOT miss
+                base = repl.get(active_name, cols.get(active_name))
+                if base is None:
+                    continue
+                if _is_non_chars(dtypes.get(active_name)):
+                    repl[active_name] = F.lit(None).cast("string")
+                else:
+                    repl[active_name] = F.when(
+                        base.startswith(call.args[0]), base
+                    )
     return repl
