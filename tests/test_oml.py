@@ -705,3 +705,30 @@ def test_reference_pipe_eval_parity(spark):
         "A1 string",
     )
     assert (r["X"], r["Z"], r["U"]) == (971107200, 971107200000, 971107200000000)
+
+
+def test_batch_glob_targets_with_bracket_indices(spark):
+    """extract/basic/batch.rs test_value_arr1/2: glob targets sweep
+    bracket-indexed flattened field names — `details[1*process_name`
+    matches details[1]/... AND details[11]/... (take_wild_key accepts
+    '[' ']' in wild names); `option[time]` call args must still tokenize
+    as name + bracket (the optional-read spelling)."""
+    from wp_motor_spark.oml.compiler import compile_oml
+
+    cols = [
+        "details[0]/process_name",
+        "details[1]/process_name",
+        "details[11]/process_name",
+        "details[2]/process_name",
+    ]
+    df = spark.createDataFrame([("h1", "h2", "h2b", "h3")], cols)
+    for glob, want in (("*", 4), ("details*", 4), ("details[1*process_name", 2)):
+        out = compile_oml(f"name : t\n---\n{glob} = take() ;\n").apply(df)
+        assert len(out.columns) == want, (glob, out.columns)
+    out = compile_oml(
+        "name : t\n---\ndetails[1*process_name = take() ;\n"
+    ).apply(df)
+    assert set(out.columns) == {
+        "details[1]/process_name",
+        "details[11]/process_name",
+    }

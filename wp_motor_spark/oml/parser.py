@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
     | (?P<arrow>=>)
     | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<bracket>\[(?:[^\[\]]|\[[^\]]*\])*\])
-    | (?P<ident>[A-Za-z_](?:\w|::|[./\-])*)
+    | (?P<ident>[A-Za-z_](?:\w|::|[./\-]|(?>\[\w*)(?!\])|\])*)
     | (?P<slashpath>/[A-Za-z_0-9][\w./\-]*)
     | (?P<dotted>\d+(?:\.\d+){2,})
     | (?P<number>-?\d+(?:\.\d+)?)
