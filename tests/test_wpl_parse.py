@@ -1119,3 +1119,29 @@ def test_reference_pipe_fun_eval_parity(spark):
     assert run(r'(chars:code | regex_match("[0-9]+"))', "ABC123")["_disposition"] == "success"
     assert run(r'(chars:t | regex_match("(?i)^hello"))', "Hello_W")["_disposition"] == "success"
     assert run(r'(chars:t | regex_match("^hello"))', "Hello_W")["_disposition"] == "miss"
+
+
+def test_reference_subfield_grammar_cases():
+    """wpl_field.rs wpl_id_field/wpl_field_subs unit cases: hyphen and
+    SLASH subfield names (take_key charset), spaces around ':', opt()
+    with inner spaces, bracket-indexed refs, quoted special refs."""
+    from wp_motor_spark.wpl import parse_wpl
+
+    def subs(expr):
+        rule = parse_wpl("package /t { rule r { (kv%s) } }" % expr)[0]
+        return [
+            (s.dtype, s.ref, s.name, s.optional)
+            for s in rule.groups[0].items[0].subfields
+        ]
+
+    assert subs("(@src_ip:src-ip)") == [("auto", "src_ip", "src-ip", False)]
+    assert subs("(@src_ip : src-ip)") == [("auto", "src_ip", "src-ip", False)]
+    assert subs("(opt( digit )@src_ip: src-ip)") == [
+        ("digit", "src_ip", "src-ip", True)
+    ]
+    assert subs("(@process[0]/path)") == [("auto", "process[0]/path", None, False)]
+    assert subs("(@'@abc')") == [("auto", "@abc", None, False)]
+    assert subs("(digit@src_ip/beijing : src-ip/changsha ,digit@dst_ip : dst-ip)") == [
+        ("digit", "src_ip/beijing", "src-ip/changsha", False),
+        ("digit", "dst_ip", "dst-ip", False),
+    ]

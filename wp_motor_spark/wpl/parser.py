@@ -27,6 +27,8 @@ _TYPE_ALIASES = {
 
 _KEY_RE = re.compile(r"[A-Za-z0-9_./-]+")
 _NAME_RE = re.compile(r"[A-Za-z0-9_.\-]+")
+# subfield names: take_key (utils.rs:45) — adds '/' to the var charset
+_SUBNAME_RE = re.compile(r"[A-Za-z0-9_./\-]+")
 _NUM_RE = re.compile(r"\d+")
 
 
@@ -557,7 +559,10 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
             else:
                 sf.ref = cur.match_re(re.compile(r"[A-Za-z0-9_./\-\[\]*]+")) or "*"
         if cur.try_tok(":"):
-            sf.name = cur.match_re(_NAME_RE)
+            # subfield :name uses take_key (utils.rs:45), which ALSO
+            # allows '/' — unlike main-field names (take_var_name has no
+            # slash): `digit@src_ip/beijing : src-ip/changsha` is valid
+            sf.name = cur.match_re(_SUBNAME_RE)
         if cur.peek() == '"':  # quote fmt (grammar: [format] after name)
             sf.fmt = '"'
             cur.pos += 1
