@@ -63,14 +63,20 @@ class WplCompileError(ValueError):
 
 # ---------------------------------------------------------------- fragments
 
+# month names are VALIDATED in the match, not just cast-checked: the
+# reference's fast_apache_dt (time/common.rs:55) and month_patten
+# (time/rfc.rs:135) both reject unknown 3-letter tokens case-sensitively,
+# so a line with a fake month must MISS the rule, not parse-with-NULL
+_MONTH_RX = r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+
 _TIME_PATTERNS: list[tuple[str, str]] = [
     # (regex fragment, spark datetime format or special key)
     (r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{1,2}:\d{1,2}\.\d+(?:Z|[+-]\d{2}:?\d{2})?", "iso_frac"),
     (r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{1,2}:\d{1,2}(?:Z|[+-]\d{2}:?\d{2})?", "iso"),
     (r"\d{4}/\d{1,2}/\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}", "slash"),
-    (r"[A-Z][a-z]{2} +\d{1,2} \d{4} \d{2}:\d{2}:\d{2}", "syslog_year"),
-    (r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}", "syslog"),
-    (r"\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}", "clf"),
+    (_MONTH_RX + r" +\d{1,2} \d{4} \d{2}:\d{2}:\d{2}", "syslog_year"),
+    (_MONTH_RX + r" +\d{1,2} \d{2}:\d{2}:\d{2}", "syslog"),
+    (r"\d{2}/" + _MONTH_RX + r"/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}", "clf"),
 ]
 
 _TIME_AUTO_RE = "(?:" + "|".join(p for p, _ in _TIME_PATTERNS) + ")"
@@ -188,7 +194,7 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
         "email": r"[^@\s]+@[^@\s]+\.[A-Za-z]{2,11}",
         "url": r"[A-Za-z][A-Za-z0-9+.-]*://" + ncls + "+",
         "time": _TIME_AUTO_RE,
-        "time/clf": r"\d{2}/[A-Za-z]{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+        "time/clf": r"\d{2}/" + _MONTH_RX + r"/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
         "time_iso": r"\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
         "time_3339": r"\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[Zz]|[+-]\d{2}:\d{2})",
         "time_2822": r"(?:[A-Z][a-z]{2}, )?\d{1,2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} (?:[+-]\d{4}|[A-Z]{2,4})",
@@ -516,10 +522,15 @@ def _emit_single(
         content = ".*"
     quoted = False
     # Under a quote/scope format the delimiters self-delimit the field, so a
-    # permissive content class is both faster and more faithful (the reference
-    # parses the scope first, then the value). Numeric-shaped types keep their
-    # typed content so garbage still misses the rule.
-    keep_typed = dtype in ("digit", "port", "http/status", "float", "bool", "hex")
+    # permissive content class is faster for free-text types. Numeric-shaped
+    # AND time types keep their typed content: the reference's scope path
+    # (mechanism.rs:42-63) fails when the inner parse leaves residue, and
+    # its month tokens are validated case-sensitively (time/common.rs:55,
+    # rfc.rs month_patten) — so '[06/Ast/...]' must MISS a time<[,]> field,
+    # not parse as a scope-bounded blob with a NULL cast.
+    keep_typed = dtype in (
+        "digit", "port", "http/status", "float", "bool", "hex"
+    ) or dtype.startswith("time")
     if fld.fmt == ('"', '"'):
         if not keep_typed:
             content = '[^"]*'
