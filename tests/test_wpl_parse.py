@@ -1176,3 +1176,38 @@ def test_clf_month_names_validated_in_match(spark):
     assert disp == ["miss", "miss", "success"], rows
     ok = [r for r in rows if r["_disposition"] == "success"]
     assert str(ok[0]["time_clf"]) == "2019-08-06 04:12:19"  # the Aug line
+
+
+def test_reference_keyval_value_semantics(spark):
+    """keyval.rs value_take cases: quoted values span separators with
+    escapes preserved and outer quotes stripped (test_key_name/key_3);
+    bare values TRIM (test_key_2); array-typed subfields consume the
+    whole [..] and yield typed element arrays (test_kv_arr1-3)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    r = run(r"(kv(@destination-zone))", r'destination-zone="tr\"ust"')
+    assert r["_disposition"] == "success"
+    assert r["kv"]["destination-zone"] == r'tr\"ust'
+
+    r = run(r"(kv(@time))", r'time="2023-05-15 09:22:44" ')
+    assert r["_disposition"] == "success"
+    assert r["kv"]["time"] == "2023-05-15 09:22:44"
+
+    # bare value trimmed; >20% residue classifies miss at the pipeline
+    # level (the unit test checks only the field parse)
+    r = run(r"(kv(@sys_name)\,)", "sys_name : 幻云 , msg_type:attack_log")
+    assert r["kv"]["sys_name"] == "幻云"
+
+    r = run(r"(kv(array/chars@dip))", 'dip=["1.1.1.1","2.2.2.2"]')
+    assert r["_disposition"] == "success"
+    assert r["dip"] == ["1.1.1.1", "2.2.2.2"]
+    r = run(r"(kv(array/ip@dip))", "dip=[1.1.1.1,2.2.2.2]")
+    assert r["dip"] == ["1.1.1.1", "2.2.2.2"]
+    r = run(r"(kv(array/ip@dip))", "dip=[]")
+    assert r["_disposition"] == "success" and r["dip"] == []

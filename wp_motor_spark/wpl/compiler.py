@@ -462,12 +462,23 @@ def _emit_single(
         ctx.group_idx += 1
         key_rx = _KEYCLS + "+"
         pair_sep = r"\s*[:=]\s*"
-        val_rx = _neg_class(sep_lit) + "*"
+        # value_take (keyval.rs:59) tries QUOTED strings first — a quoted
+        # value spans separators and escaped quotes (`time="... ..."`,
+        # `dz="tr\"ust"`) for EVERY key; the bare read-until-sep class is
+        # the fallback. Bracketed [array] values span separators only for
+        # ARRAY-typed subfields (the array sub_fpu consumes the whole
+        # [..]; a chars sub reads until the separator) — handled as typed
+        # branches below.
+        quoted_rx = r'"(?:[^"\\]|\\.)*"'
+        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*)"
 
         def _typed_body(sf) -> str | None:
-            if not sf.dtype.startswith("time"):
+            if sf.dtype.startswith("array"):
+                trx = r"\[[^\]]*\]"  # the array sub_fpu consumes all of [..]
+            elif sf.dtype.startswith("time"):
+                trx = _content_regex(sf.dtype, sep_lit, None)
+            else:
                 return None
-            trx = _content_regex(sf.dtype, sep_lit, None)
             if sf.scope:
                 trx = re.escape(sf.scope[0]) + trx + re.escape(sf.scope[1])
             return trx
@@ -869,6 +880,23 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
         return _time_cast(col, dtype)
     if dtype == "auto":
         return _auto_cascade(col)
+    if dtype.startswith("array"):
+        # protocol/array.rs inside kv values (keyval.rs test_kv_arr1-4):
+        # '[a,b]' / '["a","b"]' / '[]' -> typed element array; elements
+        # split on top-level commas, quotes stripped, whitespace trimmed
+        inner = F.regexp_replace(F.regexp_replace(col, r"^\s*\[", ""), r"\]\s*$", "")
+        elems = F.when(F.trim(inner) == "", F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.split(inner, ","),
+                lambda e: F.regexp_replace(F.trim(e), r'^"(.*)"$', r"$1"),
+            )
+        )
+        sub = dtype.partition("/")[2] or "chars"
+        if sub in ("digit", "port"):
+            return F.transform(elems, lambda e: e.try_cast("long"))
+        if sub == "float":
+            return F.transform(elems, lambda e: e.try_cast("double"))
+        return elems
     return col
 
 
@@ -1092,6 +1120,17 @@ class CompiledRule:
             # keyValueDelim is a regex split with limit 2, so ':'-separated
             # pairs work and a time value's internal ':' stays in the value
             kv_map = F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit(r"\s*[:=]\s*"))
+            # value normalization per value_take (keyval.rs:93-105): a
+            # QUOTED value keeps its inner text verbatim (outer quotes
+            # stripped, escapes preserved — test_key_name `tr\"ust`); a
+            # bare value is TRIMMED (test_key_2 '幻云 ' -> '幻云')
+            kv_map = F.transform_values(
+                kv_map,
+                lambda k, v: F.when(
+                    v.rlike(r'^"(?:[^"\\]|\\.)*"$'),
+                    F.substring(v, 2, F.length(v) - 2),
+                ).otherwise(F.trim(v)),
+            )
             cols.append((kv_name, kv_map))
             # typed subfield columns off the merged map (keyval.rs: the
             # sub_fpu output is a NAMED typed field, e.g. kv(time@ts) ->
