@@ -1211,3 +1211,21 @@ def test_reference_keyval_value_semantics(spark):
     assert r["dip"] == ["1.1.1.1", "2.2.2.2"]
     r = run(r"(kv(array/ip@dip))", "dip=[]")
     assert r["_disposition"] == "success" and r["dip"] == []
+
+
+def test_json_subfield_base64_and_ignore(spark):
+    """protocol/json.rs test_json_base64: a base64-typed json subfield
+    DECODES the value; a `_`-typed subfield is parsed but NOT emitted."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    cr = compile_rule(
+        parse_wpl("package /t { rule r { (json(base64@a:_a, _@c)) } }")[0]
+    )
+    row = cr.extract(
+        spark.createDataFrame(
+            [('{"a":"aGVsbG8=","b":2,"c": "gogogo"}',)], ["value"]
+        )
+    ).collect()[0]
+    assert row["_disposition"] == "success"
+    assert row["_a"] == "hello"
+    assert "c" not in row.asDict()

@@ -880,6 +880,10 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
         return _time_cast(col, dtype)
     if dtype == "auto":
         return _auto_cascade(col)
+    if dtype == "base64":
+        # json(base64@a:_a) — the subfield parser DECODES the value
+        # (protocol/json.rs test_json_base64: 'aGVsbG8=' -> 'hello')
+        return F.unbase64(col).cast("string")
     if dtype.startswith("array"):
         # protocol/array.rs inside kv values (keyval.rs test_kv_arr1-4):
         # '[a,b]' / '["a","b"]' / '[]' -> typed element array; elements
@@ -1059,6 +1063,10 @@ class CompiledRule:
             if out.dtype in ("json", "exact_json") and out.subfields:
                 # json(chars@msg:alias) subfield refs -> get_json_object
                 for sf in out.subfields:
+                    if sf.dtype == "_":
+                        # ignore-typed subfield: parsed but NOT emitted
+                        # (json.rs test_json_base64 `_@c` drops key c)
+                        continue
                     ref = (sf.ref or "*").strip()
                     nm = sf.name or (ref.replace("/", "_") if ref != "*" else out.name)
                     if ref == "*":
