@@ -1229,3 +1229,24 @@ def test_json_subfield_base64_and_ignore(spark):
     assert row["_disposition"] == "success"
     assert row["_a"] == "hello"
     assert "c" not in row.asDict()
+
+
+def test_kvarr_quoted_values_and_guard(spark):
+    """kvarr.rs: quoted values strip their outer quotes before guards see
+    them — f_chars_has(a,foo) passes on a="foo"; kvarr also accepts ':'
+    pair separators like kv."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    r = run(r"(kvarr(chars@a, chars@b, digit@c)\s | f_chars_has(a,foo))",
+            'a="foo" b=bar c=1')
+    assert r["_disposition"] == "success"
+    assert r["a"] == "foo" and r["kvarr"]["a"] == "foo"
+    r = run(r"(kvarr(chars@a, chars@b, digit@c)\s | f_chars_has(a,foox))",
+            'a="foo" b=bar c=1')
+    assert r["_disposition"] == "miss"

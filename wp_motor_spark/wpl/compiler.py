@@ -512,7 +512,15 @@ def _emit_single(
         _flush_sep(ctx)
         ctx.group_idx += 1
         key_rx = _KEYCLS + "+"
-        pair = f"{key_rx}=" + _neg_class(sep_lit) + "*"
+        # quoted values span separators, same value_take path as kv
+        # (kvarr.rs guard test: a="foo" b=bar — the guard sees foo, not
+        # "foo"); quote-stripping happens in the map build
+        pair = (
+            f"{key_rx}\\s*[:=]\\s*"
+            + '(?:"(?:[^"\\\\]|\\\\.)*"|'
+            + _neg_class(sep_lit)
+            + "*)"
+        )
         run = f"({pair}(?:(?:{sep_rx}){pair})*)"
         ctx.parts.append(run)
         ctx.outputs.append(
@@ -956,7 +964,16 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         )
         return F.when(s.isNotNull(), F.when(simple, fast).otherwise(slow))
     if dtype == "kvarr" and out.kv_run:
-        return F.str_to_map(s, F.lit(out.kv_sep), F.lit("="))
+        m = F.str_to_map(s, F.lit(out.kv_sep), F.lit(r"\s*[:=]\s*"))
+        # same value normalization as merged kv: quoted values keep inner
+        # text verbatim (outer quotes stripped), bare values trim
+        return F.transform_values(
+            m,
+            lambda k, v: F.when(
+                v.rlike(r'^"(?:[^"\\]|\\.)*"$'),
+                F.substring(v, 2, F.length(v) - 2),
+            ).otherwise(F.trim(v)),
+        )
     if dtype == "kv":
         return s  # merged into a shared map later
     if dtype == "proto_text":
