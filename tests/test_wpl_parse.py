@@ -1250,3 +1250,31 @@ def test_kvarr_quoted_values_and_guard(spark):
     r = run(r"(kvarr(chars@a, chars@b, digit@c)\s | f_chars_has(a,foox))",
             'a="foo" b=bar c=1')
     assert r["_disposition"] == "miss"
+
+
+def test_reference_array_parse_cases(spark):
+    """protocol/array.rs parse_array_vec cases: trailing commas, unquoted
+    elements, escaped quotes, ']' inside quoted elements, empty arrays —
+    all tolerated like the reference's hand-rolled parser (from_json
+    rejects three of these)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    cases = [
+        (r"(array/digit:v)", "[1, 2, 3]", [1, 2, 3]),
+        (r"(array/chars:v)", r'["hello", "_F]fe", "!@#$*&^\"123"]',
+         ["hello", "_F]fe", '!@#$*&^"123']),
+        (r"(array/digit:v)", "[1,2,3,]", [1, 2, 3]),
+        (r"(array/digit:v)", "[]", []),
+        (r"(array/ip:v)", '["1.1.1.1","2.2.2.2"]', ["1.1.1.1", "2.2.2.2"]),
+        (r"(array/ip:v)", "[1.1.1.1,2.2.2.2]", ["1.1.1.1", "2.2.2.2"]),
+    ]
+    for expr, data, want in cases:
+        r = run(expr, data)
+        assert r["_disposition"] == "success", (expr, data, r)
+        assert r["v"] == want, (expr, data, r["v"], want)

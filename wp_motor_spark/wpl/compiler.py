@@ -216,7 +216,10 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
     if dtype in table:
         return table[dtype]
     if dtype.startswith("array"):
-        return r"\[.*?\]"
+        # quoted elements may contain ']' and escaped quotes
+        # (protocol/array.rs: ["_F]fe", "!@#$*&^\"123"]) — consume quoted
+        # spans atomically, lazy-anything otherwise
+        return r"\[(?:\"(?:[^\"\\]|\\.)*\"|[^\]\"])*\]"
     # chars / sn / symbol-ish / auto / agent / obj / kv-handled-elsewhere
     return ncls + "+"
 
@@ -987,12 +990,31 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         return F.when(s.isNotNull(), F.map_from_arrays(keys, vals))
     if dtype.startswith("run/"):
         return F.split(s, out.kv_sep)
-    if dtype.startswith("array/"):
-        sub = dtype.split("/", 1)[1]
-        spark_t = {"digit": "bigint", "float": "double", "bool": "boolean"}.get(sub, "string")
-        return F.from_json(s, f"array<{spark_t}>")
-    if dtype == "array":
-        return F.from_json(s, "array<string>")
+    if dtype.startswith("array/") or dtype == "array":
+        # hand-rolled like parse_array_vec (protocol/array.rs): tolerate
+        # unquoted elements ([1.1.1.1,2.2.2.2]), trailing commas
+        # ([1,2,3,]) and escaped quotes — from_json rejects all three.
+        # Elements are quoted spans or comma-free runs; quotes stripped
+        # with \" unescaped, bare elements trimmed.
+        sub = dtype.split("/", 1)[1] if "/" in dtype else "chars"
+        elems = F.regexp_extract_all(
+            F.regexp_replace(F.regexp_replace(s, r"^\s*\[", ""), r"\]\s*$", ""),
+            F.lit(r'("(?:[^"\\]|\\.)*"|[^,\s][^,]*)'),
+            1,
+        )
+        elems = F.transform(
+            elems,
+            lambda e: F.when(
+                e.rlike(r'^"(?:[^"\\]|\\.)*"$'),
+                F.regexp_replace(
+                    F.substring(e, 2, F.length(e) - 2), r'\\"', '"'
+                ),
+            ).otherwise(F.trim(e)),
+        )
+        spark_t = {"digit": "bigint", "float": "double", "bool": "boolean"}.get(sub)
+        if spark_t:
+            elems = F.transform(elems, lambda e: e.try_cast(spark_t))
+        return F.when(s.isNotNull(), elems)
     if dtype == "auto":
         return _auto_cascade(s)
     return s
