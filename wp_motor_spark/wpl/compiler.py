@@ -463,8 +463,8 @@ def _emit_single(
         # wild).
         _flush_sep(ctx)
         ctx.group_idx += 1
-        key_rx = _KEYCLS + "+"
-        pair_sep = r"\s*[:=]\s*"
+        key_rx = _KEYCLS + "++"  # possessive: key class excludes [:=\s]
+        pair_sep = r"\s*+[:=]\s*+"
         # value_take (keyval.rs:59) tries QUOTED strings first — a quoted
         # value spans separators and escaped quotes (`time="... ..."`,
         # `dz="tr\"ust"`) for EVERY key; the bare read-until-sep class is
@@ -472,8 +472,11 @@ def _emit_single(
         # ARRAY-typed subfields (the array sub_fpu consumes the whole
         # [..]; a chars sub reads until the separator) — handled as typed
         # branches below.
-        quoted_rx = r'"(?:[^"\\]|\\.)*"'
-        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*)"
+        # unrolled-loop quoted-string with possessive quantifiers (java
+        # regex): linear scan, no alternation-per-char backtracking — the
+        # naive (?:[^"\\]|\\.)* form cost wpl_kv_parse ~+50%
+        quoted_rx = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
+        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*+)"
 
         def _typed_body(sf) -> str | None:
             if sf.dtype.startswith("array"):
@@ -520,7 +523,7 @@ def _emit_single(
         # "foo"); quote-stripping happens in the map build
         pair = (
             f"{key_rx}\\s*[:=]\\s*"
-            + '(?:"(?:[^"\\\\]|\\\\.)*"|'
+            + '(?:"[^"\\\\]*+(?:\\\\.[^"\\\\]*+)*+"|'
             + _neg_class(sep_lit)
             + "*)"
         )
