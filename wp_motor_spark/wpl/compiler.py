@@ -463,8 +463,8 @@ def _emit_single(
         # wild).
         _flush_sep(ctx)
         ctx.group_idx += 1
-        key_rx = _KEYCLS + "++"  # possessive: key class excludes [:=\s]
-        pair_sep = r"\s*+[:=]\s*+"
+        key_rx = _KEYCLS + "+"
+        pair_sep = r"\s*[:=]\s*"
         # value_take (keyval.rs:59) tries QUOTED strings first — a quoted
         # value spans separators and escaped quotes (`time="... ..."`,
         # `dz="tr\"ust"`) for EVERY key; the bare read-until-sep class is
@@ -476,7 +476,7 @@ def _emit_single(
         # regex): linear scan, no alternation-per-char backtracking — the
         # naive (?:[^"\\]|\\.)* form cost wpl_kv_parse ~+50%
         quoted_rx = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
-        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*+)"
+        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*)"
 
         def _typed_body(sf) -> str | None:
             if sf.dtype.startswith("array"):
