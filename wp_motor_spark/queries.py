@@ -4969,9 +4969,20 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=1 single-codebook baseline and the 0.6 floor).
 
     Scale shape: see operators/similarity.py::pq_codes — bounded
-    driver-side codebook fit, MAP-ONLY Arrow-batched encoding."""
+    driver-side codebook fit, MAP-ONLY Arrow-batched encoding.
+
+    The 8 per-subspace code indices are emitted as one scalar string
+    ('-'-joined) rather than array<int>: the driver's rows-only
+    canonicalizer sorts the frame with pandas, which cannot factorize a
+    list column (the r10 red row). The QUALITY gate keeps asserting on
+    the decoded array form via pq_codes directly."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.pq_codes(emb)
+    out = similarity.pq_codes(emb)
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_cos",
+    )
 
 
 # --------------------------------------------------------------------------
