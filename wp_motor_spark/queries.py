@@ -5915,20 +5915,107 @@ FROM bounds, LATERAL (
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r10: the 12 r9-new queries (never driver-
-    # certified; registry tail last round) lead, followed by 38 of the
-    # 50 r8-driver-green queries (the oldest value-certified block, in
-    # their r8 order). The remaining 12 r8-green queries sit at 51-62
-    # and lead the r11 window. Three rows-only queries (no oracle_sql
-    # by design: multimodal_features, sketch_distinct_users,
-    # sketch_value_quantiles) follow at 63-65 - a driver row adds
-    # nothing beyond their r7 rows-only row + passing numeric gates in
-    # QUALITY_r{N}.json. The 50 r9-driver-green queries close the
-    # registry.
-    # --- NEW r9 (driver rows land this round) ---
+    # entries. Rotated for r11: leads are the 12 r8-driver-green queries
+    # now two rounds stale, then the 13 r10-new operators (never
+    # driver-certified), then pq_quantize (its r10 row errored on the
+    # array<int> codes column, now scalarized - this row proves the
+    # fix), then the 3 rows-only-by-design queries that have never held
+    # a driver row (gates in QUALITY_r{N}.json), then the 21 OLDEST
+    # r9-certified queries. The remaining 29 r9-certified and the 49
+    # r10-certified queries close the registry and rotate forward in
+    # r12.
+    # --- r8 driver-green, two rounds stale (CORRECTNESS_r08.json) ---
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
+    "user_sessions": (user_sessions, SESSIONS_SQL),
+    "events_alerts": (events_alerts, ALERTS_SQL),
+    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
+    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
+    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    # --- NEW r10 (driver rows land this round) ---
+    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
+    "stupid_backoff_ppl": (stupid_backoff_ppl, STUPID_BACKOFF_SQL),
+    "heaps_law": (heaps_law, HEAPS_LAW_SQL),
+    "countmin_heavy_hitters": (countmin_heavy_hitters, COUNTMIN_SQL),
+    "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
+    "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
+    "semdedup_prune": (semdedup_prune, None),
+    "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
+    "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
+    "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
+    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
+    "neardup_pagerank": (neardup_pagerank, None),
+    # --- r10 driver row errored (array<int> codes); re-certify scalarized ---
+    "pq_quantize": (pq_quantize, None),
+    # --- rows-only (gate-covered) by design, never windowed ---
+    "multimodal_features": (multimodal_features, None),
+    "sketch_distinct_users": (sketch_distinct_users, None),
+    "sketch_value_quantiles": (sketch_value_quantiles, None),
+    # --- oldest r9-certified (CORRECTNESS_r09.json) ---
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "domain_kl": (domain_kl, DOMAIN_KL_SQL),
+    "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
+    "hybrid_search": (hybrid_search, HYBRID_SEARCH_SQL),
+    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
+    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
+    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
+    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
+    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
+    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
+    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
+    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
+    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
+    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
+    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
+    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
+    # so the simpler pair query pays the materialization and the CC query
+    # rides the cache - suite order is the scheduling knob here
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
+    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    # --- remaining r9-certified (rotate into the r12 window) ---
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
+    "pii_redact": (pii_redact, _pii_sql()),
+    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
+    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
+    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
+    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
+    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
+    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_lsh_dups": (minhash_lsh_dups, None),
+    "simhash_dups": (simhash_dups, None),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "language_id": (language_id, _language_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, _quality_scores_sql()),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "multimodal_real_decode": (multimodal_real_decode, None),
+    "image_neardup": (image_neardup, None),
+    "events_retention": (events_retention, RETENTION_SQL),
+    "customer_deciles": (customer_deciles, DECILES_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    # --- r10 driver-certified (CORRECTNESS_r10.json, freshest) ---
     "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
     "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
-    "pq_quantize": (pq_quantize, None),
     "pq_ann_topk": (pq_ann_topk, None),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
@@ -5938,7 +6025,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivfpq_ann_topk": (ivfpq_ann_topk, None),
     "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
     "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
-    # --- r8 driver-green, oldest 38 (CORRECTNESS_r08.json) ---
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
@@ -5977,92 +6063,4 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    # --- r8 driver-green, remaining 12 (lead the r11 window) ---
-    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
-    "bm25_search": (bm25_search, BM25_SQL),
-    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_orders": (q3_top_orders, Q3_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
-    "user_sessions": (user_sessions, SESSIONS_SQL),
-    "events_alerts": (events_alerts, ALERTS_SQL),
-    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
-    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
-    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
-    # --- rows-only (gate-covered) by design ---
-    "multimodal_features": (multimodal_features, None),
-    "sketch_distinct_users": (sketch_distinct_users, None),
-    "sketch_value_quantiles": (sketch_value_quantiles, None),
-    # --- r9 driver-green (CORRECTNESS_r09.json) ---
-    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
-    "domain_kl": (domain_kl, DOMAIN_KL_SQL),
-    "vocab_oov": (vocab_oov, VOCAB_OOV_SQL),
-    "hybrid_search": (hybrid_search, HYBRID_SEARCH_SQL),
-    "wpl_oml_pipeline": (wpl_oml_pipeline, WPL_OML_SQL),
-    "wpl_auto_cascade": (wpl_auto_cascade, WPL_AUTO_SQL),
-    "wpl_kv_parse": (wpl_kv_parse, WPL_KV_SQL),
-    "wpl_time_formats": (wpl_time_formats, WPL_TIME_SQL),
-    "wpl_base64_field": (wpl_base64_field, WPL_B64_SQL),
-    "wpl_multirule_dispatch": (wpl_multirule_dispatch, WPL_MULTIRULE_SQL),
-    "oml_scalar_functions": (oml_scalar_functions, OML_SCALAR_SQL),
-    "oml_match_forms": (oml_match_forms, OML_MATCH_SQL),
-    "wpl_miss_diagnostics": (wpl_miss_diagnostics, WPL_DIAG_SQL),
-    "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
-    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
-    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
-    # so the simpler pair query pays the materialization and the CC query
-    # rides the cache - suite order is the scheduling knob here
-    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
-    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "contamination_check": (contamination_check, CONTAMINATION_SQL),
-    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
-    "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
-    "pii_redact": (pii_redact, _pii_sql()),
-    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
-    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
-    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
-    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
-    "gopher_quality": (gopher_quality, _gopher_sql()),
-    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
-    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
-    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
-    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
-    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
-    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_lsh_dups": (minhash_lsh_dups, None),
-    "simhash_dups": (simhash_dups, None),
-    "text_stats": (text_stats, TEXT_STATS_SQL),
-    "language_id": (language_id, _language_id_sql()),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "quality_scores": (quality_scores, _quality_scores_sql()),
-    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
-    "multimodal_real_decode": (multimodal_real_decode, None),
-    "image_neardup": (image_neardup, None),
-    "events_retention": (events_retention, RETENTION_SQL),
-    "customer_deciles": (customer_deciles, DECILES_SQL),
-    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
-    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
-    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
-    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
-    # --- NEW r10 (at the END: the first-50 driver window must cover the
-    # never-r9-certified block this round; these get driver rows after
-    # the r11 rotation, oracle-verified locally meanwhile) ---
-    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
-    "stupid_backoff_ppl": (stupid_backoff_ppl, STUPID_BACKOFF_SQL),
-    "heaps_law": (heaps_law, HEAPS_LAW_SQL),
-    "countmin_heavy_hitters": (countmin_heavy_hitters, COUNTMIN_SQL),
-    "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
-    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
-    "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
-    "semdedup_prune": (semdedup_prune, None),
-    "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
-    "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
-    "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
-    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
-    "neardup_pagerank": (neardup_pagerank, None),
 }
