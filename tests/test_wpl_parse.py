@@ -1252,6 +1252,91 @@ def test_kvarr_quoted_values_and_guard(spark):
     assert r["_disposition"] == "miss"
 
 
+def test_kv_key_charset_take_kv_key(spark):
+    """take_kv_key (parser/utils.rs:52-61, pinned at utils.rs:514-518):
+    kv/kvarr keys accept / and the bracket family ()<>[]{} — keys like
+    http/request, fn(arg), list<int>, arr[0] (kvarr.rs
+    test_kvarr_bracket_keys). Before the widening, '/' survived only by
+    regex give-back into the value and the second pair was swallowed,
+    missing the rule."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    r = run(r"(2*kv)", "http/request=GET a[0]=x")
+    assert r["_disposition"] == "success"
+    assert r["kv"]["http/request"] == "GET" and r["kv"]["a[0]"] == "x"
+
+    r = run(r"(kvarr\,)", 'fn(arg)="hello", list<int>=100, arr[0]=true')
+    assert r["_disposition"] == "success"
+    assert r["kvarr"] == {"fn(arg)": "hello", "list<int>": "100",
+                          "arr[0]": "true"}
+
+
+def test_kvarr_value_take_parity(spark):
+    """kvarr.rs take_value (106-122) + rename_duplicates (254-275):
+    single-quoted values span separators (test_kvarr_whitespace_delimited
+    b='bar x'); double-quoted values containing the run separator stay
+    one value (the r10 str_to_map split corrupted 'a=\"foo bar\"' into
+    three keys); bracketed interval values cross the separator with
+    escaped quotes decoded (test_kvarr_with_commas2); repeated keys index
+    as key[i] (test_kvarr_repeated_keys_are_indexed)."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(expr, data):
+        cr = compile_rule(parse_wpl("package /t { rule r { %s } }" % expr)[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    r = run(r"(kvarr(chars@a, chars@b, digit@c)\s)", "a=\"foo\" b='bar x' c=1")
+    assert r["_disposition"] == "success"
+    assert r["kvarr"] == {"a": "foo", "b": "bar x", "c": "1"}
+    assert r["b"] == "bar x" and r["c"] == 1
+
+    r = run(r"(kvarr\s)", 'a="foo bar" b=1')
+    assert r["_disposition"] == "success"
+    assert r["kvarr"] == {"a": "foo bar", "b": "1"}
+
+    r = run(r"(kvarr(digit@cnt, array/ip@c)\,)",
+            r'msg = hello boy,cnt=42 ,c=[\"1.1.1.1\",\"2.2.2.2\"]')
+    assert r["_disposition"] == "success"
+    assert r["kvarr"]["msg"] == "hello boy"
+    assert r["cnt"] == 42 and r["c"] == ["1.1.1.1", "2.2.2.2"]
+
+    r = run(r"(kvarr\s)", "tag=alpha tag=beta count=3")
+    assert r["_disposition"] == "success"
+    assert r["kvarr"] == {"tag[0]": "alpha", "tag[1]": "beta", "count": "3"}
+
+    # kv side: single-quoted value (quot_str accepts both quote kinds)
+    r = run(r"(kv(@a))", "a='x y z' ")
+    assert r["kv"]["a"] == "x y z"
+
+
+def test_json_unescape_backslash_pairs(spark):
+    """value_json_unescape (pipe_fun.rs:518-535): escaped-backslash pairs
+    consume atomically, so a Windows path 'D:\\\\dir\\\\x' (valid JSON
+    escaping) passes; a lone invalid escape '\\x' still misses; a value
+    with NO backslash short-circuits OK."""
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    def run(data):
+        cr = compile_rule(parse_wpl(
+            "package /t { rule r { (chars:txt | json_unescape) } }")[0])
+        return cr.extract(
+            spark.createDataFrame([(data,)], ["value"])
+        ).collect()[0]
+
+    assert run(r"D:\\dir\\x")["_disposition"] == "success"
+    assert run(r"a\\x")["_disposition"] == "success"
+    assert run(r"a\x")["_disposition"] == "miss"
+    assert run("plain")["_disposition"] == "success"
+
+
 def test_reference_array_parse_cases(spark):
     """protocol/array.rs parse_array_vec cases: trailing commas, unquoted
     elements, escaped quotes, ']' inside quoted elements, empty arrays —

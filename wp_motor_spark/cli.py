@@ -26,6 +26,21 @@ from wp_motor_spark.session import get_spark
 SAMPLE_LINE_CAP = 100_000
 
 
+def _clap_bool(v: str) -> bool:
+    """clap's bool value parser: `--local <bool>` takes exactly one value
+    and accepts only 'true'/'false' (facade/args.rs:45-47 DataArgs.local,
+    default true). The previous nargs='?' form greedily bound the next
+    positional token as a truthy value — a silent behavior change; clap
+    errors on a non-bool token, so we do too."""
+    if v == "true":
+        return True
+    if v == "false":
+        return False
+    raise argparse.ArgumentTypeError(
+        f"invalid value {v!r} for '--local <BOOL>': expected true/false"
+    )
+
+
 def _build_pipeline(args):
     import glob
     import os
@@ -460,8 +475,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("--stat", dest="stat_sec", type=int, default=1)
     g.add_argument(
-        "--local", nargs="?", const=True, default=True,
-        type=lambda v: str(v).lower() not in ("false", "0", "no"),
+        "--local", default=True, type=_clap_bool, metavar="BOOL",
+        help="inert CLI-compat flag; requires an explicit true/false "
+        "value exactly like clap's `--local <bool>`",
     )
     g.add_argument("--no-local", dest="local", action="store_false")
 

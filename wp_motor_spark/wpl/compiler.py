@@ -37,7 +37,36 @@ PAIR_DELIM = "\x02"
 RESIDUE_FRAC = 0.2
 
 _WS = r"\s+"
-_KEYCLS = r"[\w.\-]"
+# kv/kvarr key charset = take_kv_key (crates/wp-lang/src/parser/utils.rs:52-61,
+# CHANGELOG v1.17.2 "kv/kvarr key 解析支持括号类字符"): word chars plus . / -
+# and the bracket family ()<>[]{} — keys like http/request (utils.rs:514-518),
+# fn(arg), list<int>, arr[0] (kvarr.rs test_kvarr_bracket_keys). Subfield
+# @refs go through the WPL grammar's take_key, a narrower reference charset
+# handled in parser.py — keep the two distinct.
+_KEYCLS = r"[\w./\-()<>\[\]{}]"
+# unrolled-loop quoted strings with possessive quantifiers (java regex):
+# linear scan, no alternation-per-char backtracking — the naive
+# (?:[^"\\]|\\.)* form cost wpl_kv_parse ~+50%. quot_str (utils.rs:107-148)
+# accepts DOUBLE or SINGLE quotes; both span separators.
+_DQ_RX = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
+_SQ_RX = r"'[^'\\]*+(?:\\.[^'\\]*+)*+'"
+
+
+def _interval_rx() -> str:
+    """Bracketed value span per interval_data (utils.rs:118-122,
+    interval_impl:193-255): a kv value opening with [ ( { or < runs to the
+    matching close, CROSSING separators, quote- and escape-aware. The regex
+    keeps one flat level (the reference nests arbitrarily via a stack);
+    brackets inside quoted sections are consumed atomically like the
+    reference's quote fast-forward."""
+    alts = []
+    for b, ecls in ((r"\[", r"\]"), (r"\(", r")"), (r"\{", r"}"), ("<", ">")):
+        close = ecls if ecls.startswith("\\") else re.escape(ecls)
+        inner = (
+            "(?:" + _DQ_RX + "|" + _SQ_RX + r"|\\." + "|[^" + ecls + "\\\\\"'])*"
+        )
+        alts.append(b + inner + close)
+    return "(?:" + "|".join(alts) + ")"
 
 
 @dataclass
@@ -55,6 +84,10 @@ class FieldOutput:
     sub_pattern: str | None = None  # anchored regex over the decoded text
     sub_ngroups: int = 0
     sub_outputs: list["FieldOutput"] = dc_field(default_factory=list)
+    # kvarr runs: pair regex with (key)(value) groups, the SAME shape the
+    # run regex matched — the map build re-extracts pairs with it so
+    # quoted/bracketed values spanning the separator stay intact
+    kv_pair_rx: str | None = None
 
 
 class WplCompileError(ValueError):
@@ -467,20 +500,20 @@ def _emit_single(
         pair_sep = r"\s*[:=]\s*"
         # value_take (keyval.rs:59) tries QUOTED strings first — a quoted
         # value spans separators and escaped quotes (`time="... ..."`,
-        # `dz="tr\"ust"`) for EVERY key; the bare read-until-sep class is
-        # the fallback. Bracketed [array] values span separators only for
-        # ARRAY-typed subfields (the array sub_fpu consumes the whole
-        # [..]; a chars sub reads until the separator) — handled as typed
-        # branches below.
-        # unrolled-loop quoted-string with possessive quantifiers (java
-        # regex): linear scan, no alternation-per-char backtracking — the
-        # naive (?:[^"\\]|\\.)* form cost wpl_kv_parse ~+50%
-        quoted_rx = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
+        # `dz="tr\"ust"`, single quotes per quot_str) for EVERY key; the
+        # bare read-until-sep class is the fallback. Bracketed [array]
+        # values span separators only for ARRAY-typed subfields (the array
+        # sub_fpu consumes the whole [..]; a chars sub reads until the
+        # separator) — handled as typed branches below.
+        quoted_rx = _DQ_RX + "|" + _SQ_RX
         val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*)"
 
         def _typed_body(sf) -> str | None:
             if sf.dtype.startswith("array"):
-                trx = r"\[[^\]]*\]"  # the array sub_fpu consumes all of [..]
+                # the array sub_fpu consumes all of [..]; quoted elements
+                # may contain ']' (["_F]fe"]) — same quote-aware fragment
+                # as _content_regex's field-level array
+                trx = r"\[(?:" + _DQ_RX + r'|[^\]"])*\]'
             elif sf.dtype.startswith("time"):
                 trx = _content_regex(sf.dtype, sep_lit, None)
             else:
@@ -518,15 +551,18 @@ def _emit_single(
         _flush_sep(ctx)
         ctx.group_idx += 1
         key_rx = _KEYCLS + "+"
-        # quoted values span separators, same value_take path as kv
-        # (kvarr.rs guard test: a="foo" b=bar — the guard sees foo, not
-        # "foo"); quote-stripping happens in the map build
-        pair = (
-            f"{key_rx}\\s*[:=]\\s*"
-            + '(?:"[^"\\\\]*+(?:\\\\.[^"\\\\]*+)*+"|'
-            + _neg_class(sep_lit)
-            + "*)"
+        # take_value order (kvarr.rs:106-122): quoted strings first (double
+        # OR single — quot_str), then a bracketed interval span
+        # (interval_data: [..] (..) {..} <..> cross separators), then the
+        # bare read-until-sep fallback. Quote/bracket stripping and escape
+        # decoding happen in the map build (_typed_column), which re-uses
+        # this exact pair shape via kv_pair_rx.
+        pair_sep = r"\s*[:=]\s*"
+        val_rx = (
+            "(?:" + _DQ_RX + "|" + _SQ_RX + "|" + _interval_rx() + "|"
+            + _neg_class(sep_lit) + "*)"
         )
+        pair = key_rx + pair_sep + val_rx
         run = f"({pair}(?:(?:{sep_rx}){pair})*)"
         ctx.parts.append(run)
         ctx.outputs.append(
@@ -538,6 +574,7 @@ def _emit_single(
                 kv_sep=sep_rx,
                 pipes=fld.pipes,
                 subfields=fld.subfields,
+                kv_pair_rx="(" + key_rx + ")" + pair_sep + "(" + val_rx + ")",
             )
         )
         return
@@ -611,7 +648,13 @@ def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) 
     ctx.group_idx += 1
     if dtype in ("kv", "kvarr"):
         key_rx = _KEYCLS + "+"
-        pair = f"{key_rx}=" + _neg_class(sep_lit) + "*"
+        # each repeat is one keyval parse: ':' or '=' pair separator,
+        # quoted values span the separator (keyval.rs pattern_parse)
+        pair_sep = r"\s*[:=]\s*"
+        val_rx = (
+            "(?:" + _DQ_RX + "|" + _SQ_RX + "|" + _neg_class(sep_lit) + "*)"
+        )
+        pair = key_rx + pair_sep + val_rx
         split_rx = sep_rx
         ctx.parts.append(f"({pair}(?:(?:{sep_rx}){pair})*)")
         ctx.outputs.append(
@@ -622,6 +665,7 @@ def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) 
                 kv_run=True,
                 kv_sep=split_rx,
                 pipes=fld.pipes,
+                kv_pair_rx="(" + key_rx + ")" + pair_sep + "(" + val_rx + ")",
             )
         )
         return
@@ -918,6 +962,32 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
     return col
 
 
+def _kv_value_norm(v: Column) -> Column:
+    """take_value normalization (kvarr.rs:106-122, keyval.rs value_take):
+    a QUOTED value keeps its inner text verbatim (outer quotes stripped —
+    quot_str, double or single; escapes preserved, test_key_name
+    `tr\\"ust`); a bracketed interval keeps its brackets but decodes
+    escaped quote/backslash pairs (decode_escapes, utils.rs:331-348 —
+    the \\n/\\t/\\xHH decodes are not reproduced here; the single-pass
+    quote unescape is the fixture-relevant case, kvarr.rs
+    test_kvarr_with_commas2 c=[\\"1.1.1.1\\",..]); a bare value is
+    TRIMMED (keyval.rs trim_val)."""
+    return (
+        F.when(
+            v.rlike(r'^"(?:[^"\\]|\\.)*"$') | v.rlike(r"^'(?:[^'\\]|\\.)*'$"),
+            F.substring(v, 2, F.length(v) - 2),
+        )
+        .when(
+            # a COMPLETE interval only (opener with its matching closer);
+            # an unterminated bracket fell through interval_impl to the
+            # bare read-until-sep path in the reference, which trims
+            v.rlike(r"(?s)^(?:\[.*\]|\(.*\)|\{.*\}|<.*>)$"),
+            F.regexp_replace(v, r"\\([\"'\\])", r"$1"),
+        )
+        .otherwise(F.trim(v))
+    )
+
+
 def _typed_column(out: FieldOutput, raw: Column) -> Column:
     dtype = out.dtype
     s = raw if out.quoted else F.nullif(raw, F.lit(""))
@@ -970,16 +1040,38 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         )
         return F.when(s.isNotNull(), F.when(simple, fast).otherwise(slow))
     if dtype == "kvarr" and out.kv_run:
-        m = F.str_to_map(s, F.lit(out.kv_sep), F.lit(r"\s*[:=]\s*"))
-        # same value normalization as merged kv: quoted values keep inner
-        # text verbatim (outer quotes stripped), bare values trim
-        return F.transform_values(
-            m,
-            lambda k, v: F.when(
-                v.rlike(r'^"(?:[^"\\]|\\.)*"$'),
-                F.substring(v, 2, F.length(v) - 2),
-            ).otherwise(F.trim(v)),
+        if out.kv_pair_rx is None:  # legacy shape, no pair regex recorded
+            m = F.str_to_map(s, F.lit(out.kv_sep), F.lit(r"\s*[:=]\s*"))
+            return F.transform_values(m, lambda k, v: _kv_value_norm(v))
+        # Re-extract pairs with the SAME pair regex the run matched (key
+        # group 1, value group 2) — str_to_map split the run on kv_sep
+        # regardless of quoting, so 'a="foo bar" b=1' under \s sep
+        # corrupted into {a:'"foo', 'bar"':null, b:1}. quot_str values
+        # spanning the separator (kvarr.rs test_kvarr_whitespace_delimited
+        # b='bar x') now survive.
+        keys = F.regexp_extract_all(s, F.lit(out.kv_pair_rx), 1)
+        vals = F.transform(
+            F.regexp_extract_all(s, F.lit(out.kv_pair_rx), 2), _kv_value_norm
         )
+        # rename_duplicates (kvarr.rs:254-275): the i-th occurrence of a
+        # repeated key is emitted as key[i]
+        # (test_kvarr_repeated_keys_are_indexed) — also keeps
+        # map_from_arrays free of duplicate-key exceptions
+        renamed = F.transform(
+            keys,
+            lambda k, i: F.when(
+                F.size(F.filter(keys, lambda k2: k2 == k)) > 1,
+                F.concat(
+                    k,
+                    F.lit("["),
+                    F.size(
+                        F.filter(F.slice(keys, F.lit(1), i), lambda k2: k2 == k)
+                    ).cast("string"),
+                    F.lit("]"),
+                ),
+            ).otherwise(k),
+        )
+        return F.when(s.isNotNull(), F.map_from_arrays(renamed, vals))
     if dtype == "kv":
         return s  # merged into a shared map later
     if dtype == "proto_text":
@@ -1172,15 +1264,10 @@ class CompiledRule:
             kv_map = F.str_to_map(joined, F.lit(PAIR_DELIM), F.lit(r"\s*[:=]\s*"))
             # value normalization per value_take (keyval.rs:93-105): a
             # QUOTED value keeps its inner text verbatim (outer quotes
-            # stripped, escapes preserved — test_key_name `tr\"ust`); a
-            # bare value is TRIMMED (test_key_2 '幻云 ' -> '幻云')
-            kv_map = F.transform_values(
-                kv_map,
-                lambda k, v: F.when(
-                    v.rlike(r'^"(?:[^"\\]|\\.)*"$'),
-                    F.substring(v, 2, F.length(v) - 2),
-                ).otherwise(F.trim(v)),
-            )
+            # stripped, escapes preserved — test_key_name `tr\"ust`;
+            # single quotes per quot_str too); a bare value is TRIMMED
+            # (test_key_2 '幻云 ' -> '幻云')
+            kv_map = F.transform_values(kv_map, lambda k, v: _kv_value_norm(v))
             cols.append((kv_name, kv_map))
             # typed subfield columns off the merged map (keyval.rs: the
             # sub_fpu output is a NAMED typed field, e.g. kv(time@ts) ->

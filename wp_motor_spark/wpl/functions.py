@@ -189,8 +189,21 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
                     active.rlike(r"^[A-Za-z0-9+/\s]*={0,2}\s*$"), F.lit(False)
                 )
             elif g is None and call.name == "json_unescape":
+                # value_json_unescape (pipe_fun.rs:518-535): no backslash
+                # at all short-circuits OK; otherwise serde parses
+                # "\"{raw}\"" — so the validity check must be ANCHORED
+                # with backslash pairs consumed atomically left-to-right.
+                # The old scanning invalid-escape regex false-missed
+                # 'a\\x' (escaped backslash then literal x, valid JSON)
+                # by matching at the second backslash; Windows-path
+                # payloads ('D:\\dir\\file', kv_chars1 fixture shape) hit
+                # exactly that. serde also rejects unescaped '"' and raw
+                # control chars inside the wrapped string.
+                valid = active.rlike(
+                    r'^(?:[^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*$'
+                )
                 g = F.coalesce(
-                    ~active.rlike(r'\\(?:[^"\\/bfnrtu]|$)'), F.lit(False)
+                    ~active.contains("\\") | valid, F.lit(False)
                 )
             elif g is None and call.name == "chars_replace" and _is_non_chars(
                 dtypes.get(active_name)
