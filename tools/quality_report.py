@@ -578,7 +578,24 @@ def main() -> None:
 
     from wp_motor_spark.operators.graph import pagerank
 
-    pr_pairs = dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    # the query's edge source is the cluster-bounded generator; gate its
+    # recall vs the exact all-pairs GEMM first (subset by construction —
+    # within-cell cosines are exact)
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    pr_pairs = dedup.cluster_neardup_pairs(emb, threshold=0.4, n_cells=8, n_probe=3)
+    buck_pairs = {(r["id_a"], r["id_b"]) for r in pr_pairs.collect()}
+    pair_recall = len(exact_pairs & buck_pairs) / max(1, len(exact_pairs))
+    report["gates"]["neardup_pagerank_edges"] = {
+        "metric": "bucketed_pair_recall_vs_exact",
+        "value": bool(buck_pairs <= exact_pairs and pair_recall >= 0.9),
+        "recall": round(pair_recall, 4),
+        "n_exact": len(exact_pairs),
+        "n_bucketed": len(buck_pairs),
+        "gate": "cluster_neardup_pairs subset of exact all-pairs, recall >= 0.9",
+    }
     pr = {
         r["id"]: (r["rank"], r["degree"])
         for r in pagerank(

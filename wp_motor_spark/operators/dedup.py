@@ -963,6 +963,78 @@ def remove_duplicate_spans(
     )
 
 
+def cluster_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-bounded near-dup pair enumeration — the SCALE replacement
+    for `embedding_neardup_pairs`' all-pairs block GEMM (O(n^2) FLOPs:
+    at 100x the corpus that is 10,000x the work). Same bounding idea as
+    SemDeDup (Abbas et al. 2023): spherical k-means cells limit candidate
+    comparisons to within-cell pairs, so FLOPs ~ sum(|cell|^2) ~ n^2/k.
+    Each vector probes its `n_probe` nearest centroids (multi-probe, the
+    IVF trick) so pairs straddling a cell boundary are still found; a
+    pair seen in two shared cells dedups on (id_a, id_b).
+
+    Scale shape: centroids are a bounded driver-side fit broadcast inside
+    the UDF; assignment is MAP-ONLY; each row replicates n_probe times;
+    ONE cell-keyed shuffle feeds per-cell Arrow GEMMs (parallelism =
+    n_cells, the paper shards big clusters further); the dedup agg keys
+    on the pair. Recall vs the exact pairs is gated in
+    tests/test_quality.py / QUALITY_r{N}.json."""
+    from pyspark.sql.functions import pandas_udf
+
+    from wp_motor_spark.operators.similarity import _kmeans_centroids
+
+    cmat = _kmeans_centroids(corpus, vec_col, id_col, n_cells, iters=kmeans_iters)
+    k = min(n_probe, len(cmat))
+
+    @pandas_udf("array<long>")
+    def probe_cells(batch: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cmat.T
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        return pd.Series(list(top.astype(np.int64)))
+
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack(pdf["v"].to_numpy())
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm
+        sims = M @ M.T
+        hot = np.triu(sims >= threshold, k=1)
+        ai, bi = np.nonzero(hot)
+        ids = pdf["id"].to_numpy()
+        xa, xb = ids[ai], ids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cosine": sims[ai, bi],
+            }
+        )
+
+    pairs = tagged.groupBy("cell").applyInPandas(
+        gemm, schema="id_a long, id_b long, cosine double"
+    )
+    # a pair whose two members share BOTH probed cells appears twice —
+    # same vectors, same dot product, so max() is just the dedup key
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.4,
