@@ -194,6 +194,38 @@ zone = select zone from zones where lo <= ip4_int(read(sip)) and hi >= ip4_int(r
     assert rows[1]["city"] is None and rows[1]["zone"] is None  # left join miss
 
 
+def test_sql_enrichment_param_cap(spark):
+    """sql.rs extract_more param cap (test_max_params_query /
+    test_too_many_params_query): 5 record-bound params still query; a 6th
+    makes the query return EMPTY (`_ => Vec::new()` + error log), so every
+    target stays NULL."""
+    from wp_motor_spark.knowdb import KnowDB
+
+    cols = ["k1", "k2", "k3", "k4", "k5", "k6", "val"]
+    kdb = KnowDB(spark)
+    kdb.register(
+        "wide", spark.createDataFrame([(1, 2, 3, 4, 5, 6, "hit")], cols)
+    )
+    df = spark.createDataFrame([(1, 2, 3, 4, 5, 6)],
+                               "a long, b long, c long, d long, e long, f long")
+
+    five = """
+name : five
+---
+v = select val from wide where k1 = read(a) and k2 = read(b) and k3 = read(c) and k4 = read(d) and k5 = read(e) ;
+"""
+    row = compile_oml(five).apply(df, knowdb=kdb).collect()[0]
+    assert row["v"] == "hit"
+
+    six = """
+name : six
+---
+v = select val from wide where k1 = read(a) and k2 = read(b) and k3 = read(c) and k4 = read(d) and k5 = read(e) and k6 = read(f) ;
+"""
+    row = compile_oml(six).apply(df, knowdb=kdb).collect()[0]
+    assert row["v"] is None
+
+
 def test_ignore_model_passthrough(spark):
     tr = compile_oml(open(f"{REF}/tests/instance/oml/ignore.oml").read())
     df = spark.createDataFrame([("a", "b")], ["f1", "f2"])

@@ -34,9 +34,22 @@ def test_windowed_counts(spark):
 
 
 def test_top_n_cap(spark):
+    """Report retention = top_n * TOP_N_MULTIPLIER(=2), sorted by total
+    desc (collector/mod.rs:18,155 + stat_report.rs:14,148,
+    test_top_n_multiplier): top_n=1 keeps BOTH dims here; the 2x set is
+    what the reference emits. retain_multiplier=1 gives the exact cut."""
     df = _events(spark)
     out = windowed_counts(df, "ts", ["kind"], window_sec=60, top_n=1)
     per_window = out.groupBy("window_start").count().collect()
+    assert per_window and all(r["count"] == 2 for r in per_window)
+    # the retained rows are rank-ordered by total desc: rank 1 is the
+    # bigger dim ('a' = 2 of every 3 events)
+    top = {r["window_start"]: r["kind"] for r in out.collect() if r["rank"] == 1}
+    assert set(top.values()) == {"a"}
+    exact = windowed_counts(
+        df, "ts", ["kind"], window_sec=60, top_n=1, retain_multiplier=1
+    )
+    per_window = exact.groupBy("window_start").count().collect()
     assert all(r["count"] == 1 for r in per_window)
 
 

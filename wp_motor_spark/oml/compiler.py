@@ -561,6 +561,21 @@ class _State:
         (SURVEY.md §2.8: the LRU query cache is replaced by the join)."""
         if self.knowdb is None:
             raise OmlCompileError("SQL enrichment requires a KnowDB instance")
+        # named-parameter cap (sql.rs extract_more: match arms cover 0..=5
+        # record-bound params, `_ => Vec::new()` with an error log — pinned
+        # by test_max_params_query / test_too_many_params_query): a query
+        # binding more than 5 record params returns EMPTY, so every target
+        # stays NULL. Literals are inline SQL, not named params.
+        n_params = sum(
+            1
+            for cond in q.conds
+            if not isinstance(cond.param, (int, float, str, Literal))
+        )
+        if n_params > 5:
+            for tgt, c in zip(a.targets, q.columns):
+                if tgt != "_":
+                    self._emit(tgt, _Val(F.lit(None)), a.dtype)
+            return
         dim = self.knowdb.table(q.table)
         prefix = f"__kdb{self._sql_idx}_"
         self._sql_idx += 1
