@@ -242,14 +242,93 @@ b = match read(n) { gt(10) => chars(big); lt(5) => chars(small); _ => chars(mid)
 c = match read(n) { in_range(6, 8) => chars(band); _ => chars(out); };
 d = match read(e) { is_empty() => chars(empty); _ => chars(full); };
 f = match read(s) { contains(ell) => chars(has); _ => chars(not); };
+g = match read(sn) { eq(5.0) => chars(five); _ => chars(other); };
+h = match read(n) { eq(7) => chars(seven); _ => chars(other); };
 """
-    df = spark.createDataFrame([("hello", 7, "")], "s string, n long, e string")
+    df = spark.createDataFrame([("hello", 7, "", "5")],
+                               "s string, n long, e string, sn string")
     row = compile_oml(text).apply(df).collect()[0]
     assert row["a"] == "yes"
     assert row["b"] == "mid"
     assert row["c"] == "band"
     assert row["d"] == "empty"
     assert row["f"] == "has"
+    # matchs.rs:419-425 eq is NUMERIC (extract_numeric parses chars,
+    # |a-b| < 1e-10): eq(5.0) matches the STRING "5"
+    assert row["g"] == "five"
+    assert row["h"] == "seven"
+
+
+def test_match_multi_source_and_or(spark):
+    """match_prm.rs triple/quadruple-source + OR tests
+    (test_match_triple_execution, test_match_quadruple_execution,
+    test_or_multi_source_execution, test_match_triple_source_with_
+    mixed_cond): tuple conds AND together per position, '|' alternatives
+    within a position, and `in (ip(..), ip(..))` is NUMERIC address
+    containment — string between() mis-ordered 10.0.0.50 vs 10.0.0.100."""
+    trip = """
+name : t
+---
+Result = match (read(city), read(level), read(zone)) {
+    (chars(bj), chars(high), chars(north)) => chars(matched),
+    _ => chars(default),
+};
+"""
+    df = spark.createDataFrame(
+        [("bj", "high", "north"), ("bj", "low", "north")],
+        "city string, level string, zone string",
+    )
+    got = [r["Result"] for r in compile_oml(trip).apply(df).collect()]
+    assert got == ["matched", "default"]
+
+    quad = """
+name : t
+---
+Result = match (read(a), read(b), read(c), read(d)) {
+    (chars(x), chars(y), chars(z), chars(w)) => chars(all_match),
+    (chars(x), chars(y), chars(z), chars(other)) => chars(partial),
+    _ => chars(default),
+};
+"""
+    df = spark.createDataFrame(
+        [("x", "y", "z", "w"), ("x", "y", "z", "other"), ("n", "o", "p", "e")],
+        "a string, b string, c string, d string",
+    )
+    got = [r["Result"] for r in compile_oml(quad).apply(df).collect()]
+    assert got == ["all_match", "partial", "default"]
+
+    orm = """
+name : t
+---
+Result = match (read(city), read(level)) {
+    (chars(bj) | chars(sh), chars(high)) => chars(priority),
+    (chars(gz), chars(low) | chars(mid)) => chars(normal),
+    _ => chars(default),
+};
+"""
+    df = spark.createDataFrame(
+        [("sh", "high"), ("gz", "mid"), ("other", "high")],
+        "city string, level string",
+    )
+    got = [r["Result"] for r in compile_oml(orm).apply(df).collect()]
+    assert got == ["priority", "normal", "default"]
+
+    iprange = """
+name : t
+---
+Result = match (read(ip_field), read(level), read(zone)) {
+    (in (ip(10.0.0.1), ip(10.0.0.100)), chars(high), chars(east)) => chars(block),
+    (ip(192.168.0.1), chars(low), chars(west)) => chars(allow),
+    _ => chars(unknown),
+};
+"""
+    df = spark.createDataFrame(
+        [("10.0.0.50", "high", "east"), ("10.0.0.200", "high", "east"),
+         ("192.168.0.1", "low", "west")],
+        "ip_field string, level string, zone string",
+    )
+    got = [r["Result"] for r in compile_oml(iprange).apply(df).collect()]
+    assert got == ["block", "unknown", "allow"]
 
 
 def test_base64_decode_charsets(spark):

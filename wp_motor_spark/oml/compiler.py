@@ -438,6 +438,15 @@ class _State:
                 return lhs == lit
             return lhs == lit
         if isinstance(atom, RangeCond):
+            if atom.lo.dtype == "ip":
+                # match_prm.rs test_match_triple_source_with_mixed_cond:
+                # `in (ip(10.0.0.1), ip(10.0.0.100))` is NUMERIC address
+                # containment (compare_datafield orders IpAddr values) —
+                # a string between() puts 10.0.0.50 above 10.0.0.100
+                return ofn.ip4_to_int(col).between(
+                    ofn.ip4_to_int(_typed_lit(atom.lo)),
+                    ofn.ip4_to_int(_typed_lit(atom.hi)),
+                )
             cast = _CAST.get(atom.lo.dtype, "string")
             lhs = col.try_cast(cast) if cast else col
             return lhs.between(_typed_lit(atom.lo), _typed_lit(atom.hi))
@@ -456,7 +465,15 @@ class _State:
             if name == "has":
                 return col.isNotNull()
             if name == "eq":
-                return col.cast("string") == F.lit(args[0])
+                # matchs.rs:419-425: eq is a NUMERIC comparison with
+                # |a-b| < 1e-10 tolerance over extract_numeric (digit/
+                # float/parseable chars — so eq(5.0) matches the string
+                # "5"); a non-numeric arg warns and never matches
+                try:
+                    target = float(args[0])
+                except (ValueError, IndexError):
+                    return F.lit(False)
+                return F.abs(col.try_cast("double") - F.lit(target)) < 1e-10
             if name == "iequals":
                 return F.lower(col) == F.lit(args[0].lower())
             if name == "gt":
