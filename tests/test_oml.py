@@ -259,6 +259,24 @@ h = match read(n) { eq(7) => chars(seven); _ => chars(other); };
     assert row["h"] == "seven"
 
 
+def test_enable_header(spark):
+    """oml_conf.rs test_enable_config_*: `enable : false` disables the
+    model (skipped at load, loading.rs:50-53); absent or true keeps it.
+    The enable line must NOT leak into rule patterns."""
+    on = parse_oml("name : test\nenable : true\n---\nfield = chars(v);")
+    off = parse_oml("name : test\nrule : /test/*\nenable : false\n---\nfield = chars(v);")
+    default = parse_oml("name : test\n---\nfield = chars(v);")
+    assert on.enable and default.enable and not off.enable
+    assert off.rule_patterns == ["/test/*"]
+
+    from wp_motor_spark.pipeline import Pipeline
+
+    wpl = open(f"{REF}/tests/instance/wpl/example/simple/parse.wpl").read()
+    oml_off = "name : m\nenable : false\n---\nout = chars(never);"
+    pipe = Pipeline(wpl=wpl, omls=[oml_off])
+    assert pipe.models == []
+
+
 def test_match_multi_source_and_or(spark):
     """match_prm.rs triple/quadruple-source + OR tests
     (test_match_triple_execution, test_match_quadruple_execution,

@@ -185,6 +185,10 @@ class Assign:
 class OmlModel:
     name: str
     rule_patterns: list[str] = field(default_factory=list)
+    # `enable : false` header — a disabled model is skipped at load time
+    # (resources/core/manager/loading.rs:50-53; defaults true per
+    # oml_conf.rs test_enable_config_default)
+    enable: bool = True
     statics: list[Assign] = field(default_factory=list)
     statements: list[Assign] = field(default_factory=list)
     # third `---` section: output field -> privacy_* desensitization type

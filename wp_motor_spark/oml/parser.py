@@ -155,6 +155,7 @@ def parse_oml(text: str) -> OmlModel:
             if fld_name.strip() and ptype.strip().startswith("privacy_"):
                 privacy[fld_name.strip()] = ptype.strip()
     name = "model"
+    enable = True
     patterns: list[str] = []
     for line in head_txt.splitlines():
         line = line.strip()
@@ -166,6 +167,10 @@ def parse_oml(text: str) -> OmlModel:
             rest = line.split(":", 1)[1].strip()
             if rest:
                 patterns.extend(x.strip() for x in rest.split(",") if x.strip())
+        elif line.startswith("enable"):
+            # `enable : true|false` (oml_conf.rs oml_conf_enable; default
+            # true) — a disabled model is skipped at load, loading.rs:50
+            enable = line.split(":", 1)[1].strip().lower() != "false"
         else:
             patterns.extend(x.strip() for x in line.split(",") if x.strip())
     p = _P(_tokenize(body_txt))
@@ -182,7 +187,7 @@ def parse_oml(text: str) -> OmlModel:
         stmts.append(_parse_assign(p))
     return OmlModel(
         name=name, rule_patterns=patterns, statics=statics, statements=stmts,
-        privacy=privacy,
+        privacy=privacy, enable=enable,
     )
 
 

@@ -92,7 +92,11 @@ class Pipeline:
         robust: str = "normal",
     ):
         self.parser = MultiParser(wpl)
-        self.models: list[OmlTransform] = [compile_oml(t) for t in (omls or [])]
+        # disabled models (`enable : false` header) are skipped at load
+        # time (resources/core/manager/loading.rs:50-53)
+        self.models: list[OmlTransform] = [
+            m for m in (compile_oml(t) for t in (omls or [])) if m.model.enable
+        ]
         # None = caller configured nothing -> default memory sink;
         # an explicit [] means NO delivery (engine.rs skip_sink)
         self.sinks = (
