@@ -259,6 +259,23 @@ h = match read(n) { eq(7) => chars(seven); _ => chars(other); };
     assert row["h"] == "seven"
 
 
+def test_collect_reads_typed_dst_fields(spark):
+    """collect_prm.rs test_collect_array: collect read(keys:[sport,dport])
+    resolves DST first — sport/dport were re-emitted as digit above, so
+    the collected array carries the TYPED values (514, 22), not the raw
+    chars."""
+    conf = """
+name : das_apt_alert_log
+---
+sport:digit = read(sport);
+dport:digit = read(dport);
+port_list = collect read(keys:[sport,dport]);
+"""
+    df = spark.createDataFrame([("514", "22")], "sport string, dport string")
+    row = compile_oml(conf).apply(df).collect()[0]
+    assert row["port_list"] == [514, 22]
+
+
 def test_enable_header(spark):
     """oml_conf.rs test_enable_config_*: `enable : false` disables the
     model (skipped at load, loading.rs:50-53); absent or true keeps it.

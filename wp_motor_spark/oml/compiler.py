@@ -334,9 +334,23 @@ class _State:
                 names = [acc.field]
             cols = []
             for f in names:
-                v = self._input_take(f) if acc.kind == "take" else self._input_read(f)
-                cols.append((v.col if v else F.lit(None)).cast("string"))
-            arr = F.array(*cols) if cols else F.array()
+                # DST-FIRST: collect sees previously-emitted TYPED outputs
+                # before the raw source field (read.rs:47-48 "先从dst里查找,
+                # 查找不到再到src查找"; collect_prm.rs test_collect_array
+                # pins digit values for re-typed sport/dport)
+                if f in self.outputs:
+                    v = self.outputs[f]
+                else:
+                    v = self._input_take(f) if acc.kind == "take" else self._input_read(f)
+                cols.append(v.col if v else F.lit(None))
+            if not cols:
+                arr = F.array().cast("array<string>")
+            else:
+                arr = F.array(*cols)
+                try:  # Spark arrays are homogeneous; mixed types fall back
+                    self.df.select(arr).schema  # noqa: B018 — coherence probe
+                except Exception:
+                    arr = F.array(*[c.cast("string") for c in cols])
             return _Val(F.filter(arr, lambda x: x.isNotNull()), "array")
         if isinstance(expr, SqlExpr):
             raise OmlCompileError("SQL enrichment is only valid as a top-level statement")
