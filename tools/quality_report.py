@@ -94,6 +94,20 @@ def main() -> None:
         "gate": "probe recall >= no-probe recall",
     }
 
+    # --- jl_projection_ann: JL shortlist + exact rerank recall@5 (>= 0.8) ---
+    jl = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.jl_rerank_topk(
+            emb, queries, k=5, out_dim=24, shortlist=200
+        ).collect()
+    }
+    report["gates"]["jl_projection_ann"] = {
+        "metric": "rerank_recall@5_vs_brute_force",
+        "value": recall(jl),
+        "gate": ">= 0.8",
+        "exact_pairs": len(exact_top5),
+    }
+
     # --- ivf_ann_topk: recall@5, refined must beat unrefined (gate >= 0.8) ---
     ivf = {}
     for iters in (0, 5):

