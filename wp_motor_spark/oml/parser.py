@@ -290,6 +290,11 @@ def _parse_primary(p: _P, target: str | None = None) -> Expr:
     if re.match(r"^[A-Za-z_]", tok):
         p.next()
         if p.peek() == "(":
+            if tok.lower() in LITERAL_TYPES:
+                # typed literal with whitespace before the paren —
+                # `ip ( 127.10.10.10 )` (oml_aggregate.rs test_oml_take);
+                # the single-token litcall regex only covers `ip(...)`
+                return Literal(dtype=tok.lower(), value=_unquote(_raw_paren(p)))
             return FunCall(name=tok.lower(), args=_split_args(_raw_paren(p)))
         return SymbolRef(name=tok)
     raise OmlParseError(f"OML: unexpected token {tok!r}")
