@@ -40,6 +40,9 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
 
     ALLOWED = {
         "cosine_topk": {"NESTED_LOOP"},       # broadcast tiny query set
+        "jl_projection_ann": {"NESTED_LOOP"},  # broadcast tiny query set
+        #   (brute_force_topk's query_id != neighbor_id over the
+        #   broadcast projected queries — same shape as cosine_topk)
         "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
         "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
         "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
