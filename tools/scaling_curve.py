@@ -73,6 +73,12 @@ DEFAULT_QUERIES = [
     "k_anonymity_suppress",
     "semdedup_prune",
     "neardup_pagerank",
+    # r11 additions: freq-of-freq rollup, bigram distinct agg, bucketed
+    # sorted-adjacency window, JL shortlist + rerank
+    "good_turing_mass",
+    "distinct_ngrams",
+    "prefix_containment_dedup",
+    "jl_projection_ann",
 ]
 
 SF_DIRS = [

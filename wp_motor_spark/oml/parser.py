@@ -46,6 +46,11 @@ from wp_motor_spark.oml.ast import (
 
 LITERAL_TYPES = ("chars", "digit", "float", "bool", "ip", "time", "symbol", "hex")
 
+# declarable target types (`x : T = ...`): the literal types plus the
+# container/auto spellings seen across the reference fixtures (adm.oml
+# `values : obj`, nginx.oml `: auto`, array/T)
+_DECL_TYPES = set(LITERAL_TYPES) | {"array", "auto", "obj"}
+
 _LIT_RE = re.compile(
     r"^(%s)\((.*)\)$" % "|".join(LITERAL_TYPES), re.DOTALL
 )
@@ -218,6 +223,12 @@ def _parse_assign(p: _P) -> Assign:
         if p.peek() == "/":  # array/T spelled with tokens
             p.next()
             dtype += "/" + p.next()
+        base, _, sub = dtype.partition("/")
+        if base not in _DECL_TYPES or (sub and sub not in _DECL_TYPES):
+            # oml_err.rs test_report_err pins this: `version :chrs = ...`
+            # must be a PARSE error naming the bad type, not a silent
+            # no-cast passthrough
+            raise OmlParseError(f"OML: unknown declared type {dtype!r}")
     p.expect("=")
     expr = _parse_expr(p, target=targets[0])
     p.expect(";")

@@ -5384,7 +5384,10 @@ WITH cnt AS (
   FROM cnt QUALIFY rk <= 20
 )
 SELECT tk, exact_cnt,
-       min(cell) AS cm_est,
+       -- CAST: cell is SUM(BIGINT) = HUGEINT, which pandas/Arrow
+       -- materializes as float64 ('888.0' vs Spark's long '888') in the
+       -- driver's exact comparison
+       CAST(min(cell) AS BIGINT) AS cm_est,
        round((min(cell) - exact_cnt) / CAST(exact_cnt AS DOUBLE), 4)
          AS rel_overestimate,
        rk
