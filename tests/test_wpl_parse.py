@@ -1252,6 +1252,45 @@ def test_kvarr_quoted_values_and_guard(spark):
     assert r["_disposition"] == "miss"
 
 
+def test_sep_pattern_reference_semantics(spark):
+    """sep_pattern.rs build_pattern/matcher pins: '*' is byte-arbitrary
+    (crosses newlines, test_match_star_newline) and at most ONE per body
+    (test_err_multi_star); preserve (...) must END the pattern
+    (test_err_preserve_not_end) but may itself contain a star
+    (test_parse_star_in_preserve); unknown escapes are literals
+    (test_unknown_escape_as_literal)."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from wp_motor_spark.wpl.compiler import WplCompileError, _compile_pattern_sep
+
+    rx = _re.compile(_compile_pattern_sep(r"\s=*\n"))
+    assert rx.match("  =hel\nlo\n")  # star crosses the embedded newline
+    for bad in (r"*a*", r"(key)*="):
+        with _pytest.raises(WplCompileError):
+            _compile_pattern_sep(bad)
+    assert _compile_pattern_sep(r"*(c*=)") == r"[\s\S]*?(?=c[\s\S]*?=)"
+    assert _compile_pattern_sep(r"\x=\{") == r"x=\{"
+
+    # end-to-end: kvarr with the {\s(\S=)} pattern sep still parses
+    # space-containing values (kvarr.rs test_kvarr_pattern_sep_multi_pairs)
+    from wp_motor_spark.wpl import compile_rule, parse_wpl
+
+    cr = compile_rule(parse_wpl(r"package /t { rule r { (kvarr{\s(\S=)}) } }")[0])
+    r = cr.extract(
+        spark.createDataFrame(
+            [("msg=This is a long message severity=high source=firewall action=allow",)],
+            ["value"],
+        )
+    ).collect()[0]
+    assert r["_disposition"] == "success"
+    assert r["kvarr"] == {
+        "msg": "This is a long message", "severity": "high",
+        "source": "firewall", "action": "allow",
+    }
+
+
 def test_kv_key_charset_take_kv_key(spark):
     """take_kv_key (parser/utils.rs:52-61, pinned at utils.rs:514-518):
     kv/kvarr keys accept / and the bracket family ()<>[]{} — keys like

@@ -159,15 +159,22 @@ def _sep_regex(sep_lit: str | None, pattern_sep: str | None) -> str:
     return r"\s*" + re.escape(sep_lit) + r"\s*"
 
 
-def _compile_pattern_sep(content: str) -> str:
-    """Pattern separator {glob} -> regex (docs/design/wpl_sep_pattern.md).
+def _compile_pattern_sep(content: str, _in_preserve: bool = False) -> str:
+    """Pattern separator {glob} -> regex (ast/syntax/sep_pattern.rs).
 
-    '*' non-greedy any, '?' one char, macros \\s \\S \\h \\H \\0 \\n \\t \\r,
-    trailing preserve group (...) -> lookahead (match, don't consume).
+    '*' non-greedy arbitrary chars (INCLUDING newlines — the reference
+    matcher is byte-arbitrary, test_match_star_newline; at most ONE per
+    body, test_err_multi_star), '?' one arbitrary char, macros \\s \\S
+    \\h \\H \\0 \\n \\t \\r, unknown escapes are literals
+    (test_unknown_escape_as_literal), trailing preserve group (...) ->
+    lookahead (match, don't consume; must sit at the very END,
+    test_err_preserve_not_end — split_preserve only recognizes an
+    unescaped ')' as the last char).
     """
     out: list[str] = []
     i = 0
     n = len(content)
+    stars = 0
     while i < n:
         ch = content[i]
         if ch == "\\" and i + 1 < n:
@@ -185,15 +192,24 @@ def _compile_pattern_sep(content: str) -> str:
             out.append(macro.get(nxt, re.escape(nxt)))
             i += 2
         elif ch == "*":
-            out.append(r".*?")
+            stars += 1
+            if stars > 1:
+                raise WplCompileError(
+                    f"sep pattern error: at most one * allowed in {{{content}}}"
+                )
+            out.append(r"[\s\S]*?")
             i += 1
         elif ch == "?":
-            out.append(r".")
+            out.append(r"[\s\S]")
             i += 1
-        elif ch == "(":
-            # preserve group: match but don't consume -> lookahead
+        elif ch == "(" and not _in_preserve:
             end = content.rfind(")")
-            inner = _compile_pattern_sep(content[i + 1 : end])
+            if end != n - 1:
+                raise WplCompileError(
+                    "sep pattern error: preserve (...) must end the "
+                    f"pattern in {{{content}}}"
+                )
+            inner = _compile_pattern_sep(content[i + 1 : end], _in_preserve=True)
             out.append(f"(?={inner})")
             i = end + 1
         else:
@@ -430,10 +446,10 @@ def _emit_field(ctx: _Ctx, fld: WplField, gsep_lit: str | None, gsep_pat: str | 
 
     n = fld.repeat
     if n is None:  # unbounded '*type'
-        _emit_unbounded(ctx, fld, sep_lit, eff_sep_rx)
+        _emit_unbounded(ctx, fld, sep_lit, eff_sep_rx, sep_pat)
     else:
         for k in range(n):
-            _emit_single(ctx, fld, sep_lit, eff_sep_rx, k, n)
+            _emit_single(ctx, fld, sep_lit, eff_sep_rx, k, n, sep_pat)
     ctx.next_sep = eff_sep_rx if (fld.sep is not None or fld.pattern_sep is not None) else None
 
 
@@ -457,7 +473,13 @@ def _default_name(fld: WplField) -> str:
 
 
 def _emit_single(
-    ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str, k: int, n: int
+    ctx: _Ctx,
+    fld: WplField,
+    sep_lit: str | None,
+    sep_rx: str,
+    k: int,
+    n: int,
+    sep_pat: str | None = None,
 ) -> None:
     dtype = fld.dtype
     if k > 0:
@@ -506,7 +528,9 @@ def _emit_single(
         # sub_fpu consumes the whole [..]; a chars sub reads until the
         # separator) — handled as typed branches below.
         quoted_rx = _DQ_RX + "|" + _SQ_RX
-        val_rx = "(?:" + quoted_rx + "|" + _neg_class(sep_lit) + "*)"
+        val_rx = (
+            "(?:" + quoted_rx + "|" + _kv_bare_rx(sep_lit, sep_rx, sep_pat) + ")"
+        )
 
         def _typed_body(sf) -> str | None:
             if sf.dtype.startswith("array"):
@@ -560,7 +584,7 @@ def _emit_single(
         pair_sep = r"\s*[:=]\s*"
         val_rx = (
             "(?:" + _DQ_RX + "|" + _SQ_RX + "|" + _interval_rx() + "|"
-            + _neg_class(sep_lit) + "*)"
+            + _kv_bare_rx(sep_lit, sep_rx, sep_pat) + ")"
         )
         pair = key_rx + pair_sep + val_rx
         run = f"({pair}(?:(?:{sep_rx}){pair})*)"
@@ -641,7 +665,10 @@ def _emit_single(
     ctx.outputs.append(out)
 
 
-def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) -> None:
+def _emit_unbounded(
+    ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str,
+    sep_pat: str | None = None,
+) -> None:
     """'*type' unbounded repeat: capture the whole run in one group."""
     dtype = fld.dtype
     _flush_sep(ctx)
@@ -652,7 +679,8 @@ def _emit_unbounded(ctx: _Ctx, fld: WplField, sep_lit: str | None, sep_rx: str) 
         # quoted values span the separator (keyval.rs pattern_parse)
         pair_sep = r"\s*[:=]\s*"
         val_rx = (
-            "(?:" + _DQ_RX + "|" + _SQ_RX + "|" + _neg_class(sep_lit) + "*)"
+            "(?:" + _DQ_RX + "|" + _SQ_RX + "|"
+            + _kv_bare_rx(sep_lit, sep_rx, sep_pat) + ")"
         )
         pair = key_rx + pair_sep + val_rx
         split_rx = sep_rx
@@ -960,6 +988,19 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
             return F.transform(elems, lambda e: e.try_cast("double"))
         return elems
     return col
+
+
+def _kv_bare_rx(sep_lit: str | None, sep_rx: str, sep_pat: str | None) -> str:
+    """Bare (unquoted) kv value fragment. Literal separators exclude the
+    separator char; a PATTERN separator has no single char to exclude —
+    the reference's read_until_sep scans forward to the next pattern
+    match (wpl_sep.rs), so the regex equivalent is the tempered scan
+    'chars at which the separator does not start' (kvarr.rs
+    test_kvarr_pattern_sep: msg=Test message externalId=0 under
+    {\\s(\\S=)} keeps the space inside msg)."""
+    if sep_pat is not None:
+        return "(?:(?!" + sep_rx + r")[\s\S])*"
+    return _neg_class(sep_lit) + "*"
 
 
 def _kv_value_norm(v: Column) -> Column:
