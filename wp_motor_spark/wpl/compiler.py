@@ -1012,17 +1012,34 @@ def _kv_value_norm(v: Column) -> Column:
     the \\n/\\t/\\xHH decodes are not reproduced here; the single-pass
     quote unescape is the fixture-relevant case, kvarr.rs
     test_kvarr_with_commas2 c=[\\"1.1.1.1\\",..]); a bare value is
-    TRIMMED (keyval.rs trim_val)."""
+    TRIMMED (keyval.rs trim_val).
+
+    First/last-char checks instead of anchored rlikes: the values here
+    were EXTRACTED by the same quoted/interval/bare alternation, so a
+    value that starts and ends with the same quote char IS the quoted
+    alternative's match (the bare branch can produce an unterminated
+    leading quote but then the last char differs); same for a matching
+    bracket pair. Three regex evals per pair dropped to char ops —
+    measured on the wpl_kv_parse hot path."""
+    first = F.substring(v, 1, 1)
+    last = F.substring(v, -1, 1)
+    two = F.length(v) >= 2
+    closer = (
+        F.when(first == "[", F.lit("]"))
+        .when(first == "(", F.lit(")"))
+        .when(first == "{", F.lit("}"))
+        .when(first == "<", F.lit(">"))
+    )
     return (
         F.when(
-            v.rlike(r'^"(?:[^"\\]|\\.)*"$') | v.rlike(r"^'(?:[^'\\]|\\.)*'$"),
+            two & first.isin('"', "'") & (last == first),
             F.substring(v, 2, F.length(v) - 2),
         )
         .when(
             # a COMPLETE interval only (opener with its matching closer);
             # an unterminated bracket fell through interval_impl to the
             # bare read-until-sep path in the reference, which trims
-            v.rlike(r"(?s)^(?:\[.*\]|\(.*\)|\{.*\}|<.*>)$"),
+            two & closer.isNotNull() & (last == closer),
             F.regexp_replace(v, r"\\([\"'\\])", r"$1"),
         )
         .otherwise(F.trim(v))
@@ -1094,25 +1111,47 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         vals = F.transform(
             F.regexp_extract_all(s, F.lit(out.kv_pair_rx), 2), _kv_value_norm
         )
-        # rename_duplicates (kvarr.rs:254-275): the i-th occurrence of a
-        # repeated key is emitted as key[i]
-        # (test_kvarr_repeated_keys_are_indexed) — also keeps
-        # map_from_arrays free of duplicate-key exceptions
-        renamed = F.transform(
-            keys,
-            lambda k, i: F.when(
-                F.size(F.filter(keys, lambda k2: k2 == k)) > 1,
-                F.concat(
-                    k,
-                    F.lit("["),
-                    F.size(
-                        F.filter(F.slice(keys, F.lit(1), i), lambda k2: k2 == k)
-                    ).cast("string"),
-                    F.lit("]"),
-                ),
-            ).otherwise(k),
+        # Bind keys/vals ONCE through a 1-element array-of-struct: HOF
+        # lambdas referencing an OUTER expression re-evaluate it per
+        # element (the nested dup-rename filters were re-running
+        # regexp_extract_all O(n^2) times — measured +0.9s on
+        # wpl_kv_parse at sf0.1); a lambda VARIABLE is a materialized
+        # value, so everything below touches the arrays, not the regex.
+        packed = F.array(F.struct(keys.alias("k"), vals.alias("v")))
+
+        def build(p):
+            k_arr, v_arr = p["k"], p["v"]
+            # rename_duplicates (kvarr.rs:254-275): the i-th occurrence
+            # of a repeated key is emitted as key[i]
+            # (test_kvarr_repeated_keys_are_indexed) — also keeps
+            # map_from_arrays free of duplicate-key exceptions. The
+            # no-duplicate fast path skips the O(n^2) rename entirely.
+            renamed = F.when(
+                F.size(F.array_distinct(k_arr)) == F.size(k_arr), k_arr
+            ).otherwise(
+                F.transform(
+                    k_arr,
+                    lambda k, i: F.when(
+                        F.size(F.filter(k_arr, lambda k2: k2 == k)) > 1,
+                        F.concat(
+                            k,
+                            F.lit("["),
+                            F.size(
+                                F.filter(
+                                    F.slice(k_arr, F.lit(1), i),
+                                    lambda k2: k2 == k,
+                                )
+                            ).cast("string"),
+                            F.lit("]"),
+                        ),
+                    ).otherwise(k),
+                )
+            )
+            return F.map_from_arrays(renamed, v_arr)
+
+        return F.when(
+            s.isNotNull(), F.element_at(F.transform(packed, build), 1)
         )
-        return F.when(s.isNotNull(), F.map_from_arrays(renamed, vals))
     if dtype == "kv":
         return s  # merged into a shared map later
     if dtype == "proto_text":
