@@ -46,6 +46,7 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "enrich_ip_range": {"NESTED_LOOP"},   # broadcast KnowDB dim
         "customer_deciles": {"NESTED_LOOP"},  # broadcast ONE-row bounds agg
         "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
+        "domain_temperature_mix": {"NESTED_LOOP"},  # broadcast ONE-row z/total agg
         "domain_kl": {"NESTED_LOOP"},         # broadcast ONE-row totals agg
         "bm25_search": {"NESTED_LOOP"},       # broadcast ONE-row stats agg
         "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set

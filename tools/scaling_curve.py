@@ -79,6 +79,11 @@ DEFAULT_QUERIES = [
     "distinct_ngrams",
     "prefix_containment_dedup",
     "jl_projection_ann",
+    # r11 batch 2: one-row-broadcast mixture weights, tiny-agg DP noise,
+    # CC-group-keyed split (rides the pair/component machinery)
+    "domain_temperature_mix",
+    "dp_event_release",
+    "leakage_safe_split",
 ]
 
 SF_DIRS = [

@@ -6142,6 +6142,191 @@ def jl_projection_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 10), k=5, out_dim=24, shortlist=200
     )
 
+
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (the multinomial alpha-sampling
+    of GPT-3 / LLaMA data recipes, alpha=0.3): per-source sampling weight
+    w_i = p_i^alpha / sum_j p_j^alpha where p_i is the source's doc
+    share — upweights small domains relative to raw frequency; emits the
+    expected doc allocation for a 10k-doc budget.
+
+    Scale shape: one count agg to |sources| rows, a one-row total
+    broadcast back over them (plan-lint ALLOWED tiny nested loop), no
+    second corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), 0.3)).alias("z"),
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p_raw"),
+            F.round(
+                F.pow(F.col("n_docs").cast("double"), 0.3) / F.col("z"), 6
+            ).alias("w_alpha"),
+            F.round(
+                10000.0 * F.pow(F.col("n_docs").cast("double"), 0.3) / F.col("z"),
+                2,
+            ).alias("expected_docs_10k"),
+        )
+    )
+
+
+DOMAIN_TEMPERATURE_SQL = """
+WITH cnt AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         sum(pow(CAST(n_docs AS DOUBLE), 0.3)) AS z
+  FROM cnt
+)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n_total, 6) AS p_raw,
+       round(pow(CAST(n_docs AS DOUBLE), 0.3) / z, 6) AS w_alpha,
+       round(10000.0 * pow(CAST(n_docs AS DOUBLE), 0.3) / z, 2)
+         AS expected_docs_10k
+FROM cnt, tot
+"""
+
+
+def dp_event_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork 2006 Laplace
+    mechanism, eps=0.5, sensitivity 1 -> scale 2): per-event-type counts
+    plus Laplace noise drawn via inverse-CDF from an md5-derived uniform
+    — the deterministic seeding makes the release reproducible AND lets
+    the DuckDB oracle recompute the identical noised values (a real
+    deployment uses a fresh RNG; the mechanism arithmetic is what's
+    under test). Negative releases clamp to 0 (standard post-processing,
+    preserves DP).
+
+    Scale shape: one count agg to |event_types| rows; the noise is a
+    per-row expression over that tiny frame. At 100 TB the only cost is
+    the count shuffle (map-side combined)."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    # u in (-0.5, 0.5) from the top 8 hex chars of md5(key):
+    # u = h/2^32 - 0.5; Laplace sample = -scale * sign(u) * ln(1 - 2|u|)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("event_type"), F.lit(":dp1"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = h / F.lit(4294967296.0) - 0.5
+    noise = -2.0 * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return cnt.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 4).alias("noise"),
+        F.greatest(
+            F.lit(0.0), F.round(F.col("true_count") + noise, 4)
+        ).alias("released"),
+    )
+
+
+DP_RELEASE_SQL = """
+WITH cnt AS (
+  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
+), noised AS (
+  SELECT event_type, true_count,
+         (('0x' || substr(md5(event_type || ':dp1'), 1, 8))::BIGINT
+            / 4294967296.0) - 0.5 AS u
+  FROM cnt
+)
+SELECT event_type, true_count,
+       round(-2.0 * sign(u) * ln(1 - 2 * abs(u)), 4) AS noise,
+       greatest(0.0, round(true_count + (-2.0 * sign(u) * ln(1 - 2 * abs(u))), 4))
+         AS released
+FROM noised
+"""
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate docs MUST land
+    in the same split (a val doc whose near-dup sits in train leaks the
+    answer — the eval-contamination failure mode dedup papers warn
+    about). Docs are grouped by their n-gram-Jaccard connected component
+    (singletons group alone), the GROUP is hashed, and the 8/1/1 split
+    decides by group hash, never per doc.
+
+    Scale shape: rides dedup_clusters' pair + component machinery (one
+    inverted-index shuffle + the bounded CC loop); the split itself is a
+    map-only md5 hash on the group key. Output (doc_id, group_key,
+    split)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    joined = docs.select("doc_id").join(
+        comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left"
+    )
+    gk = F.coalesce(F.col("comp"), F.col("doc_id"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(gk.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(10),
+    )
+    return joined.select(
+        "doc_id",
+        gk.alias("group_key"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+LEAKAGE_SPLIT_SQL = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), words AS (
+  SELECT id, string_split(t, ' ') AS w, t FROM norm
+), sh AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [t] END) AS grams
+  FROM words
+), sizes AS (
+  SELECT id, len(grams) AS n FROM sh
+), inv AS (
+  SELECT id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS comp FROM reach GROUP BY u
+), grouped AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, group_key,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+         AS split
+FROM (
+  SELECT doc_id, group_key,
+         ('0x' || substr(md5(group_key::VARCHAR), 1, 8))::BIGINT % 10 AS b
+  FROM grouped
+)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r11: leads are the 12 r8-driver-green queries
@@ -6299,4 +6484,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "distinct_ngrams": (distinct_ngrams, DISTINCT_NGRAMS_SQL),
     "prefix_containment_dedup": (prefix_containment_dedup, PREFIX_CONTAIN_SQL),
     "jl_projection_ann": (jl_projection_ann, None),
+    "domain_temperature_mix": (domain_temperature_mix, DOMAIN_TEMPERATURE_SQL),
+    "dp_event_release": (dp_event_release, DP_RELEASE_SQL),
+    "leakage_safe_split": (leakage_safe_split, LEAKAGE_SPLIT_SQL),
 }
