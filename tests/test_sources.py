@@ -43,6 +43,10 @@ def test_incomplete_octet_frame_waits():
 
 
 def test_crlf_stripped():
+    # extractor.rs pins: every '\r' in the line is removed (compaction
+    # loop, not just trailing CR), and "0 " is a VALID zero-length frame
+    assert frame_buffer(b"ab\rcd\r\n") == ([b"abcd"], b"")
+    assert frame_buffer(b"0 ") == ([], b"")  # consumed, empty msg dropped
     msgs, _ = frame_buffer(b"msg a\r\nmsg b\r\n")
     assert msgs == [b"msg a", b"msg b"]
 

@@ -39,7 +39,9 @@ def frame_buffer(buf: bytes) -> tuple[list[bytes], bytes]:
         nl = buf.find(b"\n")
         if nl < 0:
             break
-        line = buf[:nl].rstrip(b"\r")
+        # extract_line_message (framing/extractor.rs:9-25) removes EVERY
+        # '\r' in the line (the compaction loop), not just a trailing CR
+        line = buf[:nl].replace(b"\r", b"")
         buf = buf[nl + 1 :]
         if line:
             out.append(line)
@@ -55,7 +57,10 @@ def _try_octet(buf: bytes) -> tuple[bytes, bytes] | None:
     if not prefix.isdigit():
         return None
     n = int(prefix)
-    if not (0 < n < MAX_FRAME):
+    # "0 " is a VALID zero-length frame (extractor.rs
+    # test_extract_length_prefixed_message_zero_length); the 10MB upper
+    # cap is tcp.rs's sanity bound on real sockets
+    if not (0 <= n < MAX_FRAME):
         return None
     start = sp + 1
     if len(buf) < start + n:
