@@ -46,7 +46,7 @@ def test_crlf_stripped():
     # extractor.rs pins: every '\r' in the line is removed (compaction
     # loop, not just trailing CR), and "0 " is a VALID zero-length frame
     assert frame_buffer(b"ab\rcd\r\n") == ([b"abcd"], b"")
-    assert frame_buffer(b"0 ") == ([], b"")  # consumed, empty msg dropped
+    assert frame_buffer(b"0 ") == ([b""], b"")  # consumed, empty payload
     msgs, _ = frame_buffer(b"msg a\r\nmsg b\r\n")
     assert msgs == [b"msg a", b"msg b"]
 
