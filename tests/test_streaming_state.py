@@ -394,3 +394,78 @@ def test_heavy_hitters_stream_spacesaving_guarantees(spark, tmp_path):
     # the dominant token is reported with an exact count (never evicted)
     alpha = [r for r in final if r["token"] == "alpha"]
     assert alpha and alpha[0]["est"] == true["alpha"] and alpha[0]["err"] == 0
+
+
+def test_ewma_anomaly_stream_matches_driver_recurrence(spark, tmp_path):
+    """EWMA anomaly gate: the streamed per-key anomalies EXACTLY match a
+    driver-side pure-python recompute of the same recurrence (check
+    before update; warm-up min_n; alpha=0.2, z>3), across TWO
+    micro-batches so mean/var state genuinely carries over."""
+    import math
+
+    from wp_motor_spark.streaming import ewma_anomaly_stream
+
+    rng_vals = [10.0, 10.4, 9.6, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0,
+                10.2, 9.9, 50.0, 10.1, 9.8, 10.0, -30.0, 10.2]
+    rows = [
+        {"ts": f"2026-01-01T10:00:{i:02d}", "k": "a", "v": v}
+        for i, v in enumerate(rng_vals)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(os.path.join(src, "b0.json"), rows[:9], order=0)
+    _write(os.path.join(src, "b1.json"), rows[9:], order=1)
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("k", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    out = ewma_anomaly_stream(
+        stream, key_col="k", ts_col="ts", val_col="v",
+        alpha=0.2, z_thresh=3.0, min_n=5,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ewma_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["ts"]), r["v"], r["z"])
+            for r in spark.sql("select * from ewma_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # driver-side recompute of the identical recurrence
+    n, mean, var = 0, 0.0, 0.0
+    want = set()
+    for i, v in enumerate(rng_vals):
+        if n >= 5 and var > 0:
+            z = (v - mean) / math.sqrt(var)
+            if abs(z) > 3.0:
+                want.add((f"2026-01-01 10:00:{i:02d}", v, round(z, 4)))
+        if n == 0:
+            mean, var = v, 0.0
+        else:
+            d = v - mean
+            mean += 0.2 * d
+            var = 0.8 * (var + 0.2 * d * d)
+        n += 1
+
+    assert want, "fixture must contain anomalies"
+    assert any(v == 50.0 for (_, v, _) in want)  # the planted spike fires
+    assert got == want, (got, want)

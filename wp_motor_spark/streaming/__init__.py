@@ -12,8 +12,9 @@ queries.countmin_heavy_hitters.
 
 from wp_motor_spark.streaming.state import (
     dedup_stream,
+    ewma_anomaly_stream,
     heavy_hitters_stream,
     sessionize_stream,
 )
 
-__all__ = ["dedup_stream", "heavy_hitters_stream", "sessionize_stream"]
+__all__ = ["dedup_stream", "ewma_anomaly_stream", "heavy_hitters_stream", "sessionize_stream"]

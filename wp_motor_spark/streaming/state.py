@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -319,5 +320,103 @@ def heavy_hitters_stream(
         "__shard", F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_shards))
     )
     return sharded.groupBy("__shard").applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_anomaly_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.1,
+    z_thresh: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Per-key streaming EWMA anomaly detector (Hunter 1986 EWMA control
+    charts): mean and variance track exponentially per key; an event
+    whose deviation exceeds z_thresh * sqrt(var) AFTER a min_n warm-up
+    is emitted as an anomaly, append mode. The check runs BEFORE the
+    update, so an outlier is judged against the pre-outlier baseline and
+    then absorbed (standard control-chart discipline).
+
+    State is THREE scalars per key (n, mean, var) regardless of stream
+    length — the bounded-state property that makes this shippable at
+    100 TB/day: |keys| x 24 bytes, no window buffers. Events are
+    processed in event-time order within each micro-batch; cross-batch
+    order follows arrival like every EWMA deployment.
+
+    Batch twin for correctness intuition: events_anomaly (global
+    z-scores); the gate in tests/test_streaming_state.py recomputes the
+    identical EWMA recurrence driver-side and requires exact agreement.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(val_col, DoubleType()),
+            StructField("ewma_mean", DoubleType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("var", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        k = key[0]
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, val_col]].copy()
+            sub[ts_col] = pd.to_datetime(sub[ts_col])
+            rows.append(sub)
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(ts_col)
+        if state.exists:
+            n, mean, var = state.get
+        else:
+            n, mean, var = 0, 0.0, 0.0
+        out_ts, out_v, out_m, out_z = [], [], [], []
+        for ts, v in zip(batch[ts_col], batch[val_col]):
+            v = float(v)
+            if n >= min_n and var > 0:
+                z = (v - mean) / math.sqrt(var)
+                if abs(z) > z_thresh:
+                    out_ts.append(ts)
+                    out_v.append(v)
+                    out_m.append(mean)
+                    out_z.append(z)
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean = mean + alpha * d
+                var = (1.0 - alpha) * (var + alpha * d * d)
+            n += 1
+        state.update((int(n), float(mean), float(var)))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(out_ts),
+                    ts_col: out_ts,
+                    val_col: out_v,
+                    "ewma_mean": [round(m, 6) for m in out_m],
+                    "z": [round(z, 4) for z in out_z],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
         _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
