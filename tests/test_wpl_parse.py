@@ -858,6 +858,22 @@ def test_guard_null_semantics_missing_field(spark):
     assert disp('rule t { (json(chars@a) | take(a) | chars_has(y)) }') == "miss"
 
 
+def test_plg_pipe_hyphenated_name(spark):
+    """vm_unit.rs preorder_plg_pipe_unit_executes registers
+    'plg_pipe/MOCK-STAGE' — plugin names carry hyphens; the preproc-step
+    charset must accept them (it stopped at '-' before)."""
+    from wp_motor_spark.wpl.registry import register_plg_pipe
+
+    register_plg_pipe("MOCK-STAGE", lambda c: F.concat(c, F.lit("-mock")))
+    cr = compile_rule(
+        parse_wpl("rule t { |plg_pipe/MOCK-STAGE|(chars:x) }")[0]
+    )
+    row = cr.extract(
+        spark.createDataFrame([("data",)], ["value"])
+    ).collect()[0]
+    assert row["_disposition"] == "success" and row["x"] == "data-mock"
+
+
 def test_plg_pipe_block_form(spark):
     """Grammar plg_pipe_block: ["@"]? plg_pipe(id: key) { express } — the
     registered plugin preprocessor wraps the whole express."""

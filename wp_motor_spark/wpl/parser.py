@@ -221,7 +221,10 @@ def _parse_rule(cur: _Cursor) -> WplRule:
     if cur.peek() == "|":
         cur.pos += 1
         while True:
-            step = cur.match_re(re.compile(r"[A-Za-z0-9_/]+"))
+            # plugin names carry hyphens/dots (vm_unit.rs
+            # preorder_plg_pipe_unit_executes registers
+            # "plg_pipe/MOCK-STAGE")
+            step = cur.match_re(re.compile(r"[A-Za-z0-9_/.\-]+"))
             if not step:
                 raise WplSyntaxError(f"preproc step expected at {cur.pos}")
             rule.preprocs.append(_normalize_preproc(step))
