@@ -858,6 +858,36 @@ def test_guard_null_semantics_missing_field(spark):
     assert disp('rule t { (json(chars@a) | take(a) | chars_has(y)) }') == "miss"
 
 
+def test_pipe_group_reparse(spark):
+    """wpl_group.rs test_parse_group_pipe/pipe3/pipe3_1 + assemble_pipe
+    PipeEnum::Group: a field OR json-subfield value piped into a nested
+    group is RE-PARSED by that group; a plain chars field re-parses
+    DIRECTLY (no transport decode — only base64/hex decode first).
+    Previously a chars-field pipe group wrongly unbase64'd the text
+    (NULL outputs), and the subfield form didn't parse at all."""
+    def run(rule, line):
+        cr = compile_rule(parse_wpl(rule)[0])
+        return cr.extract(
+            spark.createDataFrame([(line,)], ["value"])
+        ).collect()[0]
+
+    r = run(r'package /t { rule r { (chars:src_sys" |(time:ts,ip:sip)) } }',
+            '"2023-05-15 09:22:44 10.0.0.7"')
+    assert r["_disposition"] == "success"
+    assert str(r["ts"]) == "2023-05-15 09:22:44" and r["sip"] == "10.0.0.7"
+
+    import base64 as _b64
+
+    enc = _b64.b64encode(b"2023-05-15 09:22:44 10.0.0.7").decode()
+    r = run(r"package /t { rule r { (base64 | (time:ts,ip:sip)) } }", enc)
+    assert r["_disposition"] == "success" and r["sip"] == "10.0.0.7"
+
+    r = run(r'package /t { rule r { ( json(chars@src_sys | (time:ts,ip:sip) ) ) } }',
+            '{"src_sys":"2023-05-15 09:22:44 10.0.0.7"}')
+    assert r["_disposition"] == "success"
+    assert str(r["ts"]) == "2023-05-15 09:22:44" and r["sip"] == "10.0.0.7"
+
+
 def test_plg_pipe_hyphenated_name(spark):
     """vm_unit.rs preorder_plg_pipe_unit_executes registers
     'plg_pipe/MOCK-STAGE' — plugin names carry hyphens; the preproc-step

@@ -42,6 +42,10 @@ class WplSubfield:
     scope: tuple | None = None  # <beg,end> scope anchors on the type
     symbol: str | None = None  # content for symbol/peek_symbol subfields
     pipes: list = field(default_factory=list)
+    # `json(chars@k | (time,ip))` — the subfield VALUE is re-parsed by a
+    # nested group (wpl_group.rs test_parse_group_pipe3/3_1/4_1,
+    # assemble_pipe PipeEnum::Group)
+    subgroup: "WplGroup | None" = None
 
 
 @dataclass

@@ -658,7 +658,12 @@ def _emit_single(
         _mark_tail_field([fld.subgroup])
         _emit_group(sub, fld.subgroup, None, None)
         sub.group_idx += 1
-        out.decode = "hex" if dtype == "hex" else "base64"
+        # decode only for the decode-then-subparse types; a plain
+        # `chars:x" | (time,ip)` re-parses the captured text DIRECTLY
+        # (assemble_pipe PipeEnum::Group — no transport decode)
+        out.decode = (
+            "hex" if dtype == "hex" else "base64" if dtype == "base64" else None
+        )
         out.sub_pattern = "^" + "".join(sub.parts) + r"(.*)$"
         out.sub_ngroups = sub.group_idx
         out.sub_outputs = sub.outputs
@@ -1298,17 +1303,46 @@ class CompiledRule:
                         for seg in ref.split("/"):
                             jp += "[*]" if seg == "*" else "." + seg
                     sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
+                    if sf.subgroup is not None:
+                        # `json(chars@k | (time,ip))`: the extracted value
+                        # is RE-PARSED by the nested group
+                        # (wpl_group.rs test_parse_group_pipe3,
+                        # PipeEnum::Group) — same regex-subparse shape as
+                        # the field-level pipe group
+                        sctx = _Ctx()
+                        _mark_tail_field([sf.subgroup])
+                        _emit_group(sctx, sf.subgroup, None, None)
+                        sctx.group_idx += 1
+                        pat = "^" + "".join(sctx.parts) + r"(.*)$"
+                        repl = DELIM.join(
+                            f"${i}" for i in range(1, sctx.group_idx + 1)
+                        )
+                        sub_parts = F.split(
+                            F.regexp_replace(sub, pat, repl), DELIM, -1
+                        )
+                        ok = F.size(sub_parts) == F.lit(sctx.group_idx)
+                        for so in sctx.outputs:
+                            if so.dtype == "_":
+                                continue
+                            sraw = F.when(
+                                ok, F.try_element_at(sub_parts, F.lit(so.group))
+                            )
+                            cols.append((so.name, _typed_column(so, sraw)))
+                        continue
                     sub = _apply_subfield_pipes(sub, sf)
                     cols.append((nm, _cast_subfield(sub, sf.dtype)))
                 continue
             if out.sub_pattern is not None:
                 # decode-then-subparse: unbase64/unhex the captured token,
-                # then run the subgroup's regex over the decoded text
-                decoded = (
-                    F.unhex(raw).cast("string")
-                    if out.decode == "hex"
-                    else F.unbase64(raw).cast("string")
-                )
+                # then run the subgroup's regex over the decoded text; a
+                # plain pipe group (chars:x" | (time,ip)) re-parses the
+                # captured text with NO decode (PipeEnum::Group)
+                if out.decode == "hex":
+                    decoded = F.unhex(raw).cast("string")
+                elif out.decode == "base64":
+                    decoded = F.unbase64(raw).cast("string")
+                else:
+                    decoded = raw
                 repl = DELIM.join(f"${i}" for i in range(1, out.sub_ngroups + 1))
                 sub_parts = F.split(
                     F.regexp_replace(decoded, out.sub_pattern, repl), DELIM, -1

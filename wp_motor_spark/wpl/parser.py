@@ -585,7 +585,13 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
                 cur.pos = save
                 break
             cur.skip_ws()
-            sf.pipes.append(_parse_fun_call(cur))
+            if cur.peek() == "(":
+                # nested group pipe: the subfield value is RE-PARSED by
+                # the group (wpl_group.rs test_parse_group_pipe3,
+                # PipeEnum::Group in assemble_pipe)
+                sf.subgroup = _parse_group(cur)
+            else:
+                sf.pipes.append(_parse_fun_call(cur))
         if cur.pos == start:  # no token consumed: malformed input, not a loop
             raise WplSyntaxError(
                 f"bad subfield at {cur.pos}: {cur.text[cur.pos:cur.pos+20]!r}"
