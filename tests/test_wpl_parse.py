@@ -887,6 +887,12 @@ def test_pipe_group_reparse(spark):
     assert r["_disposition"] == "success"
     assert str(r["ts"]) == "2023-05-15 09:22:44" and r["sip"] == "10.0.0.7"
 
+    # kv form with the group's own separator (wpl_group.rs pipe4_1)
+    r = run(r'package /t { rule r { ( kv(chars@src_sys | (time:ts,ip:sip)\! ) ) } }',
+            'src_sys="2023-05-15 09:22:44!10.0.0.7"')
+    assert r["_disposition"] == "success"
+    assert str(r["ts"]) == "2023-05-15 09:22:44" and r["sip"] == "10.0.0.7"
+
 
 def test_plg_pipe_hyphenated_name(spark):
     """vm_unit.rs preorder_plg_pipe_unit_executes registers

@@ -1398,6 +1398,29 @@ class CompiledRule:
                     val = F.regexp_replace(
                         F.regexp_replace(val, "^" + b, ""), e + "$", ""
                     )
+                if sf.subgroup is not None:
+                    # kv(chars@k | (time,ip)\!) — the kv VALUE is re-parsed
+                    # by the nested group (wpl_group.rs pipe4_1/4_2)
+                    sctx = _Ctx()
+                    _mark_tail_field([sf.subgroup])
+                    _emit_group(sctx, sf.subgroup, None, None)
+                    sctx.group_idx += 1
+                    pat = "^" + "".join(sctx.parts) + r"(.*)$"
+                    repl = DELIM.join(
+                        f"${i}" for i in range(1, sctx.group_idx + 1)
+                    )
+                    sub_parts = F.split(
+                        F.regexp_replace(val, pat, repl), DELIM, -1
+                    )
+                    ok = F.size(sub_parts) == F.lit(sctx.group_idx)
+                    for so in sctx.outputs:
+                        if so.dtype == "_":
+                            continue
+                        sraw = F.when(
+                            ok, F.try_element_at(sub_parts, F.lit(so.group))
+                        )
+                        cols.append((so.name, _typed_column(so, sraw)))
+                    continue
                 cols.append(
                     (sf.name or sf.ref.replace("/", "_"),
                      _cast_subfield(val, sf.dtype))
