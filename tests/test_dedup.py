@@ -173,3 +173,53 @@ def test_remove_duplicate_spans_overlapping_coverage(spark):
     # doc2: dup windows are those fully inside the shared prefix
     # (starts 1..3); tokens 1..10 covered, the 2-token tail survives
     assert out[2]["clean_text"] == "tail1 tail2" and out[2]["n_removed"] == 10
+
+
+def test_prefix_containment_short_doc_bucket_fix(spark, tmp_path):
+    """r11 judge finding: a doc SHORTER than the 4-char bucket key never
+    met its container ("ab" bucketed as "ab", container "abcdef" as
+    "abcd"). The short-doc broadcast pass must flag it with the minimal
+    (text, doc_id) container — and the Spark result must match the
+    DuckDB oracle executing PREFIX_CONTAIN_SQL on the same parquet."""
+    import duckdb
+
+    from wp_motor_spark import queries as q
+
+    rows = [
+        (1, "web", "ab"),            # short doc, contained in 4 and 6
+        (2, "web", "zz"),            # short doc, no container
+        (3, "web", "ab"),            # duplicate short doc (chains to 1's twin)
+        (4, "web", "abcdef"),        # container of "ab" (minimal t)
+        (5, "web", "abcdefgh"),      # doc 4 is its prefix (long path)
+        (6, "web", "abxx"),          # another container of "ab"
+        (7, "web", "unrelated text"),
+        (8, "web", ""),              # empty text: prefix of everything
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    got = {
+        (r.doc_id, r.contained_in, r.len, r.container_len)
+        for r in q.prefix_containment_dedup(spark, str(tmp_path)).collect()
+    }
+    # doc 1 ("ab", id 1): candidates ordered by (t, id): ("ab",3) first
+    assert (1, 3, 2, 2) in got
+    # doc 3 ("ab", id 3): minimal container after it is ("abcdef", 4)
+    assert (3, 4, 2, 6) in got
+    # doc 8 (""): prefix of everything; minimal (t, id) after ("",8) is ("ab",1)
+    assert (8, 1, 0, 2) in got
+    # doc 4 via the long-doc window path: "abcdef" prefixes "abcdefgh"
+    assert (4, 5, 6, 8) in got
+    # doc 2 has no container; docs 5/6/7 contain nothing
+    assert {t[0] for t in got} == {1, 3, 4, 8}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = {tuple(r) for r in con.execute(
+        "SELECT doc_id, contained_in, len, container_len FROM ("
+        + q.PREFIX_CONTAIN_SQL + ")"
+    ).fetchall()}
+    assert got == oracle

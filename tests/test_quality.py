@@ -585,6 +585,38 @@ def test_cluster_pairs_recall_vs_exact(emb):
     assert recall >= 0.9, recall
 
 
+def test_semantic_dedup_keep_superset_of_exact(emb):
+    """semantic_dedup_keep gate (rows-only since r12 — the query rides
+    cluster_neardup_pairs instead of the all-pairs GEMM): because the
+    bucketed pairs are a SUBSET of the exact pairs, connected components
+    can only be finer, so the kept set must be a SUPERSET of the exact
+    kept set; the extra kept fraction is bounded by the pair-recall gate
+    (<= 1% of the corpus at these parameters)."""
+    from wp_motor_spark.operators import dedup as dd
+
+    def kept(pairs):
+        comp = dd.connected_components(pairs)
+        dropped = comp.where(F.col("comp") != F.col("id")).select(
+            F.col("id").alias("vec_id")
+        )
+        return {
+            r.vec_id
+            for r in emb.join(dropped, "vec_id", "left_anti")
+            .select("vec_id")
+            .collect()
+        }
+
+    kept_exact = kept(dd.embedding_neardup_pairs(emb, threshold=0.4))
+    kept_bucketed = kept(
+        dd.cluster_neardup_pairs(emb, threshold=0.4, n_cells=8, n_probe=3)
+    )
+    assert kept_exact <= kept_bucketed, kept_exact - kept_bucketed
+    extra = len(kept_bucketed - kept_exact)
+    n = emb.count()
+    print(f"\nsemantic_dedup_keep extra-kept = {extra}/{n}")
+    assert extra <= max(1, n // 100), (extra, n)
+
+
 def test_cdc_chunking_short_docs_single_chunk(spark, tmp_path):
     """Docs with fewer tokens than the hash window (5) must yield exactly
     one whole-doc chunk, matching the DuckDB oracle — regression for the

@@ -610,6 +610,37 @@ def main() -> None:
         "n_bucketed": len(buck_pairs),
         "gate": "cluster_neardup_pairs subset of exact all-pairs, recall >= 0.9",
     }
+
+    # semantic_dedup_keep rides the same bucketed pairs (rows-only since
+    # r12): subset pairs => finer components => kept set must be a
+    # SUPERSET of the exact kept set, with <= 1% extra kept
+    def _kept(pairs_df):
+        comp = dedup.connected_components(pairs_df)
+        dropped = comp.where(F.col("comp") != F.col("id")).select(
+            F.col("id").alias("vec_id")
+        )
+        return {
+            r["vec_id"]
+            for r in emb.join(dropped, "vec_id", "left_anti")
+            .select("vec_id")
+            .collect()
+        }
+
+    kept_exact = _kept(dedup.embedding_neardup_pairs(emb, threshold=0.4))
+    kept_bucketed = _kept(pr_pairs)
+    n_emb = emb.count()
+    extra_kept = len(kept_bucketed - kept_exact)
+    report["gates"]["semantic_dedup_keep"] = {
+        "metric": "kept_set_superset_of_exact",
+        "value": bool(
+            kept_exact <= kept_bucketed and extra_kept <= max(1, n_emb // 100)
+        ),
+        "n_kept_exact": len(kept_exact),
+        "n_kept_bucketed": len(kept_bucketed),
+        "extra_kept": extra_kept,
+        "gate": "bucketed-pair CC kept set is a superset of the exact "
+        "kept set with <= 1% extra kept",
+    }
     pr = {
         r["id"]: (r["rank"], r["degree"])
         for r in pagerank(
