@@ -374,8 +374,9 @@ def test_unquote_unescape_quota_golden(spark):
     df = spark.read.text(f"{REF}/tests/sample/format/quota.dat")
     row = cr.extract(df).collect()[0]
     assert row["_disposition"] == "success"
-    got = json.loads(row["j"])
-    assert got == {"a": 1, "b": " 中国 "}
+    # bare json emits the flattened remainder map (r12, test_json_protocol):
+    # leaf literals as strings — the digit 1 keeps its source literal
+    assert row["j"] == {"a": "1", "b": " 中国 "}
 
     # quotation.rs unit vectors through the preproc directly
     from wp_motor_spark.wpl.preproc import apply_preprocs
@@ -586,7 +587,7 @@ def test_take_last_field_selectors(spark):
         [('{"path":"a\\\\nb","txt":"c\\\\td"}',)], ["value"]
     )
     row = r2.extract(df2).collect()[0]
-    assert row["path"] == "a\nb" and row["txt"] == "c\td"
+    assert row["path"] == r"a\nb" and row["txt"] == r"c\td"
 
     # last() -> the final extracted field
     r3 = compile_rule(
@@ -969,9 +970,11 @@ def test_plg_pipe_registry_is_case_insensitive(spark):
 def test_json_field_guards_address_into_the_object(spark):
     """The reference flattens parsed json keys into record fields
     (protocol/json.rs), so pipe guards address them: f_has(key) checks
-    key EXISTENCE (a JSON null still exists), take(key) retargets the
-    active field into the object, and digit guards coerce the extracted
-    string safely (doc examples: 03-wpl grammar + digit_range guide)."""
+    key EXISTENCE — a JSON null emits NO field (json_impl.rs
+    proc_value Value::Null is a no-op), so f_has on it misses (r12 fix;
+    the pre-r12 expectation of 'null still exists' contradicted the
+    reference source). take(key) retargets the active field into the
+    object, and digit guards coerce the extracted string safely."""
     from wp_motor_spark.wpl import compile_rule, parse_wpl
 
     def probe(rule_text, lines):
@@ -986,7 +989,7 @@ def test_json_field_guards_address_into_the_object(spark):
         "rule a { (json | f_has(src)) }",
         ['{"src":"a"}', '{"dst":"b"}', '{"src":null}'],
     ) == {'{"src":"a"}': "success", '{"dst":"b"}': "miss",
-          '{"src":null}': "success"}
+          '{"src":null}': "miss"}
     assert probe(
         "rule b { (json | take(status) | digit_range(200,299)) }",
         ['{"status":200}', '{"status":404}', '{"status":"204"}'],
@@ -1454,3 +1457,59 @@ def test_reference_array_parse_cases(spark):
         r = run(expr, data)
         assert r["_disposition"] == "success", (expr, data, r)
         assert r["v"] == want, (expr, data, r["v"], want)
+
+
+def test_err_report_parse_verdicts():
+    """parser/err_report.rs: which rule sources are parse ERRORS vs OK.
+    r12 additions: unknown field type (test_err_2 `px`), unknown subfield
+    type (`json(a)`), and an empty subfield list (`json()`) all raise at
+    parse time instead of silently degrading. Known accepted-superset
+    divergence: `(ip\\,_,_,...)` (sep-spec immediately followed by a
+    list item, test_err_4 first case) parses here."""
+    import pytest as _pytest
+
+    from wp_motor_spark.wpl.parser import WplSyntaxError, parse_wpl
+
+    errs = [
+        "packag pkg { rule x { (ip,_,_,time<[,]>) } }",
+        "package pkg\n rule x { (ip,_,_,time<[,]>) } }",
+        "package pkg { ru x { (ip,_,_,time<[,]>) } }",
+        "package pkg { rule { (ip,_,_,time<[,]>) } }",
+        "package pkg { rule x { ip,_,_,time<[,]>) } }",
+        "package pkg { rule x { (px,_,_,time<[,]>) } }",
+        "package pkg { rule x { (\\ip,_,_,time<[,]>) } }",
+        "package pkg { rule x { (ip,_,_,time<[,]) } }",
+        "package pkg { rule x { (json(,_,_,time<[,]>) } }",
+        "package pkg { rule x { (json(),_,_,time<[,]>) } }",
+        "package pkg { rule x { (json(a),_,_,time<[,]>) } }",
+        "package /test_pkg { rule test_rule { (_*) } }",
+        "package pkg{ rule x { (digit:id<<,>>,time,sn,chars\\:), pt(kv\;) , (*kv\\,) } }",
+    ]
+    for src in errs:
+        with _pytest.raises(WplSyntaxError):
+            parse_wpl(src)
+
+    oks = [
+        "package pkg{ rule x { (digit:id<<,>>,time,sn,chars\\:), opt(kv\;), (*kv\\,) } }",
+        "package pkg{ rule x { opt(ip), opt(kv\;), (*kv\\,) } }",
+        "package pkg{ rule x { (json( opt(ip)@a ) ) } }",
+    ]
+    for src in oks:
+        assert parse_wpl(src)
+
+
+def test_known_types_all_compile(spark):
+    """Drift guard for the parser's _KNOWN_TYPES whitelist
+    (err_report.rs unknown-type verdicts): every whitelisted type must
+    still compile — a type removed from the compiler without updating
+    the whitelist would silently re-open the `px` hole."""
+    from wp_motor_spark.wpl.parser import _KNOWN_TYPES
+
+    for t in sorted(_KNOWN_TYPES):
+        if t in ("symbol", "peek_symbol"):
+            src = f"rule t {{ ({t}(x):a) }}"
+        elif t == "array":
+            src = "rule t { (kv(array@k)) }"
+        else:
+            src = f"rule t {{ ({t}:a,chars:b) }}"
+        compile_rule(parse_wpl(src)[0])

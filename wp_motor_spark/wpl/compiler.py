@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dc_field
 
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame, functions as F
 
 from wp_motor_spark.wpl.ast import FunCall, WplField, WplGroup, WplRule, WplSubfield
@@ -257,8 +258,10 @@ def _content_regex(dtype: str, sep: str | None, length: int | None) -> str:
             r"\s+\S+\s+HTTP/\d+(?:\.\d+)*"
         ),
         "http/method": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
-        "json": r"\{.*\}|\[.*\]",
-        "exact_json": r"\{.*\}|\[.*\]",
+        # [\s\S] not '.': the serde reader spans newlines (json.rs
+        # LONG_DATA is pretty-printed multi-line; test_json_tianyan*)
+        "json": r"\{[\s\S]*\}|\[[\s\S]*\]",
+        "exact_json": r"\{[\s\S]*\}|\[[\s\S]*\]",
         "mobile_phone": r"1[3-9]\d{9}",
         "id_card": r"\d{17}[\dXx]|\d{15}",
     }
@@ -942,6 +945,145 @@ def _auto_cascade(s: Column) -> Column:
     return F.when(s.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
 
 
+def _remainder_drop_patterns(subfields) -> list[str] | None:
+    """Compile the json field's declared refs into regexes that REMOVE
+    their flattened paths from the undeclared-key remainder map. Returns
+    None when `_@*` is declared (everything ignored — no remainder at
+    all, protocol/json.rs test_json_tianyan2).
+
+    Reference semantics (json_impl.rs proc_value + the tianyan tests):
+    undeclared keys always emit as auto fields; declared refs re-type or
+    ignore their paths; `x*` is a name-prefix wildcard covering x and its
+    subtree; `x/*` covers x's children only; a `json@x` container
+    declaration emits nothing itself (children stay unless ignored)."""
+    pats: list[str] = []
+    for sf in subfields:
+        ref = (sf.ref or "*").strip()
+        if ref == "*":
+            if sf.dtype == "_":
+                return None
+            continue
+        if sf.dtype == "json" and not sf.name and sf.subgroup is None:
+            # container declaration: not a leaf, removes nothing
+            continue
+        if getattr(sf, "quoted", False):
+            pats.append("^" + re.escape(ref) + r"(?:$|/|\[)")
+            continue
+        if ref.endswith("/*"):
+            pats.append("^" + re.escape(ref[:-2]) + r"(?:/|\[)")
+            continue
+        if ref.endswith("*"):
+            pats.append("^" + re.escape(ref[:-1]))
+            continue
+        segs = ref.split("/")
+        rx = "^" + re.escape(segs[0])
+        for s2 in segs[1:]:
+            rx += r"(?:\[\d+\]|/[^/\[]+)" if s2 == "*" else "/" + re.escape(s2)
+        pats.append(rx + r"(?:$|/|\[)")
+    return pats
+
+
+def _flatten_json_udf(drop_patterns: list[str]):
+    """map<string,string> of a JSON value's flattened leaves — the
+    Spark-native stand-in for the reference's dynamic per-key DataFields
+    (protocol/json_impl.rs proc_value): object nesting joins with '/',
+    array element i of key k is 'k[i]' (test_json_6 key[0]), null leaves
+    emit nothing, and string leaves keep their SOURCE-ESCAPED form (the
+    reference's str mode: json.rs test_json_9 pins 'c:\\\\users...'
+    double-backslash). Numbers keep their exact source literal via the
+    parse hooks — a u64 past i64::MAX survives verbatim where the
+    reference downgrades it to chars (test_json_big_integer_downgrade).
+
+    Python-side by necessity: a dynamic key set cannot be a static Spark
+    schema, and Spark has no recursive-flatten builtin — but this is an
+    Arrow-batched map-only projection that only compiles in when a rule
+    actually keeps the dynamic remainder (bare `json` or undeclared
+    keys); declared refs stay JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    drops = [re.compile(p) for p in drop_patterns]
+
+    class _Lit(str):
+        """Number wrapper: keeps the exact source literal distinct from
+        decoded JSON strings."""
+
+    @pandas_udf("map<string,string>")
+    def flatten(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def walk(prefix, val, out):
+            if isinstance(val, dict):
+                for k, v in val.items():
+                    walk(f"{prefix}/{k}" if prefix else k, v, out)
+            elif isinstance(val, list):
+                for i, v in enumerate(val):
+                    walk(f"{prefix}[{i}]", v, out)
+            elif val is None:
+                return
+            elif isinstance(val, bool):
+                out[prefix] = "true" if val else "false"
+            elif isinstance(val, _Lit):
+                out[prefix] = str(val)
+            else:  # JSON string: re-encode to the source-escaped form
+                out[prefix] = _json.dumps(val, ensure_ascii=False)[1:-1]
+
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                v = _json.loads(txt, parse_int=_Lit, parse_float=_Lit)
+            except Exception:
+                return None
+            out: dict = {}
+            walk("", v, out)
+            if drops:
+                out = {
+                    k: x
+                    for k, x in out.items()
+                    if not any(d.match(k) for d in drops)
+                }
+            return out
+
+        return s.map(one)
+
+    return flatten
+
+
+_JSON_VALID = None
+
+
+def _json_valid_udf():
+    """Boolean validity of the captured json token, matching the
+    reference's serde deserializer (json.rs:26-36): DUPLICATE KEYS are
+    legal (test_json_long's doubled vuln_type — Spark's try_parse_json
+    rejects them, so it cannot be the guard), NaN/Infinity and trailing
+    garbage are not. Arrow-batched; shared across all compiled rules."""
+    global _JSON_VALID
+    if _JSON_VALID is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _reject(c):
+            raise ValueError(c)
+
+        @pandas_udf("boolean")
+        def valid(s: pd.Series) -> pd.Series:
+            import json as _json
+
+            def one(t):
+                if t is None:
+                    return False
+                try:
+                    _json.loads(t, parse_constant=_reject)
+                    return True
+                except Exception:
+                    return False
+
+            return s.map(one)
+
+        _JSON_VALID = valid
+    return _JSON_VALID
+
+
 def _apply_subfield_pipes(col: Column, sf) -> Column:
     """Transform pipes declared on a subfield (grammar: subfield {pipe}),
     applied to the extracted value before the type cast. Selector/guard
@@ -1258,7 +1400,10 @@ class CompiledRule:
             # reference runs multispace0 after every field, so a trailing
             # blank run is consumed, not residue (group/some_of.rs tests
             # assert data == "" on inputs with trailing spaces)
-            .when(F.length(F.trim(residue)) == 0, F.lit("success"))
+            # btrim with an explicit set: SQL trim() strips only 0x20,
+            # but a trailing newline is whitespace too (json.rs jt1/jt2
+            # fixtures end in '\n' and parse clean)
+            .when(F.length(F.btrim(residue, F.lit(" \t\r\n\x0b\x0c"))) == 0, F.lit("success"))
             .when(frac_ok, F.lit("partial"))
             .otherwise(F.lit("miss"))
         )
@@ -1279,16 +1424,32 @@ class CompiledRule:
                 if out.name != "kv":
                     kv_name = out.name
                 continue
-            if out.dtype in ("json", "exact_json") and out.subfields:
+            if out.dtype == "json" or (out.dtype == "exact_json" and out.subfields):
                 # json(chars@msg:alias) subfield refs -> get_json_object
-                for sf in out.subfields:
+                star_keep = False
+                for sf in out.subfields or []:
                     if sf.dtype == "_":
                         # ignore-typed subfield: parsed but NOT emitted
                         # (json.rs test_json_base64 `_@c` drops key c)
                         continue
                     ref = (sf.ref or "*").strip()
-                    nm = sf.name or (ref.replace("/", "_") if ref != "*" else out.name)
+                    if (
+                        sf.dtype == "json"
+                        and ref != "*"
+                        and not sf.name
+                        and sf.subgroup is None
+                    ):
+                        # container re-declaration (json@_origin,
+                        # json.rs test_json_tianyan3): emits no field of
+                        # its own — its subtree stays in the remainder
+                        # map unless separately ignored
+                        continue
+                    # default name keeps the '/' path — the reference's
+                    # flattened field NAME is the path itself
+                    # (test_json_tianyan3 pins '_origin/sip')
+                    nm = sf.name or (ref if ref != "*" else out.name)
                     if ref == "*":
+                        star_keep = True
                         cols.append((nm, F.nullif(raw, F.lit(""))))
                         continue
                     if getattr(sf, "quoted", False):
@@ -1302,7 +1463,37 @@ class CompiledRule:
                         jp = "$"
                         for seg in ref.split("/"):
                             jp += "[*]" if seg == "*" else "." + seg
-                    sub = F.get_json_object(F.nullif(raw, F.lit("")), jp)
+                    # Declared sub-parsers receive the SOURCE-ESCAPED
+                    # leaf text — json_impl.rs proc_value feeds
+                    # fpu.parse the raw `v.to_string()` slice (its str
+                    # mode: test_json_9 pins 'c:\\\\users...' double
+                    # backslashes, test_json_take_chars2 pins the
+                    # escaped json-in-string staying chars because the
+                    # cascade's serde fails on '{\\"'). get_json_object
+                    # DECODES — a later json_unescape pipe would
+                    # double-decode. to_json(variant_get) re-encodes the
+                    # leaf as its JSON literal: strings come back
+                    # quoted+escaped (strip the quotes), scalars/objects
+                    # verbatim; a JSON null leaf prints "null" and is
+                    # mapped back to NULL. Fallback to the decoded
+                    # getter when the variant parse rejects the doc
+                    # (duplicate keys) or the path has a [*] wildcard.
+                    decoded = F.get_json_object(F.nullif(raw, F.lit("")), jp)
+                    if "[*]" not in jp:
+                        tj = F.to_json(
+                            F.try_variant_get(
+                                F.try_parse_json(F.nullif(raw, F.lit(""))),
+                                jp,
+                                "variant",
+                            )
+                        )
+                        lit_val = F.when(
+                            tj.startswith('"'),
+                            F.substring(tj, F.lit(2), F.length(tj) - 2),
+                        ).otherwise(F.nullif(tj, F.lit("null")))
+                        sub = F.coalesce(lit_val, decoded)
+                    else:
+                        sub = decoded
                     if sf.subgroup is not None:
                         # `json(chars@k | (time,ip))`: the extracted value
                         # is RE-PARSED by the nested group
@@ -1331,6 +1522,23 @@ class CompiledRule:
                         continue
                     sub = _apply_subfield_pipes(sub, sf)
                     cols.append((nm, _cast_subfield(sub, sf.dtype)))
+                if out.dtype == "json" and not star_keep:
+                    # undeclared keys ALWAYS emit (json.rs test_json_tianyan:
+                    # 57 auto fields survive `_@_origin*,_@payload/...`);
+                    # they land in ONE map<string,string> column named by
+                    # the field — the Spark-native stand-in for dynamic
+                    # per-key fields (kv fields use the same map shape).
+                    # `_@*` (patterns None) drops the remainder entirely.
+                    patterns = _remainder_drop_patterns(out.subfields or [])
+                    if patterns is not None:
+                        cols.append(
+                            (
+                                out.name,
+                                _flatten_json_udf(patterns)(
+                                    F.nullif(raw, F.lit(""))
+                                ),
+                            )
+                        )
                 continue
             if out.sub_pattern is not None:
                 # decode-then-subparse: unbase64/unhex the captured token,
@@ -1450,6 +1658,16 @@ class CompiledRule:
         exact_json strict-schema coverage."""
         guard: Column | None = None
         for out in self.outputs:
+            if out.dtype in ("json", "exact_json"):
+                # the captured token must BE valid JSON — the reference's
+                # serde deserializer fails the field outright on e.g.
+                # '{"a":1,"b":2,"c":  "a" : 1 } }' (json.rs test_json_std
+                # third case), where a lenient JsonPath getter would not
+                raw = F.try_element_at(parts, F.lit(out.group))
+                g = F.coalesce(
+                    _json_valid_udf()(F.nullif(raw, F.lit(""))), F.lit(False)
+                )
+                guard = g if guard is None else guard & g
             if out.dtype == "exact_json" and out.subfields:
                 raw = F.try_element_at(parts, F.lit(out.group))
                 g = _exact_json_guard(raw, out.subfields)

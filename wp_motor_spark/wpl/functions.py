@@ -30,11 +30,55 @@ def _parse_array(arg: str) -> list[str]:
     return [arg]
 
 
+def _json_get(json_col: Column, json_map: bool, key: str) -> Column:
+    """Address a key inside the rule's json field: the flattened
+    remainder MAP (dtype json — keys are full '/' paths) or the raw
+    object (exact_json) via JsonPath."""
+    if json_map:
+        return F.try_element_at(json_col, F.lit(key))
+    return F.get_json_object(json_col, f"$.{key}")
+
+
+def _json_has(json_col: Column, json_map: bool, key: str) -> Column:
+    if json_map:
+        # leaf path match, or the key is an object/array prefix of one
+        return F.exists(
+            F.map_keys(json_col),
+            lambda k: (k == F.lit(key))
+            | k.startswith(key + "/")
+            | k.startswith(key + "["),
+        )
+    return F.array_contains(F.json_object_keys(json_col), key)
+
+
+def _pipe_target(out) -> str:
+    """Initial field a no-take pipe operates on. For json fields with
+    declared subfields the reference's implicit target is the LAST
+    extracted field (json.rs test_json_pipe_auto_last_behavior:
+    `(json(chars@a, chars@b) | json_unescape())` mutates b), never the
+    undeclared-key remainder map."""
+    if getattr(out, "dtype", None) in ("json", "exact_json"):
+        for sf in reversed(getattr(out, "subfields", None) or []):
+            if sf.dtype == "_":
+                continue
+            ref = (sf.ref or "*").strip()
+            if (
+                sf.dtype == "json"
+                and ref != "*"
+                and not sf.name
+                and getattr(sf, "subgroup", None) is None
+            ):
+                continue
+            return sf.name or (ref if ref != "*" else out.name)
+    return out.name
+
+
 def _guard_expr(
     call: FunCall,
     active: Column,
     cols: dict[str, Column],
     json_col: Column | None = None,
+    json_map: bool = False,
 ) -> Column | None:
     name = call.name
     a = call.args
@@ -46,12 +90,12 @@ def _guard_expr(
             return active
         if key in cols:
             return cols[key]
-        # json/exact_json fields keep the raw object in ONE column; the
-        # reference flattens parsed keys into record fields, so f_* pipes
-        # (and take(key) selectors) address INTO the object (pipe_fun.rs
-        # guards run on record fields; protocol/json.rs materializes keys)
+        # the json field's undeclared keys live in its remainder map
+        # (dtype json) or the raw object column (exact_json); f_* pipes
+        # and take(key) selectors address INTO it (pipe_fun.rs guards run
+        # on record fields; protocol/json.rs materializes keys)
         if json_col is not None:
-            return F.get_json_object(json_col, f"$.{key}")
+            return _json_get(json_col, json_map, key)
         return F.lit(None)
 
     # NULL discipline (pipe_fun.rs): every guard is a NON-NULL boolean —
@@ -63,7 +107,7 @@ def _guard_expr(
         return F.coalesce(expr, F.lit(False))
 
     if name == "not":
-        inner = _guard_expr(call.inner, active, cols, json_col)
+        inner = _guard_expr(call.inner, active, cols, json_col, json_map)
         return ~inner if inner is not None else None
     if name == "has":
         return active.isNotNull()
@@ -71,11 +115,10 @@ def _guard_expr(
         if a[0] == "_":
             return active.isNotNull()
         if a[0] not in cols and json_col is not None:
-            # key EXISTENCE in the json object (a JSON null value still
-            # exists as a record field in the reference)
+            # key EXISTENCE in the json object (null-valued leaves are
+            # dropped from the remainder map — see _flatten_json_udf)
             return F.coalesce(
-                F.array_contains(F.json_object_keys(json_col), a[0]),
-                F.lit(False),
+                _json_has(json_col, json_map, a[0]), F.lit(False)
             )
         return fcol(a[0]).isNotNull()
     if name == "chars_has":
@@ -161,14 +204,16 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
     # into it when the key is not an extracted column (reference records
     # flatten parsed json keys into fields)
     json_col: Column | None = None
+    json_map = False
     for out in outputs:
         if getattr(out, "dtype", None) in ("json", "exact_json") and out.name in cols:
             json_col = cols[out.name]
+            json_map = getattr(out, "dtype", None) == "json"
             break
     dtypes = {out.name: getattr(out, "dtype", None) for out in outputs}
     guard: Column | None = None
     for out in outputs:
-        active_name = out.name
+        active_name = _pipe_target(out)
         for call in out.pipes:
             if call.name in ("take", "last"):
                 active_name = _select(call, cols, active_name)
@@ -176,10 +221,10 @@ def compile_guards(outputs, cols: dict[str, Column]) -> Column | None:
             if active_name in cols:
                 active = cols[active_name]
             elif json_col is not None:  # take(<json key>)
-                active = F.get_json_object(json_col, f"$.{active_name}")
+                active = _json_get(json_col, json_map, active_name)
             else:
                 active = F.lit(None)
-            g = _guard_expr(call, active, cols, json_col)
+            g = _guard_expr(call, active, cols, json_col, json_map)
             # failing TRANSFORMS are rule misses in the reference
             # (pipe_fun.rs: Base64Decode/JsonUnescape/ReplaceFunc return
             # Err): an undecodable payload, an invalid JSON escape, or a
@@ -221,7 +266,7 @@ def compile_transforms(outputs, cols: dict[str, Column]) -> dict[str, Column]:
     dtypes = {out.name: getattr(out, "dtype", None) for out in outputs}
     repl: dict[str, Column] = {}
     for out in outputs:
-        active_name = out.name
+        active_name = _pipe_target(out)
         for call in out.pipes:
             if call.name in ("take", "last"):
                 active_name = _select(call, cols, active_name)

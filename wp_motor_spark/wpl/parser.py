@@ -25,6 +25,30 @@ _TYPE_ALIASES = {
     "proto/text": "proto_text",
 }
 
+# The reference's parser factory resolves a field type NAME to a parser
+# at parse time and fails on an unknown one (err_report.rs test_err_2:
+# `(px,...)` is a parse error, not a chars fallback). Kept in sync with
+# the compiler's pattern/type tables; tests/test_wpl_parse.py compiles
+# every member to catch drift.
+_KNOWN_TYPES = {
+    "chars", "digit", "float", "port", "bool", "hex", "sn", "auto", "_",
+    "symbol", "peek_symbol", "ip", "ip_net", "domain", "email", "url",
+    "id_card", "mobile_phone", "kv", "kvarr", "json", "exact_json",
+    "base64", "proto_text", "array",
+    "time", "time_iso", "time_3339", "time_2822", "time_timestamp",
+    "time/clf",
+    "http/request", "http/status", "http/method", "http/agent",
+}
+
+
+def _check_dtype(dtype: str, pos: int) -> str:
+    if dtype in _KNOWN_TYPES:
+        return dtype
+    if dtype.startswith("array/") and dtype.split("/", 1)[1] in _KNOWN_TYPES:
+        return dtype
+    raise WplSyntaxError(f"unknown field type {dtype!r} at {pos}")
+
+
 _KEY_RE = re.compile(r"[A-Za-z0-9_./-]+")
 _NAME_RE = re.compile(r"[A-Za-z0-9_.\-]+")
 # subfield names: take_key (utils.rs:45) — adds '/' to the var charset
@@ -323,7 +347,7 @@ def _parse_field(cur: _Cursor) -> WplField:
     dtype = cur.match_re(_FIELD_TYPE_RE)
     if not dtype:
         raise WplSyntaxError(f"field type expected at {cur.pos}: {cur.peek(30)!r}")
-    dtype = _TYPE_ALIASES.get(dtype, dtype)
+    dtype = _check_dtype(_TYPE_ALIASES.get(dtype, dtype), cur.pos)
     fld = WplField(dtype=dtype, repeat=repeat)
     # symbol content (only symbol/peek_symbol)
     if dtype in ("symbol", "peek_symbol"):
@@ -472,6 +496,10 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
     while True:
         cur.skip_ws()
         if cur.try_tok(")"):
+            if not subs:
+                # err_report.rs test_err_5: `json()` is a parse error —
+                # an empty declaration list is never what the author meant
+                raise WplSyntaxError(f"empty subfield list at {cur.pos}")
             break
         if cur.try_tok(","):
             continue
@@ -482,10 +510,16 @@ def _parse_subfields(cur: _Cursor) -> list[WplSubfield]:
             cur.expect("(")
             sf.optional = True
             sf.dtype = cur.match_re(_FIELD_TYPE_RE) or "auto"
+            if sf.dtype != "auto":
+                sf.dtype = _check_dtype(
+                    _TYPE_ALIASES.get(sf.dtype, sf.dtype), cur.pos
+                )
             cur.expect(")")
         else:
             dt = cur.match_re(_FIELD_TYPE_RE)
-            sf.dtype = _TYPE_ALIASES.get(dt, dt) if dt else "auto"
+            sf.dtype = (
+                _check_dtype(_TYPE_ALIASES.get(dt, dt), cur.pos) if dt else "auto"
+            )
         if sf.dtype in ("symbol", "peek_symbol") and cur.peek() == "(":
             # symbol content args (wpl_id_field: take_parentheses for
             # DataType::Symbol — json(symbol(boy2)@key) is an equality
