@@ -410,3 +410,66 @@ def test_robust_modes_on_sink_failure(spark, tmp_path):
         mk("normal", False).write_batch(raw)
     # debug without spool: tolerated
     assert mk("debug", False).write_batch(raw)["default"] == 0
+
+
+def test_sink_tags_injection_and_forms(spark):
+    """dispatcher/tests.rs test_tags_injection_into_record +
+    fast_path_handles_multiple_sinks_without_transform: sink-level tags
+    parse all three conf forms ('k1: v1' / bare 'flag' -> "true" /
+    'k2=v2') and inject ONLY into the records that sink routes — a
+    sibling sink of the same record stays untagged."""
+    from wp_motor_spark.config import _parse_tags
+
+    assert _parse_tags(["k1: v1", "flag", "k2=v2"]) == {
+        "k1": "v1",
+        "flag": "true",
+        "k2": "v2",
+    }
+    # later duplicate wins (compile_tags BTreeMap insert)
+    assert _parse_tags(["k: a", "k: b"]) == {"k": "b"}
+
+    wpl = "rule t { (chars:flag,digit:n) }"
+    oml = "name : m\nrule : t\n---\nflag = read(flag);\nn : digit = read(n);\n"
+    pipe = Pipeline(
+        wpl=wpl,
+        omls=[oml],
+        sinks=[
+            SinkSpec(name="plain", format="json"),
+            SinkSpec(
+                name="tagged",
+                format="json",
+                tags=_parse_tags(["k1: v1", "flag2", "k2=v2"]),
+            ),
+        ],
+    )
+    raw = spark.createDataFrame([("yes 1",)], ["value"])
+    res = pipe.run_batch(raw)
+    plain = res.sink_lines["plain"].collect()[0]["line"]
+    tagged = res.sink_lines["tagged"].collect()[0]["line"]
+    assert "k1" not in plain and "flag2" not in plain
+    for frag in ('"k1":"v1"', '"flag2":"true"', '"k2":"v2"'):
+        assert frag in tagged, tagged
+
+
+def test_sink_filter_expect_both_directions(spark):
+    """dispatcher/tests.rs filter_expect_true_routes_on_true /
+    filter_expect_false_routes_on_false: expect=true delivers on match,
+    expect=false delivers on NON-match of the same condition."""
+    wpl = "rule t { (chars:flag) }"
+    oml = "name : m\nrule : t\n---\nflag = read(flag);\n"
+    pipe = Pipeline(
+        wpl=wpl,
+        omls=[oml],
+        sinks=[
+            SinkSpec(name="on_true", format="json",
+                     condition='flag == "yes"', filter_expect=True),
+            SinkSpec(name="on_false", format="json",
+                     condition='flag == "yes"', filter_expect=False),
+        ],
+    )
+    raw = spark.createDataFrame([("yes",), ("no",)], ["value"])
+    res = pipe.run_batch(raw)
+    assert res.sink_lines["on_true"].count() == 1
+    assert '"flag":"yes"' in res.sink_lines["on_true"].collect()[0]["line"]
+    assert res.sink_lines["on_false"].count() == 1
+    assert '"flag":"no"' in res.sink_lines["on_false"].collect()[0]["line"]

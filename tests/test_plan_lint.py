@@ -57,6 +57,10 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "hard_negative_mining": {"NESTED_LOOP"},  # broadcast tiny query set
         "mrl_truncation_eval": {"NESTED_LOOP"},   # broadcast tiny query set
         "contrastive_triplets": {"NESTED_LOOP"},  # broadcast tiny anchor set
+        "doremi_weights": {"NESTED_LOOP"},  # broadcast ONE-row corpus
+        #   total + ONE-row normalizer (exp-gradient step constants)
+        "naive_bayes_quality": {"NESTED_LOOP"},  # broadcast ONE-row class
+        #   totals + ONE-row log-prior constant
         "prefix_containment_dedup": {"NESTED_LOOP"},  # broadcast short-doc
         #   sliver (< 4-char texts — degenerate at any real corpus) vs one
         #   corpus scan; the r12 short-doc bucket-miss fix

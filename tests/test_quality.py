@@ -648,3 +648,94 @@ def test_cdc_chunking_short_docs_single_chunk(spark, tmp_path):
     want = sorted(tuple(r) for r in con.sql(CDC_CHUNKING_SQL).fetchall())
     assert got == want
     assert all(idx == 1 for (doc, idx, n, h) in got if doc in (0, 1, 2))
+
+
+def test_ewma_batch_exact_recurrence(spark, sf001_dir):
+    """ewma_anomaly_batch gate (rows-only — DuckDB 1.0.0 reduce()
+    mis-evaluates struct accumulators, so no SQL oracle): the F.aggregate
+    fold must agree EXACTLY with a driver-side python recompute of the
+    Hunter EWMA recurrence, the same discipline as the streaming gate."""
+    from wp_motor_spark.queries import ewma_anomaly_batch
+
+    got = {
+        (r.event_type, str(r.ts), r.value, r.ewma_mean, r.z)
+        for r in ewma_anomaly_batch(spark, sf001_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf001_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    want = set()
+    by_key: dict = {}
+    for r in sorted(ev, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        by_key.setdefault(r.event_type, []).append(r)
+    for key, rows in by_key.items():
+        n, mean, var = 0, 0.0, 0.0
+        for r in rows:
+            v = float(r.value)
+            if n >= 10 and var > 0:
+                z = (v - mean) / var**0.5
+                if abs(z) > 2.0:
+                    want.add((key, str(r.ts), v, round(mean, 6), round(z, 4)))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean += 0.1 * d
+                var = 0.9 * (var + 0.1 * d * d)
+            n += 1
+    assert got == want
+
+
+def test_embedding_whiten_identity_covariance(emb):
+    """embedding_whiten gate (rows-only — LAPACK eig is engine-specific):
+    the defining property, cov(whitened) == I within tolerance (eps=1e-5
+    regularization shifts eigenvalues slightly below 1)."""
+    from wp_motor_spark.operators.embed import zca_whiten
+
+    X = np.vstack(
+        [np.asarray(r.white) for r in zca_whiten(emb, dim=64).collect()]
+    )
+    cov = np.cov(X, rowvar=False)
+    assert np.abs(cov - np.eye(64)).max() < 1e-3, np.abs(cov - np.eye(64)).max()
+
+
+def test_coverage_select_matches_exact_greedy(spark, sf001_dir, docs):
+    """coverage_select gate (rows-only — iterative): the distributed
+    greedy must reproduce the EXACT python greedy sequence (gain-desc,
+    doc_id-asc tiebreak) over the same bigram sets."""
+    from wp_motor_spark.operators.curate import coverage_select_greedy
+
+    got = [
+        (r.rank, r.doc_id, r.gain)
+        for r in coverage_select_greedy(docs, k=5, ngram=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    rows = spark.read.parquet(f"{sf001_dir}/documents.parquet").collect()
+    sets = {}
+    for r in rows:
+        w = [t for t in r.text.lower().strip().split() if t]
+        if len(w) >= 2:
+            grams = {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+        else:
+            grams = {" ".join(w)} if w else set()
+        grams.discard("")
+        if grams:
+            sets[r.doc_id] = grams
+    covered: set = set()
+    want = []
+    picked: set = set()
+    for rank in range(1, 6):
+        best = max(
+            ((len(g - covered), -d) for d, g in sets.items() if d not in picked),
+            default=None,
+        )
+        if best is None or best[0] == 0:
+            break
+        gain, negd = best
+        want.append((rank, -negd, gain))
+        picked.add(-negd)
+        covered |= sets[-negd]
+    assert got == want, (got, want)

@@ -692,6 +692,105 @@ def main() -> None:
         "gate": "every per-source beta non-NULL and in [0, 1)",
     }
 
+    # --- ewma_anomaly_batch: exact agreement with the python recurrence ---
+    from wp_motor_spark.queries import ewma_anomaly_batch
+
+    got_ewma = {
+        (r.event_type, str(r.ts), r.value, r.ewma_mean, r.z)
+        for r in ewma_anomaly_batch(spark, sf_dir).collect()
+    }
+    ev_rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in sorted(ev_rows, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        by_key.setdefault(r.event_type, []).append(r)
+    want_ewma = set()
+    for key, rows in by_key.items():
+        n, mean, var = 0, 0.0, 0.0
+        for r in rows:
+            v = float(r.value)
+            if n >= 10 and var > 0:
+                z = (v - mean) / var**0.5
+                if abs(z) > 2.0:
+                    want_ewma.add((key, str(r.ts), v, round(mean, 6), round(z, 4)))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean += 0.1 * d
+                var = 0.9 * (var + 0.1 * d * d)
+            n += 1
+    report["gates"]["ewma_anomaly_batch"] = {
+        "metric": "exact_recurrence_agreement",
+        "value": bool(got_ewma == want_ewma),
+        "n_anomalies": len(got_ewma),
+        "gate": "fold output EXACTLY equals the driver-side Hunter EWMA "
+        "recurrence recompute (same discipline as the streaming gate)",
+    }
+
+    # --- embedding_whiten: cov(whitened) == I within tolerance ---
+    from wp_motor_spark.operators.embed import zca_whiten
+
+    wx = np.vstack(
+        [np.asarray(r.white) for r in zca_whiten(emb, dim=dim).collect()]
+    )
+    wcov = np.cov(wx, rowvar=False)
+    wdev = float(np.abs(wcov - np.eye(dim)).max())
+    report["gates"]["embedding_whiten"] = {
+        "metric": "max_abs_cov_deviation_from_identity",
+        "value": bool(wdev < 1e-3),
+        "max_dev": round(wdev, 8),
+        "gate": "cov of the whitened corpus is the identity (<1e-3; "
+        "eps=1e-5 regularization shifts eigenvalues slightly)",
+    }
+
+    # --- coverage_select: exact greedy-sequence agreement ---
+    from wp_motor_spark.operators.curate import coverage_select_greedy
+
+    got_cov = [
+        (r.rank, r.doc_id, r.gain)
+        for r in coverage_select_greedy(docs, k=5, ngram=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    gram_sets: dict = {}
+    for r in docs.collect():
+        w = [t for t in r.text.lower().strip().split() if t]
+        if len(w) >= 2:
+            grams = {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+        else:
+            grams = {" ".join(w)} if w else set()
+        grams.discard("")
+        if grams:
+            gram_sets[r.doc_id] = grams
+    covered: set = set()
+    picked: set = set()
+    want_cov = []
+    for rank in range(1, 6):
+        best = max(
+            (
+                (len(g - covered), -d)
+                for d, g in gram_sets.items()
+                if d not in picked
+            ),
+            default=None,
+        )
+        if best is None or best[0] == 0:
+            break
+        want_cov.append((rank, -best[1], best[0]))
+        picked.add(-best[1])
+        covered |= gram_sets[-best[1]]
+    report["gates"]["coverage_select"] = {
+        "metric": "exact_greedy_sequence_agreement",
+        "value": bool(got_cov == want_cov),
+        "picks": got_cov,
+        "gate": "distributed greedy reproduces the exact python greedy "
+        "(gain desc, doc_id asc tiebreak) over the same bigram sets",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -129,11 +129,20 @@ class Workspace:
 
 
 def _parse_tags(tags: list[str]) -> dict[str, str]:
+    """Tag-list parse (sinks/runtime/manager.rs compile_tags, also the
+    source-conf form): 'k: v' first, then 'k=v', and a bare token is a
+    boolean flag -> "true". Later duplicates win."""
     out = {}
     for t in tags or []:
-        k, _, v = t.partition(":")
-        if k.strip():
-            out[k.strip()] = v.strip()
+        for sep in (":", "="):
+            if sep in t:
+                k, _, v = t.partition(sep)
+                if k.strip():
+                    out[k.strip()] = v.strip()
+                break
+        else:
+            if t.strip():
+                out[t.strip()] = "true"
     return out
 
 
@@ -315,6 +324,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
                     k: v for k, v in s.items()
                     if k not in (
                         "target", "path", "fmt", "condition", "expect", "oml",
+                        "tags",
                     )
                 }
             # per-sink name (unique in the group; fallback "[index]" per
@@ -324,6 +334,7 @@ def load_workspace(root: str, out_root: str | None = None) -> Workspace:
             cond = filt_cond or condition or s.get("condition")
             ws.sinks.append(
                 SinkSpec(
+                    tags=_parse_tags(s.get("tags", [])),
                     name=sink_name,
                     kind=kind,
                     path=path,

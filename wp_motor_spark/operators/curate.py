@@ -219,3 +219,78 @@ def pack_sequences(
         .withColumn("pack_id", F.floor(cum_before / seq_len))
         .withColumn("pack_offset", cum_before % seq_len)
     )
+
+
+def coverage_select_greedy(
+    docs,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+):
+    """Greedy maximum-coverage selection (the classic (1-1/e) facility-
+    location greedy, Nemhauser et al. 1978) over token TYPES: each round
+    picks the document adding the most not-yet-covered distinct tokens
+    (doc_id ascending breaks ties) — the diversity-first subset
+    selection used to seed instruction-tuning pools and dedup-aware
+    eval slices. Returns (rank, doc_id, gain) for the k picks; stops
+    early when no document adds coverage.
+
+    Scale shape: the distinct (doc, token) table materializes ONCE
+    (one shuffle) and persists; each of the k rounds is an anti-join
+    against the covered-token set + a doc-keyed partial agg + a 1-row
+    argmax collect. The covered set is bounded by the union vocab of
+    the k picked docs (k × per-doc vocab — kilobytes at any corpus
+    size), localCheckpointed per round to keep lineage flat, exactly
+    like operators/graph.py::pagerank's loop invariants."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    if ngram > 1:
+        units = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - ngram + 1),
+                lambda i: F.array_join(F.slice(words, i, ngram), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    else:
+        units = words
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(units).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .persist()
+    )
+    covered = spark.createDataFrame([], "tok string")
+    picked: list[tuple[int, int, int]] = []
+    picked_ids: list[int] = []
+    try:
+        for rank in range(1, k + 1):
+            pool = toks
+            if picked_ids:
+                pool = pool.where(~F.col("doc_id").isin(picked_ids))
+            best = (
+                pool.join(covered, "tok", "left_anti")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("doc_id"))
+                .first()
+            )
+            if best is None or best["gain"] == 0:
+                break
+            picked.append((rank, best["doc_id"], best["gain"]))
+            picked_ids.append(best["doc_id"])
+            covered = (
+                covered.unionByName(
+                    toks.where(F.col("doc_id") == best["doc_id"]).select("tok")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(picked, "rank int, doc_id long, gain long")

@@ -201,3 +201,52 @@ def quantized_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def zca_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    eps: float = 1e-5,
+) -> DataFrame:
+    """ZCA whitening (Kessy et al. 2018, "Optimal whitening and
+    decorrelation"): W = U diag(1/sqrt(λ+eps)) Uᵀ from the covariance
+    eigendecomposition — the unique whitening transform closest to the
+    identity, the standard pre-step before cosine retrieval / linear
+    probes when embedding dimensions are correlated.
+
+    Scale shape: covariance comes from the SAME single-pass partial-Gram
+    reduction PCA uses (`_gram_and_mean` — d×d floats per partition, one
+    driver-side sum; no shuffle of the vectors themselves), the d×d
+    eigendecomposition is driver-side (d is the embedding width, not the
+    corpus), and the whitening GEMM is a map-only Arrow batch per
+    partition with W broadcast via closure. Gate (tests/test_quality.py,
+    QUALITY_r{N}): the whitened corpus covariance is the identity within
+    tolerance."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    g, s, n = _gram_and_mean(df, vec_col, dim)
+    mean = s / n
+    cov = (g - np.outer(mean, s) - np.outer(s, mean) + n * np.outer(mean, mean)) / (
+        n - 1
+    )
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0.0) + eps)) @ evecs.T
+    mean_b, w_b = mean.copy(), w.copy()
+
+    def apply(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].to_numpy()) - mean_b
+            yield pd.DataFrame({"id": pdf["id"], "white": list(x @ w_b)})
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(apply, schema="id long, white array<double>")
+        .select(F.col("id").alias(id_col), "white")
+    )

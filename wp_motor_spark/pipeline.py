@@ -247,6 +247,12 @@ class Pipeline:
                 if spec.condition:
                     cond = compile_condition(spec.condition, df.columns)
                     sub = df.where(cond if spec.filter_expect else ~cond)
+                # sink-level tags inject into every record THIS sink
+                # routes (dispatcher append_pre_tags; other sinks of the
+                # same record stay untouched — the dispatcher fast-path
+                # test pins that shape)
+                for tk, tv in (spec.tags or {}).items():
+                    sub = sub.withColumn(tk, F.lit(tv))
                 parts.append(format_lines(sub, spec.format))
             if parts:
                 lines = parts[0]

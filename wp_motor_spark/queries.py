@@ -6362,6 +6362,398 @@ FROM (
 """
 
 
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup key (the primitive a crawl pipeline applies
+    BEFORE fetch/hash dedup — RFC 3986 normalization + tracking-param
+    strip): lowercase scheme/host, default port drop, dot-segment
+    resolution, fragment drop, utm_*/fbclid/gclid strip, sorted query.
+    URLs are synthesized deterministically from `documents` (the corpus
+    has no URL column) with every normalization hazard embedded, so the
+    oracle checks the full canonicalizer end-to-end.
+
+    Scale shape: MAP-ONLY — one expression pipeline inside whole-stage
+    codegen, no shuffle, no UDF (operators/cleanse.py::canonicalize_url).
+    """
+    from wp_motor_spark.operators.cleanse import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.format_string(
+        "HTTP://%s.Example.COM:80/a/./%s/../p%d?utm_source=x&b=2&a=1&gclid=g#frag",
+        F.col("source"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canonicalize_url(raw).alias("canon_url"),
+    )
+
+
+URL_CANON_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'HTTP://' || source || '.Example.COM:80/a/./' || lang ||
+         '/../p' || CAST(doc_id AS VARCHAR) ||
+         '?utm_source=x&b=2&a=1&gclid=g#frag' AS raw_url,
+         source, lang
+  FROM documents
+)
+SELECT doc_id, raw_url,
+       'http://' || lower(source) || '.example.com/a/p' ||
+       CAST(doc_id AS VARCHAR) || '?' ||
+       array_to_string(list_sort(list_filter(
+         string_split('b=2&a=1', '&'), p -> p != '')), '&') AS canon_url
+FROM synth
+"""
+
+
+def luhn_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card screening (PCI gate next to PII redaction): extract
+    13-19 digit runs from text and Luhn-validate each (ISO/IEC 7812
+    mod-10), emitting the PCI masked form (first 6 + last 4). Candidate
+    numbers are synthesized deterministically from `events` — validity
+    then varies naturally (~1 in 10 passes the checksum) and the oracle
+    recomputes Luhn independently with DuckDB list arithmetic.
+
+    Scale shape: MAP-ONLY — regexp run extraction + integer HOF checksum
+    per candidate, no shuffle (operators/cleanse.py::luhn_valid)."""
+    from wp_motor_spark.operators.cleanse import find_card_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    synth = ev.select(
+        "event_id",
+        F.format_string(
+            "receipt id %d card %d total ok",
+            F.col("event_id"),
+            (F.col("user_id") + 4000_0000_0000_0000) * 10
+            + F.col("event_id") % 10,
+        ).alias("text"),
+    )
+    out = find_card_candidates(synth, "text")
+    return out.select("event_id", "card", "luhn_valid", "masked")
+
+
+LUHN_SCAN_SQL = r"""
+WITH synth AS (
+  SELECT event_id,
+         'receipt id ' || CAST(event_id AS VARCHAR) || ' card ' ||
+         CAST((user_id + 4000000000000000) * 10 + event_id % 10 AS VARCHAR)
+         || ' total ok' AS text
+  FROM events
+), runs AS (
+  SELECT event_id, unnest(regexp_extract_all(text, '[0-9]+')) AS card
+  FROM synth
+), cand AS (
+  SELECT event_id, card FROM runs WHERE length(card) BETWEEN 13 AND 19
+)
+SELECT event_id, card,
+       list_sum(list_transform(range(1, length(card) + 1), i -> CASE
+         WHEN i % 2 = 0 THEN CASE
+           WHEN CAST(substr(reverse(card), i, 1) AS INT) * 2 > 9
+           THEN CAST(substr(reverse(card), i, 1) AS INT) * 2 - 9
+           ELSE CAST(substr(reverse(card), i, 1) AS INT) * 2 END
+         ELSE CAST(substr(reverse(card), i, 1) AS INT) END)) % 10 = 0
+         AS luhn_valid,
+       substr(card, 1, 6) || repeat('*', length(card) - 10) ||
+         substr(card, length(card) - 3, 4) AS masked
+FROM cand
+"""
+
+
+def naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style quality-classifier filter, distilled to its
+    closed-form core: a multinomial Naive Bayes with Laplace smoothing
+    trained ON THE CORPUS ITSELF (positives = the curated sources
+    src0/src1, the way DCLM seeds its classifier with known-good pages)
+    and applied back as a per-doc log-odds score. No iterative training
+    — token-class counts ARE the model, so the oracle replays it
+    exactly; round(…,4) absorbs log() ulp drift between engines.
+
+    Scale shape: one (token, class) count shuffle builds the model; the
+    model is |vocab|-bounded and BROADCASTS back onto the token stream;
+    one doc-keyed partial-agg shuffle sums the log-odds. The class-prior
+    constant is a one-row broadcast (plan-lint ALLOWED)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("source").isin("src0", "src1")).alias("pos"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_pos") + 1) / (F.col("n_pos") + F.col("v")))
+            - F.log((F.col("c_neg") + 1) / (F.col("n_neg") + F.col("v")))
+        ).alias("llr"),
+    )
+    prior = docs.agg(
+        (
+            F.log(F.sum(F.when(F.col("source").isin("src0", "src1"), 1).otherwise(0)))
+            - F.log(F.sum(F.when(~F.col("source").isin("src0", "src1"), 1).otherwise(0)))
+        ).alias("prior")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("llr").alias("tok_llr"))
+        .crossJoin(F.broadcast(prior))
+    )
+    return scored.select(
+        "doc_id",
+        F.round(F.col("tok_llr") + F.col("prior"), 4).alias("nb_score"),
+        ((F.col("tok_llr") + F.col("prior")) > 0).alias("keep"),
+    )
+
+
+NAIVE_BAYES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS pos,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE tok != ''
+), counts AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_neg
+  FROM toks2 GROUP BY tok
+), totals AS (
+  SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM counts
+), model AS (
+  SELECT tok,
+         ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE))
+         - ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)) AS llr
+  FROM counts, totals
+), prior AS (
+  SELECT ln(SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END))
+         - ln(SUM(CASE WHEN source NOT IN ('src0','src1') THEN 1 ELSE 0 END))
+           AS prior
+  FROM documents
+)
+SELECT doc_id,
+       round(SUM(llr) + ANY_VALUE(prior), 4) AS nb_score,
+       SUM(llr) + ANY_VALUE(prior) > 0 AS keep
+FROM toks2 JOIN model USING (tok), prior
+GROUP BY doc_id
+"""
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023), one
+    deterministic exponentiated-gradient step: per-source excess loss
+    against the corpus-weighted mean drives w_i ∝ p_i · exp(η·excess).
+    The loss proxy is the corpus's own unigram negative log-likelihood
+    (per-doc mean, then per-source mean) — deterministic and exactly
+    replayable, where the paper's proxy-model loss is not.
+
+    Scale shape: one token-count shuffle builds the |vocab|-bounded
+    unigram LM (broadcast back), one doc-keyed shuffle for per-doc NLL,
+    a |sources|-row rollup, and one-row broadcasts for the corpus total
+    and the normalizer (plan-lint ALLOWED)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    unigram = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = unigram.agg(F.sum("c").alias("n"))
+    lm = unigram.crossJoin(F.broadcast(n_total)).select(
+        "tok", (-F.log(F.col("c") / F.col("n"))).alias("nll")
+    )
+    doc_loss = (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.avg("nll").alias("doc_nll"))
+    )
+    src = doc_loss.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_nll").alias("loss")
+    )
+    base = src.agg(
+        F.sum("n_docs").alias("total"),
+        (F.sum(F.col("loss") * F.col("n_docs")) / F.sum("n_docs")).alias("ref"),
+    )
+    wts = src.crossJoin(F.broadcast(base)).select(
+        "source",
+        (F.col("n_docs") / F.col("total")).alias("p"),
+        "loss",
+        (
+            F.col("n_docs") / F.col("total")
+            * F.exp(F.col("loss") - F.col("ref"))
+        ).alias("raw_w"),
+    )
+    z = wts.agg(F.sum("raw_w").alias("z"))
+    return wts.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.round("p", 4).alias("p"),
+        F.round("loss", 4).alias("loss"),
+        F.round(F.col("raw_w") / F.col("z"), 4).alias("weight"),
+    )
+
+
+DOREMI_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE tok != ''
+), unigram AS (
+  SELECT tok, COUNT(*) AS c FROM toks2 GROUP BY tok
+), n_total AS (SELECT SUM(c) AS n FROM unigram),
+lm AS (
+  SELECT tok, -ln(c / CAST(n AS DOUBLE)) AS nll FROM unigram, n_total
+), doc_loss AS (
+  SELECT doc_id, source, AVG(nll) AS doc_nll
+  FROM toks2 JOIN lm USING (tok) GROUP BY doc_id, source
+), src AS (
+  SELECT source, COUNT(*) AS n_docs, AVG(doc_nll) AS loss
+  FROM doc_loss GROUP BY source
+), base AS (
+  SELECT SUM(n_docs) AS total,
+         SUM(loss * n_docs) / SUM(n_docs) AS ref
+  FROM src
+), wts AS (
+  SELECT source, n_docs / CAST(total AS DOUBLE) AS p, loss,
+         n_docs / CAST(total AS DOUBLE) * exp(loss - ref) AS raw_w
+  FROM src, base
+), z AS (SELECT SUM(raw_w) AS z FROM wts)
+SELECT source, round(p, 4) AS p, round(loss, 4) AS loss,
+       round(raw_w / z, 4) AS weight
+FROM wts, z
+"""
+
+
+
+def ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `ewma_anomaly_stream` (Hunter 1986 EWMA control
+    charts): the identical per-key recurrence — check BEFORE update, n/
+    mean/var state, min_n warm-up — folded over each key's time-ordered
+    values with F.aggregate, entirely JVM-side. Emits the same anomaly
+    rows the streaming operator would across any batch split.
+
+    Rows-only for the driver: DuckDB 1.0.0's reduce() mis-evaluates
+    struct accumulators (list appends drop prior state; the var
+    recurrence reads a stale mean — both reproduced in isolation), so
+    no SQL oracle can express the fold; the gate is an EXACT driver-side
+    python recompute of the recurrence (tests/test_quality.py,
+    QUALITY_r{N}), the same discipline as the streaming op's gate.
+
+    Scale shape: ONE key-shuffle (collect_list per event_type); the fold
+    is whole-stage-codegen HOF arithmetic. Per-key arrays bound memory
+    to the largest key's history — the STREAMING op with 3-scalar state
+    is the unbounded-history scale path; the batch twin exists for
+    backfills and the SCALING curve."""
+    ev = _t(spark, sf_dir, "events")
+    alpha, z_thresh, min_n = 0.1, 2.0, 10
+    zs_t = "array<struct<ts:timestamp,v:double,m:double,z:double>>"
+    xs = ev.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+            )
+        ).alias("xs")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("mean"),
+        F.lit(0.0).alias("var"),
+        F.array().cast(zs_t).alias("zs"),
+    )
+
+    def merge(acc, e):
+        v = e["v"]
+        d = v - acc["mean"]
+        z = d / F.sqrt(acc["var"])
+        hit = (acc["n"] >= min_n) & (acc["var"] > 0) & (F.abs(z) > z_thresh)
+        zs = F.when(
+            hit,
+            F.concat(
+                acc["zs"],
+                F.array(
+                    F.struct(
+                        e["ts"].alias("ts"),
+                        v.alias("v"),
+                        F.round(acc["mean"], 6).alias("m"),
+                        F.round(z, 4).alias("z"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["zs"])
+        mean2 = F.when(acc["n"] == 0, v).otherwise(acc["mean"] + alpha * d)
+        var2 = F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+            (1.0 - alpha) * (acc["var"] + alpha * d * d)
+        )
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            mean2.alias("mean"),
+            var2.alias("var"),
+            zs.alias("zs"),
+        )
+
+    folded = xs.select("event_type", F.aggregate("xs", init, merge).alias("st"))
+    return folded.select("event_type", F.explode("st.zs").alias("a")).select(
+        "event_type",
+        F.col("a.ts").alias("ts"),
+        F.col("a.v").alias("value"),
+        F.col("a.m").alias("ewma_mean"),
+        F.col("a.z").alias("z"),
+    )
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (Kessy et al. 2018) of the embedding corpus — the
+    decorrelation pre-step before cosine retrieval / linear probes.
+    Rows-only for the driver (eigendecomposition is engine-specific
+    LAPACK); the gate (tests/test_quality.py, QUALITY_r{N}) checks the
+    whitened corpus covariance IS the identity within tolerance — the
+    defining property, verified on the operator's own output.
+
+    Scale shape: operators/embed.py::zca_whiten — single-pass partial
+    Gram per partition (d x d floats) + driver-side d x d eig + map-only
+    Arrow GEMM with the whitening matrix broadcast via closure. Nothing
+    shuffles the vectors."""
+    from wp_motor_spark.operators.embed import zca_whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = zca_whiten(emb, dim=64)
+    return out.select(
+        "vec_id",
+        F.transform("white", lambda x: F.round(x, 4)).alias("white"),
+    )
+
+
+def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection (Nemhauser et al. 1978
+    facility-location greedy, (1-1/e)-optimal) over token types: the
+    diversity-first pick used to seed instruction-tuning pools and eval
+    slices — here over word BIGRAM types, the same shingle universe the
+    dedup family uses (unigrams saturate a small vocab after one pick).
+    Emits (rank, doc_id, gain) for 8 rounds. Rows-only for the
+    driver (iterative); the gate recomputes the greedy sequence exactly
+    in python (tests/test_quality.py, QUALITY_r{N}).
+
+    Scale shape: operators/curate.py::coverage_select_greedy — the
+    distinct (doc, token) table shuffles ONCE and persists; each round
+    is an anti-join + doc-keyed partial agg + 1-row argmax collect, with
+    the covered set bounded by the picked docs' union vocab."""
+    from wp_motor_spark.operators.curate import coverage_select_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    return coverage_select_greedy(docs, k=8, ngram=2)
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r12: leads are the 7 r11-new operators (never
@@ -6515,4 +6907,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, None),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    # --- NEW r12 (at the END: rotate into the r13 window) ---
+    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "luhn_card_scan": (luhn_card_scan, LUHN_SCAN_SQL),
+    "naive_bayes_quality": (naive_bayes_quality, NAIVE_BAYES_SQL),
+    "doremi_weights": (doremi_weights, DOREMI_SQL),
+    "ewma_anomaly_batch": (ewma_anomaly_batch, None),
+    "embedding_whiten": (embedding_whiten, None),
+    "coverage_select": (coverage_select, None),
 }

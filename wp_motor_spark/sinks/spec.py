@@ -33,3 +33,11 @@ class SinkSpec:
     # GroupExpectSpec; defaults.toml [defaults.expect] backfills it)
     group: str | None = None
     group_expect: dict | None = None
+    # sink-level tags injected into every routed record
+    # (sinks/runtime/manager.rs compile_tags + dispatcher append_pre_tags:
+    # 'k: v' / 'k=v' / bare 'flag' -> "true"; later tag wins). The
+    # reference APPENDS a duplicate DataField when the record already has
+    # the key; a columnar schema cannot hold duplicate columns, so here
+    # the tag OVERWRITES the column (the later-field-wins lookup most
+    # sinks observe).
+    tags: dict[str, str] = field(default_factory=dict)
