@@ -192,3 +192,86 @@ def apply_header_mode(
             F.when(ok, F.regexp_extract(v, _R3164, 6)).otherwise(v),
         )
     raise ValueError(f"unknown header_mode {mode!r}")
+
+
+# ------------------------------------------------------- normalize.rs parity
+
+# dependency-light header normalizer (src/sources/syslog/normalize.rs):
+# RFC5424 tried FIRST, then a STRICT RFC3164 (valid month list, exact
+# HH:MM:SS, single mandatory spaces), else plaintext passthrough. This is
+# deliberately stricter than the udp_source.rs header parser above
+# (_R3164 accepts ISO timestamps and bare tags) — normalize.rs
+# test_non_standard_format_should_not_strip pins that '<11>2025-07-07
+# 09:42:43,132 ...' must NOT be treated as RFC3164.
+
+_FACILITY_NAMES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "clock", "authpriv", "ftp", "ntp", "audit", "alert", "cron",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7",
+]  # normalize.rs facility_name
+_SEVERITY_NAMES = [
+    "emerg", "alert", "crit", "err", "warn", "notice", "info", "debug",
+]  # normalize.rs severity_name
+
+_MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+
+# <PRI>VERSION SP TS SP HOST SP APP SP PROCID SP MSGID SP (- | [..]) [SP] MSG
+# five tokens are [^ ]* each followed by exactly one space (empty tokens
+# allowed — the reference's skip loop consumes a token up to the next
+# space without requiring content)
+_RFC5424_RE = r"^<(\d+)>\d+ (?:[^ ]* ){5}(?:-|\[[^\]]*\]) ?([\s\S]*)$"
+
+# <PRI>MMM( )?D(D) HH:MM:SS HOSTNAME TAG: MSG — month from the fixed
+# list, exact 2-digit time fields, single spaces, first ': ' splits msg
+_RFC3164_STRICT_RE = (
+    r"^<(\d+)>(?:" + _MONTHS + r")  ?\d{1,2} "
+    r"\d{2}:\d{2}:\d{2} [^ ]+ [^\n]*?: ([\s\S]*)$"
+)
+
+
+def _pri_meta(pri: Column) -> dict[str, Column]:
+    """pri -> (pri & 0xFF, facility NAME, severity NAME) exactly like
+    normalize.rs parse_pri_from_header: facility = pri/8 (pre-mask),
+    severity = pri%8, names from the fixed tables, 'unknown' past the end."""
+    fac_code = F.floor(pri / 8).cast("int")
+    sev_code = F.pmod(pri, F.lit(8)).cast("int")
+    fac_arr = F.array(*[F.lit(x) for x in _FACILITY_NAMES])
+    sev_arr = F.array(*[F.lit(x) for x in _SEVERITY_NAMES])
+    return {
+        "pri": F.pmod(pri, F.lit(256)).cast("int"),
+        "facility": F.coalesce(
+            F.try_element_at(fac_arr, fac_code + F.lit(1)), F.lit("unknown")
+        ),
+        "severity": F.coalesce(
+            F.try_element_at(sev_arr, sev_code + F.lit(1)), F.lit("unknown")
+        ),
+    }
+
+
+def normalize(df: DataFrame, col: str = "value") -> DataFrame:
+    """normalize.rs `normalize`: adds message/pri/facility/severity columns.
+    RFC5424 first, strict RFC3164 second, plaintext passthrough last
+    (message = whole line, meta all NULL). Pure Column expressions —
+    map-only at any scale."""
+    v = F.col(col)
+    is5424 = v.rlike(_RFC5424_RE)
+    is3164 = v.rlike(_RFC3164_STRICT_RE)
+    pri_str = F.when(is5424, F.regexp_extract(v, _RFC5424_RE, 1)).when(
+        is3164, F.regexp_extract(v, _RFC3164_STRICT_RE, 1)
+    )
+    pri = pri_str.try_cast("int")
+    meta = _pri_meta(pri)
+    msg = (
+        F.when(is5424, F.regexp_extract(v, _RFC5424_RE, 2))
+        .when(is3164, F.regexp_extract(v, _RFC3164_STRICT_RE, 2))
+        .otherwise(v)
+    )
+    return df.withColumns(
+        {
+            "message": msg,
+            "pri": F.when(pri_str.isNotNull(), meta["pri"]),
+            "facility": F.when(pri_str.isNotNull(), meta["facility"]),
+            "severity": F.when(pri_str.isNotNull(), meta["severity"]),
+        }
+    )

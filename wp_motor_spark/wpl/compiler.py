@@ -293,6 +293,10 @@ class _Ctx:
         # previous field was zero-width (peek_symbol) -> the separator
         # before the next field is dropped entirely
         self.suppress_next_sep: bool = False
+        # the LAST field's effective separator when need_take_sep() —
+        # appended by compile_rule as an optional trailing consume
+        # (mechanism.rs try_consume_sep after the final field)
+        self.trailing_sep_rx: str | None = None
 
 
 def _mark_tail_field(groups: list[WplGroup]) -> None:
@@ -335,7 +339,11 @@ def compile_rule(rule: WplRule) -> "CompiledRule":
     # (mechanism.rs blanket parse), so a line starting with whitespace
     # before its first field still matches (eval/mod_test.rs test_suc_2:
     # ' "聊城市", 36.4837, ...')
-    pattern = r"^\s*" + "".join(ctx.parts) + r"(.*)$"
+    # optional trailing separator after the LAST field (mechanism.rs:97-99
+    # try_consume_sep — see _emit_field); without it a counted repeat at
+    # the rule end leaves the separator in the residue
+    trail = f"(?:{ctx.trailing_sep_rx})?" if ctx.trailing_sep_rx else ""
+    pattern = r"^\s*" + "".join(ctx.parts) + trail + r"(.*)$"
     _dedupe_names(ctx.outputs)
     return CompiledRule(rule, pattern, ctx.group_idx, ctx.outputs, residue_group)
 
@@ -403,16 +411,32 @@ def _emit_group(ctx: _Ctx, grp: WplGroup, parent_sep: str | None, parent_pat: st
                 _emit_item(sub, item, gsep_lit, gsep_pat)
             inner = "".join(sub.parts)
             body = f"(?!{inner})" if grp.meta == "not" else f"(?:{inner})?"
+        if ctx.suppress_next_sep:
+            ctx.pending_sep = None
+            ctx.suppress_next_sep = False
         if ctx.pending_sep:
-            body = (
-                f"(?:{ctx.pending_sep})?" + body
-                if grp.meta in ("opt", "some_of")
-                else f"(?:{ctx.pending_sep})" + body
-            )
+            # mirror _flush_sep: after a self-delimiting item (symbol,
+            # scope/quote fmt) the separator before this group is optional —
+            # the reference's group members open with multispace0, so
+            # 'CONTROL' directly followed by alt('-ALPHA','-BETA') matches
+            # (processor.rs test_prefers_deepest_rule_on_miss)
+            if grp.meta in ("opt", "some_of") or ctx.last_self_delim:
+                sep = ctx.pending_sep
+                body = (r"\s*" if sep == _WS else f"(?:{sep})?") + body
+            else:
+                body = f"(?:{ctx.pending_sep})" + body
             ctx.pending_sep = None
         ctx.parts.append(body)
         ctx.group_idx = sub.group_idx
         ctx.outputs.extend(sub.outputs)
+        # an alt whose every branch ends self-delimiting (symbols, quoted
+        # fields) leaves the next separator optional, like the field-level
+        # rule; mixed/content branches keep the required separator
+        ctx.last_self_delim = grp.meta == "alt" and all(
+            (not isinstance(it, WplGroup))
+            and (it.dtype in ("symbol", "peek_symbol") or it.fmt is not None)
+            for it in grp.items
+        )
         # opt/some_of can match EMPTY; the separator before the NEXT item
         # must then be optional (the reference's parsers take leading
         # multispace0, so an absent group never strands a required sep)
@@ -454,6 +478,22 @@ def _emit_field(ctx: _Ctx, fld: WplField, gsep_lit: str | None, gsep_pat: str | 
         for k in range(n):
             _emit_single(ctx, fld, sep_lit, eff_sep_rx, k, n, sep_pat)
     ctx.next_sep = eff_sep_rx if (fld.sep is not None or fld.pattern_sep is not None) else None
+    # mechanism.rs:97-99 — after EVERY field read the reference runs
+    # multispace0 + try_consume_sep when need_take_sep() (sep is neither
+    # to-end nor a space). Between fields our lazy pending_sep emission is
+    # equivalent, but at the END of the rule the trailing separator must
+    # still be optionally consumed (vm_unit.rs test_ignore_cnt: '3*_\\,' on
+    # '2345,...,9OPP,chars_740' leaves residue 'chars_740', NOT
+    # ',chars_740'). Track the last field's effective sep here; compile_rule
+    # appends it as an optional suffix before the residue group.
+    need_take = not (
+        sep_pat is None
+        and (
+            sep_lit in (None, "0", "s", " ", "S")
+            or (sep_lit is not None and sep_lit.strip() == "")
+        )
+    )
+    ctx.trailing_sep_rx = eff_sep_rx if need_take else None
 
 
 def _flush_sep(ctx: _Ctx) -> None:
@@ -1394,7 +1434,10 @@ class CompiledRule:
         residue = self.residue_col(parts)
         frac_ok = F.length(residue) <= F.length(pre) * F.lit(RESIDUE_FRAC)
         return (
-            F.when(F.trim(F.coalesce(value, F.lit(""))) == "", F.lit("blank"))
+            F.when(
+                F.btrim(F.coalesce(value, F.lit("")), F.lit(" \t\r\n\x0b\x0c")) == "",
+                F.lit("blank"),
+            )
             .when(~self.matched_col(parts, value), F.lit("miss"))
             # whitespace-only residue counts as full consumption: the
             # reference runs multispace0 after every field, so a trailing
@@ -1727,30 +1770,47 @@ class CompiledRule:
 
 
 def _prefix_rules(rule: WplRule, max_depth: int) -> list["CompiledRule"]:
-    """Cumulative field-prefix sub-rules of a flat seq rule (for miss
-    diagnostics). Rules with non-seq top-level structure contribute a
-    single full-rule prefix."""
-    fields: list[WplField] = []
-    flat = True
+    """Cumulative prefix sub-rules for miss diagnostics (parser.rs:82-113
+    records how far each failing rule consumed before erroring).
+
+    Prefix units: each FIELD of a seq group is one unit; a non-seq group
+    (alt/opt/some_of/not) or a group nested inside a seq is one ATOMIC
+    unit — matching the reference, where the consumed position advances
+    through an alt's winning branch as a whole. processor.rs
+    test_prefers_deepest_rule_on_miss pins the multi-group case:
+    '(symbol(CONTROL)), alt(-ALPHA,-BETA), (digit,chars,bool)' must
+    out-depth '(digit,digit,chars)' on 'CONTROL-ALPHA 1024 warpparse 64'
+    because its chars unit survives one field further."""
+    prefixes: list[list[WplGroup]] = []
+    acc: list[WplGroup] = []
     for grp in rule.groups:
         if grp.meta != "seq":
-            flat = False
-            break
+            acc = acc + [grp]
+            prefixes.append(list(acc))
+            continue
+        taken: list = []
         for item in grp.items:
-            if isinstance(item, WplGroup):
-                flat = False
-                break
-            fields.append(item)
-        if not flat:
-            break
-    if not flat or not fields:
+            taken.append(item)
+            prefixes.append(
+                acc
+                + [
+                    WplGroup(
+                        meta="seq",
+                        items=list(taken),
+                        sep=grp.sep,
+                        pattern_sep=grp.pattern_sep,
+                    )
+                ]
+            )
+        acc = acc + [grp]
+    if not prefixes:
         return [compile_rule(rule)]
     out = []
-    for i in range(1, min(len(fields), max_depth) + 1):
+    for groups in prefixes[:max_depth]:
         sub = WplRule(
             name=rule.name,
             preprocs=list(rule.preprocs),
-            groups=[WplGroup(meta="seq", items=list(fields[:i]))],
+            groups=groups,
             package=rule.package,
         )
         out.append(compile_rule(sub))
@@ -1862,7 +1922,10 @@ class MultiParser:
                 cr.residue_col(parts).alias("s"),
             )
             chain = F.when(hit, branch) if chain is None else chain.when(hit, branch)
-        blank = F.trim(F.coalesce(value, F.lit(""))) == ""
+        # btrim with the full whitespace set: SQL trim() strips only 0x20,
+        # but "   \n\t" is a blank event too (processor.rs
+        # batch_parse_package_skips_whitespace_miss)
+        blank = F.btrim(F.coalesce(value, F.lit("")), F.lit(" \t\r\n\x0b\x0c")) == ""
         tmp = df.select("*", chain.alias("__lab"))
         return tmp.select(
             *df.columns,
@@ -1901,7 +1964,10 @@ class MultiParser:
                 if res_c is None
                 else res_c.when(hit, cr.residue_col(parts))
             )
-        blank = F.trim(F.coalesce(value, F.lit(""))) == ""
+        # btrim with the full whitespace set: SQL trim() strips only 0x20,
+        # but "   \n\t" is a blank event too (processor.rs
+        # batch_parse_package_skips_whitespace_miss)
+        blank = F.btrim(F.coalesce(value, F.lit("")), F.lit(" \t\r\n\x0b\x0c")) == ""
         return tmp.select(
             *df.columns,
             F.coalesce(rule_c, F.lit(None)).alias("_rule"),

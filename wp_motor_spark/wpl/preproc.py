@@ -51,3 +51,62 @@ def apply_preprocs(col: Column, preprocs: list[str]) -> Column:
         else:
             raise ValueError(f"unknown preprocessor {step!r}")
     return out
+
+
+def strip_bom_binary(col: Column) -> Column:
+    """Byte-level BOM removal for BINARY columns (archive members, raw
+    frames) — strip/bom parity for the reference's RawData::Bytes path
+    (bom.rs remove_all_boms, bom.rs:26-87).
+
+    Removes BOM byte sequences at ALL positions, scanning left to right
+    with the reference's detection order (bom.rs detect_bom_at): UTF-8
+    (EF BB BF), UTF-32 LE (FF FE 00 00, checked BEFORE UTF-16 LE),
+    UTF-32 BE (00 00 FE FF, checked BEFORE UTF-16 BE), UTF-16 LE
+    (FF FE), UTF-16 BE (FE FF). Consecutive and mixed-type BOMs are all
+    removed; BOM-free input passes through unchanged.
+
+    Arrow-batched pandas UDF: binary columns are opaque to the built-in
+    string functions, and this runs on the cold archive-ingest path, not
+    the per-event hot loop. At 100 TB the scan is map-only — no shuffle,
+    no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _strip_series(s):
+        def scan(b):
+            if b is None:
+                return None
+            out = bytearray()
+            has_bom = False
+            i, n = 0, len(b)
+            while i < n:
+                rest = n - i
+                # detection order = bom.rs detect_bom_at (UTF-32 first)
+                if rest >= 3 and b[i] == 0xEF and b[i + 1] == 0xBB and b[i + 2] == 0xBF:
+                    i += 3
+                    has_bom = True
+                elif rest >= 4 and b[i] == 0xFF and b[i + 1] == 0xFE and b[i + 2] == 0 and b[i + 3] == 0:
+                    i += 4
+                    has_bom = True
+                elif rest >= 4 and b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 0xFE and b[i + 3] == 0xFF:
+                    i += 4
+                    has_bom = True
+                elif rest >= 2 and b[i] == 0xFF and b[i + 1] == 0xFE:
+                    i += 2
+                    has_bom = True
+                elif rest >= 2 and b[i] == 0xFE and b[i + 1] == 0xFF:
+                    i += 2
+                    has_bom = True
+                else:
+                    out.append(b[i])
+                    i += 1
+            return bytes(out) if has_bom else bytes(b)
+
+        return s.map(scan)
+
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's typehint inspection rejects
+    _strip_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _strip = pandas_udf(_strip_series, "binary")
+    return _strip(col)
