@@ -145,3 +145,31 @@ def test_skips_whitespace_miss(spark):
     # whitespace skip; our disposition labels them 'blank')
     miss = branches["miss"]
     assert miss.where(F.col("_disposition") == "miss").count() == 0
+
+
+def test_intercept_is_business_group(spark):
+    """orchestrator/constants/tests.rs test_group_name_constants
+    ('intercept removed'): the infra set is exactly {monitor, default,
+    miss, residue, error} (constants.rs INFRA_GROUPS) — a sink named
+    'intercept' participates in the business fan-out like any other
+    name instead of staying a dead infra channel."""
+    from wp_motor_spark.config import _INFRA
+    from wp_motor_spark.sinks import SinkSpec
+
+    assert _INFRA == {"monitor", "default", "miss", "residue", "error"}
+    oml = """
+name : nginx_model
+rule :
+    nginx_access
+---
+status = take(option:[http_status]) ;
+* = take() ;
+"""
+    pipe = Pipeline(
+        wpl=NGINX_RULE,
+        omls=[oml],
+        sinks=[SinkSpec(name="intercept", format="raw")],
+    )
+    df = spark.createDataFrame([(NGINX_SAMPLE,)], ["value"])
+    res = pipe.run_batch(df)
+    assert res.sink_lines["intercept"].count() == 1

@@ -69,3 +69,27 @@ def test_facility_severity_name_tables(spark):
     assert r["facility"] == "local7" and r["severity"] == "debug"
     r = _norm(spark, "<999>1 - - - - - - m")
     assert r["facility"] == "unknown"  # 999/8 = 124 past the table
+
+
+def test_header_mode_new_names_and_aliases(spark):
+    """src/sources/syslog/mod.rs test_syslog_header_mode_new_names +
+    test_syslog_header_mode_legacy_aliases: raw==keep (untouched),
+    skip==strip (header removed, no tags), tag==parse (header removed,
+    meta tag columns attached)."""
+    from wp_motor_spark.sources.syslog import apply_header_mode
+
+    line = "<34>Oct 11 22:14:15 mymachine su: hello"
+    df = spark.createDataFrame([(line,)], ["value"])
+    for mode in ("raw", "keep"):
+        out = apply_header_mode(df, mode)
+        assert out.first()["value"] == line
+        assert "pri" not in out.columns
+    for mode in ("skip", "strip"):
+        out = apply_header_mode(df, mode)
+        assert out.first()["value"] == "hello"
+        assert "pri" not in out.columns
+    for mode in ("tag", "parse"):
+        out = apply_header_mode(df, mode)
+        r = out.first()
+        assert r["value"] == "hello"
+        assert r["pri"] == 34 and r["host"] == "mymachine"

@@ -281,3 +281,44 @@ def test_sep_enum_shortcut_equivalence(spark):
     assert r["a"] == "one two" and r["b"] == "three"
     r = _one(spark, r"rule t { (chars:a\0) }", "every thing 0 here")
     assert r["a"] == "every thing 0 here"
+
+
+# ------------------------------------------------------- tcp framing modes
+
+
+def test_framing_modes_line_len_auto():
+    """src/sources/tcp framing modes (config.rs auto|line|len + the live
+    dispatch in conn/connection.rs extract_message): auto prefers the
+    length prefix and falls back to newline (framing.rs
+    auto_prefers_len_then_line); len-only waits on an incomplete payload
+    (framing.rs octet_extracts_once_complete); 'length' aliases 'len'."""
+    import pytest as _pytest
+
+    from wp_motor_spark.sources.syslog import frame_buffer
+
+    # auto: "5 hello\n" -> len frame wins, newline not treated as data
+    msgs, tail = frame_buffer(b"5 hello\n", "auto")
+    assert msgs == [b"hello"]
+    # the newline after the frame is an empty line -> dropped, no tail
+    assert tail == b""
+    # auto fallback to newline when no length prefix
+    msgs, tail = frame_buffer(b"abc\n", "auto")
+    assert msgs == [b"abc"] and tail == b""
+
+    # line mode: a length-prefixed payload is NOT recognized
+    msgs, tail = frame_buffer(b"5 hello\nrest", "line")
+    assert msgs == [b"5 hello"] and tail == b"rest"
+
+    # len mode: two complete frames, then an incomplete one waits
+    msgs, tail = frame_buffer(b"5 hello5 world7 incom", "len")
+    assert msgs == [b"hello", b"world"] and tail == b"7 incom"
+    # len mode never falls back to newline
+    msgs, tail = frame_buffer(b"abc\ndef\n", "len")
+    assert msgs == [] and tail == b"abc\ndef\n"
+
+    # 'length' alias (config.rs:44)
+    msgs, _ = frame_buffer(b"5 hello", "length")
+    assert msgs == [b"hello"]
+
+    with _pytest.raises(ValueError):
+        frame_buffer(b"", "bogus")

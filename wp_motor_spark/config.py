@@ -26,7 +26,10 @@ from dataclasses import dataclass, field
 
 from wp_motor_spark.sinks.spec import SinkSpec
 
-_INFRA = {"default", "miss", "error", "residue", "monitor", "intercept"}
+# crates/wp-config/src/sinks/constants.rs INFRA_GROUPS — intercept was
+# REMOVED from the infra set (orchestrator/constants/tests.rs:42
+# "intercept removed"): a group named "intercept" is a business group now
+_INFRA = {"default", "miss", "error", "residue", "monitor"}
 
 
 @dataclass

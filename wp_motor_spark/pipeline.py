@@ -218,11 +218,12 @@ class Pipeline:
         all sinks whose condition matches (oml.rs:351-363); infra channels
         (miss/residue/error) go to same-named sinks when declared."""
         result = PipelineResult(branches=self.transform(raw, col))
-        # intercept is an infra CHANNEL name, but the reference removed
-        # intercept delivery (infrastructure.rs:107 "intercept 组彻底移除"):
-        # no branch ever carries that key, so a configured intercept sink
-        # stays empty instead of double-receiving every data row
-        infra = {"miss", "residue", "error", "default", "monitor", "intercept"}
+        # intercept was REMOVED from the infra set entirely
+        # (infrastructure.rs:107 "intercept 组彻底移除", constants.rs
+        # INFRA_GROUPS, orchestrator/constants/tests.rs:42): a sink named
+        # "intercept" is an ordinary business sink and joins the
+        # condition fan-out like any other name
+        infra = {"miss", "residue", "error", "default", "monitor"}
         data_branches = {k: v for k, v in result.branches.items() if k not in infra}
         for spec in self.sinks:
             if spec.name in infra:

@@ -78,6 +78,8 @@ class WpSocketStreamReader(DataSourceStreamReader):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options.get("port", 0))
         self.mode = options.get("mode", "tcp").lower()
+        # tcp framing mode (tcp/config.rs: auto|line|len, "length" alias)
+        self.framing = options.get("framing", "auto").lower()
         self.buf = _MsgBuffer()
         self._started = False
 
@@ -143,7 +145,7 @@ class WpSocketStreamReader(DataSourceStreamReader):
                     if not data:
                         break
                     pending += data
-                    msgs, pending = frame_buffer(pending)
+                    msgs, pending = frame_buffer(pending, self.framing)
                     for m in msgs:
                         buf.append(m.decode("utf-8", "replace"))
             if pending:
@@ -165,7 +167,7 @@ class WpSocketStreamReader(DataSourceStreamReader):
     # executors unpickle the reader only to call read(partition); drop the
     # driver-side listener state (locks/sockets aren't picklable)
     def __getstate__(self):
-        return {"host": self.host, "port": self.port, "mode": self.mode}
+        return {"host": self.host, "port": self.port, "mode": self.mode, "framing": self.framing}
 
     def __setstate__(self, state):
         self.__dict__.update(state)

@@ -107,7 +107,12 @@ class TcpCollector:
     """TCP listener with RFC6587 auto-framing per connection -> spool
     (tcp_source.rs; per-connection buffers like process_buffer)."""
 
-    def __init__(self, host: str, port: int, spool_dir: str, max_conns: int = 1000):
+    def __init__(
+        self, host: str, port: int, spool_dir: str, max_conns: int = 1000,
+        framing: str = "auto",
+    ):
+        # framing mode knob (tcp/config.rs: auto|line|len, "length" alias)
+        self.framing = framing
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((host, port))
@@ -146,7 +151,7 @@ class TcpCollector:
                 if not data:
                     break
                 buf += data
-                msgs, buf = frame_buffer(buf)
+                msgs, buf = frame_buffer(buf, self.framing)
                 for m in msgs:
                     self.writer.add(m)
         if buf:  # trailing unterminated frame on close

@@ -21,21 +21,39 @@ MAX_FRAME = 10_000_000  # sanity cap, tcp.rs framing (0 < len < 10MB)
 # ------------------------------------------------------------------ framing
 
 
-def frame_buffer(buf: bytes) -> tuple[list[bytes], bytes]:
-    """RFC6587 framing with auto-detection (RFC6587_FRAMING.md).
+def frame_buffer(buf: bytes, mode: str = "auto") -> tuple[list[bytes], bytes]:
+    """RFC6587 framing (RFC6587_FRAMING.md + src/sources/tcp).
 
-    Octet counting (`<len> <msg>`) is tried first — a digit run before a
-    space within the first 10 bytes, value in (0, 10MB); otherwise falls
-    back to newline-delimited (non-transparent framing). Returns
-    (complete messages, unconsumed tail).
+    ``mode`` mirrors the TCP source's FramingMode knob (tcp/config.rs:
+    'auto' | 'line' | 'len', with 'length' accepted for 'len'):
+
+    - ``auto`` (default) — octet counting (`<len> <msg>`) tried first,
+      newline-delimited as the fallback, exactly the live connection
+      dispatch (conn/connection.rs extract_message: Auto =
+      extract_length_prefixed_message .or_else extract_line_message);
+    - ``line`` — newline frames only;
+    - ``len``  — length-prefixed frames only (incomplete payload waits).
+
+    Returns (complete messages, unconsumed tail). The octet digit run is
+    bounded at 10 chars and the value at 10MB (tcp.rs sanity bound);
+    the legacy framing.rs drain_* API differs (trailing-only trim,
+    zero-length rejected, wait-on-in-progress) but is dead code — the
+    wired path is FramingExtractor, matched here.
     """
+    if mode == "length":
+        mode = "len"
+    if mode not in ("auto", "line", "len"):
+        raise ValueError(f"invalid framing {mode!r} (expect auto|line|len)")
     out: list[bytes] = []
     while buf:
-        consumed = _try_octet(buf)
-        if consumed is not None:
-            msg, buf = consumed
-            out.append(msg)
-            continue
+        if mode in ("auto", "len"):
+            consumed = _try_octet(buf)
+            if consumed is not None:
+                msg, buf = consumed
+                out.append(msg)
+                continue
+            if mode == "len":
+                break  # incomplete or invalid — wait for more data
         nl = buf.find(b"\n")
         if nl < 0:
             break
@@ -147,22 +165,31 @@ def encode_rfc3164(
     )
 
 
+# header_mode spelling: NEW names raw/skip/tag with keep/strip/parse kept
+# as legacy aliases (src/sources/syslog/mod.rs
+# test_syslog_header_mode_new_names + _legacy_aliases:
+# raw=keep -> no strip, no tags; skip=strip -> strip only;
+# tag=parse -> strip + meta tags)
+_HEADER_MODE_ALIASES = {"raw": "keep", "skip": "strip", "tag": "parse"}
+
+
 def apply_header_mode(
     df: DataFrame, mode: str = "parse", fast_strip: bool = False, col: str = "value"
 ) -> DataFrame:
     """Syslog source header_mode (04-syslog_source.md):
 
-    - ``keep``  — pass lines through untouched
-    - ``strip`` — remove the RFC3164 header, keep only the MSG part; no
-      tag injection (with ``fast_strip`` this is one regexp_replace that
-      never builds the parsed columns)
-    - ``parse`` (default) — parse + inject the header fields as tag
-      columns (host/app/pri/facility/severity/ts/pid) and strip the
-      header from ``value``
+    - ``raw`` (legacy ``keep``)  — pass lines through untouched
+    - ``skip`` (legacy ``strip``) — remove the RFC3164 header, keep only
+      the MSG part; no tag injection (with ``fast_strip`` this is one
+      regexp_replace that never builds the parsed columns)
+    - ``tag`` (legacy ``parse``, default) — parse + inject the header
+      fields as tag columns (host/app/pri/facility/severity/ts/pid) and
+      strip the header from ``value``
 
     Unparseable lines pass through unchanged in every mode (the
     reference forwards them as-is rather than dropping).
     """
+    mode = _HEADER_MODE_ALIASES.get(mode, mode)
     if mode == "keep":
         return df
     if mode == "strip":
