@@ -37,10 +37,13 @@ class ConnectorNotFound(KeyError):
 
 
 class OverrideNotAllowed(ValueError):
+    # message shape pinned by orchestrator/config/loader/mod.rs
+    # test_wpgen_resolved_override_not_allowed: the error must name the
+    # key as "override '<key>' not allowed"
     def __init__(self, connect_id: str, keys: list[str]):
+        named = ", ".join(f"override {k!r} not allowed" for k in keys)
         super().__init__(
-            f"connector {connect_id!r} does not allow overriding {keys} "
-            f"(allow_override whitelist)"
+            f"connector {connect_id!r}: {named} (allow_override whitelist)"
         )
 
 
