@@ -84,6 +84,17 @@ DEFAULT_QUERIES = [
     "domain_temperature_mix",
     "dp_event_release",
     "leakage_safe_split",
+    # r12 additions: map-only URL canonical keys, integer-HOF Luhn scan,
+    # vocab-bounded NB counts + broadcast model, one-step DoReMi agg,
+    # per-key EWMA fold, partial-Gram whitening, greedy max-coverage
+    # (persisted token shuffle + k tiny argmax rounds — the heaviest)
+    "url_canonicalize",
+    "luhn_card_scan",
+    "naive_bayes_quality",
+    "doremi_weights",
+    "ewma_anomaly_batch",
+    "embedding_whiten",
+    "coverage_select",
 ]
 
 SF_DIRS = [
