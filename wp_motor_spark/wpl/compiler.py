@@ -1161,6 +1161,10 @@ def _cast_subfield(col: Column, dtype: str) -> Column:
         # protocol/array.rs inside kv values (keyval.rs test_kv_arr1-4):
         # '[a,b]' / '["a","b"]' / '[]' -> typed element array; elements
         # split on top-level commas, quotes stripped, whitespace trimmed
+        if dtype.partition("/")[2] in ("json", "obj"):
+            # array/json subfield (json.rs test_json_11): object elements
+            # contain top-level commas — keep each as its raw JSON text
+            return F.when(col.isNotNull(), F.from_json(col, "array<string>"))
         inner = F.regexp_replace(F.regexp_replace(col, r"^\s*\[", ""), r"\]\s*$", "")
         elems = F.when(F.trim(inner) == "", F.array().cast("array<string>")).otherwise(
             F.transform(
@@ -1359,6 +1363,13 @@ def _typed_column(out: FieldOutput, raw: Column) -> Column:
         # Elements are quoted spans or comma-free runs; quotes stripped
         # with \" unescaped, bare elements trimmed.
         sub = dtype.split("/", 1)[1] if "/" in dtype else "chars"
+        if sub in ("json", "obj"):
+            # array/json (json.rs test_json_11): elements are OBJECTS whose
+            # bodies contain top-level commas — the comma-split path would
+            # shred them. from_json to array<string> keeps each element as
+            # its raw JSON text (the columnar equivalent of the reference's
+            # Obj fields; leaves stay reachable via variant_get/get_json_object)
+            return F.when(s.isNotNull(), F.from_json(s, "array<string>"))
         elems = F.regexp_extract_all(
             F.regexp_replace(F.regexp_replace(s, r"^\s*\[", ""), r"\]\s*$", ""),
             F.lit(r'("(?:[^"\\]|\\.)*"|[^,\s][^,]*)'),
