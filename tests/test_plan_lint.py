@@ -64,6 +64,9 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "prefix_containment_dedup": {"NESTED_LOOP"},  # broadcast short-doc
         #   sliver (< 4-char texts — degenerate at any real corpus) vs one
         #   corpus scan; the r12 short-doc bucket-miss fix
+        "unimax_weights": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   (cap_sum, k_free) water-filling aggregate over the tiny
+        #   |languages| frame
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -95,6 +95,11 @@ DEFAULT_QUERIES = [
     "ewma_anomaly_batch",
     "embedding_whiten",
     "coverage_select",
+    # r12 batch 2: map-only C4 line/doc heuristics, lang-count shuffle +
+    # tiny water-filling windows, bounded suffix explode + broadcast semi
+    "c4_filters",
+    "unimax_weights",
+    "domain_blocklist_filter",
 ]
 
 SF_DIRS = [

@@ -294,3 +294,61 @@ def coverage_select_greedy(
     finally:
         toks.unpersist()
     return spark.createDataFrame(picked, "rank int, doc_id long, gain long")
+
+
+def unimax_allocation(counts_df, budget: float, max_epochs: float = 2.0):
+    """UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", Algorithm 1): give every language as close
+    to a UNIFORM share of the token budget as possible without repeating
+    any language's corpus more than ``max_epochs`` times.
+
+    Water-filling closed form over ascending capacity b_l = c_l * E: the
+    capped set is a PREFIX of the ascending order, so window functions
+    replace the sequential loop — language i is capped when
+    b_i * (L - i + 1) + cumsum(b)_{i-1} <= N, i.e. granting it full
+    capacity still leaves a uniform share for everyone after it; every
+    uncapped language splits the remaining budget equally.
+
+    Input: counts_df(lang, token_count). Output adds `capacity`,
+    `alloc_tokens`, `weight` (= alloc / N). The frame is |languages|
+    rows — the windows are a single-partition sort over a tiny frame,
+    all the real work happened in the upstream token-count aggregation.
+    """
+    lang_col, cnt_col = counts_df.columns[0], counts_df.columns[1]
+    b = counts_df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(cnt_col).cast("double").alias("token_count"),
+        (F.col(cnt_col) * F.lit(float(max_epochs))).alias("capacity"),
+    )
+    # tiny frame: single-partition windows are fine (|langs| rows)
+    w_ord = Window.orderBy(F.col("capacity").asc(), F.col("lang").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = b.select(
+        "*",
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(F.sum("capacity").over(w_cum), F.lit(0.0)).alias("cum_prev"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("L"),
+    )
+    n = F.lit(float(budget))
+    capped = (F.col("capacity") * (F.col("L") - F.col("i") + 1) + F.col("cum_prev")) <= n
+    ranked = ranked.withColumn("capped", capped)
+    agg = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0.0)).alias("cap_sum"),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).alias("k_free"),
+    )
+    out = ranked.crossJoin(F.broadcast(agg)).select(
+        "lang",
+        "token_count",
+        "capacity",
+        F.when(F.col("capped"), F.col("capacity"))
+        .otherwise((n - F.col("cap_sum")) / F.col("k_free"))
+        .alias("alloc_tokens"),
+    )
+    return out.select(
+        "*", F.round(F.col("alloc_tokens") / n, 9).alias("weight")
+    )

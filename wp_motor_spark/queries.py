@@ -6754,6 +6754,215 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_select_greedy(docs, k=8, ngram=2)
 
 
+
+
+def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): keep lines that
+    end in terminal punctuation, have >=5 words and don't mention
+    'javascript'; drop docs with <3 surviving lines, 'lorem ipsum' or a
+    '{'. The corpus text is single-line, so a multi-line page is
+    synthesized deterministically from each doc's own columns with every
+    hazard embedded (title without punctuation, a javascript notice on
+    doc_id%3, lorem-ipsum on %5, a brace line on %7, a short line, a
+    closing sentence only on even ids) — the oracle recomputes the rules
+    independently over the same synthesis.
+
+    Scale shape: MAP-ONLY (operators/cleanse.py::c4_clean) — split + HOF
+    line filter + doc predicates in whole-stage codegen, no shuffle."""
+    from wp_motor_spark.operators.cleanse import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Overview of the corpus page\n"),
+        F.lit("This is the first real sentence with enough words.\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Please enable JavaScript to view the content here.\n")
+               ).otherwise(F.lit("")),
+        F.format_string("Document %d reports %d characters in language %s today.\n",
+                        F.col("doc_id"), F.col("n_chars"), F.col("lang")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("lorem ipsum dolor sit amet and more filler words here.\n")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("template config with brace \u007b inside this line text.\n")
+               ).otherwise(F.lit("")),
+        F.lit("Too short line.\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("The final closing sentence appears right here today!\n")
+               ).otherwise(F.lit("")),
+    )
+    synth = docs.select("doc_id", page.alias("text"))
+    out = c4_clean(synth, "text")
+    return out.select(
+        "doc_id", "n_lines_kept", "c4_kept",
+        F.length("cleaned").alias("cleaned_len"),
+    )
+
+
+C4_FILTERS_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+    'Overview of the corpus page' || chr(10) ||
+    'This is the first real sentence with enough words.' || chr(10) ||
+    CASE WHEN doc_id % 3 = 0
+         THEN 'Please enable JavaScript to view the content here.' || chr(10)
+         ELSE '' END ||
+    'Document ' || CAST(doc_id AS VARCHAR) || ' reports ' ||
+    CAST(n_chars AS VARCHAR) || ' characters in language ' || lang ||
+    ' today.' || chr(10) ||
+    CASE WHEN doc_id % 5 = 0
+         THEN 'lorem ipsum dolor sit amet and more filler words here.' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN 'template config with brace ' || chr(123) ||
+              ' inside this line text.' || chr(10)
+         ELSE '' END ||
+    'Too short line.' || chr(10) ||
+    CASE WHEN doc_id % 2 = 0
+         THEN 'The final closing sentence appears right here today!' || chr(10)
+         ELSE '' END AS text
+  FROM documents
+), lined AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), s -> trim(s) != '') AS lines
+  FROM synth
+), kept AS (
+  SELECT doc_id, text,
+    list_filter(lines, s ->
+      regexp_matches(trim(s), '[.!?"]$')
+      AND length(list_filter(string_split_regex(trim(s), '\s+'),
+                             w -> w != '')) >= 5
+      AND NOT contains(lower(s), 'javascript')) AS keep_lines
+  FROM lined
+)
+SELECT doc_id,
+  CAST(length(keep_lines) AS BIGINT) AS n_lines_kept,
+  length(keep_lines) >= 3
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(lower(text), chr(123)) AS c4_kept,
+  CAST(length(array_to_string(keep_lines, chr(10))) AS BIGINT) AS cleaned_len
+FROM kept
+"""
+
+
+def unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced sampling weights (Chung et al. 2023,
+    Algorithm 1): allocate a token budget as uniformly as possible across
+    languages without exceeding `max_epochs` passes over any language's
+    corpus. Budget = 50%% of the corpus total, epoch cap 2 — low-resource
+    languages cap at 2 epochs, the rest split the remainder equally.
+
+    Scale shape: ONE (lang) partial-agg count shuffle over the corpus;
+    the water-filling closed form then runs as window functions over the
+    |languages|-row frame (operators/curate.py::unimax_allocation — the
+    capped set is a prefix of the ascending-capacity order, so no loop).
+    The 1-row aggregate broadcast is the only join."""
+    from wp_motor_spark.operators.curate import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("token_count")
+    )
+    total = counts.agg(F.sum("token_count").alias("t")).first()["t"]
+    out = unimax_allocation(counts, budget=0.5 * float(total), max_epochs=2.0)
+    return out.select(
+        "lang",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("capacity", 4).alias("capacity"),
+        F.round("alloc_tokens", 4).alias("alloc_tokens"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+UNIMAX_SQL = r"""
+WITH counts AS (
+  SELECT lang,
+         SUM(length(string_split(text, ' '))) AS token_count
+  FROM documents GROUP BY lang
+), tot AS (SELECT 0.5 * SUM(token_count) AS n FROM counts),
+b AS (
+  SELECT lang, CAST(token_count AS DOUBLE) AS token_count,
+         token_count * 2.0 AS capacity
+  FROM counts
+), ranked AS (
+  SELECT lang, token_count, capacity,
+         ROW_NUMBER() OVER (ORDER BY capacity, lang) AS i,
+         COALESCE(SUM(capacity) OVER (
+            ORDER BY capacity, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         COUNT(*) OVER () AS L
+  FROM b
+), capped AS (
+  SELECT r.*, (capacity * (L - i + 1) + cum_prev) <= t.n AS is_capped, t.n AS n
+  FROM ranked r, tot t
+), agg AS (
+  SELECT SUM(CASE WHEN is_capped THEN capacity ELSE 0 END) AS cap_sum,
+         SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) AS k_free
+  FROM capped
+)
+SELECT lang, CAST(token_count AS BIGINT) AS token_count,
+       ROUND(capacity, 4) AS capacity,
+       ROUND(CASE WHEN is_capped THEN capacity
+                  ELSE (n - cap_sum) / k_free END, 4) AS alloc_tokens,
+       ROUND(ROUND(CASE WHEN is_capped THEN capacity
+                        ELSE (n - cap_sum) / k_free END / n, 9), 6) AS weight
+FROM capped, agg
+"""
+
+
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gating (the crawl step in front of fetch/dedup;
+    UT1-style lists block a domain and every subdomain): each doc gets a
+    deterministic host from its own columns; the blocklist is derived
+    from the corpus sources (odd-numbered sources are blocked at the
+    REGISTRABLE domain, so subdomain suffix matching is exercised, plus
+    one exact deep host). A doc is blocked when ANY dot-suffix of its
+    host appears in the list.
+
+    Scale shape: bounded suffix explode (<= label count) -> BROADCAST
+    semi-join against the blocklist (real lists ~1M rows, easily
+    broadcastable) -> id-keyed regroup
+    (operators/cleanse.py::blocklist_filter). No all-pairs, no skew."""
+    from wp_motor_spark.operators.cleanse import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    hosted = docs.select(
+        "doc_id",
+        F.lower(
+            F.format_string("%s.%s.corpus%d.example", F.col("lang"),
+                            F.col("source"), F.col("doc_id") % 3)
+        ).alias("host"),
+    )
+    blocklist = (
+        docs.select(F.col("source").alias("s")).distinct()
+        .where(F.regexp_extract("s", r"(\d+)$", 1).cast("int") % 2 == 1)
+        .select(F.lower(F.format_string("%s.corpus1.example", F.col("s"))).alias("entry"))
+        .union(spark.createDataFrame([("zh.src0.corpus0.example",)], ["entry"]))
+    )
+    out = blocklist_filter(hosted, blocklist, host_col="host")
+    return out.select("doc_id", "host", "blocked")
+
+
+DOMAIN_BLOCKLIST_SQL = r"""
+WITH hosted AS (
+  SELECT doc_id,
+         lower(lang || '.' || source || '.corpus' ||
+               CAST(doc_id % 3 AS VARCHAR) || '.example') AS host
+  FROM documents
+), bl AS (
+  SELECT lower(s || '.corpus1.example') AS entry
+  FROM (SELECT DISTINCT source AS s FROM documents)
+  WHERE CAST(regexp_extract(s, '(\d+)$', 1) AS INT) % 2 = 1
+  UNION ALL SELECT 'zh.src0.corpus0.example'
+)
+SELECT h.doc_id, h.host,
+       EXISTS (SELECT 1 FROM bl
+               WHERE h.host = bl.entry
+                  OR h.host LIKE '%.' || bl.entry) AS blocked
+FROM hosted h
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r12: leads are the 7 r11-new operators (never
@@ -6915,4 +7124,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ewma_anomaly_batch": (ewma_anomaly_batch, None),
     "embedding_whiten": (embedding_whiten, None),
     "coverage_select": (coverage_select, None),
+    "c4_filters": (c4_filters, C4_FILTERS_SQL),
+    "unimax_weights": (unimax_weights, UNIMAX_SQL),
+    "domain_blocklist_filter": (domain_blocklist_filter, DOMAIN_BLOCKLIST_SQL),
 }
