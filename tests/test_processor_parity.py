@@ -173,3 +173,55 @@ status = take(option:[http_status]) ;
     df = spark.createDataFrame([(NGINX_SAMPLE,)], ["value"])
     res = pipe.run_batch(df)
     assert res.sink_lines["intercept"].count() == 1
+
+
+# ------------------------------------------- recovery/mod.rs (5 tests)
+
+
+def test_rescue_recovery_disk_contract(tmp_path):
+    """src/runtime/collector/recovery/mod.rs: sink name = basename up to
+    the first '-' (test_get_sink_name + _nested); the picker selects the
+    LATEST file by embedded timestamp, scanning nested subdirectories
+    (test_tack_lasts_file + _nested); CheckPoint persists per-file
+    success counts and reloads them (test_check_point)."""
+    from wp_motor_spark.sinks.rescue import (
+        CheckPoint,
+        get_sink_name,
+        latest_rescue_file,
+    )
+
+    assert get_sink_name(
+        "./rescue/http_accs_file_sink-2023-11-30_10:52:45.dat"
+    ) == "http_accs_file_sink"
+    assert get_sink_name(
+        "./rescue/groupA/bench_sink-2025-10-14_03:10:12.dat"
+    ) == "bench_sink"
+
+    root = tmp_path / "rescue1"
+    root.mkdir()
+    (root / "benchmark_file_sink-2023-12-06_12:07:02.dat").write_text("1222")
+    (root / "http_accs_file_sink-2023-12-06_12:07:02.dat").write_text("5666")
+    (root / "http_accs_file_sink-2023-12-06_12:07:03.dat").write_text("2333")
+    assert latest_rescue_file(str(root)) == str(
+        root / "http_accs_file_sink-2023-12-06_12:07:03.dat"
+    )
+
+    nested = tmp_path / "rescue_nested" / "group1"
+    nested.mkdir(parents=True)
+    (nested / "bench_sink-2025-10-14_03:10:11.dat").write_text("a")
+    (nested / "bench_sink-2025-10-14_03:10:12.dat").write_text("b")
+    assert latest_rescue_file(str(tmp_path / "rescue_nested")) == str(
+        nested / "bench_sink-2025-10-14_03:10:12.dat"
+    )
+    assert latest_rescue_file(str(tmp_path / "rescue_nested"), "xyz") is None
+
+    pp = str(tmp_path / "ckpt.json")
+    point = CheckPoint(point_path=pp)
+    point.rec_suc(".text.txt")
+    point.rec_suc(".text.txt")
+    point.rec_suc(".text1.txt")
+    point.save_point()
+    again = CheckPoint.load_point(pp)
+    assert again.counts.pop(".text.txt") == 2
+    assert again.counts.pop(".text1.txt") == 1
+    assert CheckPoint.load_point(str(tmp_path / "missing.json")).counts == {}

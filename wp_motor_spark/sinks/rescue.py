@@ -18,6 +18,7 @@ drive the fail -> rescue -> heal -> replay loop deterministically.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -126,3 +127,76 @@ def pending_sinks(rescue_dir: str) -> list[str]:
 
 def drain(rescue_dir: str, sink_name: str) -> None:
     shutil.rmtree(os.path.join(rescue_dir, sink_name), ignore_errors=True)
+
+
+# --------------------------------------------- reference rescue disk contract
+# (src/runtime/collector/recovery/mod.rs — the {sink}-{timestamp}.dat layout
+# the reference's recovery picker consumes; wprescue accepts both this and
+# the per-sink-directory spool above)
+
+
+def get_sink_name(path: str) -> str:
+    """Sink name from a rescue file path: everything before the FIRST '-'
+    of the basename (recovery/mod.rs get_sink_name — split('-'), f[0]).
+    './rescue/http_accs_file_sink-2023-11-30_10:52:45.dat' ->
+    'http_accs_file_sink'; nested directories don't matter."""
+    return os.path.basename(path).split("-", 1)[0]
+
+
+def _rescue_sort_key(path: str) -> int:
+    """Epoch seconds parsed from the '-YYYY-MM-DD_HH:MM:SS.dat' suffix
+    (recovery/mod.rs sort_key: strip .dat, split '-', f[1..3], '_'->' ')."""
+    import datetime
+
+    name = os.path.basename(path)
+    stem = name[: -len(".dat")] if name.endswith(".dat") else ""
+    f = stem.split("-")
+    t = f"{f[1]}-{f[2]}-{f[3].replace('_', ' ')}"
+    return int(
+        datetime.datetime.strptime(t, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+    )
+
+
+def latest_rescue_file(root: str, ext: str = "dat") -> str | None:
+    """The most recent rescue file under ``root``, RECURSIVELY (nested
+    group subdirectories are scanned too — recovery/mod.rs
+    tack_lasts_file + test_tack_lasts_file_nested); ordering is by the
+    embedded timestamp, not mtime."""
+    found: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith("." + ext):
+                found.append(os.path.join(dirpath, fn))
+    if not found:
+        return None
+    found.sort(key=_rescue_sort_key)
+    return found[-1]
+
+
+class CheckPoint:
+    """Per-file replay success counters persisted as JSON
+    (recovery/mod.rs CheckPoint: rec_suc increments, save/load round-trip,
+    missing file loads empty)."""
+
+    def __init__(self, counts: dict[str, int] | None = None,
+                 point_path: str = "./rescue/.checkpoint.json"):
+        self.counts: dict[str, int] = dict(counts or {})
+        self.point_path = point_path
+
+    def rec_suc(self, path: str) -> None:
+        self.counts[path] = self.counts.get(path, 0) + 1
+
+    def save_point(self) -> None:
+        os.makedirs(os.path.dirname(self.point_path) or ".", exist_ok=True)
+        with open(self.point_path, "w") as fh:
+            json.dump(self.counts, fh)
+
+    @classmethod
+    def load_point(cls, point_path: str = "./rescue/.checkpoint.json") -> "CheckPoint":
+        try:
+            with open(point_path) as fh:
+                return cls(json.load(fh), point_path)
+        except OSError:
+            return cls({}, point_path)
