@@ -199,11 +199,18 @@ class _State:
         return None
 
     def _input_take(self, name: str) -> _Val | None:
-        """take(): destructive — consumed fields read as absent."""
-        if name in self.input_cols and name not in self.taken:
+        """take(): destructive — consumed fields read as absent. The move
+        is keyed on the SOURCE record only: an output that reuses the
+        consumed input's name does NOT feed a later take (test_case.rs
+        test_crate_move — 'A1 = take(A1); A2 = take(A1);' leaves A2
+        absent, even though output A1 exists). Prior outputs stay
+        reachable through read()/@ref."""
+        if name in self.input_cols:
+            if name in self.taken:
+                return None
             self.taken.add(name)
             return _Val(F.col(name), self._kind_of_input(name), self.schema.get(name))
-        if name in self.outputs:  # taking a computed field: value visible
+        if name in self.outputs:  # taking a purely computed field: visible
             return self.outputs[name]
         return None
 

@@ -209,6 +209,12 @@ def _parse_target(p: _P) -> str:
             t += p.next()
         elif t.endswith("*") and nxt and re.match(r"^[A-Za-z_]\w*$", nxt):
             t += p.next()
+        elif nxt and nxt.startswith("/"):
+            # path-segmented glob targets: '*/path', 'A*/path', '*/name'
+            # (test_case.rs test_wild_get) — a '/'-leading token after a
+            # target can only continue it (the array/T dtype slash sits
+            # AFTER the ':' and is handled there)
+            t += p.next()
         else:
             return t
 
