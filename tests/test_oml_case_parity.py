@@ -143,3 +143,63 @@ def test_value_arr_collect_and_to_json(spark):
     )
     assert list(row["X1"]) == ["hello1", "hello2", "hello3", "hello4"]
     assert row["X2"] == '["hello1","hello2","hello3","hello4"]'
+
+
+# --------------------------------------- wp-knowledge memdb.rs (13 tests)
+
+
+def test_knowdb_memdb_contract(spark, tmp_path):
+    """wp-knowledge/src/mem/memdb.rs: the reference's own example.csv
+    loads 10 rows (test_load); a max-row cap loads EXACTLY max, no
+    off-by-one (test_csv_off_by_one); requesting more columns than the
+    CSV carries is a load error naming 'insufficient columns'
+    (test_csv_missing_column_error); NULL csv cells surface as NULL
+    (test_row_null_mapping). The sqlite handle/blob/concurrency tests
+    are storage plumbing with no Spark surface — tables here are
+    broadcast DataFrames and Spark owns concurrency."""
+    import os
+
+    from wp_motor_spark.knowdb import KnowDB
+
+    ref_csv = "/root/reference/crates/wp-knowledge/src/mem/dict/example.csv"
+    root = tmp_path / "work"
+    kdir = root / "models" / "knowledge"
+    tdir = kdir / "example"
+    tdir.mkdir(parents=True)
+    import shutil
+
+    shutil.copy(ref_csv, tdir / "data.csv")
+    (kdir / "knowdb.toml").write_text(
+        'version = 2\n[[tables]]\nname = "example"\n'
+        "columns = { by_index = [0, 1] }\n"
+    )
+    kdb = KnowDB(spark).load_knowdb_toml(str(root))
+    assert kdb.table("example").count() == 10
+
+    # max cap: exactly 1 row
+    (kdir / "knowdb.toml").write_text(
+        'version = 2\n[[tables]]\nname = "example"\nmax_rows = 1\n'
+    )
+    kdb = KnowDB(spark).load_knowdb_toml(str(root))
+    assert kdb.table("example").count() == 1
+
+    # missing column -> load error naming the problem
+    (tdir / "data.csv").write_text("name\nonly_one_col\n")
+    (kdir / "knowdb.toml").write_text(
+        'version = 2\n[[tables]]\nname = "example"\n'
+        "columns = { by_index = [0, 1] }\n"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="insufficient columns"):
+        KnowDB(spark).load_knowdb_toml(str(root))
+
+    # NULL cell -> NULL value (a fully-blank CSV line is skipped by the
+    # reader, so the NULL rides an empty cell next to a real one)
+    (tdir / "data.csv").write_text("a,v\n1,\n")
+    (kdir / "knowdb.toml").write_text(
+        'version = 2\n[[tables]]\nname = "example"\n'
+    )
+    kdb = KnowDB(spark).load_knowdb_toml(str(root))
+    rows = kdb.table("example").collect()
+    assert len(rows) == 1 and rows[0]["v"] is None

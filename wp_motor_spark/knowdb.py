@@ -74,7 +74,20 @@ class KnowDB:
                 df = df.select(*cols["by_header"])
             elif cols.get("by_index"):
                 all_cols = df.columns
+                # memdb.rs test_csv_missing_column_error: selecting more
+                # columns than the CSV carries is a LOAD error naming the
+                # problem, not a silent index crash
+                bad = [i for i in cols["by_index"] if i >= len(all_cols)]
+                if bad:
+                    raise ValueError(
+                        f"knowdb table {t['name']!r}: insufficient columns "
+                        f"(csv has {len(all_cols)}, requested index {max(bad)})"
+                    )
                 df = df.select(*[all_cols[i] for i in cols["by_index"]])
+            # load cap (memdb.rs table_load `max`: loads AT MOST max rows,
+            # exactly max when the file is longer — test_csv_off_by_one)
+            if t.get("max_rows") is not None:
+                df = df.limit(int(t["max_rows"]))
             exp = t.get("expected_rows")
             if exp:
                 n = df.count()
