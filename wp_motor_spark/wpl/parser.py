@@ -174,12 +174,20 @@ def _parse_annotation(cur: _Cursor) -> dict:
                 tags[k] = v
             out.setdefault("tags", {}).update(tags)
         elif cur.text.startswith("copy_raw", cur.pos):
+            # copy_raw(KEY:"value") parses with ANY key (wpl_anno.rs
+            # take_tag_kv); only key == "name" activates the raw copy —
+            # other keys are accepted no-ops (ann_func.rs:104-110,
+            # parse_code.rs test_package_annotation1 uses hello:"ll")
             cur.expect("copy_raw")
             cur.expect("(")
-            cur.expect("name")
+            cur.skip_ws()
+            key = cur.match_re(_NAME_RE)
             cur.expect(":")
-            out["copy_raw"] = _parse_string(cur)
+            val = _parse_string(cur)
+            cur.skip_ws()
             cur.expect(")")
+            if key == "name":
+                out["copy_raw"] = val
         else:
             raise WplSyntaxError(f"unknown annotation at {cur.pos}")
     return out
