@@ -130,3 +130,18 @@ def test_metrics_listener(spark, tmp_path):
         assert out.read_text().startswith("# TYPE")
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stat_target_matching():
+    """wp-stats model/request.rs (11 tests): StatTarget::All matches any
+    rule, Ignore matches none, Item matches exactly; the data-display and
+    constructor tests are accessor plumbing with no engine surface."""
+    from wp_motor_spark.operators.stats import match_stat_target
+
+    assert match_stat_target("all", "any_target")
+    assert match_stat_target("all", "another_target")
+    assert not match_stat_target("ignore", "any_target")
+    assert not match_stat_target("ignore", "another_target")
+    assert match_stat_target("specific", "specific")
+    assert not match_stat_target("specific", "other")
+    assert match_stat_target("*", "legacy_glob_default")

@@ -129,3 +129,16 @@ def alert(
     return stats_df.where(cond).withColumn(
         "alert", F.format_string(f"{measure} {op} {threshold}: %s", c.cast("string"))
     )
+
+
+def match_stat_target(target: str, name: str) -> bool:
+    """StatReq target matching (wp-stats model/request.rs match_target +
+    dimension.rs StatTarget serde spellings): 'all' matches every rule,
+    'ignore' matches none, any other string is an EXACT item match.
+    '*' is accepted as an alias for 'all' (the glob spelling our
+    stat_specs default used before this parity pass)."""
+    if target in ("all", "*"):
+        return True
+    if target == "ignore":
+        return False
+    return target == name
