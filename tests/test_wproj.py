@@ -16,7 +16,7 @@ def test_init_check_round_trip(tmp_path, capsys):
     assert main(["init", "-w", root, "--mode", "full"]) == 0
     assert main(["check", "-w", root]) == 0
     out = capsys.readouterr().out
-    assert "5/5 ok" in out
+    assert "7/7 ok" in out  # full mode adds the two connector templates
     # idempotent: re-init never clobbers, check still green
     assert main(["init", "-w", root, "--mode", "full"]) == 0
     assert "wrote 0 files" in capsys.readouterr().out
@@ -295,3 +295,25 @@ def test_check_connectors_item(tmp_path, capsys):
     )
     assert main(["check", "-w", str(root), "--what", "connectors",
                  "--only-fail"]) == 1
+
+
+def test_init_modes_prj_scope(tmp_path, capsys):
+    """wp-proj project/init.rs PrjScope: only FULL writes the connector
+    templates (test_init_mode_enable_connector); model/conf/data write
+    their own slice only; an unknown mode errors with 'not init mode'
+    (test_init_mode_from_str)."""
+    import os
+
+    for mode, want_conn, want_model, want_conf in [
+        ("full", True, True, True),
+        ("model", False, True, False),
+        ("conf", False, False, True),
+        ("data", False, False, False),
+    ]:
+        root = str(tmp_path / mode)
+        assert main(["init", "-w", root, "--mode", mode]) == 0
+        assert os.path.exists(os.path.join(root, "connectors")) == want_conn, mode
+        assert os.path.exists(os.path.join(root, "oml", "demo.oml")) == want_model, mode
+        assert os.path.exists(os.path.join(root, "conf", "wparse.toml")) == want_conf, mode
+    assert main(["init", "-w", str(tmp_path / "x"), "--mode", "invalid"]) == 2
+    assert "not init mode" in capsys.readouterr().err

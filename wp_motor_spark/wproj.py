@@ -59,7 +59,32 @@ path = "./out/data"
 """
 
 
+_DEFAULT_SRC_CONNECTOR = """[[connectors]]
+id = "file_default_source"
+type = "file"
+allow_override = ["path"]
+[connectors.params]
+path = "./data/in.dat"
+"""
+
+_DEFAULT_SINK_CONNECTOR = """[[connectors]]
+id = "file_json_sink"
+type = "file"
+allow_override = ["base", "file", "path", "fmt"]
+[connectors.params]
+fmt = "json"
+base = "./data/out_dat"
+file = "default.dat"
+"""
+
+
 def cmd_init(root: str, mode: str) -> int:
+    # PrjScope (wp-proj project/init.rs): full|model|conf|data from the
+    # CLI; ONLY Full enables the connector templates
+    # (test_init_mode_enable_connector); model writes models only, conf
+    # the config only, data the data dirs only. "normal" is kept as a
+    # legacy alias of the conf+model+data+topology set (the reference's
+    # internal Normal variant, not parseable from its CLI).
     layout = {
         "conf": {"conf/wparse.toml": _DEFAULT_CONF},
         "model": {
@@ -71,16 +96,21 @@ def cmd_init(root: str, mode: str) -> int:
             "topology/sources/default.toml": _DEFAULT_SOURCE,
             "topology/sinks/default.toml": _DEFAULT_SINK,
         },
+        "connectors": {
+            "connectors/source.d/file_default.toml": _DEFAULT_SRC_CONNECTOR,
+            "connectors/sink.d/file_json_sink.toml": _DEFAULT_SINK_CONNECTOR,
+        },
     }
     groups = {
         "conf": ["conf"],
         "model": ["model"],
         "data": ["data"],
         "normal": ["conf", "model", "data", "topology"],
-        "full": ["conf", "model", "data", "topology"],
+        "full": ["conf", "model", "data", "topology", "connectors"],
     }.get(mode)
     if groups is None:
-        print(f"wproj init: unknown mode {mode!r}", file=sys.stderr)
+        # init.rs test_init_mode_from_str pins the error wording
+        print(f"wproj init: {mode!r} not init mode", file=sys.stderr)
         return 2
     written = 0
     for g in groups:
