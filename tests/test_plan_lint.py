@@ -67,6 +67,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "unimax_weights": {"NESTED_LOOP"},  # broadcast ONE-row
         #   (cap_sum, k_free) water-filling aggregate over the tiny
         #   |languages| frame
+        "kneser_ney_ppl": {"NESTED_LOOP"},  # broadcast ONE-row T
+        #   (distinct bigram types) total, same shape as stupid_backoff
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -739,3 +739,36 @@ def test_coverage_select_matches_exact_greedy(spark, sf001_dir, docs):
         picked.add(-negd)
         covered |= sets[-negd]
     assert got == want, (got, want)
+
+
+def test_kcenter_select_matches_exact_greedy(spark, sf001_dir, emb):
+    """kcenter_select gate (rows-only — iterative): the distributed
+    farthest-point greedy must reproduce the EXACT python sequence
+    (max-norm seed, dist-desc / id-asc tiebreak, euclidean)."""
+    import numpy as np
+
+    from wp_motor_spark.operators.similarity import kcenter_greedy
+
+    got = [
+        (r.rank, r.id, r.dist)
+        for r in kcenter_greedy(emb, k=6).orderBy("rank").collect()
+    ]
+    rows = spark.read.parquet(f"{sf001_dir}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    norms = (V * V).sum(1)
+    order = sorted(range(len(ids)), key=lambda i: (-norms[i], ids[i]))
+    seed = order[0]
+    want = [(1, int(ids[seed]), 0.0)]
+    active = np.ones(len(ids), bool)
+    active[seed] = False
+    mind = np.sqrt(((V - V[seed]) ** 2).sum(1))
+    for rank in range(2, 7):
+        cand = sorted(
+            (-mind[i], ids[i], i) for i in range(len(ids)) if active[i]
+        )
+        _, _, j = cand[0]
+        want.append((rank, int(ids[j]), round(float(mind[j]), 6)))
+        active[j] = False
+        mind = np.minimum(mind, np.sqrt(((V - V[j]) ** 2).sum(1)))
+    assert got == want

@@ -100,6 +100,11 @@ DEFAULT_QUERIES = [
     "c4_filters",
     "unimax_weights",
     "domain_blocklist_filter",
+    # r12 batch 3: bigram-keyed KN count joins, sort-based 2D skyline,
+    # k map-only farthest-point rounds
+    "kneser_ney_ppl",
+    "pareto_frontier",
+    "kcenter_select",
 ]
 
 SF_DIRS = [

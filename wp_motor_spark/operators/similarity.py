@@ -796,3 +796,65 @@ def jl_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def kcenter_greedy(
+    emb_df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point (k-center) greedy core-set selection (Gonzalez 1985
+    2-approximation; the diversity core-set of Sener & Savarese 2018
+    "Active Learning for CNNs: A Core-Set Approach"): seed with the
+    max-norm vector (id ascending breaks ties), then repeatedly pick the
+    point FARTHEST from its nearest already-picked center. Returns
+    (rank, id, dist) — dist is the euclidean distance to the nearest
+    prior center (0 for the seed).
+
+    Scale shape: the candidate frame carries ONE running min-distance
+    scalar per row; each of the k rounds is a map-only distance update
+    against the single broadcast new center plus a 1-row argmax collect
+    — no pairwise matrix ever materializes (FLOPs k·n·d vs the n²d of
+    exact pairwise). localCheckpoint per round keeps lineage flat, the
+    same loop discipline as coverage_select_greedy / pagerank."""
+    spark = emb_df.sparkSession
+    base = emb_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).where(F.col(vec_col).isNotNull())
+
+    def dist_to(center_vec):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    norm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    seed = (
+        base.select("id", "v", norm.alias("n"))
+        .orderBy(F.desc("n"), F.asc("id"))
+        .first()
+    )
+    picks = [(1, int(seed["id"]), 0.0)]
+    cur = base.where(F.col("id") != int(seed["id"])).withColumn(
+        "min_dist", dist_to(seed["v"])
+    ).localCheckpoint()
+    for rank in range(2, k + 1):
+        far = cur.orderBy(F.desc("min_dist"), F.asc("id")).first()
+        if far is None:
+            break
+        picks.append((rank, int(far["id"]), float(far["min_dist"])))
+        cur = (
+            cur.where(F.col("id") != int(far["id"]))
+            .withColumn("min_dist", F.least("min_dist", dist_to(far["v"])))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        [(r, i, round(d, 6)) for r, i, d in picks], "rank int, id long, dist double"
+    )
