@@ -29,7 +29,8 @@ def test_windowed_counts(spark):
     rows = {(str(r["window_start"]), r["kind"]): r for r in out.collect()}
     r = rows[("2024-01-01 00:00:00", "a")]
     assert r["total"] == 40
-    assert r["suc_rate"] == round(r["success"] / r["total"], 4)
+    # percent, not fraction (measure.rs test_suc_rate_normal: 7/10 -> 70.0)
+    assert r["suc_rate"] == round(r["success"] / r["total"] * 100, 4)
     assert r["speed"] == round(r["total"] / 60, 4)
 
 

@@ -791,6 +791,40 @@ def main() -> None:
         "(gain desc, doc_id asc tiebreak) over the same bigram sets",
     }
 
+    # --- kcenter_select: exact agreement with the python farthest-point
+    # greedy (Gonzalez 1985; max-norm seed, dist-desc/id-asc tiebreak) ---
+    import numpy as np
+
+    from wp_motor_spark.operators.similarity import kcenter_greedy
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got_kc = [
+        (r.rank, r.id, r.dist)
+        for r in kcenter_greedy(emb_df, k=8).orderBy("rank").collect()
+    ]
+    erows = emb_df.collect()
+    eids = np.array([r.vec_id for r in erows])
+    EV = np.array([list(r.embedding) for r in erows], dtype=np.float64)
+    norms = (EV * EV).sum(1)
+    seed_i = sorted(range(len(eids)), key=lambda i: (-norms[i], eids[i]))[0]
+    want_kc = [(1, int(eids[seed_i]), 0.0)]
+    active = np.ones(len(eids), bool)
+    active[seed_i] = False
+    mind = np.sqrt(((EV - EV[seed_i]) ** 2).sum(1))
+    for rank in range(2, 9):
+        cand = sorted((-mind[i], eids[i], i) for i in range(len(eids)) if active[i])
+        _, _, j = cand[0]
+        want_kc.append((rank, int(eids[j]), round(float(mind[j]), 6)))
+        active[j] = False
+        mind = np.minimum(mind, np.sqrt(((EV - EV[j]) ** 2).sum(1)))
+    report["gates"]["kcenter_select"] = {
+        "metric": "exact_greedy_sequence_agreement",
+        "value": bool(got_kc == want_kc),
+        "picks": got_kc,
+        "gate": "distributed farthest-point greedy reproduces the exact "
+        "python sequence (max-norm seed, dist desc / id asc tiebreak)",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -61,7 +61,9 @@ def windowed_counts(
             *dims,
             "total",
             "success",
-            F.round(F.col("success") / F.col("total"), 4).alias("suc_rate"),
+            # suc_rate is a PERCENT (measure.rs suc_rate: suc/total*100,
+            # test_suc_rate_normal pins 7/10 -> 70.0)
+            F.round(F.col("success") / F.col("total") * 100, 4).alias("suc_rate"),
             F.round(F.col("total") / F.lit(window_sec), 4).alias("speed"),
         )
     )
@@ -108,7 +110,9 @@ def streaming_windowed_counts(
             *dims,
             "total",
             "success",
-            F.round(F.col("success") / F.col("total"), 4).alias("suc_rate"),
+            # suc_rate is a PERCENT (measure.rs suc_rate: suc/total*100,
+            # test_suc_rate_normal pins 7/10 -> 70.0)
+            F.round(F.col("success") / F.col("total") * 100, 4).alias("suc_rate"),
             F.round(F.col("total") / F.lit(window_sec), 4).alias("speed"),
         )
     )

@@ -437,7 +437,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS total,
        COUNT(*) FILTER (WHERE value > 5.0) AS success,
-       ROUND(CAST(COUNT(*) FILTER (WHERE value > 5.0) AS DOUBLE) / COUNT(*), 4) AS suc_rate,
+       ROUND(CAST(COUNT(*) FILTER (WHERE value > 5.0) AS DOUBLE) / COUNT(*) * 100, 4) AS suc_rate,
        ROUND(CAST(COUNT(*) AS DOUBLE) / 3600, 4) AS speed
 FROM events
 GROUP BY 1, 2, 3
