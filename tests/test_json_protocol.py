@@ -458,3 +458,26 @@ def test_json_11_array_of_json(spark):
         F.try_variant_get(F.col("event_detail.v"), "$[0].alert_id", "string").alias("aid")
     ).first()
     assert r2["aid"] == "94882787-9505-49d4-9024-20DC93AF579B"
+
+
+def test_json_scope_shapes_escaped_rs(spark):
+    """wp-parser scope/escaped.rs (EscapedScopeEval, 19 tests): the json
+    field spans braces INSIDE quoted strings, deep nesting, and the
+    empty scope exactly like the reference's quote-aware scope finder.
+    Known divergence (PROFILE.md r12 A/B): two top-level objects on one
+    line — the reference takes the FIRST scope and leaves residue; the
+    greedy span fails validity and misses (the balanced-regex fix
+    StackOverflows the JVM regex engine on large JSON)."""
+    for line, want in [
+        ('{ "a" : "} hello {" }', {"a": "} hello {"}),
+        ('{ "a" : 123 , "b": { "x" : { "y" :1 }} }', {"a": "123", "b/x/y": "1"}),
+        ("{}", {}),
+    ]:
+        r = _one(spark, "rule t { (json) }", line)
+        assert r["_disposition"] == "success", line
+        assert dict(r["json"] or {}) == want, line
+    # the documented divergence case: both engines end at miss for this
+    # input (reference: first scope + >20% residue; ours: greedy span
+    # fails serde validity)
+    r = _one(spark, "rule t { (json) }", '{ "a" : 123 } {"b" : 234 }')
+    assert r["_disposition"] == "miss"
