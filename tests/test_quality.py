@@ -772,3 +772,73 @@ def test_kcenter_select_matches_exact_greedy(spark, sf001_dir, emb):
         active[j] = False
         mind = np.minimum(mind, np.sqrt(((V - V[j]) ** 2).sum(1)))
     assert got == want
+
+
+def _python_bursts(sf_dir):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select event_type, ts, event_id from read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    byk = defaultdict(list)
+    d10 = datetime.datetime(2024, 1, 10)
+    d15 = datetime.datetime(2024, 1, 15)
+    for et, ts, eid in rows:
+        if d10 <= ts < d15:
+            us = int((ts - d10) / datetime.timedelta(microseconds=1))
+            ts = d10 + datetime.timedelta(microseconds=us // 20)
+        byk[et].append((ts, eid))
+    s_mult, gamma = 4.0, 1.0
+    want = []
+    for et in sorted(byk):
+        xs = sorted(byk[et])
+        g = [(xs[i][0] - xs[i - 1][0]).total_seconds() for i in range(1, len(xs))]
+        if not g:
+            continue
+        mg = sum(g) / len(g)
+        tr = gamma * math.log(len(g))
+        c0, c1, bk = 0.0, float("inf"), []
+        for x in g:
+            n0 = min(c0, c1) + (x / mg) - math.log(1.0 / mg)
+            n1 = min(c0 + tr, c1) + (s_mult * x / mg) - math.log(s_mult / mg)
+            bk.append((c0 <= c1, c1 <= c0 + tr))
+            c0, c1 = n0, n1
+        inb = c1 < c0
+        states = []
+        for p0, p1 in reversed(bk):
+            states.append(inb)
+            inb = p1 if inb else (not p0)
+        states.reverse()
+        i = 0
+        while i < len(states):
+            if states[i]:
+                j = i
+                while j + 1 < len(states) and states[j + 1]:
+                    j += 1
+                want.append((et, str(xs[i][0]), str(xs[j + 1][0]), j - i + 2))
+                i = j + 1
+            i += 1
+    want.sort(key=lambda t: (t[0], t[1]))
+    return want
+
+
+def test_burst_detection_matches_exact_viterbi(spark, sf001_dir):
+    """burst_detection gate (rows-only — sequential Viterbi): the HOF
+    fold + backtrack must reproduce the EXACT python two-state Kleinberg
+    Viterbi over the same deterministically-compressed stream, and the
+    bursts must land at the embedded day-10 block."""
+    from wp_motor_spark.queries import burst_detection
+
+    got = [
+        (r.event_type, str(r.burst_start), str(r.burst_end), r.n_events)
+        for r in burst_detection(spark, sf001_dir).collect()
+    ]
+    want = _python_bursts(sf001_dir)
+    assert got == want
+    assert len(got) >= 5
+    assert sum(1 for b in got if b[1][:7] == "2024-01") == len(got)

@@ -825,6 +825,26 @@ def main() -> None:
         "python sequence (max-norm seed, dist desc / id asc tiebreak)",
     }
 
+    # --- burst_detection: exact agreement with the python two-state
+    # Kleinberg Viterbi over the same compressed stream ---
+    import importlib
+
+    tq = importlib.import_module("tests.test_quality")
+    from wp_motor_spark.queries import burst_detection
+
+    got_b = [
+        (r.event_type, str(r.burst_start), str(r.burst_end), r.n_events)
+        for r in burst_detection(spark, sf_dir).collect()
+    ]
+    want_b = tq._python_bursts(sf_dir)
+    report["gates"]["burst_detection"] = {
+        "metric": "exact_viterbi_agreement",
+        "value": bool(got_b == want_b and len(got_b) >= 5),
+        "n_bursts": len(got_b),
+        "gate": "HOF Viterbi fold + backtrack reproduces the exact python "
+        "two-state Kleinberg segmentation; bursts land at the embedded block",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

@@ -105,6 +105,8 @@ DEFAULT_QUERIES = [
     "kneser_ney_ppl",
     "pareto_frontier",
     "kcenter_select",
+    # r12 batch 4: per-key sorted collect + HOF Viterbi fold
+    "burst_detection",
 ]
 
 SF_DIRS = [
