@@ -105,8 +105,10 @@ DEFAULT_QUERIES = [
     "kneser_ney_ppl",
     "pareto_frontier",
     "kcenter_select",
-    # r12 batch 4: per-key sorted collect + HOF Viterbi fold
+    # r12 batch 4: per-key sorted collect + HOF Viterbi fold; two-phase
+    # rank + rank-delta equi-join pairing
     "burst_detection",
+    "snm_candidate_pairs",
 ]
 
 SF_DIRS = [

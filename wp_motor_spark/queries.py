@@ -7295,6 +7295,98 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "burst_start")
 
 
+
+
+def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (Hernandez & Stolfo
+    1995, "The Merge/Purge Problem"): sort the corpus by a blocking key
+    (the 12-char normalized text prefix), slide a window of w=4 and emit
+    every candidate pair inside the window with its rank distance and a
+    same-key flag — the classic dedup/blocking alternative to hash
+    blocking when near-keys must still meet.
+
+    Scale shape: the global rank is the standard TWO-PHASE ranking —
+    per-bucket row_number (coarse order-preserving bucket = first key
+    char) plus broadcast cumulative bucket offsets — so no
+    single-partition window ever runs; pairing is an EQUI-join on
+    rank+delta with delta exploded 1..w-1 (bounded fan-out). The oracle
+    computes the identical ranking with one ROW_NUMBER (fine at oracle
+    scale; the two-phase plan is the 100 TB shape, not a semantics
+    change)."""
+    w = 4
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("bkey"),
+    )
+    b = keyed.withColumn("bkt", F.substring("bkey", 1, 1))
+    counts = (
+        b.groupBy("bkt").count().orderBy("bkt")
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    ranked = (
+        b.join(F.broadcast(counts), "bkt")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy("bkey", "doc_id")
+            )
+            + F.col("offset"),
+        )
+        .select("rank", "doc_id", "bkey")
+    )
+    right = ranked.select(
+        F.col("rank").alias("b_rank"),
+        F.col("doc_id").alias("b_id"),
+        F.col("bkey").alias("b_key"),
+    )
+    pairs = (
+        ranked.select(
+            "rank",
+            F.col("doc_id").alias("a_id"),
+            F.col("bkey").alias("a_key"),
+            F.explode(F.sequence(F.lit(1), F.lit(w - 1))).alias("delta"),
+        )
+        .withColumn("b_rank", F.col("rank") + F.col("delta"))
+        .join(right, "b_rank")
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.col("delta").alias("rank_distance"),
+        (F.col("a_key") == F.col("b_key")).alias("same_key"),
+    ).orderBy("a_id", "b_id")
+
+
+SNM_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, substring(lower(trim(text)), 1, 12) AS bkey
+  FROM documents
+), ranked AS (
+  SELECT doc_id, bkey,
+         ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rank
+  FROM keyed
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(b.rank - a.rank AS INT) AS rank_distance,
+       a.bkey = b.bkey AS same_key
+FROM ranked a JOIN ranked b
+  ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r12: leads are the 7 r11-new operators (never
@@ -7463,4 +7555,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pareto_frontier": (pareto_frontier, PARETO_SQL),
     "kcenter_select": (kcenter_select, None),
     "burst_detection": (burst_detection, None),
+    "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
 }
