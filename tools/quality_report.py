@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_r6.json"
+    # default to a non-round-numbered scratch name: an argument-less run
+    # must never clobber a committed round artifact (QUALITY_r6 was once
+    # overwritten exactly this way)
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "QUALITY_latest.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     import duckdb
