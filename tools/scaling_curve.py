@@ -109,6 +109,9 @@ DEFAULT_QUERIES = [
     # rank + rank-delta equi-join pairing
     "burst_detection",
     "snm_candidate_pairs",
+    # r12 batch 5: map-only HRW hashing; one source-keyed robust rollup
+    "rendezvous_shards",
+    "robust_source_stats",
 ]
 
 SF_DIRS = [

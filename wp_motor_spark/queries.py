@@ -7337,6 +7337,175 @@ ORDER BY a_id, b_id
 """
 
 
+
+
+def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998, "Using Name-Based Mappings to Increase Hit Rates"):
+    each doc hashes against EVERY shard id and takes the max-weight shard
+    — the consistent-placement scheme where resizing from n to n+1
+    shards moves only ~1/(n+1) of the keys (the property plain
+    `hash % n` lacks, and why training-shard layouts use it for
+    incremental re-sharding). Assigns 8 shards and also reports the
+    would-be shard at 9 to expose the stability: `moved` must be true
+    for only ~1/9 of docs. Weights come from md5 (engine-portable, the
+    weighted_sample_aes discipline).
+
+    Scale shape: MAP-ONLY — an 8-element (then 9-element) literal shard
+    array per row, HOF max over md5 weights inside whole-stage codegen;
+    no shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def best_shard(n: int):
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.struct(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("doc_id").cast("string"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("w"),
+                i.alias("shard"),
+            ),
+        )
+        return F.array_max(weights)["shard"].cast("int")
+
+    out = docs.select(
+        "doc_id",
+        best_shard(8).alias("shard8"),
+        best_shard(9).alias("shard9"),
+    )
+    return out.select(
+        "doc_id",
+        "shard8",
+        "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+    ).orderBy("doc_id")
+
+
+RENDEZVOUS_SQL = r"""
+WITH w8 AS (
+  SELECT doc_id, i AS shard,
+         substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 16) AS w
+  FROM documents, UNNEST(range(0, 8)) AS t(i)
+), b8 AS (
+  SELECT doc_id, CAST(arg_max(shard, w) AS INT) AS shard8 FROM w8 GROUP BY doc_id
+), w9 AS (
+  SELECT doc_id, i AS shard,
+         substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 16) AS w
+  FROM documents, UNNEST(range(0, 9)) AS t(i)
+), b9 AS (
+  SELECT doc_id, CAST(arg_max(shard, w) AS INT) AS shard9 FROM w9 GROUP BY doc_id
+)
+SELECT b8.doc_id AS doc_id, shard8, shard9, shard8 != shard9 AS moved
+FROM b8 JOIN b9 ON b8.doc_id = b9.doc_id
+ORDER BY doc_id
+"""
+
+
+def robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source quality aggregation (classic robust statistics:
+    10%-trimmed mean, median, MAD — Hampel/Huber; the aggregation a
+    curation dashboard uses so a handful of pathological documents can't
+    swing a source's quality read the way a plain mean does). The
+    quality proxy is lexical diversity (distinct tokens / tokens).
+
+    Scale shape: ONE source-keyed shuffle; the trim and MAD work on each
+    source's sorted value array (per-source arrays are bounded by source
+    cardinality design — the same bound every per-source rollup here
+    carries); all HOF arithmetic, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    from wp_motor_spark.operators import text
+
+    toks = text.tokens(F.col("text"))
+    q = docs.select(
+        "source",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q"),
+    )
+    arr = q.groupBy("source").agg(F.sort_array(F.collect_list("q")).alias("xs"))
+    n = F.size("xs")
+    k = F.floor(n * F.lit(0.1)).cast("int")
+    trimmed = F.slice("xs", k + 1, n - 2 * k)
+    med = F.when(
+        n % 2 == 1, F.element_at("xs", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("xs", (n / 2).cast("int"))
+            + F.element_at("xs", (n / 2).cast("int") + 1)
+        )
+        / 2
+    )
+    out = arr.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.round(
+            F.aggregate(trimmed, F.lit(0.0), lambda a, x: a + x)
+            / F.size(trimmed),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(med, 6).alias("median"),
+        "xs",
+        med.alias("__med"),
+    )
+    devs = F.sort_array(
+        F.transform(F.col("xs"), lambda x: F.abs(x - F.col("__med")))
+    )
+    dn = F.size(devs)
+    mad = F.when(
+        dn % 2 == 1, F.element_at(devs, ((dn + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(devs, (dn / 2).cast("int"))
+            + F.element_at(devs, (dn / 2).cast("int") + 1)
+        )
+        / 2
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "trimmed_mean",
+        "median",
+        F.round(mad, 6).alias("mad"),
+    ).orderBy("source")
+
+
+ROBUST_STATS_SQL = r"""
+WITH q AS (
+  SELECT source,
+         length(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+           * 1.0 / length(string_split_regex(trim(lower(text)), '\s+')) AS q
+  FROM documents
+), arr AS (
+  SELECT source, list_sort(list(q)) AS xs FROM q GROUP BY source
+), med AS (
+  SELECT source, xs, length(xs) AS n,
+    CASE WHEN length(xs) % 2 = 1 THEN xs[(length(xs) + 1) // 2]
+         ELSE (xs[length(xs) // 2] + xs[length(xs) // 2 + 1]) / 2 END AS median
+  FROM arr
+), trimmed AS (
+  SELECT source, n, median, xs,
+    list_slice(xs, CAST(floor(n * 0.1) AS INT) + 1,
+               n - CAST(floor(n * 0.1) AS INT)) AS tx
+  FROM med
+), devs AS (
+  SELECT source, n, median, tx,
+    list_sort(list_transform(xs, x -> abs(x - median))) AS dv
+  FROM trimmed
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  ROUND(list_aggregate(tx, 'sum') / length(tx), 6) AS trimmed_mean,
+  ROUND(median, 6) AS median,
+  ROUND(CASE WHEN length(dv) % 2 = 1 THEN dv[(length(dv) + 1) // 2]
+             ELSE (dv[length(dv) // 2] + dv[length(dv) // 2 + 1]) / 2 END,
+        6) AS mad
+FROM devs ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r12: leads are the 7 r11-new operators (never
@@ -7506,4 +7675,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kcenter_select": (kcenter_select, None),
     "burst_detection": (burst_detection, None),
     "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
+    "rendezvous_shards": (rendezvous_shards, RENDEZVOUS_SQL),
+    "robust_source_stats": (robust_source_stats, ROBUST_STATS_SQL),
 }
