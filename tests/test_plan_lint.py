@@ -48,8 +48,17 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "bigram_pmi": {"NESTED_LOOP"},        # broadcast ONE-row totals agg
         "domain_temperature_mix": {"NESTED_LOOP"},  # broadcast ONE-row z/total agg
         "domain_kl": {"NESTED_LOOP"},         # broadcast ONE-row totals agg
-        "bm25_search": {"NESTED_LOOP"},       # broadcast ONE-row stats agg
-        "hybrid_search": {"NESTED_LOOP"},     # broadcast stats + query set
+        "bm25_search": {"NESTED_LOOP", "BCAST_GROWING"},
+        #   NESTED_LOOP: broadcast ONE-row stats agg. BCAST_GROWING is a
+        #   lint false positive here: dfreq groups by `term`, but the
+        #   token stream was pre-filtered to the LITERAL 3-term query
+        #   set map-side, so the df table is |query terms| rows — the
+        #   lint can't see through the literal isin() filter.
+        "hybrid_search": {"NESTED_LOOP", "BCAST_GROWING"},
+        #   NESTED_LOOP: broadcast stats + query set. BCAST_GROWING
+        #   false positive: dfreq derives from tf AFTER the broadcast
+        #   semi-join against the 5 query docs' term set, so it is
+        #   bounded by the query vocabulary, not the corpus vocabulary.
         "q22_dormant_customers": {"NESTED_LOOP"},  # broadcast ONE-row AVG
         "dsir_weights": {"NESTED_LOOP"},      # broadcast ONE-row totals agg
         "stupid_backoff_ppl": {"NESTED_LOOP"},  # broadcast ONE-row N total

@@ -652,9 +652,10 @@ def test_cdc_chunking_short_docs_single_chunk(spark, tmp_path):
 
 def test_ewma_batch_exact_recurrence(spark, sf001_dir):
     """ewma_anomaly_batch gate (rows-only — DuckDB 1.0.0 reduce()
-    mis-evaluates struct accumulators, so no SQL oracle): the F.aggregate
-    fold must agree EXACTLY with a driver-side python recompute of the
-    Hunter EWMA recurrence, the same discipline as the streaming gate."""
+    mis-evaluates struct accumulators, so no SQL oracle): the
+    applyInPandas linear fold must agree EXACTLY with a driver-side
+    python recompute of the Hunter EWMA recurrence, the same discipline
+    as the streaming gate."""
     from wp_motor_spark.queries import ewma_anomaly_batch
 
     got = {

@@ -22,6 +22,15 @@ Checks:
   WIDE_SHUFFLE  Exchange carrying a text/binary column — document
                 payloads moving through a shuffle; shuffle digests/ids
                 instead.
+  BCAST_GROWING an explicit broadcast HINT on a subtree that explodes
+                document/event content and then group-aggregates it
+                without a LIMIT cap or a one-row global aggregate — a
+                token/n-gram model table whose row count GROWS with the
+                corpus (Heaps' law), over the broadcast ceiling at
+                100 TB. Drop the hint (AQE broadcasts when actually
+                small) or cap the table (top-K + OOV, the vocab_oov
+                pattern). Detected on the ANALYZED logical plan, where
+                ResolvedHint nodes are still visible.
 """
 
 from __future__ import annotations
@@ -33,9 +42,72 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _tree_indent(line: str) -> int:
+    """Depth of a logical-plan tree line: length of its ':  '/'+- '
+    drawing prefix."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _broadcast_growing(analyzed: str) -> list[str]:
+    """ResolvedHint(broadcast) subtrees that build a grow-with-corpus
+    model table: the subtree EXPLODES content (Generate explode/
+    posexplode — token/n-gram streams) and re-aggregates it by key
+    (grouped Aggregate), with no GlobalLimit cap and no one-row global
+    Aggregate on top. Returns a sketch of each offending subtree head."""
+    lines = analyzed.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        ind = _tree_indent(ln)
+        sub: list[str] = []
+        for nxt in lines[i + 1:]:
+            if _tree_indent(nxt) <= ind and nxt.strip():
+                break
+            sub.append(nxt)
+        text = "\n".join(sub)
+        if not re.search(r"Generate (pos)?explode", text):
+            continue
+        if re.search(r"(Global|Local)Limit", text):
+            continue  # top-K capped — bounded by construction
+        # the TOPMOST Aggregate in the hinted subtree decides the
+        # broadcast's cardinality: a global one-row agg ('Aggregate
+        # [sum(...) AS n]', single list) is bounded no matter what
+        # feeds it; a grouped agg is unbounded ONLY when its grouping
+        # key is a token/n-gram-like column (Heaps' law) — grouping by
+        # source/label/bucket-id stays at that key's cardinality
+        for s in sub:
+            m = re.search(r"Aggregate \[([^\]]*)\](, \[)?", s)
+            if not m:
+                continue
+            if not m.group(2):
+                break  # global one-row aggregate — bounded
+            grouping = m.group(1)
+            if re.search(
+                r"\b(token|tok|term|w|w1|w2|w3|gram|ngram|bigram|trigram"
+                r"|shingle|word|suffix|sfx)#\d",
+                grouping,
+            ):
+                head = s.strip()
+                hits.append(head[:100])
+            break
+    return hits
+
+
 def lint(df) -> list[tuple[str, str]]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     out: list[tuple[str, str]] = []
+    for head in _broadcast_growing(qe.analyzed().toString()):
+        out.append(
+            ("BCAST_GROWING",
+             "broadcast hint on an exploded-and-regrouped (token/n-gram) "
+             f"table that grows with the corpus — drop the hint or cap "
+             f"with top-K [{head}]")
+        )
     if "CartesianProduct" in plan:
         out.append(("NESTED_LOOP", "CartesianProduct in plan — unkeyed join"))
     if "BroadcastNestedLoopJoin" in plan:

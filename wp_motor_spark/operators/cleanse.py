@@ -163,12 +163,15 @@ def host_suffixes(host: Column, max_labels: int = 6) -> Column:
     """All dot-suffix candidates of a host name ('a.b.example.com' ->
     ['a.b.example.com','b.example.com','example.com','com']) — the probe
     set for registrable-domain blocklist joins (UT1-style lists block a
-    domain AND every subdomain). Bounded by the label count, so the
-    explode fan-out is <= ``max_labels`` per row."""
+    domain AND every subdomain). The fan-out is capped at ``max_labels``
+    suffixes per row; when a host has more labels, the SHORTEST
+    ``max_labels`` suffixes are kept (blocklists list registrable
+    domains near the TLD, so it is the longest subdomain chains that
+    are safely droppable)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     return F.transform(
-        F.sequence(F.lit(0), n - 1),
+        F.sequence(F.greatest(F.lit(0), n - F.lit(max_labels)), n - 1),
         lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
     )
 

@@ -126,8 +126,11 @@ def tfidf_keywords(
     run-boundary trick as `top_tokens` — df rides the first-occurrence
     flags, no second aggregation); per-doc term counts ride an id-keyed
     aggregation of the same exploded rows; the idf join moves (token, df)
-    pairs — |vocab| rows, broadcastable. Ranking is a per-doc window over
-    candidate terms only.
+    pairs with NO broadcast hint — a whitespace-token vocab grows under
+    Heaps' law (1e8-1e9 distinct tokens at 100 TB), so the join must be
+    able to shuffle on token; AQE broadcasts it at runtime when the df
+    table is actually small. Ranking is a per-doc window over candidate
+    terms only.
     """
     from pyspark.sql import Window
 
@@ -156,7 +159,7 @@ def tfidf_keywords(
     tf = exploded.groupBy("__id", "token").agg(
         F.count(F.lit(1)).alias("tf"), F.first("__len").alias("__len")
     )
-    scored = tf.join(F.broadcast(dfreq), "token").select(
+    scored = tf.join(dfreq, "token").select(
         "__id",
         "token",
         F.round(
@@ -197,8 +200,10 @@ def doc_information(
     Plan: entropy is computed entirely map-side from the per-doc sorted
     run-lengths (one id-keyed aggregation of (id, tf) rows); surprisal
     needs the corpus model — ONE token-keyed count (map-side combined)
-    broadcast back onto the same (id, token, tf) rows. Two shuffles
-    total, text never moves after tokenization.
+    joined back onto the same (id, token, tf) rows WITHOUT a broadcast
+    hint (Heaps' law keeps a raw-text vocab growing; AQE broadcasts at
+    runtime when actually small). Two shuffles total, text never moves
+    after tokenization.
     """
     from pyspark.sql import Window
 
@@ -225,7 +230,7 @@ def doc_information(
     )
     corpus = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = exploded.count()
-    scored = tf.join(F.broadcast(corpus), "token").select(
+    scored = tf.join(corpus, "token").select(
         "__id",
         "tf",
         "__len",

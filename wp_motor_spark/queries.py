@@ -3524,10 +3524,15 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle reproduces the number exactly.
 
     Scale shape: ONE bigram-keyed shuffle builds c(w1,w2); c(w1·) is a
-    rollup of those counts (|vocab| rows); the per-doc score joins the
-    exploded bigrams against the BROADCAST count tables — word-level
-    bigram vocabularies are bounded (~1e6-1e7 rows) regardless of corpus
-    size. Text never shuffles; only (doc_id, w1, w2) triples move."""
+    rollup of those counts; the per-doc score equi-joins the exploded
+    bigrams against the count tables with NO broadcast hint — over raw
+    web text the whitespace-token bigram TYPE count grows near-linearly
+    with the corpus (Heaps' law: URLs, ids, numbers), so at 100 TB the
+    model tables are tens of GB and must shuffle-join on (w1, w2) /
+    (w1). AQE still picks a broadcast join automatically whenever the
+    built table is in fact under the threshold (it is at test SFs), so
+    the small case loses nothing. Text never shuffles; only
+    (doc_id, w1, w2) triples move."""
     docs = _t(spark, sf_dir, "documents")
     bg = (
         docs.select("doc_id", text.tokens(F.col("text")).alias("a"))
@@ -3547,8 +3552,8 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctx"))
     return (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -3728,11 +3733,14 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bigrams seen ≥ 20 times — the classic phrase-mining signal
     (Church & Hanks 1990). Top 20 by PMI.
 
-    Scale shape: ONE bigram-keyed shuffle for c(a,b); unigram counts are
-    a rollup of bigram rows plus the tail word; totals are one-row aggs;
-    both count tables BROADCAST into the scoring join. Text never
-    shuffles — only (w1, w2, count) triples move; TakeOrderedAndProject
-    caps the result."""
+    Scale shape: ONE bigram-keyed shuffle for c(a,b); unigram counts
+    are a separate token-keyed rollup; totals are one-row broadcast
+    aggs. The scoring joins carry NO broadcast hint on the unigram
+    table — a raw-text vocab grows under Heaps' law (1e8-1e9 distinct
+    tokens at 100 TB), so the c≥20 frequent-bigram frame shuffle-joins
+    on w1/w2; AQE broadcasts the unigram side at runtime when actually
+    small. Text never shuffles — only (w1, w2, count) triples move;
+    TakeOrderedAndProject caps the result."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(text.tokens(F.col("text")).alias("a")).where(
         F.size("a") >= 2
@@ -3765,9 +3773,9 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c12.where(F.col("c") >= 20)
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
         .withColumnRenamed("cw", "c1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
         .withColumnRenamed("cw", "c2")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -4316,11 +4324,14 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE token-keyed shuffle builds BOTH models (conditional
     aggregation — c_raw and c_tgt in the same groupBy, no second pass);
     the smoothing totals fold in as a broadcast one-row frame (the
-    bigram_pmi pattern, no driver collect); the per-doc sum joins the
-    exploded tokens against the BROADCAST count table — word-level
-    vocabularies are bounded (~1e6-1e7 rows) regardless of corpus size,
-    and the (doc, token) stream never shuffles (doc-keyed agg is
-    map-side partial + one shuffle of per-doc partials)."""
+    bigram_pmi pattern, no driver collect); the per-doc sum equi-joins
+    the exploded tokens against the count table with NO broadcast hint
+    — a whitespace-token "vocab" over raw web text keeps growing under
+    Heaps' law (URLs, ids, numbers push it to 1e8-1e9 distinct tokens
+    at 100 TB), so the model join must be a shuffled hash join on `w`;
+    AQE broadcasts it at runtime when it is actually small (it is at
+    test SFs). The (doc, token) stream's own agg is map-side partial +
+    one shuffle of per-doc partials."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(text.tokens(F.col("text"))).alias("w")
@@ -4335,7 +4346,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("V"),
     )
     return (
-        toks.join(F.broadcast(cnt), "w")
+        toks.join(cnt, "w")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -5049,12 +5060,15 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: counts build from the training half in n-gram-keyed
     shuffles; scoring left-joins the exploded trigram stream against the
-    count tables — the TRIGRAM join stays a shuffled hash join (distinct
-    trigrams grow ~linearly with corpus size, so broadcasting c123 would
-    OOM at 100 TB), while the bigram/unigram tables (vocab-bounded,
-    ~1e6-1e8 rows) broadcast. Only (doc, w1, w2, w3) tuples move; the
-    doc text never shuffles. The one-row (N) frame is a broadcast cross
-    join."""
+    count tables with NO broadcast hints — distinct trigram AND bigram
+    types grow near-linearly with web-scale corpora, and even the
+    whitespace-token unigram "vocab" keeps growing under Heaps' law
+    (URLs, ids, numbers), so every model join is a shuffled hash join
+    on its n-gram key; AQE converts any side that is actually small
+    (all of them at test SFs) to a broadcast join at runtime. Only
+    (doc, w1, w2, w3) tuples move; the doc text never shuffles. The
+    one-row (N) frame stays an explicit broadcast cross join — it is
+    genuinely bounded at one row."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -5103,17 +5117,17 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tri.join(c123, ["w1", "w2", "w3"], "left")
         .join(
-            F.broadcast(c12),
+            c12,
             (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")),
             "left",
         )
         .join(
-            F.broadcast(c12.toDF("q2", "q3", "c23")),
+            c12.toDF("q2", "q3", "c23"),
             (F.col("w2") == F.col("q2")) & (F.col("w3") == F.col("q3")),
             "left",
         )
-        .join(F.broadcast(c1.toDF("u2", "c2")), F.col("w2") == F.col("u2"), "left")
-        .join(F.broadcast(c1.toDF("u3", "c3")), F.col("w3") == F.col("u3"), "left")
+        .join(c1.toDF("u2", "c2"), F.col("w2") == F.col("u2"), "left")
+        .join(c1.toDF("u3", "c3"), F.col("w3") == F.col("u3"), "left")
         .crossJoin(F.broadcast(n_tot))
     )
     s = (
@@ -6473,8 +6487,11 @@ def naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; round(…,4) absorbs log() ulp drift between engines.
 
     Scale shape: one (token, class) count shuffle builds the model; the
-    model is |vocab|-bounded and BROADCASTS back onto the token stream;
-    one doc-keyed partial-agg shuffle sums the log-odds. The class-prior
+    model joins back onto the token stream WITHOUT a broadcast hint — a
+    whitespace-token vocab over raw web text grows under Heaps' law
+    (1e8-1e9 distinct tokens at 100 TB), so the model join must be able
+    to shuffle; AQE broadcasts it at runtime when actually small. One
+    doc-keyed partial-agg shuffle sums the log-odds. The class-prior
     constant is a one-row broadcast (plan-lint ALLOWED)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -6505,7 +6522,7 @@ def naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prior")
     )
     scored = (
-        toks.join(F.broadcast(model), "tok")
+        toks.join(model, "tok")
         .groupBy("doc_id")
         .agg(F.sum("llr").alias("tok_llr"))
         .crossJoin(F.broadcast(prior))
@@ -6558,10 +6575,13 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-doc mean, then per-source mean) — deterministic and exactly
     replayable, where the paper's proxy-model loss is not.
 
-    Scale shape: one token-count shuffle builds the |vocab|-bounded
-    unigram LM (broadcast back), one doc-keyed shuffle for per-doc NLL,
-    a |sources|-row rollup, and one-row broadcasts for the corpus total
-    and the normalizer (plan-lint ALLOWED)."""
+    Scale shape: one token-count shuffle builds the unigram LM, which
+    joins back onto the token stream WITHOUT a broadcast hint (a
+    whitespace-token vocab grows under Heaps' law — 1e8-1e9 distinct
+    tokens at 100 TB; AQE broadcasts at runtime when actually small),
+    one doc-keyed shuffle for per-doc NLL, a |sources|-row rollup, and
+    one-row broadcasts for the corpus total and the normalizer
+    (plan-lint ALLOWED)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source",
@@ -6573,7 +6593,7 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", (-F.log(F.col("c") / F.col("n"))).alias("nll")
     )
     doc_loss = (
-        toks.join(F.broadcast(lm), "tok")
+        toks.join(lm, "tok")
         .groupBy("doc_id", "source")
         .agg(F.avg("nll").alias("doc_nll"))
     )
@@ -6650,65 +6670,52 @@ def ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     python recompute of the recurrence (tests/test_quality.py,
     QUALITY_r{N}), the same discipline as the streaming op's gate.
 
-    Scale shape: ONE key-shuffle (collect_list per event_type); the fold
-    is whole-stage-codegen HOF arithmetic. Per-key arrays bound memory
-    to the largest key's history — the STREAMING op with 3-scalar state
-    is the unbounded-history scale path; the batch twin exists for
-    backfills and the SCALING curve."""
+    Scale shape: ONE key-shuffle, then an Arrow-batched applyInPandas
+    per event_type — the recurrence is a linear numpy scan with O(1)
+    state per step and anomalies appended to a plain python list (the
+    burst_detection treatment: the previous F.aggregate fold grew its
+    accumulator via array concat, the measured-at-68x O(n^2) copying
+    pattern, and collect_list'd each key's whole history into one row).
+    Per-key memory is the key's history in ONE Arrow batch — fine for
+    backfills where a key's history fits an executor; the STREAMING op
+    with 3-scalar state is the unbounded-history scale path."""
     ev = _t(spark, sf_dir, "events")
     alpha, z_thresh, min_n = 0.1, 2.0, 10
-    zs_t = "array<struct<ts:timestamp,v:double,m:double,z:double>>"
-    xs = ev.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
-            )
-        ).alias("xs")
-    )
-    init = F.struct(
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0.0).alias("mean"),
-        F.lit(0.0).alias("var"),
-        F.array().cast(zs_t).alias("zs"),
-    )
 
-    def merge(acc, e):
-        v = e["v"]
-        d = v - acc["mean"]
-        z = d / F.sqrt(acc["var"])
-        hit = (acc["n"] >= min_n) & (acc["var"] > 0) & (F.abs(z) > z_thresh)
-        zs = F.when(
-            hit,
-            F.concat(
-                acc["zs"],
-                F.array(
-                    F.struct(
-                        e["ts"].alias("ts"),
-                        v.alias("v"),
-                        F.round(acc["mean"], 6).alias("m"),
-                        F.round(z, 4).alias("z"),
-                    )
-                ),
-            ),
-        ).otherwise(acc["zs"])
-        mean2 = F.when(acc["n"] == 0, v).otherwise(acc["mean"] + alpha * d)
-        var2 = F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
-            (1.0 - alpha) * (acc["var"] + alpha * d * d)
-        )
-        return F.struct(
-            (acc["n"] + 1).alias("n"),
-            mean2.alias("mean"),
-            var2.alias("var"),
-            zs.alias("zs"),
+    import math
+
+    import pandas as pd
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = pdf["ts"].to_numpy()
+        vs = pdf["value"].astype("float64").to_numpy()
+        et = pdf["event_type"].iloc[0]
+        n, mean, var = 0, 0.0, 0.0
+        rows = []
+        for i in range(len(vs)):
+            v = float(vs[i])
+            d = v - mean
+            if n >= min_n and var > 0:
+                z = d / math.sqrt(var)
+                if abs(z) > z_thresh:
+                    rows.append((et, ts[i], v, round(mean, 6), round(z, 4)))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                mean = mean + alpha * d
+                var = (1.0 - alpha) * (var + alpha * d * d)
+            n += 1
+        return pd.DataFrame(
+            rows, columns=["event_type", "ts", "value", "ewma_mean", "z"]
         )
 
-    folded = xs.select("event_type", F.aggregate("xs", init, merge).alias("st"))
-    return folded.select("event_type", F.explode("st.zs").alias("a")).select(
-        "event_type",
-        F.col("a.ts").alias("ts"),
-        F.col("a.v").alias("value"),
-        F.col("a.m").alias("ewma_mean"),
-        F.col("a.z").alias("z"),
+    return ev.select(
+        "event_type", "ts", "event_id", F.col("value").cast("double").alias("value")
+    ).groupBy("event_type").applyInPandas(
+        _ewma,
+        "event_type string, ts timestamp, value double, "
+        "ewma_mean double, z double",
     )
 
 
@@ -6978,10 +6985,13 @@ def kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: counts build from the training half in bigram-keyed
     partial-agg shuffles; scoring left-joins the exploded bigram stream
-    against the bigram count table (shuffled hash join — distinct
-    bigrams grow with the corpus, never broadcast) while the
-    vocab-bounded unigram/continuation tables broadcast. The one-row T
-    total is a broadcast cross join. Only (doc,w1,w2) tuples move."""
+    against the bigram count table AND the unigram/continuation tables
+    with NO broadcast hints — distinct bigram types grow with the
+    corpus, and even the whitespace-token unigram "vocab" keeps growing
+    under Heaps' law (1e8-1e9 distinct tokens at 100 TB), so all three
+    model joins are shuffled hash joins on their n-gram key; AQE
+    broadcasts any side that is actually small at runtime. The one-row
+    T total is a broadcast cross join. Only (doc,w1,w2) tuples move."""
     from wp_motor_spark.operators import text
 
     D = 0.75
@@ -7015,8 +7025,8 @@ def kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = bg.where(~F.col("train"))
     scored = (
         test.join(c12, ["w1", "w2"], "left")
-        .join(F.broadcast(c1), "w1", "left")
-        .join(F.broadcast(cont), "w2", "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
         .crossJoin(F.broadcast(t_total))
     )
     pcont = F.coalesce(F.col("n1p_bw"), F.lit(0)) / F.col("T")
@@ -7172,9 +7182,18 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     case: a 2-state min-plus PREFIX SCAN is associative but Spark has no
     scan HOF, and an aggregate() fold can only carry the backtrack bits
     by array concat, which is O(n^2) copying (measured superlinear at
-    68x wall on 10x data before this rewrite). Per-key memory is the
-    key's history — same bound as ewma_anomaly_batch; a streaming twin
-    would carry the 2-scalar state in applyInPandasWithState."""
+    68x wall on 10x data before this rewrite).
+
+    Per-key memory bound (stated 2026-08-16): ONE key's full history
+    lands in ONE Arrow batch — ~25 bytes/event in numpy, so a 1e9-event
+    key needs ~25 GB in a single task and this batch op tops out around
+    1e8 events/key on 32 GB executors. Beyond that, two-state Viterbi
+    is associative (min-plus products of 2x2 cost matrices + backtrack
+    bits), so a chunked scan per time-slice with a tiny driver-side
+    stitch is the scale-out path; it is NOT implemented here because
+    the gap costs gamma*ln(n) of the WHOLE key history, which any real
+    backfill shards by (key, day) first — and the streaming twin
+    carries 2-scalar state in applyInPandasWithState."""
     ev = _t(spark, sf_dir, "events")
     s_mult, gamma = 4.0, 1.0
     d10 = F.to_timestamp(F.lit("2024-01-10"))
@@ -7255,45 +7274,51 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-key flag — the classic dedup/blocking alternative to hash
     blocking when near-keys must still meet.
 
-    Scale shape: the global rank is the standard TWO-PHASE ranking —
-    per-bucket row_number (coarse order-preserving bucket = first key
-    char) plus broadcast cumulative bucket offsets — so no
-    single-partition window ever runs; pairing is an EQUI-join on
-    rank+delta with delta exploded 1..w-1 (bounded fan-out). The oracle
-    computes the identical ranking with one ROW_NUMBER (fine at oracle
-    scale; the two-phase plan is the 100 TB shape, not a semantics
-    change)."""
+    Scale shape: the global rank is the standard TWO-PHASE ranking on
+    RANGE partitions — repartitionByRange(bkey, doc_id) samples the key
+    distribution and splits it into balanced ordered ranges (so a
+    corpus where most texts start with "the " still spreads over all
+    partitions — the r12 1-char-bucket version funneled such skew
+    through ONE task), then per-partition row_number + broadcast
+    cumulative partition offsets (|partitions| rows, genuinely
+    bounded). Pairing is an EQUI-join on rank+delta with delta exploded
+    1..w-1 (bounded fan-out). The oracle computes the identical ranking
+    with one ROW_NUMBER (fine at oracle scale; the two-phase plan is
+    the 100 TB shape, not a semantics change)."""
     w = 4
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("bkey"),
     )
-    b = keyed.withColumn("bkt", F.substring("bkey", 1, 1))
-    counts = (
-        b.groupBy("bkt").count().orderBy("bkt")
+    loc = (
+        keyed.repartitionByRange("bkey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("bkey", "doc_id")
+            ),
+        )
+    )
+    offsets = (
+        loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "offset",
             F.coalesce(
-                F.sum("count").over(
-                    Window.orderBy("bkt").rowsBetween(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),
                 F.lit(0),
             ),
         )
-        .select("bkt", "offset")
+        .select("pid", "offset")
     )
     ranked = (
-        b.join(F.broadcast(counts), "bkt")
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("bkt").orderBy("bkey", "doc_id")
-            )
-            + F.col("offset"),
-        )
+        loc.join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("lr") + F.col("offset"))
         .select("rank", "doc_id", "bkey")
     )
     right = ranked.select(
@@ -7414,10 +7439,19 @@ def robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     swing a source's quality read the way a plain mean does). The
     quality proxy is lexical diversity (distinct tokens / tokens).
 
-    Scale shape: ONE source-keyed shuffle; the trim and MAD work on each
-    source's sorted value array (per-source arrays are bounded by source
-    cardinality design — the same bound every per-source rollup here
-    carries); all HOF arithmetic, no UDF."""
+    Scale shape: BOUNDED state throughout — the ccnet_buckets
+    exact-percentile pattern, twice. A (source, q) count HISTOGRAM (one
+    scalar buffer per distinct value) + a per-source cumulative window
+    over DISTINCT values gives each value-run its 1-based rank span
+    [lo+1, hi]; the median is the mean of the values at 0-based ranks
+    floor((n-1)/2) / ceil((n-1)/2) (one conditional max each), the
+    trimmed mean is a rank-bounded conditional agg (each run contributes
+    q x its overlap with [k+1, n-k]), and the MAD re-runs the same
+    rank selection on a second histogram of |q - median| after a
+    broadcast |sources|-row join. The r12 version collect_list'd ALL
+    per-doc values per source into one row — docs-per-source is
+    billions at 100 TB; this plan's only per-key state is one count per
+    DISTINCT value and every window sort spills. No UDF, no arrays."""
     docs = _t(spark, sf_dir, "documents")
     from wp_motor_spark.operators import text
 
@@ -7425,52 +7459,68 @@ def robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         "source",
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q"),
-    )
-    arr = q.groupBy("source").agg(F.sort_array(F.collect_list("q")).alias("xs"))
-    n = F.size("xs")
-    k = F.floor(n * F.lit(0.1)).cast("int")
-    trimmed = F.slice("xs", k + 1, n - 2 * k)
-    med = F.when(
-        n % 2 == 1, F.element_at("xs", ((n + 1) / 2).cast("int"))
-    ).otherwise(
-        (
-            F.element_at("xs", (n / 2).cast("int"))
-            + F.element_at("xs", (n / 2).cast("int") + 1)
+    ).where(F.col("q").isNotNull())
+
+    def _rank_spans(vals: DataFrame, col: str) -> DataFrame:
+        """(source, v, cnt, lo, hi, n): value-run rank spans per source."""
+        hist = vals.groupBy("source", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("source").orderBy(col)
+        cum = (
+            hist.withColumn("hi", F.sum("cnt").over(w))
+            .withColumn("lo", F.col("hi") - F.col("cnt"))
         )
-        / 2
-    )
-    out = arr.select(
-        "source",
-        n.cast("long").alias("n_docs"),
-        F.round(
-            F.aggregate(trimmed, F.lit(0.0), lambda a, x: a + x)
-            / F.size(trimmed),
-            6,
-        ).alias("trimmed_mean"),
-        F.round(med, 6).alias("median"),
-        "xs",
-        med.alias("__med"),
-    )
-    devs = F.sort_array(
-        F.transform(F.col("xs"), lambda x: F.abs(x - F.col("__med")))
-    )
-    dn = F.size(devs)
-    mad = F.when(
-        dn % 2 == 1, F.element_at(devs, ((dn + 1) / 2).cast("int"))
-    ).otherwise(
-        (
-            F.element_at(devs, (dn / 2).cast("int"))
-            + F.element_at(devs, (dn / 2).cast("int") + 1)
+        n = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+        return cum.join(F.broadcast(n), "source")
+
+    def _median_expr(col: str):
+        """Exact median via the two 0-based rank positions (odd n picks
+        the same value twice; even n averages the middle pair)."""
+        i1 = F.floor((F.col("n") - 1) / 2)
+        i2 = F.ceil((F.col("n") - 1) / 2)
+        v1 = F.max(
+            F.when((F.col("lo") <= i1) & (i1 < F.col("hi")), F.col(col))
         )
-        / 2
+        v2 = F.max(
+            F.when((F.col("lo") <= i2) & (i2 < F.col("hi")), F.col(col))
+        )
+        return (v1 + v2) / 2
+
+    spans = _rank_spans(q, "q")
+    k = F.floor(F.col("n") * F.lit(0.1))
+    # run [lo+1, hi] (1-based) overlapped with the kept band [k+1, n-k]
+    overlap = F.greatest(
+        F.least(F.col("hi"), F.col("n") - k)
+        - F.greatest(F.col("lo") + 1, k + 1)
+        + 1,
+        F.lit(0).cast("long"),
     )
-    return out.select(
-        "source",
-        "n_docs",
-        "trimmed_mean",
-        "median",
-        F.round(mad, 6).alias("mad"),
-    ).orderBy("source")
+    stats = spans.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        (
+            F.sum(F.col("q") * overlap.cast("double"))
+            / F.max(F.col("n") - 2 * k).cast("double")
+        ).alias("__tmean"),
+        _median_expr("q").alias("__med"),
+    )
+    devs = q.join(
+        F.broadcast(stats.select("source", "__med")), "source"
+    ).select("source", F.abs(F.col("q") - F.col("__med")).alias("d"))
+    mad = (
+        _rank_spans(devs, "d")
+        .groupBy("source")
+        .agg(_median_expr("d").alias("__mad"))
+    )
+    return (
+        stats.join(F.broadcast(mad), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("__tmean", 6).alias("trimmed_mean"),
+            F.round("__med", 6).alias("median"),
+            F.round("__mad", 6).alias("mad"),
+        )
+        .orderBy("source")
+    )
 
 
 ROBUST_STATS_SQL = r"""
@@ -7506,69 +7556,395 @@ FROM devs ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# NEW r13 operators (registry tail — lead the r14 window)
+# --------------------------------------------------------------------------
+
+
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the readability screen education-quality
+    corpus filters (e.g. FineWeb-Edu-style pipelines) run per document.
+    Syllables use the standard vowel-group heuristic (runs of [aeiouy],
+    min 1 per word); sentences split on [.!?]+ runs, blank segments
+    dropped, floor 1.
+
+    Scale shape: MAP-ONLY — tokenization, the per-word syllable fold,
+    and the sentence count are all HOF expressions inside whole-stage
+    codegen; no shuffle, no UDF, text never moves."""
+    docs = _t(spark, sf_dir, "documents")
+    words = text.tokens(F.col("text"))
+    n_words = F.size(words)
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: a
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+        ).cast("long"),
+    )
+    n_sent = F.greatest(
+        F.size(F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = syl.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("fre"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )
+
+
+FLESCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(a) AS n_words,
+    GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) != '')), 1) AS n_sentences,
+    list_sum(list_transform(a,
+      w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS n_syllables
+  FROM tok
+)
+SELECT doc_id, n_words, n_sentences, CAST(n_syllables AS BIGINT) AS n_syllables,
+  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+               - 84.6 * (n_syllables * 1.0 / n_words), 4) AS fre,
+  round(0.39 * (n_words * 1.0 / n_sentences)
+        + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 4) AS fk_grade
+FROM m
+"""
+
+
+def yule_k_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity characteristics per document: Yule's K (Yule
+    1944, "The Statistical Study of Literary Vocabulary": K = 1e4 *
+    (sum_t f_t^2 - N) / N^2 — repetitiveness that is length-robust,
+    unlike raw TTR) and Herdan's C (ln V / ln N). Low K + high C =
+    varied vocabulary; repetition loops and keyword-stuffed spam spike
+    K — the length-insensitive cousin of the `doc_repetition` screen.
+
+    Scale shape: one (doc_id, token) partial-agg shuffle builds the
+    per-doc frequency spectrum, one doc-keyed rollup closes it; sums
+    are exact integers until the final division. No model table, no
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("v_types"),
+            F.sum(F.col("c") * F.col("c")).alias("__s2"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "v_types",
+            F.round(
+                F.lit(1e4)
+                * (F.col("__s2") - F.col("n_tokens"))
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+                4,
+            ).alias("yule_k"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    F.log(F.col("v_types").cast("double"))
+                    / F.log(F.col("n_tokens").cast("double")),
+                    4,
+                ),
+            ).alias("herdan_c"),
+        )
+    )
+
+
+YULE_K_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok != ''
+  GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS v_types,
+         SUM(c * c) AS s2
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, v_types,
+  round(1e4 * (s2 - n_tokens) / CAST(n_tokens * n_tokens AS DOUBLE), 4)
+    AS yule_k,
+  CASE WHEN n_tokens > 1
+       THEN round(ln(CAST(v_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 4)
+  END AS herdan_c
+FROM agg
+"""
+
+
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting (He et al. 2024, "SoftDedup: an Efficient
+    Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of DELETING near-duplicates, down-weight
+    documents by their n-gram "commonness" — here the arithmetic mean
+    corpus frequency of the doc's word trigrams — so duplicated
+    boilerplate contributes less gradient without discarding its novel
+    tail. Weight = m_min / m_d (normalized to the least-common doc;
+    exact in doubles, no order-dependent corpus sums).
+
+    Scale shape: one trigram-keyed shuffle builds c(g); the commonness
+    join back onto the (doc, gram) stream carries NO broadcast hint
+    (trigram types grow near-linearly with the corpus — the r13
+    BCAST_GROWING lint rule); the m_min normalizer is a one-row
+    broadcast. Docs with <3 tokens have no trigram and drop out, as in
+    the paper's n-gram granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", text.tokens(F.col("text")).alias("a")).where(
+        F.size("a") >= 3
+    )
+    tri = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 2),"
+                " i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"
+            )
+        ).alias("g"),
+    )
+    cg = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    m = (
+        tri.join(cg, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("__m"),
+        )
+    )
+    m_min = m.agg(F.min("__m").alias("__mmin"))
+    return m.crossJoin(F.broadcast(m_min)).select(
+        "doc_id",
+        "n_grams",
+        F.round("__m", 4).alias("commonness"),
+        F.round(F.col("__mmin") / F.col("__m"), 6).alias("weight"),
+    )
+
+
+SOFTDEDUP_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+), tri AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+  FROM tok, UNNEST(range(1, len(a) - 1)) AS t(i)
+), cg AS (
+  SELECT g, count(*) AS c FROM tri GROUP BY g
+), m AS (
+  SELECT doc_id, count(*) AS n_grams,
+         SUM(c) * 1.0 / count(*) AS m
+  FROM tri JOIN cg USING (g) GROUP BY doc_id
+), mm AS (SELECT MIN(m) AS mmin FROM m)
+SELECT doc_id, n_grams, round(m, 4) AS commonness,
+       round(mmin / m, 6) AS weight
+FROM m, mm
+"""
+
+
+def refinedweb_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise boilerplate removal (Penedo et al.
+    2023, "The RefinedWeb Dataset for Falcon LLM", line-wise filters):
+    drop lines that are mostly-uppercase, purely numeric, social
+    counters ("N likes/views/..."), or single-word; re-join the
+    survivors and keep the document only if <=20% of its characters
+    were removed — the structural cleanup pass between HTML extraction
+    and dedup.
+
+    Scale shape: MAP-ONLY — the line split, the four rule predicates,
+    and the re-join are all HOF expressions (filter/transform/
+    aggregate) inside whole-stage codegen; no explode, no shuffle, the
+    text column never moves."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+
+    def _keep(ln):
+        t = F.trim(ln)
+        alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+        mostly_upper = (alpha > 0) & (upper.cast("double") / alpha > 0.6)
+        numeric = (t != "") & t.rlike(r"^[0-9 .,%]+$")
+        counter = t.rlike(r"(?i)^\d+ (likes?|views?|comments?|shares?)$")
+        one_word = ~t.rlike(r"\S\s+\S")
+        return ~(mostly_upper | numeric | counter | one_word)
+
+    kept = F.filter(lines, _keep)
+    orig_chars = F.length(F.col("text"))
+    kept_chars = F.length(F.array_join(kept, "\n"))
+    removed = F.when(
+        orig_chars > 0,
+        (orig_chars - kept_chars).cast("double") / orig_chars,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.round(removed, 4).alias("removed_char_frac"),
+        (removed <= 0.2).alias("kept_doc"),
+    )
+
+
+REFINEDWEB_SQL = r"""
+WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, ln -> NOT (
+      (length(regexp_replace(trim(ln), '[^A-Za-z]', '', 'g')) > 0
+       AND length(regexp_replace(trim(ln), '[^A-Z]', '', 'g')) * 1.0
+           / length(regexp_replace(trim(ln), '[^A-Za-z]', '', 'g')) > 0.6)
+      OR (trim(ln) != '' AND regexp_full_match(trim(ln), '[0-9 .,%]+'))
+      OR regexp_full_match(lower(trim(ln)), '\d+ (likes?|views?|comments?|shares?)')
+      OR NOT regexp_matches(trim(ln), '\S\s+\S')
+    )) AS kept
+  FROM l
+)
+SELECT doc_id,
+  len(lines) AS n_lines,
+  len(kept) AS n_kept,
+  round(CASE WHEN length(text) > 0
+        THEN (length(text) - length(list_aggregate(
+                list_transform(kept, x -> x), 'string_agg', chr(10))))
+             * 1.0 / length(text) ELSE 0.0 END, 4) AS removed_char_frac,
+  CASE WHEN length(text) > 0
+       THEN (length(text) - length(list_aggregate(kept, 'string_agg', chr(10))))
+            * 1.0 / length(text) ELSE 0.0 END <= 0.2 AS kept_doc
+FROM k
+"""
+
+
+def language_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language-balance diagnostics (the dashboard read next to
+    `unimax_weights`): per-language token counts rolled into the Gini
+    coefficient, Shannon entropy, and the effective language count
+    exp(H) — the three numbers a multilingual data team watches while
+    tuning sampling temperature (Chung et al. 2023 UniMax frames the
+    problem; Gini/entropy are the standard balance measures).
+
+    Scale shape: a |languages|-row rollup (map-side partial agg), then
+    ALL index arithmetic runs over the sorted |languages| array in one
+    HOF fold — deterministic summation order, so the doubles match the
+    oracle bit-for-bit. One row out."""
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(text.token_count_ws(F.col("text"))).alias("n_tok")
+    )
+    arr = per_lang.agg(
+        F.sort_array(F.collect_list(F.struct("n_tok", "lang"))).alias("xs")
+    )
+    n = F.size("xs")
+    total = F.aggregate(
+        F.col("xs"), F.lit(0).cast("long"), lambda a, x: a + x["n_tok"]
+    )
+    # gini = sum_i (2i - n - 1) x_i / (n * total), i 1-based over ASC order
+    gnum = F.aggregate(
+        F.zip_with(
+            F.col("xs"),
+            F.sequence(F.lit(1), n),
+            lambda x, i: (2 * i.cast("long") - n - 1) * x["n_tok"],
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    h = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda a, x: a
+        - F.when(
+            x["n_tok"] > 0,
+            (x["n_tok"].cast("double") / total)
+            * F.log(x["n_tok"].cast("double") / total),
+        ).otherwise(F.lit(0.0)),
+    )
+    return arr.select(
+        n.alias("n_langs"),
+        total.alias("total_tokens"),
+        F.round(gnum.cast("double") / (n.cast("long") * total).cast("double"), 6).alias("gini"),
+        F.round(h, 6).alias("shannon_h"),
+        F.round(F.exp(h), 4).alias("effective_langs"),
+    )
+
+
+LANG_GINI_SQL = r"""
+WITH per_lang AS (
+  SELECT lang,
+    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tok
+  FROM documents GROUP BY lang
+), arr AS (
+  SELECT list_sort(list(ROW(n_tok, lang))) AS xs FROM per_lang
+), m AS (
+  SELECT len(xs) AS n,
+    list_sum(list_transform(xs, x -> x[1])) AS total,
+    list_sum(list_transform(list_zip(xs, range(1, len(xs) + 1)),
+      p -> (2 * p[2] - len(xs) - 1) * p[1][1])) AS gnum,
+    list_aggregate(list_transform(xs,
+      x -> CASE WHEN x[1] > 0
+           THEN -(x[1] * 1.0 / list_sum(list_transform(xs, y -> y[1])))
+                * ln(x[1] * 1.0 / list_sum(list_transform(xs, y -> y[1])))
+           ELSE 0.0 END), 'sum') AS h
+  FROM arr
+)
+SELECT n AS n_langs, CAST(total AS BIGINT) AS total_tokens,
+  round(gnum * 1.0 / (n * total), 6) AS gini,
+  round(h, 6) AS shannon_h,
+  round(exp(h), 4) AS effective_langs
+FROM m
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r12: leads are the 7 r11-new operators (never
-    # driver-certified; oracle/gate-verified locally in r11 and by the
-    # r11 judge sweep), then the 29 r9-certified queries now two rounds
-    # stale (stratified_sample..training_shards), then the 14 oldest
-    # r10-certified (dsir_weights..embedding_neardup). The remaining 35
-    # r10-certified and the 50 r11-certified close the registry and
-    # rotate forward in r13; NEW r12 operators sit at the very end.
-    # --- NEW r11, never driver-certified (judge r11 sweep green) ---
-    "good_turing_mass": (good_turing_mass, GOOD_TURING_SQL),
-    "distinct_ngrams": (distinct_ngrams, DISTINCT_NGRAMS_SQL),
-    "prefix_containment_dedup": (prefix_containment_dedup, PREFIX_CONTAIN_SQL),
-    "jl_projection_ann": (jl_projection_ann, None),
-    "domain_temperature_mix": (domain_temperature_mix, DOMAIN_TEMPERATURE_SQL),
-    "dp_event_release": (dp_event_release, DP_RELEASE_SQL),
-    "leakage_safe_split": (leakage_safe_split, LEAKAGE_SPLIT_SQL),
-    # --- r9-certified, two rounds stale (CORRECTNESS_r09.json) ---
-    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
-    "pii_redact": (pii_redact, _pii_sql()),
-    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
-    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
-    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
-    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
-    "gopher_quality": (gopher_quality, _gopher_sql()),
-    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
-    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
-    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
-    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
-    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
-    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "minhash_lsh_dups": (minhash_lsh_dups, None),
-    "simhash_dups": (simhash_dups, None),
-    "text_stats": (text_stats, TEXT_STATS_SQL),
-    "language_id": (language_id, _language_id_sql()),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "quality_scores": (quality_scores, _quality_scores_sql()),
-    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
-    "multimodal_real_decode": (multimodal_real_decode, None),
-    "image_neardup": (image_neardup, None),
-    "events_retention": (events_retention, RETENTION_SQL),
-    "customer_deciles": (customer_deciles, DECILES_SQL),
-    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
-    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
-    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
-    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
-    # --- oldest r10-certified (CORRECTNESS_r10.json) ---
-    "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
-    "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
-    "pq_ann_topk": (pq_ann_topk, None),
-    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
-    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
-    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
-    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
-    "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
-    "ivfpq_ann_topk": (ivfpq_ann_topk, None),
-    "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
-    "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
-    "ivf_ann_topk": (ivf_ann_topk, None),
-    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
-    # --- remaining r10-certified (rotate into the r13 window) ---
+    # entries. Rotated for r13: leads are the 17 r12-new operators
+    # (never driver-certified; oracle/gate-verified locally in r12 and
+    # by the r12 judge sweep at sf0.01+sf0.1), then the first 33 of the
+    # 35 r10-certified queries now three rounds stale (lsh_ann_topk..
+    # q15_top_supplier). The last 2 of that block (q18_large_orders,
+    # q19_disjunctive_revenue) sit at positions 51-52 and MUST lead the
+    # r14 window together with any new r13 operators (appended at the
+    # very end). The 50 r11-certified and the 50 r12-certified close
+    # the registry, freshest last.
+    # --- NEW r12, never driver-certified (judge r12 sweep green) ---
+    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "luhn_card_scan": (luhn_card_scan, LUHN_SCAN_SQL),
+    "naive_bayes_quality": (naive_bayes_quality, NAIVE_BAYES_SQL),
+    "doremi_weights": (doremi_weights, DOREMI_SQL),
+    "ewma_anomaly_batch": (ewma_anomaly_batch, None),
+    "embedding_whiten": (embedding_whiten, None),
+    "coverage_select": (coverage_select, None),
+    "c4_filters": (c4_filters, C4_FILTERS_SQL),
+    "unimax_weights": (unimax_weights, UNIMAX_SQL),
+    "domain_blocklist_filter": (domain_blocklist_filter, DOMAIN_BLOCKLIST_SQL),
+    "kneser_ney_ppl": (kneser_ney_ppl, KNESER_NEY_SQL),
+    "pareto_frontier": (pareto_frontier, PARETO_SQL),
+    "kcenter_select": (kcenter_select, None),
+    "burst_detection": (burst_detection, None),
+    "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
+    "rendezvous_shards": (rendezvous_shards, RENDEZVOUS_SQL),
+    "robust_source_stats": (robust_source_stats, ROBUST_STATS_SQL),
+    # --- r10-certified, three rounds stale (CORRECTNESS_r10.json);
+    #     first 33 inside the r13 window, last 2 lead r14 ---
     "lsh_ann_topk": (lsh_ann_topk, None),
     "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
     "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
@@ -7604,7 +7980,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    # --- r11 driver-certified (CORRECTNESS_r11.json, freshest) ---
+    # --- r11 driver-certified (CORRECTNESS_r11.json) ---
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
@@ -7650,31 +8026,64 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wpl_net_types": (wpl_net_types, WPL_NET_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "events_dedup_first": (events_dedup_first, DEDUP_FIRST_SQL),
-    # ngram_jaccard_dups runs BEFORE dedup_clusters: the two share one
-    # persisted pair pipeline (identical plans, see ngram_jaccard_pairs),
-    # so the simpler pair query pays the materialization and the CC query
-    # rides the cache - suite order is the scheduling knob here
     "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, None),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    # --- NEW r12 (at the END: rotate into the r13 window) ---
-    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
-    "luhn_card_scan": (luhn_card_scan, LUHN_SCAN_SQL),
-    "naive_bayes_quality": (naive_bayes_quality, NAIVE_BAYES_SQL),
-    "doremi_weights": (doremi_weights, DOREMI_SQL),
-    "ewma_anomaly_batch": (ewma_anomaly_batch, None),
-    "embedding_whiten": (embedding_whiten, None),
-    "coverage_select": (coverage_select, None),
-    "c4_filters": (c4_filters, C4_FILTERS_SQL),
-    "unimax_weights": (unimax_weights, UNIMAX_SQL),
-    "domain_blocklist_filter": (domain_blocklist_filter, DOMAIN_BLOCKLIST_SQL),
-    "kneser_ney_ppl": (kneser_ney_ppl, KNESER_NEY_SQL),
-    "pareto_frontier": (pareto_frontier, PARETO_SQL),
-    "kcenter_select": (kcenter_select, None),
-    "burst_detection": (burst_detection, None),
-    "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
-    "rendezvous_shards": (rendezvous_shards, RENDEZVOUS_SQL),
-    "robust_source_stats": (robust_source_stats, ROBUST_STATS_SQL),
+    # --- r12 driver-certified (CORRECTNESS_r12.json, freshest) ---
+    # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
+    # elsewhere: the two share one persisted pair pipeline (see
+    # ngram_jaccard_pairs) - bench.py preserves that scheduling.
+    "good_turing_mass": (good_turing_mass, GOOD_TURING_SQL),
+    "distinct_ngrams": (distinct_ngrams, DISTINCT_NGRAMS_SQL),
+    "prefix_containment_dedup": (prefix_containment_dedup, PREFIX_CONTAIN_SQL),
+    "jl_projection_ann": (jl_projection_ann, None),
+    "domain_temperature_mix": (domain_temperature_mix, DOMAIN_TEMPERATURE_SQL),
+    "dp_event_release": (dp_event_release, DP_RELEASE_SQL),
+    "leakage_safe_split": (leakage_safe_split, LEAKAGE_SPLIT_SQL),
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
+    "pii_redact": (pii_redact, _pii_sql()),
+    "paragraph_dedup_pages": (paragraph_dedup_pages, PARAGRAPH_DEDUP_SQL),
+    "doc_chunks": (doc_chunks, _doc_chunks_sql()),
+    "span_dedup": (span_dedup, SPAN_DEDUP_SQL),
+    "pack_sequences": (pack_sequences_q, _pack_sequences_sql()),
+    "gopher_quality": (gopher_quality, _gopher_sql()),
+    "domain_mixture": (domain_mixture, _domain_mixture_sql()),
+    "sink_route_filter": (sink_route_filter, SINK_ROUTE_SQL),
+    "json_extract_props": (json_extract_props, JSON_PROPS_SQL),
+    "events_window_stats": (events_window_stats, WINDOW_STATS_SQL),
+    "top_users_per_type": (top_users_per_type, TOP_USERS_SQL),
+    "enrich_ip_range": (enrich_ip_range, IP_RANGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_lsh_dups": (minhash_lsh_dups, None),
+    "simhash_dups": (simhash_dups, None),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "language_id": (language_id, _language_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "quality_scores": (quality_scores, _quality_scores_sql()),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "multimodal_real_decode": (multimodal_real_decode, None),
+    "image_neardup": (image_neardup, None),
+    "events_retention": (events_retention, RETENTION_SQL),
+    "customer_deciles": (customer_deciles, DECILES_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_quantiles": (events_quantiles, EVENTS_QUANTILES_SQL),
+    "bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "training_shards": (training_shards, TRAINING_SHARDS_SQL),
+    "dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
+    "embedding_outliers": (embedding_outliers, EMB_OUTLIERS_SQL),
+    "pq_ann_topk": (pq_ann_topk, None),
+    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_OVERLAP_SQL),
+    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
+    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
+    "zipf_slope": (zipf_slope, ZIPF_SLOPE_SQL),
+    "ivfpq_ann_topk": (ivfpq_ann_topk, None),
+    "source_dup_rates": (source_dup_rates, SOURCE_DUP_RATES_SQL),
+    "token_length_histogram": (token_length_histogram, TOKEN_LEN_HIST_SQL),
+    "ivf_ann_topk": (ivf_ann_topk, None),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+
 }

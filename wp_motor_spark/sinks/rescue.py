@@ -145,7 +145,13 @@ def get_sink_name(path: str) -> str:
 
 def _rescue_sort_key(path: str) -> int:
     """Epoch seconds parsed from the '-YYYY-MM-DD_HH:MM:SS.dat' suffix
-    (recovery/mod.rs sort_key: strip .dat, split '-', f[1..3], '_'->' ')."""
+    (recovery/mod.rs sort_key: strip .dat, split '-', f[1..3], '_'->' ').
+
+    DELIBERATE PARITY: a .dat file whose basename lacks this shape
+    raises (IndexError/ValueError) and fails the whole scan — exactly
+    as the reference's sort_key .expect() panics on it. A stray file in
+    the rescue directory is operator error both engines surface loudly
+    rather than silently skipping."""
     import datetime
 
     name = os.path.basename(path)

@@ -259,9 +259,12 @@ _RFC3164_STRICT_RE = (
 
 def _pri_meta(pri: Column) -> dict[str, Column]:
     """pri -> (pri & 0xFF, facility NAME, severity NAME) exactly like
-    normalize.rs parse_pri_from_header: facility = pri/8 (pre-mask),
-    severity = pri%8, names from the fixed tables, 'unknown' past the end."""
-    fac_code = F.floor(pri / 8).cast("int")
+    normalize.rs parse_pri_from_header: PRI parses as u16 (anything
+    above 65535 fails upstream — see normalize()), facility = (pri/8)
+    as u8 (pre-mask division, the cast WRAPS mod 256: pri=2048 ->
+    facility 0 -> 'kern'), severity = pri%8, names from the fixed
+    tables, 'unknown' past the end."""
+    fac_code = F.pmod(F.floor(pri / 8), F.lit(256)).cast("int")
     sev_code = F.pmod(pri, F.lit(8)).cast("int")
     fac_arr = F.array(*[F.lit(x) for x in _FACILITY_NAMES])
     sev_arr = F.array(*[F.lit(x) for x in _SEVERITY_NAMES])
@@ -288,6 +291,10 @@ def normalize(df: DataFrame, col: str = "value") -> DataFrame:
         is3164, F.regexp_extract(v, _RFC3164_STRICT_RE, 1)
     )
     pri = pri_str.try_cast("int")
+    # the reference parses PRI as u16: values above 65535 FAIL the parse
+    # and yield all-None meta while the header is still stripped
+    # (normalize.rs parse_pri_from_header's u16::from_str)
+    pri_ok = pri.isNotNull() & (pri <= 65535)
     meta = _pri_meta(pri)
     msg = (
         F.when(is5424, F.regexp_extract(v, _RFC5424_RE, 2))
@@ -297,8 +304,8 @@ def normalize(df: DataFrame, col: str = "value") -> DataFrame:
     return df.withColumns(
         {
             "message": msg,
-            "pri": F.when(pri_str.isNotNull(), meta["pri"]),
-            "facility": F.when(pri_str.isNotNull(), meta["facility"]),
-            "severity": F.when(pri_str.isNotNull(), meta["severity"]),
+            "pri": F.when(pri_ok, meta["pri"]),
+            "facility": F.when(pri_ok, meta["facility"]),
+            "severity": F.when(pri_ok, meta["severity"]),
         }
     )

@@ -1933,10 +1933,13 @@ class MultiParser:
                 cr.residue_col(parts).alias("s"),
             )
             chain = F.when(hit, branch) if chain is None else chain.when(hit, branch)
-        # btrim with the full whitespace set: SQL trim() strips only 0x20,
-        # but "   \n\t" is a blank event too (processor.rs
-        # batch_parse_package_skips_whitespace_miss)
-        blank = F.btrim(F.coalesce(value, F.lit("")), F.lit(" \t\r\n\x0b\x0c")) == ""
+        # Rust str::trim strips UNICODE White_Space (processor.rs
+        # batch_parse_package_skips_whitespace_miss pins "   \n\t";
+        # U+00A0/U+2028/U+3000-only lines are 'blank' in the reference
+        # too) — so the blank test is a Unicode-aware regex ((?U) turns
+        # on Java's UNICODE_CHARACTER_CLASS for \s), not an ASCII
+        # btrim set
+        blank = F.coalesce(value, F.lit("")).rlike(r"^(?U)\s*$")
         tmp = df.select("*", chain.alias("__lab"))
         return tmp.select(
             *df.columns,
@@ -1975,10 +1978,13 @@ class MultiParser:
                 if res_c is None
                 else res_c.when(hit, cr.residue_col(parts))
             )
-        # btrim with the full whitespace set: SQL trim() strips only 0x20,
-        # but "   \n\t" is a blank event too (processor.rs
-        # batch_parse_package_skips_whitespace_miss)
-        blank = F.btrim(F.coalesce(value, F.lit("")), F.lit(" \t\r\n\x0b\x0c")) == ""
+        # Rust str::trim strips UNICODE White_Space (processor.rs
+        # batch_parse_package_skips_whitespace_miss pins "   \n\t";
+        # U+00A0/U+2028/U+3000-only lines are 'blank' in the reference
+        # too) — so the blank test is a Unicode-aware regex ((?U) turns
+        # on Java's UNICODE_CHARACTER_CLASS for \s), not an ASCII
+        # btrim set
+        blank = F.coalesce(value, F.lit("")).rlike(r"^(?U)\s*$")
         return tmp.select(
             *df.columns,
             F.coalesce(rule_c, F.lit(None)).alias("_rule"),
