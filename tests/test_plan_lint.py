@@ -78,6 +78,13 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   |languages| frame
         "kneser_ney_ppl": {"NESTED_LOOP"},  # broadcast ONE-row T
         #   (distinct bigram types) total, same shape as stupid_backoff
+        "softdedup_weights": {"NESTED_LOOP"},  # broadcast ONE-row m_min
+        #   normalizer (the least-common doc's commonness)
+        "host_pagerank": {"NESTED_LOOP"},  # broadcast ONE-row |nodes| and
+        #   ONE-row dangling-mass aggregates, once per power iteration
+        "minhash_band_tuning": {"NESTED_LOOP"},  # broadcast cross-pair of
+        #   the LITERAL 100-doc similarity sample (4950 pairs, bounded by
+        #   the sample cap — the cosine_topk query-set discipline)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

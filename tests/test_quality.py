@@ -843,3 +843,60 @@ def test_burst_detection_matches_exact_viterbi(spark, sf001_dir):
     assert got == want
     assert len(got) >= 5
     assert sum(1 for b in got if b[1][:7] == "2024-01") == len(got)
+
+
+def _python_bpe_merges(sf_dir, n_merges=8):
+    """Exact greedy BPE recompute: word-freq table from whitespace-lower
+    tokens, n rounds of (argmax adjacent pair by freq, ties count desc /
+    left asc / right asc) + greedy left-to-right non-overlap merge."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select text from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wf: Counter = Counter()
+    for (t,) in rows:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                wf[w] += 1
+    words = [(list(w), f) for w, f in wf.items()]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for sym, f in words:
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, int(c)))
+        nxt = []
+        for sym, f in words:
+            out = []
+            for s in sym:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            nxt.append((out, f))
+        words = nxt
+    return merges
+
+
+def test_bpe_train_merges_matches_python(spark, sf001_dir):
+    """bpe_train_merges gate (rows-only — iterative): the distributed
+    8-round merge learning must reproduce the EXACT python greedy BPE
+    sequence (ranks, pairs, and weighted pair counts)."""
+    from wp_motor_spark.queries import bpe_train_merges
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(spark, sf001_dir).collect()
+    ]
+    want = _python_bpe_merges(sf001_dir)
+    assert got == want
+    assert len(got) == 8

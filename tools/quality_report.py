@@ -848,6 +848,22 @@ def main() -> None:
         "two-state Kleinberg segmentation; bursts land at the embedded block",
     }
 
+    # --- bpe_train_merges: exact agreement with the python greedy BPE ---
+    from wp_motor_spark.queries import bpe_train_merges
+
+    got_bpe = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    want_bpe = tq._python_bpe_merges(sf_dir)
+    report["gates"]["bpe_train_merges"] = {
+        "metric": "exact_merge_sequence_agreement",
+        "value": bool(got_bpe == want_bpe and len(got_bpe) == 8),
+        "merges": [f"{l}+{r}:{c}" for (_k, l, r, c) in got_bpe],
+        "gate": "distributed 8-round merge learning reproduces the exact "
+        "python greedy BPE sequence (ranks, pairs, weighted counts)",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

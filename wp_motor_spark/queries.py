@@ -31,6 +31,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
+    """Exact global row_number over ``order_cols`` WITHOUT a
+    single-partition window: repartitionByRange samples the key
+    distribution into balanced ordered ranges (skewed keys spread over
+    many partitions), each partition ranks locally, and broadcast
+    cumulative partition offsets (|partitions| rows, genuinely bounded)
+    lift local ranks to global ones. The 100 TB-safe total-order
+    pattern shared by snm_candidate_pairs / quality_ensemble_rank."""
+    loc = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_cols)
+            ),
+        )
+    )
+    offsets = (
+        loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        loc.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__lr") + F.col("__off"))
+        .drop("__pid", "__lr", "__off", "__cnt")
+    )
+
+
 def _dec(col, scale: int = 2):
     return col.cast(f"decimal(18,{scale})")
 
@@ -7291,35 +7331,8 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(F.lower(F.trim(F.col("text"))), 1, 12).alias("bkey"),
     )
-    loc = (
-        keyed.repartitionByRange("bkey", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "lr",
-            F.row_number().over(
-                Window.partitionBy("pid").orderBy("bkey", "doc_id")
-            ),
-        )
-    )
-    offsets = (
-        loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "offset")
-    )
-    ranked = (
-        loc.join(F.broadcast(offsets), "pid")
-        .withColumn("rank", F.col("lr") + F.col("offset"))
-        .select("rank", "doc_id", "bkey")
+    ranked = _global_rank(keyed, ["bkey", "doc_id"]).select(
+        "rank", "doc_id", "bkey"
     )
     right = ranked.select(
         F.col("rank").alias("b_rank"),
@@ -7914,6 +7927,654 @@ FROM m
 """
 
 
+import math as _math
+
+# Fellegi-Sunter m/u probabilities (classic published-style priors) and
+# their log-weights, precomputed ONCE in python so the Spark literals and
+# the DuckDB SQL literals are the SAME doubles (no cross-libm ln drift).
+_FS_FIELDS = {
+    # field: (m, u)
+    "seg": (0.90, 0.20),
+    "phone": (0.85, 0.01),
+    "bal": (0.80, 0.05),
+}
+_FS_W = {
+    f: (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for f, (m, u) in _FS_FIELDS.items()
+}
+
+
+def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969, "A Theory
+    for Record Linkage"): blocked candidate pairs over `customer`
+    scored by the sum of per-field log-likelihood weights — agreement
+    on a field contributes ln(m/u), disagreement ln((1-m)/(1-u)) — the
+    decision-theoretic scoring every dedup/entity-resolution system
+    (Splink, dedupe.io) still implements. Fields: market segment,
+    phone exchange code (chars 4-6), account balance within 100.
+    Pairs with score > 0 classify as links. Top-100 by score for a
+    bounded result.
+
+    Scale shape: BLOCKING bounds the pair space — the self-join key is
+    (nation, acctbal/1000 bucket), so candidates are |block|^2 per
+    block, never corpus^2 (the Hernandez-Stolfo alternative is
+    snm_candidate_pairs); the m/u weights are python-precomputed
+    literals folded into codegen. One equi-join shuffle + top-K."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", -2, 2).alias("__nk"),
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).alias("__blk"),
+    )
+    a = cust.select(*[F.col(c).alias(f"a_{c}") for c in cust.columns])
+    b = cust.select(*[F.col(c).alias(f"b_{c}") for c in cust.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a___blk") == F.col("b___blk"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    )
+    g_seg = F.col("a_c_mktsegment") == F.col("b_c_mktsegment")
+    g_phone = F.col("a___nk") == F.col("b___nk")
+    g_bal = F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < 100
+    score = (
+        F.when(g_seg, _FS_W["seg"][0]).otherwise(_FS_W["seg"][1])
+        + F.when(g_phone, _FS_W["phone"][0]).otherwise(_FS_W["phone"][1])
+        + F.when(g_bal, _FS_W["bal"][0]).otherwise(_FS_W["bal"][1])
+    )
+    return (
+        pairs.select(
+            F.col("a_c_custkey").alias("cust_a"),
+            F.col("b_c_custkey").alias("cust_b"),
+            g_seg.alias("agree_seg"),
+            g_phone.alias("agree_name"),
+            g_bal.alias("agree_bal"),
+            F.round(score, 4).alias("fs_score"),
+            (score > 0).alias("is_link"),
+        )
+        .orderBy(F.desc("fs_score"), "cust_a", "cust_b")
+        .limit(100)
+    )
+
+
+FELLEGI_SUNTER_SQL = rf"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         substring(c_name, length(c_name) - 1, 2) AS nk, c_acctbal,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS blk
+  FROM customer
+), p AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+    a.c_mktsegment = b.c_mktsegment AS agree_seg,
+    a.nk = b.nk AS agree_name,
+    abs(a.c_acctbal - b.c_acctbal) < 100 AS agree_bal
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+), s AS (
+  SELECT *,
+    (CASE WHEN agree_seg THEN CAST({_FS_W['seg'][0]!r} AS DOUBLE)
+          ELSE CAST({_FS_W['seg'][1]!r} AS DOUBLE) END
+   + CASE WHEN agree_name THEN CAST({_FS_W['phone'][0]!r} AS DOUBLE)
+          ELSE CAST({_FS_W['phone'][1]!r} AS DOUBLE) END
+   + CASE WHEN agree_bal THEN CAST({_FS_W['bal'][0]!r} AS DOUBLE)
+          ELSE CAST({_FS_W['bal'][1]!r} AS DOUBLE) END)
+      AS raw
+  FROM p
+)
+SELECT cust_a, cust_b, agree_seg, agree_name, agree_bal,
+       round(raw, 4) AS fs_score, raw > 0 AS is_link
+FROM s
+ORDER BY fs_score DESC, cust_a, cust_b
+LIMIT 100
+"""
+
+
+def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch distinct counting with set operations
+    (Bar-Yossef et al. 2002 k-minimum-values; the theta-sketch framing
+    of Dasgupta et al. 2016): estimate distinct users of the two
+    busiest event types, of their UNION (k smallest of the merged hash
+    sets — a valid KMV sketch of the union), and of their INTERSECTION
+    (inclusion-exclusion over the three estimates) — the mergeable
+    cardinality machinery cross-source audience/overlap dashboards run
+    at 100 TB, with md5-derived hashes so the DuckDB oracle replays the
+    sketch EXACTLY (the engine-portable weighted_sample_aes
+    discipline; the xxhash64 twin is sketch_distinct_users).
+
+    Scale shape: hashes are MAP-ONLY; each per-type k-smallest is the
+    two-phase exact top-k (partition-local <=k survivors, then a
+    global rank over <=k*P rows — no reducer sees a type's full user
+    set); the union sketch merges two k-row frames. Estimates are
+    (k-1)/theta when the sketch saturates, the exact distinct count
+    below k."""
+    K = 256
+    ev = _t(spark, sf_dir, "events")
+    top2 = (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(2)
+        .select("event_type")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / (float(16**13) + 1.0)
+    hashed = (
+        ev.join(F.broadcast(top2), "event_type")
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+
+    def _k_smallest(df: DataFrame, key: str) -> DataFrame:
+        order = (F.asc("h"),)
+        w_part = Window.partitionBy(key, F.spark_partition_id()).orderBy(*order)
+        w_all = Window.partitionBy(key).orderBy(*order)
+        return (
+            df.withColumn("__pr", F.row_number().over(w_part))
+            .where(F.col("__pr") <= K)
+            .withColumn("__r", F.row_number().over(w_all))
+            .where(F.col("__r") <= K)
+        )
+
+    sk = _k_smallest(hashed, "event_type")
+    per_type = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("theta")
+    )
+    est = F.when(
+        F.col("n_hashes") < K, F.col("n_hashes").cast("double")
+    ).otherwise((K - 1) / F.col("theta"))
+    typed = per_type.select(
+        F.col("event_type").alias("set_name"),
+        "n_hashes",
+        F.round("theta", 8).alias("theta"),
+        F.round(est, 4).alias("estimate"),
+    )
+    merged = _k_smallest(
+        sk.select(F.lit("union").alias("event_type"), "h").distinct(), "event_type"
+    )
+    u = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("theta")
+    ).select(
+        F.col("event_type").alias("set_name"),
+        "n_hashes",
+        F.round("theta", 8).alias("theta"),
+        F.round(est, 4).alias("estimate"),
+    )
+    both = typed.unionByName(u)
+    inter = (
+        both.agg(
+            (
+                F.sum(F.when(F.col("set_name") != "union", F.col("estimate")))
+                - F.sum(F.when(F.col("set_name") == "union", F.col("estimate")))
+            ).alias("__i")
+        )
+        .select(
+            F.lit("intersect").alias("set_name"),
+            F.lit(None).cast("long").alias("n_hashes"),
+            F.lit(None).cast("double").alias("theta"),
+            F.round("__i", 4).alias("estimate"),
+        )
+    )
+    return both.unionByName(inter).orderBy("set_name")
+
+
+KMV_THETA_SQL = r"""
+WITH top2 AS (
+  SELECT event_type FROM events GROUP BY event_type
+  ORDER BY count(*) DESC, event_type LIMIT 2
+), hashed AS (
+  SELECT DISTINCT event_type,
+    (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+     + 1.0) / (power(16, 13) + 1.0) AS h
+  FROM events JOIN top2 USING (event_type)
+), sk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM hashed QUALIFY r <= 256
+), per_type AS (
+  SELECT event_type AS set_name, count(*) AS n_hashes, max(h) AS theta
+  FROM sk GROUP BY event_type
+), mhash AS (
+  SELECT DISTINCT h FROM sk
+), msk AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS r FROM mhash QUALIFY r <= 256
+), uni AS (
+  SELECT 'union' AS set_name, count(*) AS n_hashes, max(h) AS theta FROM msk
+), allsets AS (
+  SELECT set_name, n_hashes, round(theta, 8) AS theta,
+    round(CASE WHEN n_hashes < 256 THEN n_hashes * 1.0
+               ELSE 255 / theta END, 4) AS estimate
+  FROM (SELECT * FROM per_type UNION ALL SELECT * FROM uni)
+), inter AS (
+  SELECT 'intersect' AS set_name, CAST(NULL AS BIGINT) AS n_hashes,
+    CAST(NULL AS DOUBLE) AS theta,
+    round(SUM(CASE WHEN set_name != 'union' THEN estimate END)
+          - SUM(CASE WHEN set_name = 'union' THEN estimate END), 4) AS estimate
+  FROM allsets
+)
+SELECT * FROM allsets UNION ALL SELECT * FROM inter
+ORDER BY set_name
+"""
+
+
+def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count quality fusion (de Borda 1781; rank fusion as used
+    for LLM data curation ensembles, e.g. combining heuristic +
+    classifier + perplexity screens): three quality signals — lexical
+    diversity, mean-word-length closeness to 5, stopword ratio — each
+    produce a FULL corpus ranking; a document's Borda score is the sum
+    of its three ranks, and the final read is the top-20 consensus
+    docs. Rank fusion beats score averaging when signal scales are
+    incommensurable.
+
+    Scale shape: each full ranking is the shared `_global_rank`
+    two-phase pattern (repartitionByRange + broadcast partition
+    offsets — no single-partition window anywhere); the three ranked
+    frames equi-join on doc_id; the final top-20 is a
+    TakeOrderedAndProject. Signals round to 6 dp with doc_id
+    tie-breaks so every rank is engine-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("s_div"),
+        F.round(-F.abs(text.mean_word_length(F.col("text")) - 5.0), 6).alias(
+            "s_len"
+        ),
+        F.round(text.stopword_ratio(F.col("text")), 6).alias("s_stop"),
+    )
+    r1 = _global_rank(
+        base.select("doc_id", "s_div"), [F.desc("s_div"), F.asc("doc_id")], "r_div"
+    ).select("doc_id", "r_div")
+    r2 = _global_rank(
+        base.select("doc_id", "s_len"), [F.desc("s_len"), F.asc("doc_id")], "r_len"
+    ).select("doc_id", "r_len")
+    r3 = _global_rank(
+        base.select("doc_id", "s_stop"),
+        [F.desc("s_stop"), F.asc("doc_id")],
+        "r_stop",
+    ).select("doc_id", "r_stop")
+    return (
+        r1.join(r2, "doc_id")
+        .join(r3, "doc_id")
+        .select(
+            "doc_id",
+            "r_div",
+            "r_len",
+            "r_stop",
+            (F.col("r_div") + F.col("r_len") + F.col("r_stop")).alias("borda"),
+        )
+        .orderBy("borda", "doc_id")
+        .limit(20)
+    )
+
+
+_ENSEMBLE_STOPWORDS = "'the','of','and','to','in','is','was','for','on','that','with','as','are','at','this'"
+
+QUALITY_ENSEMBLE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    round(len(list_distinct(a)) * 1.0 / GREATEST(len(a), 1), 6) AS s_div,
+    round(-abs(list_sum(list_transform(a, w -> length(w))) * 1.0
+               / GREATEST(len(a), 1) - 5.0), 6) AS s_len,
+    round(len(list_filter(a, w -> w IN ({_ENSEMBLE_STOPWORDS}))) * 1.0
+          / GREATEST(len(a), 1), 6) AS s_stop
+  FROM tok
+), ranked AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY s_div DESC, doc_id) AS r_div,
+    row_number() OVER (ORDER BY s_len DESC, doc_id) AS r_len,
+    row_number() OVER (ORDER BY s_stop DESC, doc_id) AS r_stop
+  FROM base
+)
+SELECT doc_id, r_div, r_len, r_stop,
+       r_div + r_len + r_stop AS borda
+FROM ranked
+ORDER BY borda, doc_id
+LIMIT 20
+"""
+
+
+_PR_PRIMES = (7919, 104729, 1299709)
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (Page et al. 1999; d=0.85, 4 power
+    iterations with uniform dangling-mass redistribution) — the
+    host-level quality prior crawl-corpus pipelines (CommonCrawl
+    ranking, FineWeb-style curation) compute to weight domains. The
+    corpus has no link column, so the host graph is SYNTHESIZED
+    deterministically (source hosts link to doc_id-derived hub hosts —
+    the url_canonicalize precedent), which lets the DuckDB oracle
+    replay all four iterations exactly; per-iteration ranks round to
+    10 dp so cross-engine sum-order noise (~1e-16) cannot cascade.
+
+    Scale shape: the edge list is |hosts|-bounded after DISTINCT and
+    persists across iterations; each iteration is one equi-join shuffle
+    (edges x ranks on src) + a dst-keyed partial agg; dangling mass and
+    |nodes| are one-row broadcasts. No collect, no per-key funnel —
+    the real-web version of this plan shards by dst exactly the same
+    way."""
+    d = 0.85
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(F.col("source"), F.lit(".example.org"))
+    dsts = [
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("doc_id") * p, F.lit(37)).cast("string"),
+            F.lit(".example.org"),
+        )
+        for p in _PR_PRIMES
+    ]
+    edges = (
+        docs.select(src.alias("src"), F.explode(F.array(*dsts)).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "host", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(4):
+        dangling = (
+            ranks.join(outdeg, ranks["host"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                F.round(
+                    (1 - d) / F.col("n")
+                    + d
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    ),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("host", F.round("r", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "host")
+        .limit(20)
+    )
+
+
+def _host_pagerank_sql() -> str:
+    primes = ", ".join(str(p) for p in _PR_PRIMES)
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT source || '.example.org' AS src,
+         'h' || CAST((doc_id * p) % 37 AS VARCHAR) || '.example.org' AS dst
+  FROM documents, UNNEST([{primes}]) AS t(p)
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / n AS r FROM nodes, nn)"""
+    iters = []
+    for k in range(1, 5):
+        p = k - 1
+        iters.append(f""",
+d{k} AS (
+  SELECT COALESCE(SUM(r), 0.0) AS dm FROM r{p}
+  WHERE host NOT IN (SELECT src FROM outdeg)
+), c{k} AS (
+  SELECT dst, SUM(r / deg) AS c
+  FROM edges JOIN outdeg USING (src) JOIN r{p} ON r{p}.host = edges.src
+  GROUP BY dst
+), r{k} AS (
+  SELECT host,
+    round(CAST(0.15 AS DOUBLE) / n
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c, 0.0) + dm / n), 10) AS r
+  FROM nodes LEFT JOIN c{k} ON nodes.host = c{k}.dst, nn, d{k}
+)""")
+    tail = """
+SELECT host, round(r, 6) AS pagerank FROM r4
+ORDER BY pagerank DESC, host LIMIT 20
+"""
+    return head + "".join(iters) + tail
+
+
+_LSH_GRID = [(128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64), (1, 128)]
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row tuning against MEASURED similarities (the S-curve
+    analysis of Leskovec, Rajaraman & Ullman, MMDS §3.4, over Broder
+    1997 minhash): for every (b, r) split of 128 permutations, the
+    candidate probability at similarity s is 1-(1-s^r)^b; this op
+    evaluates each split's expected recall on observed near-duplicate
+    pairs (true 3-gram Jaccard >= 0.5 over a bounded 100-doc sample)
+    and its expected false-positive mass on the sample's non-dup pairs
+    — the calibration a dedup pipeline runs BEFORE committing to a
+    band layout. Also reports the analytic threshold (1/b)^(1/r).
+
+    Scale shape: the similarity SAMPLE is the bounded part (100 docs →
+    4950 exact pairwise Jaccards; the broadcast cross-pair is bounded
+    by the literal sample cap, the cosine_topk discipline) — tuning
+    needs a measured similarity histogram, not the corpus; the 8-row
+    grid is a literal broadcast; everything else is one shingle
+    equi-join on the sample."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = docs.select("doc_id", text.tokens(F.col("text")).alias("a")).where(
+        F.size("a") >= 3
+    )
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(a) - 2),"
+                    " i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("da"), "g")
+        .join(sh.select(F.col("doc_id").alias("db"), "g"), "g")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb"))
+            )
+        )
+        .where(F.col("da") < F.col("db"))
+        .join(inter, ["da", "db"], "left")
+        .select(
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("s")
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                    for b, r in _LSH_GRID
+                ]
+            )
+        ).alias("g")
+    ).select("g.b", "g.r")
+    p_cand = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("b", "r")
+        .agg(
+            F.round(F.avg(F.when(F.col("s") >= 0.5, p_cand)), 6).alias("exp_recall"),
+            F.round(F.avg(F.when(F.col("s") < 0.5, p_cand)), 6).alias("exp_fp"),
+        )
+        .select(
+            "b",
+            "r",
+            F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("threshold"),
+            "exp_recall",
+            "exp_fp",
+        )
+        .orderBy("r")
+    )
+
+
+def _minhash_band_tuning_sql() -> str:
+    grid = ", ".join(f"({b}, {r})" for b, r in _LSH_GRID)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+  WHERE doc_id < 100
+    AND len(string_split_regex(trim(lower(text)), '\s+')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        FROM tok, UNNEST(range(1, len(a) - 1)) AS t(i))
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(COALESCE(i, 0) AS DOUBLE)
+         / (a.sz + b.sz - COALESCE(i, 0)) AS s
+  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+  LEFT JOIN inter ON inter.da = a.doc_id AND inter.db = b.doc_id
+), grid AS (
+  SELECT * FROM (VALUES {grid}) AS g(b, r)
+)
+SELECT b, r,
+  round(power(CAST(1.0 AS DOUBLE) / b, CAST(1.0 AS DOUBLE) / r), 6)
+    AS threshold,
+  round(AVG(CASE WHEN s >= 0.5
+        THEN 1.0 - power(1.0 - power(s, r), b) END), 6) AS exp_recall,
+  round(AVG(CASE WHEN s < 0.5
+        THEN 1.0 - power(1.0 - power(s, r), b) END), 6) AS exp_fp
+FROM pairs, grid
+GROUP BY b, r
+ORDER BY r
+"""
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): 8 rounds of
+    (count adjacent symbol pairs weighted by word frequency) -> (merge
+    the argmax pair corpus-wide, greedy left-to-right non-overlapping)
+    — the tokenizer-training step a data pipeline runs over its own
+    corpus. Ties break lexicographically (count desc, left asc, right
+    asc) so the merge table is deterministic. Rows-only for the driver
+    (iterative); the gate recomputes the full merge sequence exactly in
+    python (tests/test_quality.py, QUALITY_r{N}).
+
+    Scale shape: training iterates over the COMPACT (word, freq) table
+    (|vocab| rows — the standard distributed-BPE state), not the
+    corpus; each round is one pair-keyed partial-agg shuffle + a 1-row
+    argmax collect (the coverage_select discipline) + a map-only HOF
+    re-segmentation. The merge fold's append-to-array accumulator is
+    bounded by WORD length (tens of chars), so the O(len^2) concat
+    pattern the r12 HOF audit banned for per-KEY histories is constant
+    here."""
+    n_merges = 8
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.split("w", "").alias("sym"), "f")
+    )
+    cur = words.persist()
+    cur.count()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = (
+            cur.select(
+                "f",
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(sym, 1, size(sym) - 1)"),
+                        F.expr("slice(sym, 2, size(sym) - 1)"),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("f").alias("c"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, c))
+        ll, rl = F.lit(l), F.lit(r)
+        merged = F.aggregate(
+            "sym",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == ll)
+                & (s == rl),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = cur.select(merged.alias("sym"), "f").persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r13: leads are the 17 r12-new operators
@@ -8085,5 +8746,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
+    # --- NEW r13 (at the END: rotate into the r14 window) ---
+    "flesch_readability": (flesch_readability, FLESCH_SQL),
+    "yule_k_diversity": (yule_k_diversity, YULE_K_SQL),
+    "softdedup_weights": (softdedup_weights, SOFTDEDUP_SQL),
+    "refinedweb_line_filter": (refinedweb_line_filter, REFINEDWEB_SQL),
+    "language_balance_gini": (language_balance_gini, LANG_GINI_SQL),
+    "fellegi_sunter_links": (fellegi_sunter_links, FELLEGI_SUNTER_SQL),
+    "kmv_theta_sketch": (kmv_theta_sketch, KMV_THETA_SQL),
+    "quality_ensemble_rank": (quality_ensemble_rank, QUALITY_ENSEMBLE_SQL),
+    "host_pagerank": (host_pagerank, _host_pagerank_sql()),
+    "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
+    "bpe_train_merges": (bpe_train_merges, None),
 
 }
