@@ -85,6 +85,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "minhash_band_tuning": {"NESTED_LOOP"},  # broadcast cross-pair of
         #   the LITERAL 100-doc similarity sample (4950 pairs, bounded by
         #   the sample cap — the cosine_topk query-set discipline)
+        "wimbd_report": {"NESTED_LOOP"},  # broadcast ONE-row corpus-size
+        #   aggregates (percentile n, source-share total)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

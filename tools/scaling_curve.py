@@ -112,6 +112,20 @@ DEFAULT_QUERIES = [
     # r12 batch 5: map-only HRW hashing; one source-keyed robust rollup
     "rendezvous_shards",
     "robust_source_stats",
+    # r13 additions: map-only HOF readability + line filters, (doc,tok)
+    # spectrum rollup, shuffle-joined trigram commonness, blocked
+    # record-linkage self-join, two-phase KMV k-smallest, triple
+    # two-phase global ranking, iterative bounded-graph PageRank,
+    # 8-round distributed BPE (driver loop, compact vocab state)
+    "flesch_readability",
+    "yule_k_diversity",
+    "softdedup_weights",
+    "refinedweb_line_filter",
+    "fellegi_sunter_links",
+    "kmv_theta_sketch",
+    "quality_ensemble_rank",
+    "host_pagerank",
+    "bpe_train_merges",
 ]
 
 SF_DIRS = [

@@ -8575,6 +8575,293 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wimbd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD-style corpus audit card (Elazar et al. 2024, "What's In My
+    Big Data?"): the one-frame summary a data team publishes with a
+    corpus — top-5 bigrams, exact-duplicate document fraction, exact
+    p50/p90 of document length, and the top-3 source shares — as
+    labeled (metric, key, value) rows so the card is one queryable
+    artifact.
+
+    Scale shape: four independent bounded aggregations UNIONed — the
+    bigram top-5 is a count shuffle + TakeOrdered; the dup fraction is
+    a distinct-digest agg; the exact percentiles use the ccnet_buckets
+    histogram rank selection (one scalar count per distinct length, no
+    percentile buffer); source shares are a |sources|-row rollup. No
+    collect, no unbounded broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(text.tokens(F.col("text")).alias("a")).where(
+        F.size("a") >= 2
+    )
+    bg = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat_ws(' ', a[i-1], a[i]))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "g")
+        .limit(5)
+        .select(
+            F.lit("top_bigram").alias("metric"),
+            F.col("g").alias("key"),
+            F.col("c").cast("double").alias("value"),
+        )
+    )
+    # digest aliased BEFORE the agg so the distinct shuffle's Exchange
+    # carries a named 64-hex column, not an expression mentioning text
+    dup = docs.select(
+        F.sha2(F.trim(F.lower("text")), 256).alias("__digest")
+    ).agg(
+        (
+            1.0
+            - F.count_distinct("__digest") / F.count(F.lit(1)).cast("double")
+        ).alias("v")
+    ).select(
+        F.lit("dup_doc_frac").alias("metric"),
+        F.lit("").alias("key"),
+        F.round("v", 6).alias("value"),
+    )
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("n_chars")
+    cum = (
+        hist.withColumn("hi", F.sum("cnt").over(w))
+        .withColumn("lo", F.col("hi") - F.col("cnt"))
+        .crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+    )
+
+    def _pct(p: float, tag: str):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        ilo, ihi = F.floor(pos), F.ceil(pos)
+        vlo = F.max(
+            F.when((F.col("lo") <= ilo) & (ilo < F.col("hi")), F.col("n_chars"))
+        )
+        vhi = F.max(
+            F.when((F.col("lo") <= ihi) & (ihi < F.col("hi")), F.col("n_chars"))
+        )
+        frac = F.max(pos - F.floor(pos).cast("double"))
+        return (vlo + frac * (vhi - vlo)).alias(tag)
+
+    pct = cum.agg(_pct(0.5, "p50"), _pct(0.9, "p90"))
+    pcts = pct.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50_chars").alias("metric"),
+                    F.lit("").alias("key"),
+                    F.round("p50", 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("p90_chars").alias("metric"),
+                    F.lit("").alias("key"),
+                    F.round("p90", 6).alias("value"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.metric", "s.key", "s.value")
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+        .orderBy(F.desc("c"), "source")
+        .limit(3)
+        .select(
+            F.lit("source_share").alias("metric"),
+            F.col("source").alias("key"),
+            F.round(F.col("c") / F.col("n").cast("double"), 6).alias("value"),
+        )
+    )
+    return (
+        bg.unionByName(dup)
+        .unionByName(pcts)
+        .unionByName(shares)
+        .orderBy("metric", "key")
+    )
+
+
+WIMBD_SQL = r"""
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), bg AS (
+  SELECT 'top_bigram' AS metric, g AS key, CAST(c AS DOUBLE) AS value
+  FROM (
+    SELECT a[i] || ' ' || a[i+1] AS g, count(*) AS c
+    FROM tok, UNNEST(range(1, len(a))) AS t(i)
+    GROUP BY 1 ORDER BY c DESC, g LIMIT 5
+  )
+), dup AS (
+  SELECT 'dup_doc_frac' AS metric, '' AS key,
+    round(1.0 - count(DISTINCT sha256(trim(lower(text))))
+          / CAST(count(*) AS DOUBLE), 6) AS value
+  FROM documents
+), hist AS (
+  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT n_chars, cnt,
+    SUM(cnt) OVER (ORDER BY n_chars) AS hi,
+    SUM(cnt) OVER (ORDER BY n_chars) - cnt AS lo,
+    (SELECT SUM(cnt) FROM hist) AS n
+  FROM hist
+), pctsel AS (
+  SELECT
+    MAX(CASE WHEN lo <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < hi
+        THEN n_chars END) AS vlo50,
+    MAX(CASE WHEN lo <= ceil(0.5 * (n - 1)) AND ceil(0.5 * (n - 1)) < hi
+        THEN n_chars END) AS vhi50,
+    MAX(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS f50,
+    MAX(CASE WHEN lo <= floor(0.9 * (n - 1)) AND floor(0.9 * (n - 1)) < hi
+        THEN n_chars END) AS vlo90,
+    MAX(CASE WHEN lo <= ceil(0.9 * (n - 1)) AND ceil(0.9 * (n - 1)) < hi
+        THEN n_chars END) AS vhi90,
+    MAX(0.9 * (n - 1) - floor(0.9 * (n - 1))) AS f90
+  FROM cum
+), pcts AS (
+  SELECT 'p50_chars' AS metric, '' AS key,
+         round(vlo50 + f50 * (vhi50 - vlo50), 6) AS value FROM pctsel
+  UNION ALL
+  SELECT 'p90_chars', '', round(vlo90 + f90 * (vhi90 - vlo90), 6) FROM pctsel
+), shares AS (
+  SELECT 'source_share' AS metric, source AS key,
+         round(c / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS value
+  FROM (SELECT source, count(*) AS c FROM documents GROUP BY source
+        ORDER BY c DESC, source LIMIT 3)
+)
+SELECT * FROM bg UNION ALL SELECT * FROM dup
+UNION ALL SELECT * FROM pcts UNION ALL SELECT * FROM shares
+ORDER BY metric, key
+"""
+
+
+def per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum uniform reservoir sample, k=5 docs per source
+    (Vitter 1985 reservoir semantics via the order-statistics
+    formulation: keep each stratum's k smallest deterministic md5
+    uniforms — the per-key twin of `weighted_sample_aes`, and the way
+    a 100 TB pipeline pulls a fixed-size QA sample from EVERY shard in
+    one pass, not just a global sample that may miss small sources).
+
+    Scale shape: key assignment is MAP-ONLY; per-source top-k is the
+    two-phase exact rank (each partition surrenders <= k rows per
+    source present in it, then the per-source reducer sees <= k*P
+    rows). The md5 uniform makes the draw reproducible and the oracle
+    identical."""
+    K = 5
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / (
+        float(16**13) + 1.0
+    )
+    keyed = docs.select("doc_id", "source", F.round(u, 8).alias("u"))
+    order = (F.asc("u"), F.asc("doc_id"))
+    w_part = Window.partitionBy("source", F.spark_partition_id()).orderBy(*order)
+    w_all = Window.partitionBy("source").orderBy(*order)
+    return (
+        keyed.withColumn("__pr", F.row_number().over(w_part))
+        .where(F.col("__pr") <= K)
+        .withColumn("rk", F.row_number().over(w_all))
+        .where(F.col("rk") <= K)
+        .select("source", "rk", "doc_id", "u")
+        .orderBy("source", "rk")
+    )
+
+
+PER_SOURCE_RESERVOIR_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, source,
+    round((('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           + 1.0) / (power(16, 13) + 1.0), 8) AS u
+  FROM documents
+)
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk,
+       doc_id, u
+FROM keyed QUALIFY rk <= 5
+ORDER BY source, rk
+"""
+
+
+def unicode_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization cleanup (UAX #15 NFC composition +
+    zero-width stripping + NBSP/whitespace collapse) — the
+    canonicalization pass multilingual pipelines run before
+    hashing/dedup so 'e'+COMBINING ACUTE and the precomposed 'e-acute'
+    hash identically. Normalization hazards (combining sequence, ZERO
+    WIDTH SPACE, NBSP) are INJECTED deterministically around each
+    doc's text (the url_canonicalize precedent — the corpus is ASCII),
+    so the oracle exercises the real composition path; the op reports
+    pre/post code-point lengths plus the cleaned text's sha for
+    joinability.
+
+    Scale shape: NFC has no JVM expression, so this is the DOCUMENTED
+    Arrow slow path — ONE batched pandas_udf over the text column
+    (zero shuffles); the strip/collapse run as JVM regex expressions
+    BEFORE Python so the Arrow transfer carries already-reduced
+    strings. The DuckDB oracle replays it with nfc_normalize (both
+    sides implement UAX #15)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve with pd imported
+    # function-locally; the return type is declared in the decorator
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    # hazards: decomposed e + U+0301, U+200B zero-width space, U+00A0 NBSP
+    hazard = F.concat(
+        F.lit("e\u0301 "),
+        F.col("text"),
+        F.lit(" \u200bx\u00a0y"),
+    )
+    stripped = F.regexp_replace(
+        hazard, "[\u200b\u200c\u200d\ufeff]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "[\\s\u00a0]+", " "))
+    out = docs.select(
+        "doc_id",
+        F.length(hazard).alias("n_raw"),
+        _nfc(collapsed).alias("clean"),
+    )
+    return out.select(
+        "doc_id",
+        "n_raw",
+        F.length("clean").alias("n_clean"),
+        F.substring("clean", 1, 8).alias("prefix"),
+        F.sha2("clean", 256).alias("clean_sha"),
+    )
+
+
+UNICODE_NORM_SQL = r"""
+WITH hz AS (
+  SELECT doc_id,
+    'e' || chr(769) || ' ' || text || ' ' || chr(8203) || 'x'
+        || chr(160) || 'y' AS raw
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, length(raw) AS n_raw,
+    nfc_normalize(trim(regexp_replace(
+      regexp_replace(raw, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+      '[\s\x{00A0}]+', ' ', 'g'))) AS clean
+  FROM hz
+)
+SELECT doc_id, n_raw, length(clean) AS n_clean,
+       substring(clean, 1, 8) AS prefix,
+       sha256(clean) AS clean_sha
+FROM cleaned
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r13: leads are the 17 r12-new operators
@@ -8758,5 +9045,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "host_pagerank": (host_pagerank, _host_pagerank_sql()),
     "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
     "bpe_train_merges": (bpe_train_merges, None),
+    "wimbd_report": (wimbd_report, WIMBD_SQL),
+    "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
+    "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
 
 }
