@@ -8255,6 +8255,25 @@ LIMIT 20
 _PR_PRIMES = (7919, 104729, 1299709)
 
 
+def _host_edges(docs: DataFrame) -> DataFrame:
+    """The deterministic synthesized host link graph shared by
+    host_pagerank and host_label_propagation: each doc's source host
+    links to three doc_id-derived hub hosts (the corpus has no link
+    column — the url_canonicalize synthesis precedent)."""
+    src = F.concat(F.col("source"), F.lit(".example.org"))
+    dsts = [
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("doc_id") * p, F.lit(37)).cast("string"),
+            F.lit(".example.org"),
+        )
+        for p in _PR_PRIMES
+    ]
+    return docs.select(
+        src.alias("src"), F.explode(F.array(*dsts)).alias("dst")
+    ).distinct()
+
+
 def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (Page et al. 1999; d=0.85, 4 power
     iterations with uniform dangling-mass redistribution) — the
@@ -8274,20 +8293,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     way."""
     d = 0.85
     docs = _t(spark, sf_dir, "documents")
-    src = F.concat(F.col("source"), F.lit(".example.org"))
-    dsts = [
-        F.concat(
-            F.lit("h"),
-            F.pmod(F.col("doc_id") * p, F.lit(37)).cast("string"),
-            F.lit(".example.org"),
-        )
-        for p in _PR_PRIMES
-    ]
-    edges = (
-        docs.select(src.alias("src"), F.explode(F.array(*dsts)).alias("dst"))
-        .distinct()
-        .persist()
-    )
+    edges = _host_edges(docs).persist()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
@@ -8862,6 +8868,92 @@ FROM cleaned
 """
 
 
+def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the host graph by synchronous label
+    propagation (Raghavan, Albert & Kumara 2007, "Near linear time
+    algorithm to detect community structures in large-scale networks"):
+    3 rounds of every node adopting its neighbors' most frequent label
+    (ties -> lexicographically smallest, making the sweep
+    deterministic) over the same synthesized undirected host graph as
+    `host_pagerank` — the link-farm / mirror-cluster screen crawl
+    pipelines run next to the PageRank quality prior. Emits each
+    host's final community and the community size.
+
+    Scale shape: the adjacency (both edge directions, distinct) is
+    |edges|-bounded and persists across rounds; each round is ONE
+    equi-join shuffle (adjacency x labels on the neighbor) + a
+    (v, label) partial-agg + a per-node argmax window (bounded by a
+    node's distinct neighbor labels — never a global sort). No
+    collect; rounds are a fixed 3."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = _host_edges(docs)
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+        .persist()
+    )
+    labels = adj.select("v").distinct().withColumn("lbl", F.col("v"))
+    for _ in range(3):
+        cnt = (
+            adj.join(
+                labels.select(F.col("v").alias("n"), "lbl"), "n"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select("v", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("v").alias("host"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy("host")
+    )
+
+
+def _host_lpa_sql() -> str:
+    primes = ", ".join(str(p) for p in _PR_PRIMES)
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT source || '.example.org' AS src,
+         'h' || CAST((doc_id * p) % 37 AS VARCHAR) || '.example.org' AS dst
+  FROM documents, UNNEST([{primes}]) AS t(p)
+), adj AS (
+  SELECT src AS v, dst AS n FROM edges
+  UNION SELECT dst, src FROM edges
+), l0 AS (SELECT DISTINCT v, v AS lbl FROM adj)"""
+    iters = []
+    for k in range(1, 4):
+        p = k - 1
+        iters.append(f""",
+c{k} AS (
+  SELECT adj.v, l{p}.lbl, count(*) AS c
+  FROM adj JOIN l{p} ON l{p}.v = adj.n
+  GROUP BY adj.v, l{p}.lbl
+), l{k} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM c{k}) WHERE rn = 1
+)""")
+    tail = """
+SELECT l3.v AS host, l3.lbl AS community, s.community_size
+FROM l3 JOIN (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl) s
+  ON l3.lbl = s.lbl
+ORDER BY host
+"""
+    return head + "".join(iters) + tail
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r13: leads are the 17 r12-new operators
@@ -9048,5 +9140,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "wimbd_report": (wimbd_report, WIMBD_SQL),
     "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
     "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
+    "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
 
 }
