@@ -126,6 +126,12 @@ DEFAULT_QUERIES = [
     "quality_ensemble_rank",
     "host_pagerank",
     "bpe_train_merges",
+    # r13 batch 2: four bounded-agg UNION card, per-key two-phase
+    # reservoir, Arrow NFC slow path, 3-round LPA on the host graph
+    "wimbd_report",
+    "per_source_reservoir",
+    "unicode_normalize_clean",
+    "host_label_propagation",
 ]
 
 SF_DIRS = [

@@ -8305,7 +8305,14 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "host", (F.lit(1.0) / F.col("n")).alias("r")
     )
+    # each iteration references `ranks` TWICE (dangling mass + edge
+    # contributions): without materialization the lineage doubles per
+    # round (2^4 copies of the base plan — measured 9.6 s at sf0.01 on
+    # plan build alone). localCheckpoint truncates lineage each round;
+    # the frame is |hosts| rows (the neardup_pagerank CC-loop
+    # discipline).
     for _ in range(4):
+        ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.join(outdeg, ranks["host"] == outdeg["src"], "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
