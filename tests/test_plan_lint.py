@@ -87,6 +87,21 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   the sample cap — the cosine_topk query-set discipline)
         "wimbd_report": {"NESTED_LOOP"},  # broadcast ONE-row corpus-size
         #   aggregates (percentile n, source-share total)
+        "chi2_feature_select": {"NESTED_LOOP"},  # broadcast ONE-row class
+        #   totals (n_pos, n_neg)
+        "psi_drift": {"NESTED_LOOP"},  # broadcast ONE-row global
+        #   min/max/midpoint bounds
+        "classifier_prf": {"NESTED_LOOP"},  # rides naive_bayes_quality's
+        #   ONE-row class totals + prior broadcasts
+        "rank_eval_ndcg": {"NESTED_LOOP", "BCAST_GROWING"},
+        #   NESTED_LOOP: broadcast ONE-row BM25 stats + tiny query set.
+        #   BCAST_GROWING: the hybrid_search false positive — dfreq
+        #   derives from tf AFTER the broadcast semi-join against the 5
+        #   query docs' term set (bounded by the query vocabulary)
+        "bootstrap_ci": {"NESTED_LOOP"},  # broadcast ONE-row point
+        #   estimate next to the 200-element replicate array
+        "mmr_rerank": {"NESTED_LOOP"},  # broadcast tiny query set
+        #   (brute_force_topk candidate generation)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

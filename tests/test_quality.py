@@ -900,3 +900,70 @@ def test_bpe_train_merges_matches_python(spark, sf001_dir):
     want = _python_bpe_merges(sf001_dir)
     assert got == want
     assert len(got) == 8
+
+
+def _python_mmr(sf_dir, lam=0.7, K=20, TOP=10):
+    """Exact MMR recompute replicating the Spark op's float semantics:
+    cosine via the SAME left-to-right fold order (math.fsum-free plain
+    accumulation over float32-cast-to-double pairs), candidates = exact
+    top-20 (raw score desc, id asc), greedy argmax with min-id ties."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select vec_id, embedding from read_parquet('{sf_dir}/embeddings.parquet')"
+        " order by vec_id"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    want = []
+    for qid in range(5):
+        qv = vecs[qid]
+        scored = sorted(
+            ((cos(qv, v), -i) for i, v in vecs.items() if i != qid),
+            key=lambda t: (-t[0], -t[1]),
+        )[:K]
+        cands = [-i for (_s, i) in scored]
+        simq = {c: s for (s, ni), c in zip(scored, cands)}
+        s_ab = {
+            (a, b): cos(vecs[a], vecs[b]) for a in cands for b in cands
+        }
+        picked = []
+        avail = set(cands)
+        for rank in range(1, min(TOP, len(cands)) + 1):
+            best, best_m = None, None
+            for c in sorted(avail):
+                div = max((s_ab[(c, p)] for p in picked), default=0.0)
+                m = lam * simq[c] - (1 - lam) * div
+                if best_m is None or m > best_m:
+                    best, best_m = c, m
+            want.append((qid, rank, best))
+            picked.append(best)
+            avail.discard(best)
+    return want
+
+
+def test_mmr_rerank_matches_python(spark, sf001_dir):
+    """mmr_rerank gate (rows-only — iterative greedy): the distributed
+    pick sequence (query, rank, vec_id) must equal the exact python
+    MMR recompute over the same top-20 candidate sets."""
+    from wp_motor_spark.queries import mmr_rerank
+
+    got = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in mmr_rerank(spark, sf001_dir).collect()
+    ]
+    want = _python_mmr(sf001_dir)
+    assert got == want
+    assert len(got) == 50

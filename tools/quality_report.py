@@ -864,6 +864,22 @@ def main() -> None:
         "python greedy BPE sequence (ranks, pairs, weighted counts)",
     }
 
+    # --- mmr_rerank: exact agreement with the python greedy MMR ---
+    from wp_motor_spark.queries import mmr_rerank
+
+    got_mmr = [
+        (r.query_id, r.rank, r.vec_id)
+        for r in mmr_rerank(spark, sf_dir).collect()
+    ]
+    want_mmr = tq._python_mmr(sf_dir)
+    report["gates"]["mmr_rerank"] = {
+        "metric": "exact_pick_sequence_agreement",
+        "value": bool(got_mmr == want_mmr and len(got_mmr) == 50),
+        "n_picks": len(got_mmr),
+        "gate": "applyInPandas greedy MMR reproduces the exact python pick "
+        "sequence over the same top-20 candidate sets",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

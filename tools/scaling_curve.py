@@ -132,6 +132,16 @@ DEFAULT_QUERIES = [
     "per_source_reservoir",
     "unicode_normalize_clean",
     "host_label_propagation",
+    # r13 batch 3: doc-distinct token contingency shuffle, fixed-bin
+    # drift rollup, confusion-matrix eval riding the NB plan, dual
+    # exact rankers + metric join, 200x bounded bootstrap explode,
+    # bounded-candidate Arrow greedy rerank
+    "chi2_feature_select",
+    "psi_drift",
+    "classifier_prf",
+    "rank_eval_ndcg",
+    "bootstrap_ci",
+    "mmr_rerank",
 ]
 
 SF_DIRS = [

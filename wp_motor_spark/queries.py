@@ -3945,46 +3945,23 @@ FROM s
 """
 
 
-def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: per-query BM25 (text side) fused with exact
-    embedding cosine (vector side) by Reciprocal Rank Fusion (Cormack,
-    Clarke & Buettcher 2009: rrf = Σ 1/(60 + rank) over each list's
-    top-20); top-10 per query — the retrieval stack a curation/RAG
-    pipeline runs for contamination checks and eval-set mining. Query
-    set: docs 0-4 (their tokens as terms, their embeddings as vectors;
-    vec_id aligns with doc_id in the testdata).
+def _bm25_query_ranks(docs: DataFrame, K: int) -> DataFrame:
+    """Per-query BM25 top-K text ranks for query docs 0-4 (shared by
+    hybrid_search and rank_eval_ndcg): the query-term SET semi-joins
+    the token stream map-side (broadcast, BEFORE the tf aggregation),
+    so the shuffle carries only (doc, term) hits — the same O(matches)
+    shape as bm25_search with a dynamic term set instead of literals
+    (tf and df per term are unchanged by the term-only filter: it
+    keeps every occurrence/doc of a kept term).
 
-    Scale shape: the query term set and the one-row corpus stats frame
-    BROADCAST into the map-side hit filter, so the text shuffle carries
-    only (query, doc, term) hits; the vector side broadcasts 5 query
-    vectors into a one-pass corpus scan; BOTH ranks are two-phase exact
-    top-K (partial rank within (query, physical partition), then a
-    global rank over <= K*P survivors — no reducer ever holds one
-    query's full score list); fusion joins two |Q|x20 frames. Both ranks
-    sort on ROUNDED scores (4/6 dp) with doc-id tie-breaks so the
-    ordering is reproducible across engines."""
-    K, RRF_K, TOP = 20, 60, 10
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-
-    # ---- vector side: exact cosine ranks for the 5 query vectors
-    vr = (
-        similarity.brute_force_topk(
-            emb, emb.where(F.col("vec_id") < 5), k=K
-        )
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("rank").alias("rank_v"),
-        )
-    )
-
-    # ---- text side: per-query BM25 against the query doc's term set.
-    # The query-term SET semi-joins the token stream map-side (broadcast,
-    # BEFORE the tf aggregation), so the shuffle carries only (doc, term)
-    # hits — the same O(matches) shape as bm25_search with a dynamic term
-    # set instead of literals. (tf and df per term are unchanged by the
-    # term-only filter: it keeps every occurrence/doc of a kept term.)
+    The ranking is the two-phase exact top-K (the brute_force_topk
+    shape): a query whose terms are common matches most of the corpus,
+    so a single per-query window would send ~all of one query's BM25
+    scores to one reducer at 100x. Phase 1 ranks within (query_id,
+    physical partition of the agg output) and keeps each partition's
+    local top-K; phase 2 ranks the <= K*P survivors. Exact: every
+    global top-K row is inside its partition's local top-K, and both
+    phases break ties identically (rounded score desc, doc_id asc)."""
     qterms = (
         docs.where(F.col("doc_id") < 5)
         .select(
@@ -4021,18 +3998,10 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib).cast("double"), 4).alias("s"))
     )
-    # Two-phase exact top-K (the brute_force_topk shape): a query whose
-    # terms are common matches most of the corpus, so a single
-    # per-query window would send ~all of one query's BM25 scores to
-    # one reducer at 100x. Phase 1 ranks within (query_id, physical
-    # partition of the agg output) and keeps each partition's local
-    # top-K; phase 2 ranks the <= K*P survivors. Exact: every global
-    # top-K row is inside its partition's local top-K, and both phases
-    # break ties identically (rounded score desc, doc_id asc).
     t_order = (F.desc("s"), F.asc("doc_id"))
     wt_part = Window.partitionBy("query_id", "__pid").orderBy(*t_order)
     wt = Window.partitionBy("query_id").orderBy(*t_order)
-    tr = (
+    return (
         scores.withColumn("__pid", F.spark_partition_id())
         .withColumn("__pr", F.row_number().over(wt_part))
         .where(F.col("__pr") <= K)
@@ -4040,6 +4009,43 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_t") <= K)
         .select("query_id", "doc_id", "rank_t")
     )
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: per-query BM25 (text side) fused with exact
+    embedding cosine (vector side) by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009: rrf = Σ 1/(60 + rank) over each list's
+    top-20); top-10 per query — the retrieval stack a curation/RAG
+    pipeline runs for contamination checks and eval-set mining. Query
+    set: docs 0-4 (their tokens as terms, their embeddings as vectors;
+    vec_id aligns with doc_id in the testdata).
+
+    Scale shape: the query term set and the one-row corpus stats frame
+    BROADCAST into the map-side hit filter, so the text shuffle carries
+    only (query, doc, term) hits; the vector side broadcasts 5 query
+    vectors into a one-pass corpus scan; BOTH ranks are two-phase exact
+    top-K (partial rank within (query, physical partition), then a
+    global rank over <= K*P survivors — no reducer ever holds one
+    query's full score list); fusion joins two |Q|x20 frames. Both ranks
+    sort on ROUNDED scores (4/6 dp) with doc-id tie-breaks so the
+    ordering is reproducible across engines."""
+    K, RRF_K, TOP = 20, 60, 10
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # ---- vector side: exact cosine ranks for the 5 query vectors
+    vr = (
+        similarity.brute_force_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=K
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_v"),
+        )
+    )
+
+    tr = _bm25_query_ranks(docs, K)
 
     # ---- reciprocal rank fusion over the union of the two lists
     fused = (
@@ -8961,6 +8967,566 @@ ORDER BY host
     return head + "".join(iters) + tail
 
 
+def chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection (Yang & Pedersen 1997, "A
+    Comparative Study on Feature Selection in Text Categorization"):
+    rank tokens by their chi^2 association with the curated class
+    (source in src0/src1 — the same supervision naive_bayes_quality
+    trains on), using DOCUMENT-level contingency tables (a, b, c, d =
+    docs with/without the token in each class). Top-20 features — the
+    vocabulary a lightweight quality classifier would actually use.
+
+    Scale shape: one (token, doc-class) distinct + count shuffle
+    builds the contingency counts; class totals fold in as a one-row
+    broadcast; chi^2 is map-side arithmetic on exact longs and the
+    result is a TakeOrdered top-20. NO broadcast of the token table
+    (Heaps' law — the BCAST_GROWING rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("source").isin("src0", "src1")).alias("pos"),
+            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    cont = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("b"),
+    )
+    totals = docs.agg(
+        F.sum(F.when(F.col("source").isin("src0", "src1"), 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(~F.col("source").isin("src0", "src1"), 1).otherwise(0)).alias(
+            "n_neg"
+        ),
+    )
+    j = cont.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "a",
+        "b",
+        (F.col("n_pos") - F.col("a")).alias("c"),
+        (F.col("n_neg") - F.col("b")).alias("d"),
+        (F.col("n_pos") + F.col("n_neg")).alias("n"),
+    )
+    num = (
+        F.col("n").cast("double")
+        * F.pow(F.col("a") * F.col("d") - F.col("b") * F.col("c"), 2)
+    )
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    ).cast("double")
+    return (
+        j.where(den > 0)
+        .select(
+            "tok",
+            F.col("a").alias("pos_docs"),
+            F.col("b").alias("neg_docs"),
+            F.round(num / den, 4).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "tok")
+        .limit(20)
+    )
+
+
+CHI2_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, source IN ('src0', 'src1') AS pos, tok
+  FROM (SELECT doc_id, source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok != ''
+), cont AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS b
+  FROM toks GROUP BY tok
+), totals AS (
+  SELECT SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN source NOT IN ('src0','src1') THEN 1 ELSE 0 END) AS n_neg
+  FROM documents
+), j AS (
+  SELECT tok, a, b, n_pos - a AS c, n_neg - b AS d, n_pos + n_neg AS n
+  FROM cont, totals
+)
+SELECT tok, a AS pos_docs, b AS neg_docs,
+  round(CAST(n AS DOUBLE) * power(a * d - b * c, 2)
+        / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE), 4) AS chi2
+FROM j
+WHERE (a + b) * (c + d) * (a + c) * (b + d) > 0
+ORDER BY chi2 DESC, tok
+LIMIT 20
+"""
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (the standard
+    model-monitoring screen; PSI = sum (p_i - q_i) ln(p_i / q_i) over
+    fixed bins): compares each event_type's value distribution in the
+    first half of the time range (reference window) against the second
+    half (current window), over 10 fixed-width bins spanning the
+    GLOBAL min/max — the drift gate a feature pipeline runs before
+    retraining. PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted.
+    Laplace-smoothed bin shares so empty bins stay finite.
+
+    Scale shape: one (type, bin) partial-agg shuffle; the global
+    min/max and the midpoint timestamp fold in as one-row broadcasts;
+    the PSI sum is a |types x bins|-bounded rollup. Map-only binning."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (
+            F.col("ts").cast("long") * 2 <= (F.col("t0") + F.col("t1"))
+        ).alias("ref"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref") + 1.0
+    q = F.col("n_cur") + 1.0
+    pp = p / (F.col("t_ref") + 10.0)
+    qq = q / (F.col("t_cur") + 10.0)
+    return (
+        cnt.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t_ref").alias("n_ref"),
+            F.max("t_cur").alias("n_cur"),
+            F.round(F.sum((pp - qq) * F.log(pp / qq)), 6).alias("psi"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PSI_SQL = r"""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi,
+         epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1
+  FROM events
+), binned AS (
+  SELECT event_type,
+    epoch(ts) * 2 <= (t0 + t1) AS ref,
+    LEAST(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT)) AS bin
+  FROM events, bounds
+), cnt AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM cnt GROUP BY 1
+), terms AS (
+  SELECT cnt.event_type, t_ref, t_cur,
+    ((n_ref + 1.0) / (t_ref + 10.0) - (n_cur + 1.0) / (t_cur + 10.0))
+      * ln(((n_ref + 1.0) / (t_ref + 10.0))
+           / ((n_cur + 1.0) / (t_cur + 10.0))) AS term
+  FROM cnt JOIN tot USING (event_type)
+)
+SELECT event_type, MAX(t_ref) AS n_ref, MAX(t_cur) AS n_cur,
+  round(SUM(term), 6) AS psi,
+  CASE WHEN round(SUM(term), 6) < 0.1 THEN 'stable'
+       WHEN round(SUM(term), 6) < 0.25 THEN 'moderate'
+       ELSE 'shifted' END AS verdict
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+def classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (precision / recall / F1 / accuracy) of
+    the self-trained `naive_bayes_quality` keep decision against its
+    own supervision (source in src0/src1) — the eval step every
+    quality-classifier pipeline runs before trusting the filter on
+    held-out data. Reported per predicted class plus the confusion
+    counts, so the filter's failure mode (over-keep vs over-drop) is
+    visible, not just a single score.
+
+    Scale shape: rides the naive_bayes plan (token-count shuffle +
+    doc-keyed rollup), then ONE 4-cell confusion aggregation; the
+    metric arithmetic is on exact longs in a one-row frame."""
+    scored = naive_bayes_quality(spark, sf_dir).select("doc_id", "keep")
+    truth = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").isin("src0", "src1").alias("pos")
+    )
+    cm = scored.join(truth, "doc_id").agg(
+        F.sum(F.when(F.col("keep") & F.col("pos"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("keep") & ~F.col("pos"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("keep") & F.col("pos"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("keep") & ~F.col("pos"), 1).otherwise(0)).alias("tn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast(
+        "double"
+    )
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast(
+        "double"
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6).alias(
+            "f1"
+        ),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast(
+                "double"
+            ),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+CLASSIFIER_PRF_SQL = f"""
+WITH cm AS (
+  SELECT
+    SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS fn,
+    SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END) AS tn
+  FROM ({NAIVE_BAYES_SQL}) nb
+  JOIN (SELECT doc_id, source IN ('src0', 'src1') AS pos FROM documents) t
+    USING (doc_id)
+)
+SELECT tp, fp, fn, tn,
+  round(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+  round(tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall,
+  round(2 * (tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE))
+          * (tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE))
+        / GREATEST(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE)
+                   + tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 1e-12), 6) AS f1,
+  round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+FROM cm
+"""
+
+
+# Ideal DCG@10 for graded relevance 10..1 — python-precomputed once so
+# the Spark literal and the SQL literal are the SAME double.
+_IDCG10 = sum((11 - i) / _math.log2(i + 1) for i in range(1, 11))
+
+
+def rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (nDCG@10 / MRR / recall@10 —
+    Järvelin & Kekäläinen 2002 for nDCG) of the TEXT ranker against
+    the VECTOR ranker for the 5 standing query docs: the exact-cosine
+    top-10 provides graded relevance (rel = 11 - cosine_rank), and the
+    BM25 text ranking is scored against it — the modality-agreement
+    eval a hybrid retrieval stack (see `hybrid_search`) runs before
+    tuning its fusion weights. Both rankers are deterministic and
+    SQL-expressible, so the oracle replays the whole evaluation.
+
+    Scale shape: rides the shared `_bm25_query_ranks` two-phase top-K
+    and the broadcast-query brute-force cosine (both already 100
+    TB-shaped); the metric join is |Q|x10 vs |Q|x10. IDCG is a
+    python-precomputed literal shared with the SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    vr = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        (11 - F.col("rank")).alias("rel"),
+    )
+    tr = _bm25_query_ranks(docs, 10)
+    j = tr.join(vr, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank_t",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("rank_t") + 1.0))
+                / F.lit(_IDCG10),
+                6,
+            ).alias("ndcg10"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.min(F.when(F.col("rel") > 0, F.col("rank_t"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)) / 10.0, 6
+            ).alias("recall10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+RANK_EVAL_SQL = rf"""
+WITH qdocs AS (
+  SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5
+), vr AS (
+  SELECT query_id, neighbor_id AS doc_id, 11 - rank AS rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+), qterms AS (
+  SELECT DISTINCT query_id, tok AS term
+  FROM (SELECT query_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM qdocs)
+), tokall AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), toks AS (
+  SELECT * FROM tokall WHERE term IN (SELECT term FROM qterms)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, MIN(dl) AS dl
+  FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         AVG(len(string_split_regex(trim(lower(text)), '\s+'))) AS avgdl
+  FROM documents
+), scores AS (
+  SELECT q.query_id, tf.doc_id,
+    round(CAST(SUM(
+      ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * ({_BM25_K1} + 1)
+      / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+    ) AS DOUBLE), 4) AS s
+  FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term), stats
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id
+), tr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank_t
+  FROM scores QUALIFY rank_t <= 10
+), j AS (
+  SELECT tr.query_id, tr.rank_t, COALESCE(vr.rel, 0) AS rel
+  FROM tr LEFT JOIN vr ON tr.query_id = vr.query_id AND tr.doc_id = vr.doc_id
+)
+SELECT query_id,
+  round(SUM(rel / log2(rank_t + 1.0)) / {_IDCG10!r}, 6) AS ndcg10,
+  round(COALESCE(1.0 / MIN(CASE WHEN rel > 0 THEN rank_t END), 0.0), 6) AS mrr,
+  round(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS recall10
+FROM j GROUP BY query_id ORDER BY query_id
+"""
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-bootstrap confidence interval (Rubin 1981; the
+    exponential-weight formulation) for a corpus metric — the 95% CI
+    on mean lexical diversity a curation dashboard shows next to the
+    point estimate. B=200 replicates, each reweighting every doc by
+    w = -ln(u) with u an md5-derived uniform keyed on (doc, replicate)
+    — fully deterministic, so the DuckDB oracle reproduces the exact
+    same 200 replicate means and the same interval.
+
+    Scale shape: the doc metric computes once (map-only); the B
+    replicates EXPLODE a bounded sequence per doc (fan-out 200, tuned
+    like mrl_truncation_eval's 4x), partial-agg by replicate id to B
+    rows, and the percentile selection sorts a 200-element array.
+    Replicate means round to 8 dp before ranking so cross-engine
+    sum-order ulps cannot reorder the cut."""
+    B = 200
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "x"
+        ),
+    )
+    rep = m.select(
+        "doc_id", "x", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lit("boot"), F.col("doc_id").cast("string"), F.col("b").cast("string"))
+    )
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / (
+        float(16**13) + 1.0
+    )
+    w = -F.log(u)
+    means = (
+        rep.select("b", w.alias("w"), (w * F.col("x")).alias("wx"))
+        .groupBy("b")
+        .agg(F.round(F.sum("wx") / F.sum("w"), 8).alias("mb"))
+    )
+    arr = means.agg(F.sort_array(F.collect_list("mb")).alias("xs"))
+
+    def _q(p: float):
+        pos = F.lit(p) * (F.size("xs") - 1).cast("double")
+        lo = F.element_at("xs", F.floor(pos).cast("int") + 1)
+        hi = F.element_at("xs", F.ceil(pos).cast("int") + 1)
+        return lo + (pos - F.floor(pos)) * (hi - lo)
+
+    point = m.agg(F.avg("x").alias("mean"))
+    return arr.crossJoin(F.broadcast(point)).select(
+        F.round("mean", 6).alias("mean"),
+        F.round(_q(0.025), 6).alias("ci_lo"),
+        F.round(_q(0.975), 6).alias("ci_hi"),
+        F.lit(B).alias("n_replicates"),
+    )
+
+
+BOOTSTRAP_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) * 1.0
+      / GREATEST(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS x
+  FROM documents
+), rep AS (
+  SELECT doc_id, x, b FROM m, UNNEST(range(0, 200)) AS t(b)
+), wtd AS (
+  SELECT b,
+    -ln((('0x' || substr(md5('boot:' || CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(b AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+        / (power(16, 13) + 1.0)) AS w,
+    x
+  FROM rep
+), means AS (
+  SELECT b, round(SUM(w * x) / SUM(w), 8) AS mb FROM wtd GROUP BY b
+), arr AS (
+  SELECT list_sort(list(mb)) AS xs FROM means
+), pt AS (SELECT AVG(x) AS mean FROM m)
+SELECT round(mean, 6) AS mean,
+  round(xs[CAST(floor(0.025 * (len(xs) - 1)) AS INT) + 1]
+        + (0.025 * (len(xs) - 1) - floor(0.025 * (len(xs) - 1)))
+          * (xs[CAST(ceil(0.025 * (len(xs) - 1)) AS INT) + 1]
+             - xs[CAST(floor(0.025 * (len(xs) - 1)) AS INT) + 1]), 6) AS ci_lo,
+  round(xs[CAST(floor(0.975 * (len(xs) - 1)) AS INT) + 1]
+        + (0.975 * (len(xs) - 1) - floor(0.975 * (len(xs) - 1)))
+          * (xs[CAST(ceil(0.975 * (len(xs) - 1)) AS INT) + 1]
+             - xs[CAST(floor(0.975 * (len(xs) - 1)) AS INT) + 1]), 6) AS ci_hi,
+  200 AS n_replicates
+FROM arr, pt
+"""
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): for each of the 5 standing query vectors, rerank the exact
+    cosine top-20 into 10 picks maximizing lambda*sim(q,d) -
+    (1-lambda)*max_{s in S} sim(d,s), lambda=0.7 — the
+    diversity-aware rerank RAG stacks apply on top of raw ANN lists
+    so near-duplicate passages don't crowd the context window.
+    Rows-only for the driver (iterative greedy); the gate recomputes
+    the exact pick sequence in python (tests/test_quality.py,
+    QUALITY_r{N}).
+
+    Scale shape: candidate generation is the two-phase exact top-K;
+    the pairwise candidate sims are |Q| x 20 x 20 (bounded by the
+    rerank window, never the corpus); the greedy itself runs in ONE
+    Arrow batch per query via applyInPandas — 20-candidate matrices,
+    numpy argmax per round."""
+    lam, K, TOP = 0.7, 20, 10
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    cand = similarity.brute_force_topk(emb, q, k=K).select(
+        "query_id", F.col("neighbor_id").alias("cand"), F.col("score").alias("simq")
+    )
+    ce = cand.join(
+        emb.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("__cv")),
+        "cand",
+    )
+    a = ce.select(
+        "query_id",
+        F.col("cand").alias("a"),
+        F.col("simq").alias("simq_a"),
+        F.col("__cv").alias("__va"),
+    )
+    b = ce.select(
+        "query_id", F.col("cand").alias("b"), F.col("__cv").alias("__vb")
+    )
+    from wp_motor_spark.operators.similarity import cosine as _cos
+
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        "a",
+        "simq_a",
+        "b",
+        _cos(F.col("__va"), F.col("__vb")).alias("s_ab"),
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        cands = sorted(pdf["a"].unique())
+        idx = {c: i for i, c in enumerate(cands)}
+        n = len(cands)
+        simq = np.zeros(n)
+        s = np.zeros((n, n))
+        for row in pdf.itertuples(index=False):
+            s[idx[row.a], idx[row.b]] = row.s_ab
+            simq[idx[row.a]] = row.simq_a
+        picked: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(TOP, n) + 1):
+            if picked:
+                div = s[:, picked].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = lam * simq - (1 - lam) * div
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.lexsort((np.array(cands), -mmr_masked))[0])
+            rows.append((qid, rank, cands[best], round(float(mmr_masked[best]), 6)))
+            picked.append(best)
+            avail[best] = False
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            _greedy, "query_id long, rank int, vec_id long, mmr_score double"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r13: leads are the 17 r12-new operators
@@ -9148,5 +9714,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
     "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
     "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
+    "chi2_feature_select": (chi2_feature_select, CHI2_SQL),
+    "psi_drift": (psi_drift, PSI_SQL),
+    "classifier_prf": (classifier_prf, CLASSIFIER_PRF_SQL),
+    "rank_eval_ndcg": (rank_eval_ndcg, RANK_EVAL_SQL),
+    "bootstrap_ci": (bootstrap_ci, BOOTSTRAP_SQL),
+    "mmr_rerank": (mmr_rerank, None),
 
 }
