@@ -287,3 +287,30 @@ def test_html_to_text_strips_markup_and_decodes_entities(spark):
            df.select("i", T.html_to_text(F.col("h")).alias("t")).collect()}
     assert out[1] == "Head&line\nfirst <para>\nsecond para\ntail"
     assert out[2] == "no markup here"
+
+
+def test_blocklist_filter_matches_deep_hosts(spark):
+    """A depth-7 host must match BOTH its exact deep blocklist entry and
+    a shallow registrable-domain entry (the r13-advice hole: a
+    max_labels=6 cap silently dropped the LONGEST suffixes, so exact
+    entries at depth >=7 never matched)."""
+    from wp_motor_spark.operators.cleanse import blocklist_filter, host_suffixes
+
+    deep = "a.b.c.d.e.f.bad.com"  # 8 labels
+    docs = spark.createDataFrame(
+        [(1, deep), (2, "ok.example.org"), (3, "sub.bad.com")],
+        ["doc_id", "host"],
+    )
+    bl = spark.createDataFrame([(deep,), ("bad.com",)], ["entry"])
+    out = {
+        r["doc_id"]: r["blocked"]
+        for r in blocklist_filter(docs, bl).collect()
+    }
+    assert out == {1: True, 2: False, 3: True}
+
+    # the probe set contains EVERY suffix of an 8-label host, deepest
+    # included (the default cap exceeds real-world DNS depth)
+    sfx = spark.createDataFrame([(deep,)], ["h"]).select(
+        host_suffixes(F.col("h")).alias("s")
+    ).head()["s"]
+    assert deep in sfx and "bad.com" in sfx and len(sfx) == 8

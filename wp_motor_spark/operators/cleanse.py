@@ -159,15 +159,19 @@ def c4_clean(df, text_col: str = "text", min_words: int = 5, min_lines: int = 3)
     )
 
 
-def host_suffixes(host: Column, max_labels: int = 6) -> Column:
+def host_suffixes(host: Column, max_labels: int = 16) -> Column:
     """All dot-suffix candidates of a host name ('a.b.example.com' ->
     ['a.b.example.com','b.example.com','example.com','com']) — the probe
     set for registrable-domain blocklist joins (UT1-style lists block a
     domain AND every subdomain). The fan-out is capped at ``max_labels``
     suffixes per row; when a host has more labels, the SHORTEST
-    ``max_labels`` suffixes are kept (blocklists list registrable
-    domains near the TLD, so it is the longest subdomain chains that
-    are safely droppable)."""
+    ``max_labels`` suffixes are kept. The default cap of 16 exceeds any
+    real-world host depth (DNS's 255-octet name bound allows <=127
+    labels, but public hosts run <=10), so 'domain AND every subdomain'
+    holds in practice — including exact deep-host blocklist entries,
+    which a tighter cap would silently stop matching. Callers with
+    hostile inputs deeper than the cap must truncate their blocklist
+    entries to the same ``max_labels`` so probe set and list agree."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     return F.transform(

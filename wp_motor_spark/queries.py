@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from wp_motor_spark.conditions import compile_condition
@@ -38,7 +39,15 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
     many partitions), each partition ranks locally, and broadcast
     cumulative partition offsets (|partitions| rows, genuinely bounded)
     lift local ranks to global ones. The 100 TB-safe total-order
-    pattern shared by snm_candidate_pairs / quality_ensemble_rank."""
+    pattern shared by snm_candidate_pairs / quality_ensemble_rank.
+
+    ``loc`` is persisted before the offsets frame is derived: the rank
+    side and the offsets side are two instantiations of the SAME
+    repartitionByRange, and RangePartitioner boundaries come from
+    sampling — correctness must not depend on exchange reuse
+    (spark.sql.exchange.reuse) deduplicating them. With the persist both
+    subtrees read one InMemoryRelation, i.e. one physical partitioning,
+    regardless of reuse behavior."""
     loc = (
         df.repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -48,6 +57,7 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
                 Window.partitionBy("__pid").orderBy(*order_cols)
             ),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     offsets = (
         loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -6771,20 +6781,22 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only for the driver (eigendecomposition is engine-specific
     LAPACK); the gate (tests/test_quality.py, QUALITY_r{N}) checks the
     whitened corpus covariance IS the identity within tolerance — the
-    defining property, verified on the operator's own output.
+    defining property, verified on the operator's own output. Output is
+    the exploded (vec_id, dim, white_val) long form: every column is a
+    sortable scalar, so the driver's canonical row sort is well-defined
+    (the r13 window errored canonicalizing an array<double> column).
 
     Scale shape: operators/embed.py::zca_whiten — single-pass partial
     Gram per partition (d x d floats) + driver-side d x d eig + map-only
     Arrow GEMM with the whitening matrix broadcast via closure. Nothing
-    shuffles the vectors."""
+    shuffles the vectors; the explode is a bounded x64 map-only fan-out."""
     from wp_motor_spark.operators.embed import zca_whiten
 
     emb = _t(spark, sf_dir, "embeddings")
     out = zca_whiten(emb, dim=64)
     return out.select(
-        "vec_id",
-        F.transform("white", lambda x: F.round(x, 4)).alias("white"),
-    )
+        "vec_id", F.posexplode("white").alias("dim", "white_val")
+    ).select("vec_id", "dim", F.round("white_val", 4).alias("white_val"))
 
 
 def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7842,12 +7854,16 @@ WITH l AS (
 SELECT doc_id,
   len(lines) AS n_lines,
   len(kept) AS n_kept,
+  -- COALESCE(..., 0): DuckDB's string_agg over an EMPTY list is NULL,
+  -- Spark's array_join([]) is '' — match the Spark all-lines-removed
+  -- semantics (removed_char_frac = 1.0) instead of propagating NULL.
   round(CASE WHEN length(text) > 0
-        THEN (length(text) - length(list_aggregate(
-                list_transform(kept, x -> x), 'string_agg', chr(10))))
+        THEN (length(text) - COALESCE(length(list_aggregate(
+                list_transform(kept, x -> x), 'string_agg', chr(10))), 0))
              * 1.0 / length(text) ELSE 0.0 END, 4) AS removed_char_frac,
   CASE WHEN length(text) > 0
-       THEN (length(text) - length(list_aggregate(kept, 'string_agg', chr(10))))
+       THEN (length(text) - COALESCE(length(
+                list_aggregate(kept, 'string_agg', chr(10))), 0))
             * 1.0 / length(text) ELSE 0.0 END <= 0.2 AS kept_doc
 FROM k
 """
@@ -7941,7 +7957,7 @@ import math as _math
 _FS_FIELDS = {
     # field: (m, u)
     "seg": (0.90, 0.20),
-    "phone": (0.85, 0.01),
+    "name_suffix": (0.85, 0.01),
     "bal": (0.80, 0.05),
 }
 _FS_W = {
@@ -7957,7 +7973,8 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a field contributes ln(m/u), disagreement ln((1-m)/(1-u)) — the
     decision-theoretic scoring every dedup/entity-resolution system
     (Splink, dedupe.io) still implements. Fields: market segment,
-    phone exchange code (chars 4-6), account balance within 100.
+    name suffix (the LAST 2 characters of c_name — the customer-number
+    tail, a surrogate identifier fragment), account balance within 100.
     Pairs with score > 0 classify as links. Top-100 by score for a
     bounded result.
 
@@ -7983,11 +8000,13 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a_c_custkey") < F.col("b_c_custkey")),
     )
     g_seg = F.col("a_c_mktsegment") == F.col("b_c_mktsegment")
-    g_phone = F.col("a___nk") == F.col("b___nk")
+    g_name = F.col("a___nk") == F.col("b___nk")
     g_bal = F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < 100
     score = (
         F.when(g_seg, _FS_W["seg"][0]).otherwise(_FS_W["seg"][1])
-        + F.when(g_phone, _FS_W["phone"][0]).otherwise(_FS_W["phone"][1])
+        + F.when(g_name, _FS_W["name_suffix"][0]).otherwise(
+            _FS_W["name_suffix"][1]
+        )
         + F.when(g_bal, _FS_W["bal"][0]).otherwise(_FS_W["bal"][1])
     )
     return (
@@ -7995,7 +8014,7 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a_c_custkey").alias("cust_a"),
             F.col("b_c_custkey").alias("cust_b"),
             g_seg.alias("agree_seg"),
-            g_phone.alias("agree_name"),
+            g_name.alias("agree_name"),
             g_bal.alias("agree_bal"),
             F.round(score, 4).alias("fs_score"),
             (score > 0).alias("is_link"),
@@ -8023,8 +8042,8 @@ WITH c AS (
   SELECT *,
     (CASE WHEN agree_seg THEN CAST({_FS_W['seg'][0]!r} AS DOUBLE)
           ELSE CAST({_FS_W['seg'][1]!r} AS DOUBLE) END
-   + CASE WHEN agree_name THEN CAST({_FS_W['phone'][0]!r} AS DOUBLE)
-          ELSE CAST({_FS_W['phone'][1]!r} AS DOUBLE) END
+   + CASE WHEN agree_name THEN CAST({_FS_W['name_suffix'][0]!r} AS DOUBLE)
+          ELSE CAST({_FS_W['name_suffix'][1]!r} AS DOUBLE) END
    + CASE WHEN agree_bal THEN CAST({_FS_W['bal'][0]!r} AS DOUBLE)
           ELSE CAST({_FS_W['bal'][1]!r} AS DOUBLE) END)
       AS raw
@@ -9083,18 +9102,27 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("long").alias("t0"),
         F.max("ts").cast("long").alias("t1"),
     )
+    # hi == lo (all values equal) would make the bin width 0: Spark's
+    # double division then yields NULL (least() silently picks 9) while
+    # DuckDB yields inf/NaN — guard the degenerate distribution to bin 0
+    # deterministically on BOTH engines (same CASE in PSI_SQL).
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         (
             F.col("ts").cast("long") * 2 <= (F.col("t0") + F.col("t1"))
         ).alias("ref"),
-        F.least(
-            F.lit(9),
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 10.0)
-            ).cast("int"),
-        ).alias("bin"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
     )
     cnt = binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("n_ref"),
@@ -9137,7 +9165,9 @@ WITH bounds AS (
 ), binned AS (
   SELECT event_type,
     epoch(ts) * 2 <= (t0 + t1) AS ref,
-    LEAST(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT)) AS bin
+    CASE WHEN hi > lo
+         THEN LEAST(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT))
+         ELSE 0 END AS bin
   FROM events, bounds
 ), cnt AS (
   SELECT event_type, bin,
@@ -9529,71 +9559,46 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r13: leads are the 17 r12-new operators
-    # (never driver-certified; oracle/gate-verified locally in r12 and
-    # by the r12 judge sweep at sf0.01+sf0.1), then the first 33 of the
-    # 35 r10-certified queries now three rounds stale (lsh_ann_topk..
-    # q15_top_supplier). The last 2 of that block (q18_large_orders,
-    # q19_disjunctive_revenue) sit at positions 51-52 and MUST lead the
-    # r14 window together with any new r13 operators (appended at the
-    # very end). The 50 r11-certified and the 50 r12-certified close
-    # the registry, freshest last.
-    # --- NEW r12, never driver-certified (judge r12 sweep green) ---
-    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
-    "luhn_card_scan": (luhn_card_scan, LUHN_SCAN_SQL),
-    "naive_bayes_quality": (naive_bayes_quality, NAIVE_BAYES_SQL),
-    "doremi_weights": (doremi_weights, DOREMI_SQL),
-    "ewma_anomaly_batch": (ewma_anomaly_batch, None),
-    "embedding_whiten": (embedding_whiten, None),
-    "coverage_select": (coverage_select, None),
-    "c4_filters": (c4_filters, C4_FILTERS_SQL),
-    "unimax_weights": (unimax_weights, UNIMAX_SQL),
-    "domain_blocklist_filter": (domain_blocklist_filter, DOMAIN_BLOCKLIST_SQL),
-    "kneser_ney_ppl": (kneser_ney_ppl, KNESER_NEY_SQL),
-    "pareto_frontier": (pareto_frontier, PARETO_SQL),
-    "kcenter_select": (kcenter_select, None),
-    "burst_detection": (burst_detection, None),
-    "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
-    "rendezvous_shards": (rendezvous_shards, RENDEZVOUS_SQL),
-    "robust_source_stats": (robust_source_stats, ROBUST_STATS_SQL),
-    # --- r10-certified, three rounds stale (CORRECTNESS_r10.json);
-    #     first 33 inside the r13 window, last 2 lead r14 ---
-    "lsh_ann_topk": (lsh_ann_topk, None),
-    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
-    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
-    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
-    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
-    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
-    "embedding_pca": (embedding_pca_q, None),
-    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
-    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
-    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
-    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
-    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
-    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
-    "kmeans_clusters": (kmeans_clusters, None),
-    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
-    "doc_information": (doc_information_q, DOC_INFO_SQL),
-    "compression_quality": (compression_quality, None),
-    "html_extract": (html_extract, HTML_EXTRACT_SQL),
-    "zorder_events": (zorder_events, _zorder_sql()),
-    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
-    "bpe_token_counts": (bpe_token_counts, None),
-    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
-    "train_val_split": (train_val_split, _train_val_split_sql()),
-    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
-    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    # entries. Rotated for r14: leads are q18_large_orders +
+    # q19_disjunctive_revenue (positions 51-52 in r13, the only two
+    # registry queries whose last driver cert is r10) and
+    # embedding_whiten (errored in the r13 window: the driver's
+    # canonical sort can't order an array<double> column — output is
+    # now exploded scalar long form, re-certify it), then the 21
+    # r13-new operators (never driver-certified; oracle/gate-verified
+    # locally in r13), then the first 26 of the 50 r11-certified
+    # queries now three rounds stale. After the window: the remaining
+    # 24 r11-certified (they plus any r14-new MUST lead r15), the 50
+    # r12-certified, the r13-certified blocks, and new r14 operators
+    # appended at the very end.
+    # --- window leads: last certs r10 / errored-r13 ---
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    # --- r11 driver-certified (CORRECTNESS_r11.json) ---
+    "embedding_whiten": (embedding_whiten, None),
+    # --- NEW r13, never driver-certified ---
+    "flesch_readability": (flesch_readability, FLESCH_SQL),
+    "yule_k_diversity": (yule_k_diversity, YULE_K_SQL),
+    "softdedup_weights": (softdedup_weights, SOFTDEDUP_SQL),
+    "refinedweb_line_filter": (refinedweb_line_filter, REFINEDWEB_SQL),
+    "language_balance_gini": (language_balance_gini, LANG_GINI_SQL),
+    "fellegi_sunter_links": (fellegi_sunter_links, FELLEGI_SUNTER_SQL),
+    "kmv_theta_sketch": (kmv_theta_sketch, KMV_THETA_SQL),
+    "quality_ensemble_rank": (quality_ensemble_rank, QUALITY_ENSEMBLE_SQL),
+    "host_pagerank": (host_pagerank, _host_pagerank_sql()),
+    "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
+    "bpe_train_merges": (bpe_train_merges, None),
+    "wimbd_report": (wimbd_report, WIMBD_SQL),
+    "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
+    "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
+    "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
+    "chi2_feature_select": (chi2_feature_select, CHI2_SQL),
+    "psi_drift": (psi_drift, PSI_SQL),
+    "classifier_prf": (classifier_prf, CLASSIFIER_PRF_SQL),
+    "rank_eval_ndcg": (rank_eval_ndcg, RANK_EVAL_SQL),
+    "bootstrap_ci": (bootstrap_ci, BOOTSTRAP_SQL),
+    "mmr_rerank": (mmr_rerank, None),
+    # --- r11-certified, three rounds stale (CORRECTNESS_r11.json);
+    #     first 26 inside the r14 window ---
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "bm25_search": (bm25_search, BM25_SQL),
     "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
@@ -9620,6 +9625,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
     "neardup_pagerank": (neardup_pagerank, None),
     "pq_quantize": (pq_quantize, None),
+    # --- r11-certified remainder (positions 51-74: lead r15) ---
+    # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
+    # elsewhere: the two share one persisted pair pipeline (see
+    # ngram_jaccard_pairs) - bench.py preserves that scheduling.
     "multimodal_features": (multimodal_features, None),
     "sketch_distinct_users": (sketch_distinct_users, None),
     "sketch_value_quantiles": (sketch_value_quantiles, None),
@@ -9644,10 +9653,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, None),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
-    # --- r12 driver-certified (CORRECTNESS_r12.json, freshest) ---
-    # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
-    # elsewhere: the two share one persisted pair pipeline (see
-    # ngram_jaccard_pairs) - bench.py preserves that scheduling.
+    # --- r12-certified (CORRECTNESS_r12.json) ---
     "good_turing_mass": (good_turing_mass, GOOD_TURING_SQL),
     "distinct_ngrams": (distinct_ngrams, DISTINCT_NGRAMS_SQL),
     "prefix_containment_dedup": (prefix_containment_dedup, PREFIX_CONTAIN_SQL),
@@ -9698,27 +9704,54 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_ann_topk": (ivf_ann_topk, None),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "embedding_neardup": (embedding_neardup, EMB_NEARDUP_SQL),
-    # --- NEW r13 (at the END: rotate into the r14 window) ---
-    "flesch_readability": (flesch_readability, FLESCH_SQL),
-    "yule_k_diversity": (yule_k_diversity, YULE_K_SQL),
-    "softdedup_weights": (softdedup_weights, SOFTDEDUP_SQL),
-    "refinedweb_line_filter": (refinedweb_line_filter, REFINEDWEB_SQL),
-    "language_balance_gini": (language_balance_gini, LANG_GINI_SQL),
-    "fellegi_sunter_links": (fellegi_sunter_links, FELLEGI_SUNTER_SQL),
-    "kmv_theta_sketch": (kmv_theta_sketch, KMV_THETA_SQL),
-    "quality_ensemble_rank": (quality_ensemble_rank, QUALITY_ENSEMBLE_SQL),
-    "host_pagerank": (host_pagerank, _host_pagerank_sql()),
-    "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
-    "bpe_train_merges": (bpe_train_merges, None),
-    "wimbd_report": (wimbd_report, WIMBD_SQL),
-    "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
-    "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
-    "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
-    "chi2_feature_select": (chi2_feature_select, CHI2_SQL),
-    "psi_drift": (psi_drift, PSI_SQL),
-    "classifier_prf": (classifier_prf, CLASSIFIER_PRF_SQL),
-    "rank_eval_ndcg": (rank_eval_ndcg, RANK_EVAL_SQL),
-    "bootstrap_ci": (bootstrap_ci, BOOTSTRAP_SQL),
-    "mmr_rerank": (mmr_rerank, None),
-
+    # --- r13-certified (CORRECTNESS_r13.json, freshest) ---
+    "url_canonicalize": (url_canonicalize, URL_CANON_SQL),
+    "luhn_card_scan": (luhn_card_scan, LUHN_SCAN_SQL),
+    "naive_bayes_quality": (naive_bayes_quality, NAIVE_BAYES_SQL),
+    "doremi_weights": (doremi_weights, DOREMI_SQL),
+    "ewma_anomaly_batch": (ewma_anomaly_batch, None),
+    "coverage_select": (coverage_select, None),
+    "c4_filters": (c4_filters, C4_FILTERS_SQL),
+    "unimax_weights": (unimax_weights, UNIMAX_SQL),
+    "domain_blocklist_filter": (domain_blocklist_filter, DOMAIN_BLOCKLIST_SQL),
+    "kneser_ney_ppl": (kneser_ney_ppl, KNESER_NEY_SQL),
+    "pareto_frontier": (pareto_frontier, PARETO_SQL),
+    "kcenter_select": (kcenter_select, None),
+    "burst_detection": (burst_detection, None),
+    "snm_candidate_pairs": (snm_candidate_pairs, SNM_SQL),
+    "rendezvous_shards": (rendezvous_shards, RENDEZVOUS_SQL),
+    "robust_source_stats": (robust_source_stats, ROBUST_STATS_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),
+    "corpus_profile": (corpus_profile_q, CORPUS_PROFILE_SQL),
+    "top_tokens": (top_tokens_q, TOP_TOKENS_SQL),
+    "incremental_dedup": (incremental_dedup_q, INCREMENTAL_DEDUP_SQL),
+    "incremental_dedup_bloom": (incremental_dedup_bloom_q, INCREMENTAL_DEDUP_SQL),
+    "embedding_normalize": (embedding_normalize_q, EMB_NORMALIZE_SQL),
+    "embedding_pca": (embedding_pca_q, None),
+    "embedding_quantize": (embedding_quantize_q, EMB_QUANTIZE_SQL),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "region_rollup": (region_rollup, REGION_ROLLUP_SQL),
+    "span_removal": (span_removal, SPAN_REMOVAL_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "returning_customers": (returning_customers, RETURNING_CUSTOMERS_SQL),
+    "customer_running_revenue": (customer_running_revenue, RUNNING_REVENUE_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "kmeans_clusters": (kmeans_clusters, None),
+    "tfidf_keywords": (tfidf_keywords_q, TFIDF_SQL),
+    "doc_information": (doc_information_q, DOC_INFO_SQL),
+    "compression_quality": (compression_quality, None),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "zorder_events": (zorder_events, _zorder_sql()),
+    "events_anomaly": (events_anomaly, EVENTS_ANOMALY_SQL),
+    "bpe_token_counts": (bpe_token_counts, None),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_sql()),
+    "train_val_split": (train_val_split, _train_val_split_sql()),
+    "q4_priority_exists": (q4_priority_exists, Q4_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
 }
