@@ -10037,6 +10037,462 @@ LIMIT 100
 """
 
 
+
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a document quality score against curated-source
+    labels via the Mann-Whitney rank-sum identity (Hanley & McNeil
+    1982): AUC = (sum of positive ranks - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg), with midrank tie correction — the eval a quality
+    classifier gets before its threshold gates a corpus. Score is the
+    bucketed length signal floor(n_chars/50) (deliberately coarse so
+    tie handling is exercised); positives are the curated sources
+    src0-src3 (the naive_bayes_quality supervision).
+
+    Scale shape: NO per-row global rank — ranks fold per SCORE GROUP:
+    one (score) agg shuffle, a cumulative window over the bounded
+    |distinct scores| frame, and a scalar rollup. Midranks are exact
+    binary halves (x.0/x.5), so double sums are exact — bit-identical
+    across engines and partition orders."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    per = (
+        docs.select(
+            F.floor(F.col("n_chars") / 50).alias("score"),
+            pos.cast("int").alias("p"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("npos"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("n").over(w), F.lit(0)) + (F.col("n") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("npos").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).alias("n_neg"),
+        F.sum(F.col("npos") * F.col("avg_rank")).alias("__spr"),
+    )
+    auc = (
+        F.col("__spr") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(auc * 2 - 1, 6).alias("gini"),
+    )
+
+
+AUC_ROC_SQL = """
+WITH g AS (
+  SELECT CAST(floor(n_chars / 50) AS BIGINT) AS score,
+         COUNT(*) AS n,
+         SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                  THEN 1 ELSE 0 END) AS npos
+  FROM documents GROUP BY 1
+), r AS (
+  SELECT npos, n,
+         COALESCE(SUM(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS avg_rank
+  FROM g
+), a AS (
+  SELECT SUM(npos) AS n_pos, SUM(n - npos) AS n_neg,
+         SUM(npos * avg_rank) AS spr
+  FROM r
+)
+SELECT n_pos, n_neg,
+  round((spr - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc,
+  round(((spr - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)) * 2 - 1, 6)
+    AS gini
+FROM a
+"""
+
+
+def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error screen (Naeini et al. 2015; Guo et
+    al. 2017 eq. 3): a deterministic rational-sigmoid confidence
+    tok/(tok+50) (NO libm exp — a single division both engines compute
+    bit-identically, so bin assignment can never drift cross-engine)
+    against the curated-source label, folded into 10 equal-width
+    confidence bins: per-bin count, mean confidence, empirical
+    accuracy, |gap|, and the bin's weighted ECE contribution, plus the
+    total ECE repeated per row (the headline number a model-monitoring
+    dashboard alerts on).
+
+    Scale shape: one map-only score pass, ONE (bin) agg shuffle with
+    map-side partials, windows only over the bounded 10-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count_ws(F.col("text")).cast("double")
+    conf = tok / (tok + F.lit(50.0))
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    per = (
+        docs.select(
+            F.least(F.lit(9), F.floor(conf * 10).cast("int")).alias("bin"),
+            conf.alias("conf"),
+            pos.cast("int").alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("conf").alias("avg_conf"),
+            F.avg("p").alias("acc"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per.withColumn("__N", F.sum("n").over(wall)).withColumn(
+        "__contrib",
+        F.col("n") / F.col("__N") * F.abs(F.col("acc") - F.col("avg_conf")),
+    )
+    return out.select(
+        "bin",
+        "n",
+        F.round("avg_conf", 6).alias("avg_conf"),
+        F.round("acc", 6).alias("accuracy"),
+        F.round("__contrib", 6).alias("contribution"),
+        F.round(F.sum("__contrib").over(wall), 6).alias("ece"),
+    ).orderBy("bin")
+
+
+ECE_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS DOUBLE) END AS tok,
+         source IN ('src0','src1','src2','src3') AS pos
+  FROM documents
+), s AS (
+  SELECT LEAST(9, CAST(floor(tok / (tok + 50.0) * 10) AS INT)) AS bin,
+         tok / (tok + 50.0) AS conf,
+         CASE WHEN pos THEN 1 ELSE 0 END AS p
+  FROM t
+), per AS (
+  SELECT bin, COUNT(*) AS n, AVG(conf) AS avg_conf, AVG(p) AS acc
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT bin, n, avg_conf, acc,
+         n * 1.0 / (SUM(n) OVER ()) * abs(acc - avg_conf) AS contrib
+  FROM per
+)
+SELECT bin, n, round(avg_conf, 6) AS avg_conf, round(acc, 6) AS accuracy,
+       round(contrib, 6) AS contribution,
+       round(SUM(contrib) OVER (), 6) AS ece
+FROM tot ORDER BY bin
+"""
+
+
+def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen 1960 kappa) between two
+    deterministic document-quality annotators — the agreement audit a
+    labeling pipeline runs before trusting weak labels: rater A keeps
+    docs with >= 50 whitespace tokens, rater B keeps docs with >= 280
+    chars (both near the corpus median, so the 2x2 table is genuinely
+    populated). kappa = (p_o - p_e) / (1 - p_e) from the confusion
+    marginals, reported with the raw cell counts so the disagreement
+    direction is visible; the degenerate p_e = 1 case (both raters
+    constant) is defined to kappa = 0 on both engines.
+
+    Scale shape: map-only predicates + ONE scalar rollup (map-side
+    partials, 1 row out). Integer counts -> deterministic doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    a = (text.token_count_ws(F.col("text")) >= 50).cast("int")
+    b = (F.col("n_chars") >= 280).cast("int")
+    agg = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * F.col("n"))
+    return agg.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.when(pe < 1.0, F.round((po - pe) / (1 - pe), 6))
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
+    )
+
+
+COHEN_KAPPA_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END >= 50
+           AS a,
+         n_chars >= 280 AS b
+  FROM documents
+), c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+  FROM t
+)
+SELECT n, n11, n10, n01, n00,
+  round((n11 + n00) * 1.0 / n, 6) AS p_o,
+  round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        * 1.0 / (n * n), 6) AS p_e,
+  CASE WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            * 1.0 / (n * n) < 1
+       THEN round(((n11 + n00) * 1.0 / n
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                * 1.0 / (n * n))
+             / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                    * 1.0 / (n * n)), 6)
+       ELSE 0.0 END AS kappa
+FROM c
+"""
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation (Spearman 1904, the
+    tie-corrected Pearson-on-midranks form) between two quality
+    signals, char length and whitespace token count — the redundancy
+    screen a curation team runs before stacking correlated signals
+    into an ensemble filter.
+
+    Scale shape: NO per-row sort — midranks fold per (lang, value)
+    GROUP (the auc_roc discipline): two bounded-domain aggs (char
+    lengths and token counts are bounded value domains), cumulative
+    windows over those bounded frames, broadcast joins back to rows,
+    then one per-lang Pearson rollup. Midranks are exact halves and
+    the moment sums run in DECIMAL, so both engines agree bitwise at
+    any partition order; the final rho is one double expression."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        text.token_count_ws(F.col("text")).alias("y"),
+    )
+
+    def midranks(df, col):
+        per = df.groupBy("lang", col).agg(F.count(F.lit(1)).alias("n"))
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "lang",
+            col,
+            (
+                F.coalesce(F.sum("n").over(w), F.lit(0))
+                + (F.col("n") + 1) / 2.0
+            ).alias(f"r_{col}"),
+        )
+
+    rx = midranks(base, "x")
+    ry = midranks(base, "y")
+    joined = base.join(F.broadcast(rx), ["lang", "x"]).join(
+        F.broadcast(ry), ["lang", "y"]
+    )
+    dx = F.col("r_x").cast("decimal(18,1)")
+    dy = F.col("r_y").cast("decimal(18,1)")
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum((dx * dy).cast("decimal(38,2)")).alias("sxy"),
+        F.sum((dx * dx).cast("decimal(38,2)")).alias("sxx"),
+        F.sum((dy * dy).cast("decimal(38,2)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return agg.select(
+        "lang", "n", F.round(num / den, 6).alias("rho")
+    ).orderBy("lang")
+
+
+SPEARMAN_SQL = r"""
+WITH base AS (
+  SELECT lang, n_chars AS x,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS y
+  FROM documents
+), gx AS (
+  SELECT lang, x, COUNT(*) AS n FROM base GROUP BY 1, 2
+), rx AS (
+  SELECT lang, x,
+         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS r_x
+  FROM gx
+), gy AS (
+  SELECT lang, y, COUNT(*) AS n FROM base GROUP BY 1, 2
+), ry AS (
+  SELECT lang, y,
+         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (n + 1) / 2.0 AS r_y
+  FROM gy
+), j AS (
+  SELECT base.lang,
+         CAST(r_x AS DECIMAL(18,1)) AS dx,
+         CAST(r_y AS DECIMAL(18,1)) AS dy
+  FROM base JOIN rx USING (lang, x) JOIN ry USING (lang, y)
+), a AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(CAST(dx * dy AS DECIMAL(38,2))) AS sxy,
+         SUM(CAST(dx * dx AS DECIMAL(38,2))) AS sxx,
+         SUM(CAST(dy * dy AS DECIMAL(38,2))) AS syy
+  FROM j GROUP BY 1
+)
+SELECT lang, n,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM a ORDER BY lang
+"""
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift monitor per event type
+    (Massey 1951; the distribution-shift alarm run next to psi_drift):
+    the first time half is the reference sample, the second the
+    current, and D = max |ECDF_ref - ECDF_cur| evaluated on a FIXED
+    1000-bin quantization of the global value range (the
+    monitoring-grade variant: exact KS needs a total order over every
+    distinct double — the binned statistic is the KS of the quantized
+    distributions, and 1000 bins bound the error at 0.001 of the value
+    range). Flags drift at the asymptotic alpha=0.05 threshold
+    1.358 * sqrt((n1+n2)/(n1*n2)) (Smirnov).
+
+    Scale shape: global bounds fold in as a one-row broadcast; ONE
+    (type, bin) agg shuffle; the ECDF cumulative window runs per type
+    over <= 1000 bounded rows. Cum counts are integers, so both
+    engines divide identically — no float-order risk."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (
+            F.col("ts").cast("long") * 2 <= (F.col("t0") + F.col("t1"))
+        ).alias("ref"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(999),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 1000.0)
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("c_cur"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ecdf = (
+        cnt.withColumn("cum_ref", F.sum("c_ref").over(wcum))
+        .withColumn("cum_cur", F.sum("c_cur").over(wcum))
+        .withColumn("n_ref", F.sum("c_ref").over(wall))
+        .withColumn("n_cur", F.sum("c_cur").over(wall))
+    )
+    d = F.abs(
+        F.col("cum_ref") / F.col("n_ref")
+        - F.col("cum_cur") / F.col("n_cur")
+    )
+    out = ecdf.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(F.max(d), 6).alias("ks_d"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur"))
+        / (F.col("n_ref").cast("double") * F.col("n_cur"))
+    )
+    return out.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "ks_d",
+        (F.col("ks_d") > crit).alias("drifted"),
+    ).orderBy("event_type")
+
+
+KS_DRIFT_SQL = """
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi,
+         epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1
+  FROM events
+), binned AS (
+  SELECT event_type,
+    epoch(ts) * 2 <= (t0 + t1) AS ref,
+    CASE WHEN hi > lo
+         THEN LEAST(999, CAST(floor((value - lo) / ((hi - lo) / 1000.0))
+                              AS INT))
+         ELSE 0 END AS bin
+  FROM events, bounds
+), cnt AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS c_ref,
+         SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS c_cur
+  FROM binned GROUP BY 1, 2
+), ecdf AS (
+  SELECT event_type,
+         SUM(c_ref) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+         SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+  FROM cnt
+), agg AS (
+  SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+         round(MAX(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)), 6)
+           AS ks_d
+  FROM ecdf GROUP BY 1
+)
+SELECT event_type, n_ref, n_cur, ks_d,
+       ks_d > 1.358 * sqrt((n_ref + n_cur) * 1.0 / (n_ref * n_cur))
+         AS drifted
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -10242,5 +10698,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q16_parts_supplier_count": (q16_parts_supplier_count, Q16_SQL),
     "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
     "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
+    "auc_roc": (auc_roc, AUC_ROC_SQL),
+    "ece_calibration": (ece_calibration, ECE_SQL),
+    "cohen_kappa": (cohen_kappa, COHEN_KAPPA_SQL),
+    "spearman_corr": (spearman_corr, SPEARMAN_SQL),
+    "ks_drift": (ks_drift, KS_DRIFT_SQL),
 }
 
