@@ -10493,6 +10493,448 @@ FROM agg ORDER BY event_type
 """
 
 
+
+def log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted log-odds keyword extraction with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words",
+    eq. 15-22): which tokens are most over-represented in the curated
+    sources (src0-src3) vs the rest of the corpus — the corpus-
+    comparison view a curation team reads before writing quality
+    rules. alpha_w = a0 * corpus share (a0 = 100); z = delta / sqrt(
+    1/(y_cw + a_w) + 1/(y_rw + a_w)); tokens with corpus count < 10
+    are dropped; top 15 per side by z (ties broken on the term).
+
+    Scale shape: ONE token agg shuffle (map-side partials), the group
+    totals fold in as a one-row broadcast, and each side's top-15 is a
+    TakeOrdered over the vocab — no global sort materializes."""
+    docs = _t(spark, sf_dir, "documents")
+    a0 = 100.0
+    toks = docs.select(
+        F.col("source").isin("src0", "src1", "src2", "src3").alias("cur"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    per = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("y_c"),
+        F.sum(F.when(F.col("cur"), 0).otherwise(1)).alias("y_r"),
+    ).where(F.col("y_c") + F.col("y_r") >= 10)
+    tot = per.agg(
+        F.sum("y_c").alias("n_c"),
+        F.sum("y_r").alias("n_r"),
+        F.sum(F.col("y_c") + F.col("y_r")).alias("n_all"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    aw = a0 * (F.col("y_c") + F.col("y_r")) / F.col("n_all")
+    delta = F.log(
+        (F.col("y_c") + aw)
+        / (F.col("n_c") + a0 - F.col("y_c") - aw)
+    ) - F.log(
+        (F.col("y_r") + aw)
+        / (F.col("n_r") + a0 - F.col("y_r") - aw)
+    )
+    z = delta / F.sqrt(
+        1.0 / (F.col("y_c") + aw) + 1.0 / (F.col("y_r") + aw)
+    )
+    scored = j.select(
+        "term", "y_c", "y_r", F.round(z, 4).alias("z_odds")
+    )
+    top_cur = scored.orderBy(F.desc("z_odds"), "term").limit(15).select(
+        "*", F.lit("curated").alias("side")
+    )
+    top_ref = scored.orderBy(F.asc("z_odds"), "term").limit(15).select(
+        "*", F.lit("rest").alias("side")
+    )
+    return top_cur.unionAll(top_ref).orderBy(
+        "side", F.desc(F.abs(F.col("z_odds"))), "term"
+    )
+
+
+LOG_ODDS_SQL = r"""
+WITH toks AS (
+  SELECT source IN ('src0','src1','src2','src3') AS cur,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), per AS (
+  SELECT term,
+         SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS y_c,
+         SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS y_r
+  FROM toks WHERE term != '' GROUP BY 1
+  HAVING SUM(1) >= 10
+), tot AS (
+  SELECT SUM(y_c) AS n_c, SUM(y_r) AS n_r, SUM(y_c + y_r) AS n_all FROM per
+), scored AS (
+  SELECT term, y_c, y_r,
+    round((ln((y_c + 100.0 * (y_c + y_r) / n_all)
+              / (n_c + 100.0 - y_c - 100.0 * (y_c + y_r) / n_all))
+           - ln((y_r + 100.0 * (y_c + y_r) / n_all)
+                / (n_r + 100.0 - y_r - 100.0 * (y_c + y_r) / n_all)))
+          / sqrt(1.0 / (y_c + 100.0 * (y_c + y_r) / n_all)
+                 + 1.0 / (y_r + 100.0 * (y_c + y_r) / n_all)), 4) AS z_odds
+  FROM per, tot
+)
+SELECT * FROM (
+  (SELECT term, y_c, y_r, z_odds, 'curated' AS side FROM scored
+   ORDER BY z_odds DESC, term LIMIT 15)
+  UNION ALL
+  (SELECT term, y_c, y_r, z_odds, 'rest' AS side FROM scored
+   ORDER BY z_odds ASC, term LIMIT 15)
+)
+ORDER BY side, abs(z_odds) DESC, term
+"""
+
+
+def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph triangle census (node-iterator with ordered joins —
+    Suri & Vassilvitskii 2011 MapReduce triangle counting): per-host
+    triangle count, degree, and local clustering coefficient
+    2T/(d(d-1)) — the link-farm / community screen next to
+    host_pagerank. The graph extends _host_edges with hub-hub
+    co-citation edges (hub(p1)-hub(p2), hub(p2)-hub(p3) per doc):
+    source->hub edges alone are bipartite, which has NO triangles by
+    construction.
+
+    Scale shape: the undirected edge set is DISTINCT and canonical
+    (u < v), so each triangle is found exactly once by the a<b<c
+    ordered 3-way join; joins key on host (the real-web version
+    degree-orders first, same plan). Everything after the distinct is
+    |hosts+edges|-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    hubs = [
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("doc_id") * p, F.lit(37)).cast("string"),
+            F.lit(".example.org"),
+        )
+        for p in _PR_PRIMES
+    ]
+    raw = _host_edges(docs).unionAll(
+        docs.select(hubs[0].alias("src"), hubs[1].alias("dst"))
+    ).unionAll(docs.select(hubs[1].alias("src"), hubs[2].alias("dst")))
+    edges = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    member = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("host"))
+        .unionAll(edges.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(member, "host", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("host")
+    )
+
+
+def _host_triangles_sql() -> str:
+    primes = ", ".join(str(p) for p in _PR_PRIMES)
+    return f"""
+WITH raw AS (
+  SELECT source || '.example.org' AS src,
+         'h' || CAST((doc_id * p) % 37 AS VARCHAR) || '.example.org' AS dst
+  FROM documents, UNNEST([{primes}]) AS t(p)
+  UNION ALL
+  SELECT 'h' || CAST((doc_id * {_PR_PRIMES[0]}) % 37 AS VARCHAR)
+           || '.example.org',
+         'h' || CAST((doc_id * {_PR_PRIMES[1]}) % 37 AS VARCHAR)
+           || '.example.org'
+  FROM documents
+  UNION ALL
+  SELECT 'h' || CAST((doc_id * {_PR_PRIMES[1]}) % 37 AS VARCHAR)
+           || '.example.org',
+         'h' || CAST((doc_id * {_PR_PRIMES[2]}) % 37 AS VARCHAR)
+           || '.example.org'
+  FROM documents
+), edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src != dst
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+), member AS (
+  SELECT host, COUNT(*) AS triangles
+  FROM (SELECT a AS host FROM tris UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY 1
+), deg AS (
+  SELECT host, COUNT(*) AS degree
+  FROM (SELECT u AS host FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+)
+SELECT deg.host, degree, COALESCE(triangles, 0) AS triangles,
+       CASE WHEN degree >= 2
+            THEN round(2.0 * COALESCE(triangles, 0)
+                       / (degree * (degree - 1.0)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN member ON deg.host = member.host
+ORDER BY deg.host
+"""
+
+
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over customer names
+    (Levenshtein 1966; the blocked similarity-join pattern of Gravano
+    et al. 2001): candidate pairs from a FIXED-size blocking key
+    (custkey div 100 — in a real pipeline a q-gram or phonetic key;
+    the surrogate bucket is the deterministic stand-in), verified with
+    exact Levenshtein <= 2. The fuzzy-matching primitive under entity
+    resolution when Jaccard shingles (ngram_jaccard_dups) are too
+    coarse. Top-300 by (distance, keys) keeps output bounded.
+
+    Scale shape: the block key bounds every block at <= 100 rows, so
+    candidates are <= 4,950 per block — pair volume stays LINEAR in
+    the corpus; the verify step is a JVM levenshtein in codegen. One
+    self-join shuffle on the block key."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_custkey") / 100).alias("__blk"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "__blk",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "__blk",
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .select(
+            "cust_a",
+            "cust_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("edit_dist", "cust_a", "cust_b")
+        .limit(300)
+    )
+
+
+EDIT_DIST_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a
+JOIN customer b
+  ON CAST(floor(a.c_custkey / 100) AS BIGINT)
+     = CAST(floor(b.c_custkey / 100) AS BIGINT)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY edit_dist, cust_a, cust_b
+LIMIT 300
+"""
+
+
+def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010,
+    "Cutting the Gordian Knot: MATTR") — the length-invariant lexical
+    diversity signal (plain TTR shrinks with doc length, so it cannot
+    rank docs of different sizes; yule_k_diversity is the frequency-
+    based alternative). Window W=25 whitespace tokens; docs shorter
+    than W fall back to plain TTR. mattr = (sum of per-window distinct
+    counts) / (W * n_windows) — computed as ONE integer sum and ONE
+    division, so both engines agree bitwise.
+
+    Scale shape: MAP-ONLY — the token split and the O(n*W) sliding
+    distinct-count run as HOF expressions per row; no explode, no
+    shuffle, the text column never moves."""
+    W = 25
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    dsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n - W + 1),
+            lambda i: F.size(F.array_distinct(F.slice(toks, i, W))),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mattr = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0.0))
+        .when(
+            n >= W,
+            dsum.cast("double") / (F.lit(W) * (n - W + 1)),
+        )
+        .otherwise(
+            F.size(F.array_distinct(toks)).cast("double") / n
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(n)
+        .alias("n_tok"),
+        F.round(mattr, 6).alias("mattr"),
+    )
+
+
+MATTR_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tok,
+  round(CASE
+    WHEN len(toks) = 0 THEN 0.0
+    WHEN len(toks) >= 25 THEN
+      CAST(list_sum(list_transform(range(1, len(toks) - 25 + 2),
+           i -> len(list_distinct(list_slice(toks, i, i + 24))))) AS DOUBLE)
+        / (25 * (len(toks) - 25 + 1))
+    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+  END, 6) AS mattr
+FROM t
+"""
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-type daily event counts
+    (Page 1954; the tabular form S+_t = max(0, S+_{t-1} + x_t - mu -
+    k)) with k = 0.5 sigma slack and h = 4 sigma decision interval —
+    the sustained-shift alarm that complements the point-outlier
+    screens (ewma_anomaly / events_anomaly). Computed via the CLOSED
+    FORM S_t = C_t - min(0, running-min C_t) where C is the cumsum of
+    deviations — pure window functions, NO sequential fold, which also
+    makes the recurrence exactly SQL-expressible (unlike the EWMA
+    recurrence, whose state is nonlinear in the value).
+
+    Exactness: daily counts are integers, so mu / sigma derive from
+    exact integer sums; the deviation cumsum adds in the SAME day
+    order on both engines — every double is bit-identical.
+
+    Scale shape: one (type, day) agg shuffle; per-type stats join back
+    as a |types|-row broadcast; the windows run per type over
+    calendar-bounded daily rows (~365 rows/type/year — genuinely
+    bounded state, the reason daily rollup precedes the scan)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("x").alias("__s"),
+        F.sum(F.col("x") * F.col("x")).alias("__ss"),
+    )
+    mu = F.col("__s").cast("double") / F.col("__n")
+    sigma = F.sqrt(
+        F.col("__ss").cast("double") / F.col("__n") - mu * mu
+    )
+    j = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        mu.alias("__mu"),
+        sigma.alias("__sig"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    up = F.sum(
+        F.col("x") - F.col("__mu") - 0.5 * F.col("__sig")
+    ).over(wc)
+    dn = F.sum(
+        F.col("__mu") - 0.5 * F.col("__sig") - F.col("x")
+    ).over(wc)
+    stepped = j.select(
+        "event_type",
+        "day",
+        "x",
+        (up - F.least(F.lit(0.0), F.min(up).over(wc))).alias("__sp"),
+        (dn - F.least(F.lit(0.0), F.min(dn).over(wc))).alias("__sn"),
+        (4.0 * F.col("__sig")).alias("__h"),
+    )
+    return stepped.select(
+        "event_type",
+        "day",
+        "x",
+        F.round("__sp", 6).alias("s_pos"),
+        F.round("__sn", 6).alias("s_neg"),
+        (
+            (F.col("__sp") > F.col("__h"))
+            | (F.col("__sn") > F.col("__h"))
+        ).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         SUM(x) * 1.0 / COUNT(*) AS mu,
+         sqrt(SUM(x * x) * 1.0 / COUNT(*)
+              - (SUM(x) * 1.0 / COUNT(*)) * (SUM(x) * 1.0 / COUNT(*)))
+           AS sig
+  FROM daily GROUP BY 1
+), c AS (
+  SELECT daily.event_type, day, x, mu, sig,
+         SUM(x - mu - 0.5 * sig) OVER w AS cu,
+         SUM(mu - 0.5 * sig - x) OVER w AS cd
+  FROM daily JOIN stats USING (event_type)
+  WINDOW w AS (PARTITION BY daily.event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT event_type, day, x,
+         cu - LEAST(0.0, MIN(cu) OVER w) AS sp,
+         cd - LEAST(0.0, MIN(cd) OVER w) AS sn,
+         4.0 * sig AS h
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, x,
+       round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+       (sp > h OR sn > h) AS alarm
+FROM s ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -10703,5 +11145,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cohen_kappa": (cohen_kappa, COHEN_KAPPA_SQL),
     "spearman_corr": (spearman_corr, SPEARMAN_SQL),
     "ks_drift": (ks_drift, KS_DRIFT_SQL),
+    "log_odds_keywords": (log_odds_keywords, LOG_ODDS_SQL),
+    "host_triangles": (host_triangles, _host_triangles_sql()),
+    "edit_distance_join": (edit_distance_join, EDIT_DIST_SQL),
+    "mattr_diversity": (mattr_diversity, MATTR_SQL),
+    "cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
 }
 
