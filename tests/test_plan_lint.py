@@ -102,6 +102,13 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   estimate next to the 200-element replicate array
         "mmr_rerank": {"NESTED_LOOP"},  # broadcast tiny query set
         #   (brute_force_topk candidate generation)
+        "ks_drift": {"NESTED_LOOP"},  # broadcast ONE-row global
+        #   min/max/midpoint bounds (the psi_drift shape)
+        "q11_important_stock": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   (total, n_parts) scalar-subquery aggregate (the spec's
+        #   HAVING threshold)
+        "log_odds_keywords": {"NESTED_LOOP"},  # broadcast ONE-row group
+        #   totals (n_c, n_r, n_all)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():
