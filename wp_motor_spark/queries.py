@@ -10935,6 +10935,142 @@ FROM s ORDER BY event_type, day
 """
 
 
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (Bengio et al. 2009, "Curriculum Learning"):
+    assign every document a training stage 0-3, easy to hard, by a
+    deterministic difficulty signal — bucketed mean word length
+    floor(10 * n_chars / tokens) (short words first, the classic
+    text-curriculum proxy) — so a data loader can feed stages in
+    order. Stage boundaries are QUANTILE cuts (each stage ~25% of the
+    corpus), computed from cumulative counts per difficulty bucket.
+
+    Scale shape: NO global sort — the stage cut folds per DIFFICULTY
+    BUCKET (the auc_roc midrank discipline): one bounded (bucket) agg,
+    a cumulative window over the bounded bucket frame, broadcast join
+    back to rows. Integer arithmetic end to end (floor(cum*4/N)) —
+    bit-stable on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count_ws(F.col("text"))
+    diff = F.when(tok > 0, F.floor(F.col("n_chars") * 10 / tok)).otherwise(
+        F.lit(0)
+    )
+    base = docs.select("doc_id", diff.alias("difficulty"))
+    per = base.groupBy("difficulty").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cuts = per.select(
+        "difficulty",
+        F.least(
+            F.lit(3),
+            F.floor(
+                F.coalesce(F.sum("n").over(w), F.lit(0))
+                * 4
+                / F.sum("n").over(wall)
+            ).cast("int"),
+        ).alias("stage"),
+    )
+    return (
+        base.join(F.broadcast(cuts), "difficulty")
+        .select("doc_id", "difficulty", "stage")
+        .orderBy("stage", "difficulty", "doc_id")
+    )
+
+
+CURRICULUM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(floor(n_chars * 10
+                / len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+    END AS difficulty
+  FROM documents
+), per AS (
+  SELECT difficulty, COUNT(*) AS n FROM base GROUP BY 1
+), cuts AS (
+  SELECT difficulty,
+    LEAST(3, CAST(floor(
+      COALESCE(SUM(n) OVER (ORDER BY difficulty
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      * 4 / SUM(n) OVER ()) AS INT)) AS stage
+  FROM per
+)
+SELECT doc_id, difficulty, stage
+FROM base JOIN cuts USING (difficulty)
+ORDER BY stage, difficulty, doc_id
+"""
+
+
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score (the
+    cross-source comparability step before ONE global threshold gates
+    a mixed corpus — raw score scales differ by source, so FineWeb/
+    DCLM-style pipelines compare percentiles, not raw values): each
+    doc's score maps to its Hazen plotting position within its source,
+    pct = (midrank - 0.5) / n (Hazen 1914 — the standard quantile
+    convention), so 0.5 is always the source median.
+
+    Scale shape: midranks fold per (source, score) GROUP — one bounded
+    agg, per-source cumulative windows over bounded frames, broadcast
+    join back (the spearman_corr discipline). Midranks are exact
+    halves; one division — bit-stable cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    score = F.floor(F.col("n_chars") / 20).alias("score")
+    base = docs.select("doc_id", "source", score)
+    per = base.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("source")
+    ranks = per.select(
+        "source",
+        "score",
+        (
+            (
+                F.coalesce(F.sum("n").over(w), F.lit(0))
+                + (F.col("n") + 1) / 2.0
+                - 0.5
+            )
+            / F.sum("n").over(wall)
+        ).alias("pct"),
+    )
+    return (
+        base.join(F.broadcast(ranks), ["source", "score"])
+        .select(
+            "doc_id", "source", "score", F.round("pct", 6).alias("pct")
+        )
+        .orderBy("source", "score", "doc_id")
+    )
+
+
+QUANTILE_NORM_SQL = """
+WITH base AS (
+  SELECT doc_id, source, CAST(floor(n_chars / 20) AS BIGINT) AS score
+  FROM documents
+), per AS (
+  SELECT source, score, COUNT(*) AS n FROM base GROUP BY 1, 2
+), ranks AS (
+  SELECT source, score,
+    (COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+     + (n + 1) / 2.0 - 0.5)
+    / SUM(n) OVER (PARTITION BY source) AS pct
+  FROM per
+)
+SELECT doc_id, source, score, round(pct, 6) AS pct
+FROM base JOIN ranks USING (source, score)
+ORDER BY source, score, doc_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -11150,5 +11286,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "edit_distance_join": (edit_distance_join, EDIT_DIST_SQL),
     "mattr_diversity": (mattr_diversity, MATTR_SQL),
     "cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
+    "curriculum_order": (curriculum_order, CURRICULUM_SQL),
+    "score_quantile_normalize": (score_quantile_normalize, QUANTILE_NORM_SQL),
 }
 
