@@ -142,6 +142,24 @@ DEFAULT_QUERIES = [
     "rank_eval_ndcg",
     "bootstrap_ci",
     "mmr_rerank",
+    # r14 additions: the TPC-H completion's heaviest joins (derived
+    # supply relation, decorrelated EXISTS pair), bounded-domain rank
+    # evals, fixed-block similarity self-join, map-only HOF MATTR,
+    # window-closed-form CUSUM, ordered 3-way triangle join
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q16_parts_supplier_count",
+    "q21_suppliers_kept_waiting",
+    "auc_roc",
+    "spearman_corr",
+    "ks_drift",
+    "log_odds_keywords",
+    "host_triangles",
+    "edit_distance_join",
+    "mattr_diversity",
+    "cusum_changepoint",
+    "curriculum_order",
+    "score_quantile_normalize",
 ]
 
 SF_DIRS = [
