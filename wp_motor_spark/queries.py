@@ -9808,10 +9808,10 @@ def q12_late_priority_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag AS flag_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -10098,7 +10098,8 @@ WITH g AS (
            + (n + 1) / 2.0 AS avg_rank
   FROM g
 ), a AS (
-  SELECT SUM(npos) AS n_pos, SUM(n - npos) AS n_neg,
+  SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+         CAST(SUM(n - npos) AS BIGINT) AS n_neg,
          SUM(npos * avg_rank) AS spr
   FROM r
 )
@@ -10235,10 +10236,11 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
-         SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
-         SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
-         SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+         CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
   FROM t
 )
 SELECT n, n11, n10, n01, n00,
@@ -10481,7 +10483,9 @@ WITH bounds AS (
          SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
   FROM cnt
 ), agg AS (
-  SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+  SELECT event_type,
+         CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+         CAST(MAX(n_cur) AS BIGINT) AS n_cur,
          round(MAX(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur)), 6)
            AS ks_d
   FROM ecdf GROUP BY 1
@@ -10557,8 +10561,8 @@ WITH toks AS (
   FROM documents
 ), per AS (
   SELECT term,
-         SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS y_c,
-         SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS y_r
+         CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS y_c,
+         CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS y_r
   FROM toks WHERE term != '' GROUP BY 1
   HAVING SUM(1) >= 10
 ), tot AS (
@@ -11186,7 +11190,7 @@ WITH base AS (
          SUM(n) OVER (PARTITION BY source) AS n_cal
   FROM per
 ), qhat AS (
-  SELECT source, MIN(score) AS q_hat, MAX(n_cal) AS n_cal
+  SELECT source, MIN(score) AS q_hat, CAST(MAX(n_cal) AS BIGINT) AS n_cal
   FROM cum
   WHERE cum >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
   GROUP BY 1
