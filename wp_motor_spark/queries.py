@@ -7711,7 +7711,7 @@ WITH tf AS (
   WHERE tok != ''
   GROUP BY doc_id, tok
 ), agg AS (
-  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS v_types,
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS v_types,
          SUM(c * c) AS s2
   FROM tf GROUP BY doc_id
 )
@@ -8063,7 +8063,10 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Dasgupta et al. 2016): estimate distinct users of the two
     busiest event types, of their UNION (k smallest of the merged hash
     sets — a valid KMV sketch of the union), and of their INTERSECTION
-    (inclusion-exclusion over the three estimates) — the mergeable
+    (inclusion-exclusion over the three estimates; its n_hashes/theta
+    are 0 sentinels, NOT NULL — pandas floats an integer column that
+    contains NULL, which would break the driver's exact compare) —
+    the mergeable
     cardinality machinery cross-source audience/overlap dashboards run
     at 100 TB, with md5-derived hashes so the DuckDB oracle replays the
     sketch EXACTLY (the engine-portable weighted_sample_aes
@@ -8146,8 +8149,8 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit("intersect").alias("set_name"),
-            F.lit(None).cast("long").alias("n_hashes"),
-            F.lit(None).cast("double").alias("theta"),
+            F.lit(0).cast("long").alias("n_hashes"),
+            F.lit(0.0).alias("theta"),
             F.round("__i", 4).alias("estimate"),
         )
     )
@@ -8182,8 +8185,8 @@ WITH top2 AS (
                ELSE 255 / theta END, 4) AS estimate
   FROM (SELECT * FROM per_type UNION ALL SELECT * FROM uni)
 ), inter AS (
-  SELECT 'intersect' AS set_name, CAST(NULL AS BIGINT) AS n_hashes,
-    CAST(NULL AS DOUBLE) AS theta,
+  SELECT 'intersect' AS set_name, CAST(0 AS BIGINT) AS n_hashes,
+    CAST(0.0 AS DOUBLE) AS theta,
     round(SUM(CASE WHEN set_name != 'union' THEN estimate END)
           - SUM(CASE WHEN set_name = 'union' THEN estimate END), 4) AS estimate
   FROM allsets
@@ -9061,8 +9064,8 @@ WITH toks AS (
   WHERE tok != ''
 ), cont AS (
   SELECT tok,
-         SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS a,
-         SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS b
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS b
   FROM toks GROUP BY tok
 ), totals AS (
   SELECT SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS n_pos,
@@ -9184,7 +9187,9 @@ WITH bounds AS (
            / ((n_cur + 1.0) / (t_cur + 10.0))) AS term
   FROM cnt JOIN tot USING (event_type)
 )
-SELECT event_type, MAX(t_ref) AS n_ref, MAX(t_cur) AS n_cur,
+SELECT event_type,
+  CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+  CAST(MAX(t_cur) AS BIGINT) AS n_cur,
   round(SUM(term), 6) AS psi,
   CASE WHEN round(SUM(term), 6) < 0.1 THEN 'stable'
        WHEN round(SUM(term), 6) < 0.25 THEN 'moderate'
@@ -9244,10 +9249,11 @@ def classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLASSIFIER_PRF_SQL = f"""
 WITH cm AS (
   SELECT
-    SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS tp,
-    SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS fp,
-    SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS fn,
-    SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END) AS tn
+    CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
   FROM ({NAIVE_BAYES_SQL}) nb
   JOIN (SELECT doc_id, source IN ('src0', 'src1') AS pos FROM documents) t
     USING (doc_id)
