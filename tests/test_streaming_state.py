@@ -469,3 +469,92 @@ def test_ewma_anomaly_stream_matches_driver_recurrence(spark, tmp_path):
     assert want, "fixture must contain anomalies"
     assert any(v == 50.0 for (_, v, _) in want)  # the planted spike fires
     assert got == want, (got, want)
+
+
+def test_cusum_stream_matches_driver_recurrence(spark, tmp_path):
+    """CUSUM changepoint gate: the streamed per-key alarms EXACTLY match
+    a driver-side pure-python recompute of the same recurrence (Welford
+    calibration frozen at min_n, k=0.5 sigma slack, h=4 sigma decision,
+    side reset after alarm), across TWO micro-batches so the
+    (n, mean, m2, s_pos, s_neg) state genuinely carries over. The
+    values drift upward by ~0.5 sigma per step after calibration — a
+    sustained shift NO single z-score would flag (the regime EWMA
+    misses and CUSUM exists for)."""
+    import math
+
+    from wp_motor_spark.streaming import cusum_stream
+
+    base = [10.0, 10.4, 9.6, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0]
+    drift = [10.2 + 0.15 * i for i in range(14)]
+    vals = base + drift
+    rows = [
+        {"ts": f"2026-01-01T10:00:{i:02d}", "k": "a", "v": v}
+        for i, v in enumerate(vals)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(os.path.join(src, "b0.json"), rows[:13], order=0)
+    _write(os.path.join(src, "b1.json"), rows[13:], order=1)
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("k", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    out = cusum_stream(
+        stream, key_col="k", ts_col="ts", val_col="v",
+        k_slack=0.5, h_sigma=4.0, min_n=10,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("cusum_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["ts"]), r["v"], r["s_pos"], r["s_neg"], r["direction"])
+            for r in spark.sql("select * from cusum_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # driver-side recompute of the identical recurrence
+    n, mean, m2, sp, sn = 0, 0.0, 0.0, 0.0, 0.0
+    want = set()
+    for i, v in enumerate(vals):
+        ts = f"2026-01-01 10:00:{i:02d}"
+        if n < 10:
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            if n == 10:
+                m2 = m2 / n
+            continue
+        sig = math.sqrt(m2) if m2 > 0 else 1.0
+        sp = max(0.0, sp + (v - mean - 0.5 * sig))
+        sn = max(0.0, sn + (mean - 0.5 * sig - v))
+        if sp > 4.0 * sig or sn > 4.0 * sig:
+            want.add(
+                (ts, v, round(sp, 6), round(sn, 6),
+                 "up" if sp > 4.0 * sig else "down")
+            )
+            if sp > 4.0 * sig:
+                sp = 0.0
+            if sn > 4.0 * sig:
+                sn = 0.0
+        n += 1
+    assert want, "fixture must produce at least one changepoint alarm"
+    assert got == want

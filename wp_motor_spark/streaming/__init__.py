@@ -5,16 +5,25 @@ streaming operators (SURVEY.md §2.9 — no event-time, no stream dedup, no
 sessionization). This package is the Spark-native extension surface the
 north star asks for on top of parity: event-time sessionization with
 bounded state (`applyInPandasWithState`) and watermark-bounded streaming
-dedup, plus SpaceSaving streaming heavy hitters (fixed-memory top-k).
-Batch twins live in queries.user_sessions / operators.dedup /
-queries.countmin_heavy_hitters.
+dedup, plus SpaceSaving streaming heavy hitters (fixed-memory top-k),
+a bounded-state EWMA point-outlier detector, and a bounded-state CUSUM
+sustained-shift detector (Page 1954). Batch twins live in
+queries.user_sessions / operators.dedup / queries.countmin_heavy_hitters
+/ queries.ewma_anomaly_batch / queries.cusum_changepoint.
 """
 
 from wp_motor_spark.streaming.state import (
+    cusum_stream,
     dedup_stream,
     ewma_anomaly_stream,
     heavy_hitters_stream,
     sessionize_stream,
 )
 
-__all__ = ["dedup_stream", "ewma_anomaly_stream", "heavy_hitters_stream", "sessionize_stream"]
+__all__ = [
+    "cusum_stream",
+    "dedup_stream",
+    "ewma_anomaly_stream",
+    "heavy_hitters_stream",
+    "sessionize_stream",
+]

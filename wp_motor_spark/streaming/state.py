@@ -420,3 +420,116 @@ def ewma_anomaly_stream(
     return stream.groupBy(key_col).applyInPandasWithState(
         _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    k_slack: float = 0.5,
+    h_sigma: float = 4.0,
+    min_n: int = 20,
+) -> DataFrame:
+    """Per-key streaming CUSUM changepoint detector (Page 1954, the
+    tabular two-sided form): the first ``min_n`` values per key
+    calibrate the baseline (Welford mean/variance, then FROZEN);
+    afterwards S+ accumulates positive deviations beyond ``k_slack`` *
+    sigma and S- the negative ones, and a value that pushes either side
+    past ``h_sigma`` * sigma is emitted as a changepoint alarm, after
+    which that side resets (standard CUSUM restart discipline).
+    Complements `ewma_anomaly_stream`: EWMA flags POINT outliers, CUSUM
+    flags small sustained SHIFTS that never individually exceed a
+    z-threshold.
+
+    State is FIVE scalars per key (n, mean, m2-or-frozen-var, s_pos,
+    s_neg) regardless of stream length — the same bounded-state
+    property as the EWMA detector: |keys| x 40 bytes, no window
+    buffers. Batch twin (exact-oracle): queries.cusum_changepoint (the
+    window-closed-form over daily rollups). The gate in
+    tests/test_streaming_state.py recomputes this recurrence
+    driver-side and requires exact agreement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(val_col, DoubleType()),
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+            StructField("direction", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+            StructField("s_pos", DoubleType()),
+            StructField("s_neg", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        kval = key[0]
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, val_col]].copy()
+            sub[ts_col] = pd.to_datetime(sub[ts_col])
+            rows.append(sub)
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(ts_col)
+        if state.exists:
+            n, mean, m2, sp, sn = state.get
+        else:
+            n, mean, m2, sp, sn = 0, 0.0, 0.0, 0.0, 0.0
+        out = {c: [] for c in (ts_col, val_col, "s_pos", "s_neg", "dir")}
+        for ts, v in zip(batch[ts_col], batch[val_col]):
+            v = float(v)
+            if n < min_n:
+                # Welford calibration phase; at n == min_n the baseline
+                # freezes (m2 thereafter stores the frozen variance)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+                if n == min_n:
+                    m2 = m2 / n  # frozen population variance
+                continue
+            sig = math.sqrt(m2) if m2 > 0 else 1.0
+            sp = max(0.0, sp + (v - mean - k_slack * sig))
+            sn = max(0.0, sn + (mean - k_slack * sig - v))
+            if sp > h_sigma * sig or sn > h_sigma * sig:
+                out[ts_col].append(ts)
+                out[val_col].append(v)
+                out["s_pos"].append(round(sp, 6))
+                out["s_neg"].append(round(sn, 6))
+                out["dir"].append("up" if sp > h_sigma * sig else "down")
+                if sp > h_sigma * sig:
+                    sp = 0.0
+                if sn > h_sigma * sig:
+                    sn = 0.0
+            n += 1
+        state.update((int(n), float(mean), float(m2), float(sp), float(sn)))
+        if out[ts_col]:
+            yield pd.DataFrame(
+                {
+                    key_col: [kval] * len(out[ts_col]),
+                    ts_col: out[ts_col],
+                    val_col: out[val_col],
+                    "s_pos": out["s_pos"],
+                    "s_neg": out["s_neg"],
+                    "direction": out["dir"],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
