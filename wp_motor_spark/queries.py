@@ -9966,12 +9966,17 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS / NOT EXISTS pair decorrelates to per-order supplier
     counts — n_supp > 1 (another supplier exists) and n_late == 1 (no
     OTHER late supplier) — computed in ONE pass over the joined facts
-    instead of two correlated lineitem re-scans.
+    instead of two correlated lineitem re-scans. When n_late == 1 the
+    sole late supplier IS max(CASE WHEN late THEN suppkey END), so no
+    join-back onto the fact frame is needed at all (the naive
+    two-consumer plan re-scans lineitem twice: exchange reuse does not
+    fire across the differently-pruned subtrees — measured).
 
     Scale shape: one lineitem⋈orders equi-join (status filter pushed to
-    the orders scan), one per-order agg (orderkey keyed — naturally
-    balanced), a distinct late-pair frame joined back on orderkey, and
-    a |suppliers|-bounded rollup. Nation dim broadcasts."""
+    the orders scan), ONE per-order agg (orderkey keyed — naturally
+    balanced) that also carries the sole-late-supplier witness, and a
+    |suppliers|-bounded rollup. Nation dim broadcasts. lineitem scans
+    ONCE."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     su = _t(spark, sf_dir, "supplier")
@@ -9992,15 +9997,12 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("__late"), F.col("l_suppkey"))
         ).alias("__n_late"),
-    )
-    late_pairs = (
-        joined.where(F.col("__late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        F.max(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("l_suppkey"),
     )
     waiting = (
-        late_pairs.join(per_order, "l_orderkey")
-        .where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        per_order.where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -10024,12 +10026,12 @@ WITH joined AS (
 ), per_order AS (
   SELECT l_orderkey,
          COUNT(DISTINCT l_suppkey) AS n_supp,
-         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS l_suppkey
   FROM joined GROUP BY 1
 ), waiting AS (
-  SELECT j.l_suppkey, COUNT(*) AS numwait
-  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM joined WHERE late) j
-  JOIN per_order USING (l_orderkey)
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM per_order
   WHERE n_supp > 1 AND n_late = 1
   GROUP BY 1
 )
