@@ -11292,6 +11292,248 @@ FROM r ORDER BY source
 """
 
 
+
+_SWEEP_THRESHOLDS = (-4.0, -3.5, -3.0, -2.5, -2.0, -1.5, -1.0)
+
+
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the quality classifier (the PR-curve
+    companion to the single-threshold `classifier_prf` and the
+    rank-free `auc_roc`): precision / recall / F1 / kept-fraction of
+    the `naive_bayes_quality` score at 7 fixed thresholds spanning the
+    score's working range — the table a curation team reads to CHOOSE
+    the gate, not just audit one. Comparisons run on the same
+    round-4 score both engines emit, so boundary decisions can never
+    drift cross-engine.
+
+    Scale shape: rides the NB plan once; the sweep is a bounded x7
+    literal explode AFTER the per-doc scores exist (7 rows per doc into
+    a |thresholds|-row rollup with map-side partials)."""
+    scored = naive_bayes_quality(spark, sf_dir).select("doc_id", "nb_score")
+    labels = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").isin("src0", "src1").alias("pos"),
+    )
+    j = scored.join(labels, "doc_id").select(
+        "nb_score",
+        "pos",
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    keep = F.col("nb_score") > F.col("threshold")
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(keep & F.col("pos"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(keep & ~F.col("pos"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~keep & F.col("pos"), 1).otherwise(0)).alias("fn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
+        ).alias("f1"),
+        F.round((F.col("tp") + F.col("fp")) / F.col("n"), 6).alias(
+            "kept_frac"
+        ),
+    ).orderBy("threshold")
+
+
+def _threshold_sweep_sql() -> str:
+    ts = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in _SWEEP_THRESHOLDS)
+    return f"""
+WITH nb AS ({NAIVE_BAYES_SQL}),
+j AS (
+  SELECT nb_score, source IN ('src0', 'src1') AS pos, threshold
+  FROM nb
+  JOIN documents USING (doc_id),
+  UNNEST([{ts}]) AS t(threshold)
+), agg AS (
+  SELECT threshold,
+    CAST(SUM(CASE WHEN nb_score > threshold AND pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN nb_score > threshold AND NOT pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN nb_score <= threshold AND pos THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    COUNT(*) AS n
+  FROM j GROUP BY 1
+)
+SELECT threshold, tp, fp, fn,
+  round(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+  round(tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall,
+  round(2 * (tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE))
+          * (tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE))
+        / GREATEST(tp / CAST(GREATEST(tp + fp, 1) AS DOUBLE)
+                   + tp / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 1e-12), 6)
+    AS f1,
+  round((tp + fp) / CAST(n AS DOUBLE), 6) AS kept_frac
+FROM agg ORDER BY threshold
+"""
+
+
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training-shard assignment via snake (boustrophedon)
+    ordering (the folklore balanced-partition trick; Graham 1969
+    analyzes the greedy family): docs rank globally by token count
+    descending, and rank i goes to shard (i mod 2K) folded back at K —
+    so every shard gets one doc from each size stratum of 2K and the
+    token skew across K=8 shards stays within one doc. The
+    load-balancing sibling of `training_shards` (hash shards balance
+    COUNTS, not SIZES — a few giant docs skew token totals).
+
+    Scale shape: the global rank is the shared `_global_rank` two-phase
+    pattern (repartitionByRange + broadcast offsets, skew-proof, no
+    single-partition window); the final report is a K-row rollup.
+    Output is the per-shard census plus the max/min token ratio — the
+    number a trainer checks before launching."""
+    K = 8
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", text.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    ranked = _global_rank(
+        sized, [F.desc("n_tok"), F.asc("doc_id")], "rank"
+    )
+    pos = (F.col("rank") - 1) % (2 * K)
+    shard = F.when(pos < K, pos).otherwise(2 * K - 1 - pos)
+    per = (
+        ranked.select(shard.cast("int").alias("shard"), "n_tok")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.max("total_tokens").over(wall)
+            / F.greatest(F.min("total_tokens").over(wall), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("skew_ratio"),
+    ).orderBy("shard")
+
+
+BALANCED_SHARDS_SQL = r"""
+WITH sized AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rank
+  FROM sized
+), assigned AS (
+  SELECT n_tok,
+         CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+              ELSE 15 - (rank - 1) % 16 END AS shard
+  FROM ranked
+), per AS (
+  SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM assigned GROUP BY 1
+)
+SELECT shard, n_docs, total_tokens,
+       round(MAX(total_tokens) OVER ()
+             / CAST(GREATEST(MIN(total_tokens) OVER (), 1) AS DOUBLE), 6)
+         AS skew_ratio
+FROM per ORDER BY shard
+"""
+
+
+def kwic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance (the corpus-linguistics KWIC
+    view, Luhn 1960) for the literal term 'data': every occurrence
+    with up to 3 tokens of left and right context — the qualitative
+    inspection surface a curation team uses to audit what a filter
+    term actually matches before adding it to a rule. At most the
+    first 2 occurrences per doc keep the fan-out bounded.
+
+    Scale shape: MAP-ONLY — occurrence positions, context slices, and
+    the per-doc cap are all HOF expressions over the token array; no
+    explode until the final <=2-per-doc rows, no shuffle before the
+    output sort."""
+    term = "data"
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    hits = F.slice(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.element_at(toks, i) == term,
+        ),
+        1,
+        2,
+    )
+    out = docs.select(
+        "doc_id",
+        n.alias("__n"),
+        toks.alias("__toks"),
+        F.explode(hits).alias("pos"),
+    )
+    left = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            F.greatest(F.col("pos") - 3, F.lit(1)),
+            F.least(F.lit(3), F.col("pos") - 1),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            F.col("pos") + 1,
+            F.least(F.lit(3), F.col("__n") - F.col("pos")),
+        ),
+        " ",
+    )
+    return out.select(
+        "doc_id", "pos", left.alias("left_ctx"), right.alias("right_ctx")
+    ).orderBy("doc_id", "pos")
+
+
+KWIC_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), hits AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(list_slice(
+           list_filter(range(1, len(toks) + 1),
+                       i -> toks[i] = 'data'), 1, 2)) AS pos
+  FROM t
+)
+SELECT doc_id, pos,
+  -- COALESCE: DuckDB's array_to_string over an EMPTY slice is NULL,
+  -- Spark's array_join is '' (the refinedweb_line_filter precedent)
+  COALESCE(array_to_string(
+      list_slice(toks, GREATEST(pos - 3, 1), pos - 1), ' '), '')
+    AS left_ctx,
+  COALESCE(array_to_string(
+      list_slice(toks, pos + 1, LEAST(pos + 3, n)), ' '), '')
+    AS right_ctx
+FROM hits ORDER BY doc_id, pos
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -11512,5 +11754,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "l_diversity_release": (l_diversity_release, L_DIVERSITY_SQL),
     "conformal_threshold": (conformal_threshold, CONFORMAL_SQL),
     "hamilton_allocation": (hamilton_allocation, HAMILTON_SQL),
+    "threshold_sweep": (threshold_sweep, _threshold_sweep_sql()),
+    "balanced_shards": (balanced_shards, BALANCED_SHARDS_SQL),
+    "kwic_extract": (kwic_extract, KWIC_SQL),
 }
 
