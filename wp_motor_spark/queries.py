@@ -11534,6 +11534,162 @@ FROM hits ORDER BY doc_id, pos
 """
 
 
+
+def centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the class-geometry diagnostic (which classes are embedding-space
+    neighbors) read before choosing contrastive pairs or merging
+    labels; the centroid machinery is `embedding_outliers`' (same
+    posexplode + (label, pos) agg, same double-avg + round discipline
+    that its exact oracle already proves cross-engine).
+
+    Scale shape: ONE (label, pos) agg shuffle with map-side partials
+    (|labels| x d rows out), centroids reassemble via sorted
+    collect_list into a |labels|-row frame, and the pair join is
+    |labels|^2 / 2 — bounded by the label vocabulary, never by the
+    corpus. The embedding column itself never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(dot / (nrm(F.col("ca")) * nrm(F.col("cb"))), 4).alias(
+            "cosine"
+        ),
+    ).orderBy("label_a", "label_b")
+
+
+CENTROID_DIST_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+), cen AS (
+  SELECT label, pos, AVG(x) AS m FROM ex GROUP BY 1, 2
+), cvec AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cen GROUP BY 1
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.centroid AS ca, b.centroid AS cb
+  FROM cvec a JOIN cvec b ON a.label < b.label
+)
+SELECT label_a, label_b,
+  round(list_sum(list_transform(range(1, len(ca) + 1), i -> ca[i] * cb[i]))
+        / (sqrt(list_sum(list_transform(ca, v -> v * v)))
+           * sqrt(list_sum(list_transform(cb, v -> v * v)))), 4) AS cosine
+FROM pairs ORDER BY label_a, label_b
+"""
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series per type (the moving-average method of Persons 1919 — the
+    classical-decomposition step STL generalizes): trend = centered
+    25-hour moving average (full windows only), seasonal = the
+    hour-of-day mean of the detrended series re-centered to zero,
+    remainder = what neither explains — the monitoring view that
+    separates "traffic grows" from "it is 3am" before an alert fires
+    (cusum/ewma watch the remainder, not the raw series).
+
+    Scale shape: one (type, hour) rollup bounds everything downstream
+    by the calendar (the cusum_changepoint discipline); the MA window
+    and the hour-of-day means run per type over those bounded rows.
+    Counts are integers, so the MA is exact; the seasonal means are
+    double sums over <= |days| values rounded at 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("hh")
+        .rowsBetween(-12, 12)
+    )
+    t = hourly.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(wma) == 25,
+            F.sum("x").over(wma) / 25.0,
+        ),
+    ).withColumn("detr", F.col("x") - F.col("trend"))
+    whod = Window.partitionBy("event_type", F.hour("hh"))
+    wtyp = Window.partitionBy("event_type")
+    s = t.withColumn(
+        "raw_seas", F.avg("detr").over(whod)
+    ).withColumn(
+        "seasonal", F.col("raw_seas") - F.avg("raw_seas").over(wtyp)
+    )
+    return s.select(
+        "event_type",
+        "hh",
+        "x",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("x") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("remainder"),
+    ).orderBy("event_type", "hh")
+
+
+SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hh, x,
+    CASE WHEN COUNT(*) OVER w = 25 THEN SUM(x) OVER w / 25.0 END AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hh
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+  SELECT *, x - trend AS detr FROM t
+), s AS (
+  SELECT *,
+    AVG(detr) OVER (PARTITION BY event_type, EXTRACT(hour FROM hh))
+      AS raw_seas
+  FROM d
+), z AS (
+  SELECT *,
+    raw_seas - AVG(raw_seas) OVER (PARTITION BY event_type) AS seasonal
+  FROM s
+)
+SELECT event_type, hh, x,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(x - trend - seasonal, 6) AS remainder
+FROM z ORDER BY event_type, hh
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -11757,5 +11913,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "threshold_sweep": (threshold_sweep, _threshold_sweep_sql()),
     "balanced_shards": (balanced_shards, BALANCED_SHARDS_SQL),
     "kwic_extract": (kwic_extract, KWIC_SQL),
+    "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
+    "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
 }
 
