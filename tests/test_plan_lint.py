@@ -109,6 +109,9 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   HAVING threshold)
         "log_odds_keywords": {"NESTED_LOOP"},  # broadcast ONE-row group
         #   totals (n_c, n_r, n_all)
+        "centroid_distances": {"NESTED_LOOP"},  # |labels|^2/2 pair join
+        #   over the bounded |labels|-row centroid frame (label_a <
+        #   label_b — bounded by the label vocabulary, not the corpus)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():
