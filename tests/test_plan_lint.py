@@ -112,6 +112,9 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "centroid_distances": {"NESTED_LOOP"},  # |labels|^2/2 pair join
         #   over the bounded |labels|-row centroid frame (label_a <
         #   label_b — bounded by the label vocabulary, not the corpus)
+        "threshold_sweep": {"NESTED_LOOP"},  # rides naive_bayes_quality's
+        #   ONE-row class totals + prior broadcasts (the classifier_prf
+        #   shape)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():
