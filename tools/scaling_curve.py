@@ -160,6 +160,14 @@ DEFAULT_QUERIES = [
     "cusum_changepoint",
     "curriculum_order",
     "score_quantile_normalize",
+    # r14 batch 2: NB-riding threshold table, skew-proof snake shards,
+    # map-only KWIC concordance, bounded label-pair centroid geometry,
+    # calendar-bounded classical decomposition
+    "threshold_sweep",
+    "balanced_shards",
+    "kwic_extract",
+    "centroid_distances",
+    "seasonal_decompose",
 ]
 
 SF_DIRS = [
