@@ -115,6 +115,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         "threshold_sweep": {"NESTED_LOOP"},  # rides naive_bayes_quality's
         #   ONE-row class totals + prior broadcasts (the classifier_prf
         #   shape)
+        "kaplan_meier_retention": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   max-ts horizon next to the per-user span frame
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():
