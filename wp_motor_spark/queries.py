@@ -11963,6 +11963,134 @@ FROM surv ORDER BY t_days
 """
 
 
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi &
+    Walker 2013, "Improving the Sensitivity of Online Controlled
+    Experiments"): each user's POST-period metric is adjusted by their
+    PRE-period covariate, Y' = Y - theta (X - mean X) with theta =
+    cov(X,Y)/var(X) pooled across arms — the standard trick that cuts
+    experiment runtimes ~40-50% because user-level baselines absorb
+    between-user variance. Arms are the deterministic user_id parity;
+    pre/post split at the time midpoint. Emits per-arm raw and
+    adjusted means plus the variance-reduction fraction 1 -
+    var(Y')/var(Y) — the number an experimentation platform quotes.
+
+    Scale shape: one per-user (pre, post) rollup, then EVERYTHING is
+    scalar: theta and the means fold in as one-row broadcasts; the
+    final frame is 2 rows. Moment sums run in DECIMAL over the
+    integer per-user counts, so theta is bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("long") * 2
+                    <= F.col("t0") + F.col("t1"),
+                    1,
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts").cast("long") * 2
+                    > F.col("t0") + F.col("t1"),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 1).alias("treated"), "x", "y"
+        )
+    )
+    dx = F.col("x").cast("decimal(18,0)")
+    dy = F.col("y").cast("decimal(18,0)")
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    theta = (
+        nn * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nn * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    consts = mom.select(
+        theta.alias("__theta"),
+        (F.col("sx").cast("double") / nn).alias("__mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(consts)).select(
+        "treated",
+        F.col("y").cast("double").alias("yv"),
+        (
+            F.col("y")
+            - F.col("__theta") * (F.col("x") - F.col("__mx"))
+        ).alias("ya"),
+    )
+    return (
+        adj.groupBy("treated")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("yv"), 6).alias("raw_mean"),
+            F.round(F.avg("ya"), 6).alias("cuped_mean"),
+            F.round(
+                1.0 - F.var_pop("ya") / F.var_pop("yv"), 6
+            ).alias("var_reduction"),
+        )
+        .orderBy("treated")
+    )
+
+
+CUPED_SQL = """
+WITH bounds AS (
+  SELECT epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1 FROM events
+), per_user AS (
+  SELECT user_id % 2 = 1 AS treated,
+         CAST(SUM(CASE WHEN epoch(ts) * 2 <= t0 + t1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch(ts) * 2 > t0 + t1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events, bounds
+  GROUP BY user_id
+), mom AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxx
+  FROM per_user
+), consts AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / n AS mx
+  FROM mom
+), adj AS (
+  SELECT treated, CAST(y AS DOUBLE) AS yv,
+         y - theta * (x - mx) AS ya
+  FROM per_user, consts
+)
+SELECT treated, COUNT(*) AS n_users,
+       round(AVG(yv), 6) AS raw_mean,
+       round(AVG(ya), 6) AS cuped_mean,
+       round(1.0 - var_pop(ya) / var_pop(yv), 6) AS var_reduction
+FROM adj GROUP BY 1 ORDER BY treated
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r14: leads are q18_large_orders +
@@ -12191,5 +12319,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
     "trend_test": (trend_test, TREND_TEST_SQL),
     "kaplan_meier_retention": (kaplan_meier_retention, KAPLAN_MEIER_SQL),
+    "cuped_adjustment": (cuped_adjustment, CUPED_SQL),
 }
 
