@@ -117,6 +117,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   shape)
         "kaplan_meier_retention": {"NESTED_LOOP"},  # broadcast ONE-row
         #   max-ts horizon next to the per-user span frame
+        "cuped_adjustment": {"NESTED_LOOP"},  # broadcast ONE-row time
+        #   bounds + ONE-row (theta, mean-x) constants
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -168,6 +168,11 @@ DEFAULT_QUERIES = [
     "kwic_extract",
     "centroid_distances",
     "seasonal_decompose",
+    # r14 batch 3: calendar-bounded pairwise trend frame, censoring-
+    # aware KM curve, decimal-moment CUPED constants
+    "trend_test",
+    "kaplan_meier_retention",
+    "cuped_adjustment",
 ]
 
 SF_DIRS = [
