@@ -83,6 +83,15 @@ def main() -> None:
                     F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
                 ).collect()
                 elapsed = round(time.perf_counter() - t0, 3)
+                # release per-query tracked persists (_global_rank loc,
+                # host_triangles edges, …) now that the result is
+                # materialized — otherwise 200 queries accumulate
+                # InMemoryRelations until eviction pressure. The shared
+                # ngram-jaccard pair pipeline persists in operators/dedup
+                # are NOT tracked, so the cross-query reuse is preserved.
+                from wp_motor_spark.queries import release_persists
+
+                release_persists()
                 if name not in timings or elapsed < timings[name]:
                     timings[name] = elapsed
                 rec = noise.setdefault(name, {"times": [], "loadavg": []})

@@ -102,6 +102,12 @@ def main():
             print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        finally:
+            # drop per-query tracked persists once materialized (the
+            # 203-query sweep would otherwise accumulate InMemoryRelations)
+            from wp_motor_spark.queries import release_persists
+
+            release_persists()
         sql = oracles.get(name)
         if sql is None:
             print(f"{name:28s} rows-only    {len(srows)} rows")

@@ -32,6 +32,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: persisted intermediates registered by query builders so a suite harness
+#: (bench.py, tools/oracle_check.py) can release them after each query's
+#: result materializes — a 200-query session would otherwise accumulate
+#: InMemoryRelations until eviction pressure.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame, level=StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    out = df.persist(level)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persists() -> int:
+    """Unpersist every intermediate registered via _track_persist.
+
+    Call after the consuming action (collect/write) — unpersisting before
+    materialization would just force recomputation. Returns the number of
+    handles released."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
     """Exact global row_number over ``order_cols`` WITHOUT a
     single-partition window: repartitionByRange samples the key
@@ -48,7 +77,7 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
     (spark.sql.exchange.reuse) deduplicating them. With the persist both
     subtrees read one InMemoryRelation, i.e. one physical partitioning,
     regardless of reuse behavior."""
-    loc = (
+    loc = _track_persist(
         df.repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn(
@@ -57,7 +86,6 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
                 Window.partitionBy("__pid").orderBy(*order_cols)
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     offsets = (
         loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -4758,7 +4786,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram/cut branch and the final bucket join, and without the
     # cache the whole bigram-LM subtree executes twice (4 FileScans ->
     # 2). |docs| rows x 3 scalars — disk-spillable at any corpus size.
-    j = ppl.join(src, "doc_id").persist()
+    j = _track_persist(ppl.join(src, "doc_id"))
     hist = j.groupBy("source", "ppl").agg(F.count(F.lit(1)).alias("cnt"))
     wsrc = Window.partitionBy("source").orderBy("ppl")
     cum = (
@@ -6726,15 +6754,26 @@ def ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     python recompute of the recurrence (tests/test_quality.py,
     QUALITY_r{N}), the same discipline as the streaming op's gate.
 
-    Scale shape: ONE key-shuffle, then an Arrow-batched applyInPandas
-    per event_type — the recurrence is a linear numpy scan with O(1)
-    state per step and anomalies appended to a plain python list (the
-    burst_detection treatment: the previous F.aggregate fold grew its
-    accumulator via array concat, the measured-at-68x O(n^2) copying
-    pattern, and collect_list'd each key's whole history into one row).
-    Per-key memory is the key's history in ONE Arrow batch — fine for
-    backfills where a key's history fits an executor; the STREAMING op
-    with 3-scalar state is the unbounded-history scale path."""
+    Scale shape (CHUNKED affine fold, r15 — the burst_detection
+    treatment): the EWMA state COMPOSES. Over a chunk, the exit mean is
+    affine in the entry mean (mean_out = a*mean_in + b with a the
+    accumulated (1-alpha) decay and b the zero-entry fold), and the
+    exit variance is affine in the entry variance plus a quadratic in
+    the entry mean (var_out = W*var_in + V2*m^2 + V1*m + V0) — the
+    quadratic is well-conditioned because b tracks the data, so each
+    residual c_j = v_j - b_{j-1} is the SMALL deviation, not the raw
+    value. Three bounded stages: (A) per (key, calendar-week) chunk,
+    applyInPandas folds the 7-scalar composite; (B) a per-key stitch
+    over the |weeks|-bounded composite frame chains entry states and
+    global row offsets; (C) each chunk re-runs the exact recurrence IN
+    PARALLEL from its stitched entry state and emits its anomaly rows.
+    Per-task memory is one week of one key, not the key's whole
+    history — the 1e8-events/key single-Arrow-batch ceiling is gone.
+    The key's FIRST chunk folds from the true n=0 start (a=W=0), so
+    the stitch is exact there by construction; later entries drift only
+    by float-association ulps, which the exact gate arbitrates. The
+    STREAMING op with 3-scalar state remains the unbounded-history
+    online path."""
     ev = _t(spark, sf_dir, "events")
     alpha, z_thresh, min_n = 0.1, 2.0, 10
 
@@ -6742,12 +6781,108 @@ def ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+    base = ev.select(
+        "event_type", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    evd = base.withColumn("wk", F.date_trunc("week", F.col("ts")))
+    wks = (
+        evd.select("event_type", "wk")
+        .distinct()
+        .withColumn(
+            "cidx",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("wk")
+            )
+            - 1,
+        )
+    )
+    # feeds both the composite pass and the emit pass — persist once
+    aug = _track_persist(
+        evd.join(F.broadcast(wks), ["event_type", "wk"]).drop("wk")
+    )
+
+    def _composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vs = pdf["value"].astype("float64").to_numpy()
+        first = int(pdf["cidx"].iloc[0]) == 0
+        if first:
+            # known n=0 entry: exit state is constant (a = W = 0)
+            n, mean, var = 0, 0.0, 0.0
+            for v in vs:
+                v = float(v)
+                if n == 0:
+                    mean, var = v, 0.0
+                else:
+                    d = v - mean
+                    mean = mean + alpha * d
+                    var = (1.0 - alpha) * (var + alpha * d * d)
+                n += 1
+            a, b, w, v2, v1, v0 = 0.0, mean, 0.0, 0.0, 0.0, var
+        else:
+            a, b, w = 1.0, 0.0, 1.0
+            v2, v1, v0 = 0.0, 0.0, 0.0
+            for v in vs:
+                c = float(v) - b
+                v2 = (1.0 - alpha) * (v2 + alpha * a * a)
+                v1 = (1.0 - alpha) * (v1 - 2.0 * alpha * c * a)
+                v0 = (1.0 - alpha) * (v0 + alpha * c * c)
+                w = (1.0 - alpha) * w
+                b = b + alpha * c
+                a = (1.0 - alpha) * a
+        return pd.DataFrame(
+            [
+                (
+                    pdf["event_type"].iloc[0],
+                    int(pdf["cidx"].iloc[0]),
+                    len(vs),
+                    a,
+                    b,
+                    w,
+                    v2,
+                    v1,
+                    v0,
+                )
+            ],
+            columns=[
+                "event_type", "cidx", "cnt", "a", "b", "w", "v2", "v1", "v0",
+            ],
+        )
+
+    comps = aug.groupBy("event_type", "cidx").applyInPandas(
+        _composite,
+        "event_type string, cidx long, cnt long, a double, b double, "
+        "w double, v2 double, v1 double, v0 double",
+    )
+
+    def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cidx").reset_index(drop=True)
+        n, m, va = 0, 0.0, 0.0
+        out = []
+        for r in pdf.itertuples(index=False):
+            out.append((r.event_type, r.cidx, n, m, va))
+            m, va = (
+                r.a * m + r.b,
+                r.w * va + r.v2 * m * m + r.v1 * m + r.v0,
+            )
+            n += int(r.cnt)
+        return pd.DataFrame(
+            out, columns=["event_type", "cidx", "n_in", "mean_in", "var_in"]
+        )
+
+    stitched = comps.groupBy("event_type").applyInPandas(
+        _stitch,
+        "event_type string, cidx long, n_in long, mean_in double, "
+        "var_in double",
+    )
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         ts = pdf["ts"].to_numpy()
         vs = pdf["value"].astype("float64").to_numpy()
         et = pdf["event_type"].iloc[0]
-        n, mean, var = 0, 0.0, 0.0
+        n = int(pdf["n_in"].iloc[0])
+        mean = float(pdf["mean_in"].iloc[0])
+        var = float(pdf["var_in"].iloc[0])
         rows = []
         for i in range(len(vs)):
             v = float(vs[i])
@@ -6766,12 +6901,15 @@ def ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, columns=["event_type", "ts", "value", "ewma_mean", "z"]
         )
 
-    return ev.select(
-        "event_type", "ts", "event_id", F.col("value").cast("double").alias("value")
-    ).groupBy("event_type").applyInPandas(
-        _ewma,
-        "event_type string, ts timestamp, value double, "
-        "ewma_mean double, z double",
+    # stitched is |keys x weeks| rows — calendar-bounded, broadcast
+    return (
+        aug.join(F.broadcast(stitched), ["event_type", "cidx"])
+        .groupBy("event_type", "cidx")
+        .applyInPandas(
+            _emit,
+            "event_type string, ts timestamp, value double, "
+            "ewma_mean double, z double",
+        )
     )
 
 
@@ -7234,24 +7372,28 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only for the driver (sequential Viterbi); the gate recomputes
     the exact python Viterbi (tests/test_quality.py, QUALITY_r{N}).
 
-    Scale shape: ONE key-shuffle, then an Arrow-batched applyInPandas
-    per event_type — the Viterbi is a linear scan with O(1) state per
-    step, vectorized in numpy. This is the documented applyInPandas
-    case: a 2-state min-plus PREFIX SCAN is associative but Spark has no
-    scan HOF, and an aggregate() fold can only carry the backtrack bits
-    by array concat, which is O(n^2) copying (measured superlinear at
-    68x wall on 10x data before this rewrite).
-
-    Per-key memory bound (stated 2026-08-16): ONE key's full history
-    lands in ONE Arrow batch — ~25 bytes/event in numpy, so a 1e9-event
-    key needs ~25 GB in a single task and this batch op tops out around
-    1e8 events/key on 32 GB executors. Beyond that, two-state Viterbi
-    is associative (min-plus products of 2x2 cost matrices + backtrack
-    bits), so a chunked scan per time-slice with a tiny driver-side
-    stitch is the scale-out path; it is NOT implemented here because
-    the gap costs gamma*ln(n) of the WHOLE key history, which any real
-    backfill shards by (key, day) first — and the streaming twin
-    carries 2-scalar state in applyInPandasWithState."""
+    Scale shape (CHUNKED min-plus Viterbi, r15): two-state Viterbi is
+    associative — each gap is a 2x2 cost matrix over the (min, +)
+    semiring, and chunk composites multiply. The plan is therefore
+    three bounded stages with NO per-key single-task history bound:
+    (A) per (key, calendar-day) chunk, an Arrow-batched applyInPandas
+    folds the chunk's gaps into ONE 2x2 composite (4 scalars; the
+    previous day's last event is carried in so boundary gaps are
+    covered); (B) a per-key stitch over the |days|-bounded composite
+    frame (<=366 rows/key, tiny by the calendar) runs the chunk-level
+    forward pass for entry-cost vectors, the chunk-level backtrack for
+    exit states, and cumulative global gap offsets; (C) each chunk
+    re-runs its local Viterbi IN PARALLEL from its stitched entry
+    vector, backtracks from its stitched exit state, and emits burst
+    runs tagged with global gap indices; runs that touch across chunk
+    boundaries are merged by gaps-and-islands on gap index (the run
+    frame is output-bounded — bursts are rare). Per-task memory is now
+    ONE DAY of one key, not the key's whole history: a 1e9-event key
+    spread over a year is ~3M events/task instead of 1e9. The per-key
+    scalars (mean gap via telescoped integer-microsecond sum, n) come
+    from one groupBy agg. Rows-only for the driver (sequential Viterbi
+    semantics); the gate recomputes the exact monolithic python Viterbi
+    and must match interval-for-interval (tests/test_quality.py)."""
     ev = _t(spark, sf_dir, "events")
     s_mult, gamma = 4.0, 1.0
     d10 = F.to_timestamp(F.lit("2024-01-10"))
@@ -7274,21 +7416,156 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts = pdf["ts"].to_numpy()
-        if len(ts) < 2:
-            return pd.DataFrame(
-                columns=["event_type", "burst_start", "burst_end", "n_events"]
+    # per-key scalars: gap count and mean gap. The gap sum telescopes to
+    # (last - first) in exact integer microseconds, so mg needs no
+    # second scan and no float-order ambiguity.
+    tot = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.unix_micros(F.min("ts")).alias("t0"),
+            F.unix_micros(F.max("ts")).alias("t1"),
+        )
+        .where(F.col("n_ev") >= 2)
+        .select(
+            "event_type",
+            (
+                ((F.col("t1") - F.col("t0")) / F.lit(1e6))
+                / (F.col("n_ev") - 1).cast("double")
+            ).alias("mg"),
+            (F.lit(gamma) * F.log((F.col("n_ev") - 1).cast("double"))).alias("tr"),
+        )
+    )
+    # dense per-key chunk index over non-empty calendar days (the window
+    # frame is |keys x days| — calendar-bounded, never corpus-sized)
+    evd = ev.withColumn("day", F.date_trunc("week", F.col("ts")))
+    days = (
+        evd.select("event_type", "day")
+        .distinct()
+        .withColumn(
+            "cidx",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
             )
-        g = np.diff(ts.astype("datetime64[us]").astype("int64")) / 1e6
+            - 1,
+        )
+    )
+    evc = evd.join(F.broadcast(days), ["event_type", "day"]).select(
+        "event_type", "cidx", "ts", "event_id"
+    )
+    # carry each chunk's last event into the NEXT chunk (dense cidx ->
+    # next non-empty day) so the boundary gap lands in exactly one chunk
+    last = evc.groupBy("event_type", "cidx").agg(
+        F.max(F.struct("ts", "event_id")).alias("m")
+    )
+    carry = last.select(
+        "event_type",
+        (F.col("cidx") + 1).alias("cidx"),
+        F.col("m.ts").alias("ts"),
+        F.col("m.event_id").alias("event_id"),
+    ).join(
+        days.select("event_type", "cidx"), ["event_type", "cidx"], "left_semi"
+    )
+    # aug feeds BOTH the composite pass and the runs pass — persist so
+    # the day-index join pipeline materializes once (tracked; released
+    # by the suite harness after the consuming action)
+    aug = _track_persist(evc.unionByName(carry).join(F.broadcast(tot), "event_type"))
+
+    def _gaps(pdf: pd.DataFrame):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = np.diff(ts) / 1e6
+        return pdf, ts, g
+
+    def _chunk_composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, _ts, g = _gaps(pdf)
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["event_type", "cidx", "m00", "m01", "m10", "m11", "ng"]
+            )
+        mg, tr = float(pdf["mg"].iloc[0]), float(pdf["tr"].iloc[0])
+        lg0, lg1 = math.log(1.0 / mg), math.log(s_mult / mg)
+        inf = float("inf")
+        m00, m01, m10, m11 = 0.0, inf, inf, 0.0
+        for x in g:
+            e0 = (x / mg) - lg0
+            e1 = (s_mult * x / mg) - lg1
+            n00 = e0 + min(m00, m10)
+            n01 = e0 + min(m01, m11)
+            n10 = min(tr + e1 + m00, e1 + m10)
+            n11 = min(tr + e1 + m01, e1 + m11)
+            m00, m01, m10, m11 = n00, n01, n10, n11
+        return pd.DataFrame(
+            [
+                (
+                    pdf["event_type"].iloc[0],
+                    int(pdf["cidx"].iloc[0]),
+                    m00,
+                    m01,
+                    m10,
+                    m11,
+                    len(g),
+                )
+            ],
+            columns=["event_type", "cidx", "m00", "m01", "m10", "m11", "ng"],
+        )
+
+    comps = aug.groupBy("event_type", "cidx").applyInPandas(
+        _chunk_composite,
+        "event_type string, cidx long, m00 double, m01 double, "
+        "m10 double, m11 double, ng long",
+    )
+
+    def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cidx").reset_index(drop=True)
+        inf = float("inf")
+        v0, v1 = 0.0, inf
+        vs = []
+        for r in pdf.itertuples(index=False):
+            vs.append((v0, v1))
+            v0, v1 = (
+                min(r.m00 + v0, r.m01 + v1),
+                min(r.m10 + v0, r.m11 + v1),
+            )
+        exits = [False] * len(pdf)
+        e = bool(v1 < v0)  # matches the monolithic `inb = c1 < c0`
+        for k in range(len(pdf) - 1, -1, -1):
+            exits[k] = e
+            r = pdf.iloc[k]
+            ev0, ev1 = vs[k]
+            if e:  # prefer staying in state 1 on ties (per-step p1 rule)
+                e = ev1 + r.m11 <= ev0 + r.m10
+            else:  # prefer state 0 on ties (per-step p0 rule)
+                e = not (ev0 + r.m00 <= ev1 + r.m01)
+        offs = pdf["ng"].cumsum().shift(fill_value=0).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "cidx": pdf["cidx"],
+                "v0": [v[0] for v in vs],
+                "v1": [v[1] for v in vs],
+                "exit1": exits,
+                "goff": offs,
+            }
+        )
+
+    stitched = comps.groupBy("event_type").applyInPandas(
+        _stitch,
+        "event_type string, cidx long, v0 double, v1 double, "
+        "exit1 boolean, goff long",
+    )
+
+    def _chunk_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, ts, g = _gaps(pdf)
+        cols = ["event_type", "start_ts", "end_ts", "gi", "gj"]
+        if len(g) == 0:
+            return pd.DataFrame(columns=cols)
+        mg, tr = float(pdf["mg"].iloc[0]), float(pdf["tr"].iloc[0])
+        lg0, lg1 = math.log(1.0 / mg), math.log(s_mult / mg)
+        c0, c1 = float(pdf["v0"].iloc[0]), float(pdf["v1"].iloc[0])
         n = len(g)
-        mg = float(g.sum()) / n
-        tr = gamma * math.log(n)
-        c0, c1 = 0.0, float("inf")
         p0 = np.empty(n, dtype=bool)
         p1 = np.empty(n, dtype=bool)
-        lg0, lg1 = math.log(1.0 / mg), math.log(s_mult / mg)
         for i in range(n):
             x = float(g[i])
             p0[i] = c0 <= c1
@@ -7297,31 +7574,62 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             n1 = min(c0 + tr, c1) + (s_mult * x / mg) - lg1
             c0, c1 = n0, n1
         states = np.empty(n, dtype=bool)
-        inb = c1 < c0
+        inb = bool(pdf["exit1"].iloc[0])
         for i in range(n - 1, -1, -1):
             states[i] = inb
             inb = p1[i] if inb else (not p0[i])
-        rows = []
         et = pdf["event_type"].iloc[0]
+        goff = int(pdf["goff"].iloc[0])
+        tsv = pdf["ts"].to_numpy()
+        rows = []
         i = 0
         while i < n:
             if states[i]:
                 j = i
                 while j + 1 < n and states[j + 1]:
                     j += 1
-                rows.append((et, ts[i], ts[j + 1], j - i + 2))
+                rows.append((et, tsv[i], tsv[j + 1], goff + i, goff + j))
                 i = j + 1
             i += 1
-        return pd.DataFrame(
-            rows, columns=["event_type", "burst_start", "burst_end", "n_events"]
-        )
+        return pd.DataFrame(rows, columns=cols)
 
-    out = ev.groupBy("event_type").applyInPandas(
-        _viterbi,
-        "event_type string, burst_start timestamp, burst_end timestamp, "
-        "n_events long",
+    # stitched is |keys x weeks| rows — calendar-bounded, broadcast
+    runs = (
+        aug.join(F.broadcast(stitched), ["event_type", "cidx"])
+        .groupBy("event_type", "cidx")
+        .applyInPandas(
+            _chunk_runs,
+            "event_type string, start_ts timestamp, end_ts timestamp, "
+            "gi long, gj long",
+        )
     )
-    return out.orderBy("event_type", "burst_start")
+    # gaps-and-islands merge of boundary-crossing runs: adjacent global
+    # gap indices (cur.gi == prev.gj + 1) are ONE burst. The run frame
+    # is output-bounded — bursts, not events.
+    wk = Window.partitionBy("event_type").orderBy("gi")
+    islands = (
+        runs.withColumn(
+            "new_isl",
+            F.when(
+                F.col("gi") == F.lag("gj").over(wk) + 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                wk.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("event_type", "isl")
+        .agg(
+            F.min("start_ts").alias("burst_start"),
+            F.max("end_ts").alias("burst_end"),
+            (F.max("gj") - F.min("gi") + 2).alias("n_events"),
+        )
+    )
+    return islands.select(
+        "event_type", "burst_start", "burst_end", "n_events"
+    ).orderBy("event_type", "burst_start")
 
 
 def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8321,12 +8629,11 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     way."""
     d = 0.85
     docs = _t(spark, sf_dir, "documents")
-    edges = _host_edges(docs).persist()
-    nodes = (
+    edges = _track_persist(_host_edges(docs))
+    nodes = _track_persist(
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -8922,11 +9229,10 @@ def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; rounds are a fixed 3."""
     docs = _t(spark, sf_dir, "documents")
     edges = _host_edges(docs)
-    adj = (
+    adj = _track_persist(
         edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        .persist()
     )
     labels = adj.select("v").distinct().withColumn("lbl", F.col("v"))
     for _ in range(3):
@@ -10606,11 +10912,17 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     source->hub edges alone are bipartite, which has NO triangles by
     construction.
 
-    Scale shape: the undirected edge set is DISTINCT and canonical
-    (u < v), so each triangle is found exactly once by the a<b<c
-    ordered 3-way join; joins key on host (the real-web version
-    degree-orders first, same plan). Everything after the distinct is
-    |hosts+edges|-bounded."""
+    Scale shape: node-iterator++ — every edge is ORIENTED from its
+    lower-(degree, host) endpoint to the higher one, wedges are
+    enumerated only at each triangle's minimum vertex, and the closing
+    edge check is a semi-join on the oriented set. Out-degree under
+    degree ordering is O(sqrt(E)) (arboricity bound), so wedge volume
+    is sum(outdeg^2) = O(E^1.5) worst case and hub-bounded in practice
+    — the d_max^2 blowup of the unordered middle-vertex join is gone
+    (a celebrity host contributes only its OUT-wedges, and high-degree
+    nodes have near-zero out-degree). Each triangle {x,y,z} appears
+    exactly once: at its (degree, host)-minimum vertex. Everything
+    after the distinct is |hosts+edges|-bounded."""
     docs = _t(spark, sf_dir, "documents")
     hubs = [
         F.concat(
@@ -10623,33 +10935,57 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _host_edges(docs).unionAll(
         docs.select(hubs[0].alias("src"), hubs[1].alias("dst"))
     ).unionAll(docs.select(hubs[1].alias("src"), hubs[2].alias("dst")))
-    edges = (
+    edges = _track_persist(
         raw.select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tris = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"], "left_semi")
-        .select("a", "b", "c")
-    )
-    member = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("host"))
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     deg = (
         edges.select(F.col("u").alias("host"))
         .unionAll(edges.select(F.col("v").alias("host")))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge low->high in the (degree, host) total order;
+    # carry the head's order key so wedge endpoints can be ordered too
+    du = deg.select(F.col("host").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("host").alias("v"), F.col("degree").alias("dv"))
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = _track_persist(
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    # wedges at the minimum vertex a: two out-edges a->b, a->c with
+    # b before c in the order; the closing edge is then oriented b->c
+    o1 = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b"), F.col("dt").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("c"), F.col("dt").alias("dc")
+    )
+    wedges = o1.join(o2, "a").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).select("a", "b", "c")
+    member = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return (
         deg.join(member, "host", "left")
@@ -11736,8 +12072,13 @@ def trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         slopes.withColumn("__r", F.row_number().over(wrank))
         .withColumn("__m", F.count(F.lit(1)).over(wall))
         .where(
-            (F.col("__r") == (F.col("__m") + 1) / 2)
-            | (F.col("__r") == F.col("__m") / 2 + 1)
+            # integer-exact two-middle selection: for odd m both
+            # expressions pick the same middle rank; for even m they
+            # pick m/2 and m/2+1 (textbook median average). Must be
+            # integer math on BOTH engines — float (m+1)/2 vs DuckDB's
+            # half-to-even CAST silently diverges when m % 4 in (0, 1).
+            (F.col("__r") == F.floor((F.col("__m") + 1) / 2))
+            | (F.col("__r") == F.floor(F.col("__m") / 2) + 1)
         )
         .groupBy("event_type")
         .agg(F.avg("slope").alias("sen_slope"), F.sum("sgn").alias("mk_s"))
@@ -11807,7 +12148,7 @@ WITH daily AS (
            COUNT(*) OVER (PARTITION BY event_type) AS m
     FROM pairs
   )
-  WHERE r = CAST((m + 1) / 2 AS BIGINT) OR r = CAST(m / 2 + 1 AS BIGINT)
+  WHERE r = (m + 1) // 2 OR r = m // 2 + 1
   GROUP BY 1
 ), sgn AS (
   SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS mk_s FROM pairs GROUP BY 1
@@ -12093,74 +12434,25 @@ FROM adj GROUP BY 1 ORDER BY treated
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r14: leads are q18_large_orders +
-    # q19_disjunctive_revenue (positions 51-52 in r13, the only two
-    # registry queries whose last driver cert is r10) and
-    # embedding_whiten (errored in the r13 window: the driver's
-    # canonical sort can't order an array<double> column — output is
-    # now exploded scalar long form, re-certify it), then the 21
-    # r13-new operators (never driver-certified; oracle/gate-verified
-    # locally in r13), then the first 26 of the 50 r11-certified
-    # queries now three rounds stale. After the window: the remaining
-    # 24 r11-certified (they plus the 29 r14-new at the very end MUST
-    # lead r15 — 24+29=53>50, so the spill leads r16), the 50
-    # r12-certified, the r13-certified blocks, and the r14 operators
-    # appended at the very end.
-    # --- window leads: last certs r10 / errored-r13 ---
-    "q18_large_orders": (q18_large_orders, Q18_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    "embedding_whiten": (embedding_whiten, None),
-    # --- NEW r13, never driver-certified ---
-    "flesch_readability": (flesch_readability, FLESCH_SQL),
-    "yule_k_diversity": (yule_k_diversity, YULE_K_SQL),
-    "softdedup_weights": (softdedup_weights, SOFTDEDUP_SQL),
-    "refinedweb_line_filter": (refinedweb_line_filter, REFINEDWEB_SQL),
-    "language_balance_gini": (language_balance_gini, LANG_GINI_SQL),
-    "fellegi_sunter_links": (fellegi_sunter_links, FELLEGI_SUNTER_SQL),
-    "kmv_theta_sketch": (kmv_theta_sketch, KMV_THETA_SQL),
-    "quality_ensemble_rank": (quality_ensemble_rank, QUALITY_ENSEMBLE_SQL),
-    "host_pagerank": (host_pagerank, _host_pagerank_sql()),
-    "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
-    "bpe_train_merges": (bpe_train_merges, None),
-    "wimbd_report": (wimbd_report, WIMBD_SQL),
-    "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
-    "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
-    "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
-    "chi2_feature_select": (chi2_feature_select, CHI2_SQL),
-    "psi_drift": (psi_drift, PSI_SQL),
-    "classifier_prf": (classifier_prf, CLASSIFIER_PRF_SQL),
-    "rank_eval_ndcg": (rank_eval_ndcg, RANK_EVAL_SQL),
-    "bootstrap_ci": (bootstrap_ci, BOOTSTRAP_SQL),
-    "mmr_rerank": (mmr_rerank, None),
-    # --- r11-certified, three rounds stale (CORRECTNESS_r11.json);
-    #     first 26 inside the r14 window ---
-    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
-    "bm25_search": (bm25_search, BM25_SQL),
-    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_orders": (q3_top_orders, Q3_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
-    "user_sessions": (user_sessions, SESSIONS_SQL),
-    "events_alerts": (events_alerts, ALERTS_SQL),
-    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
-    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
-    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
-    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
-    "stupid_backoff_ppl": (stupid_backoff_ppl, STUPID_BACKOFF_SQL),
-    "heaps_law": (heaps_law, HEAPS_LAW_SQL),
-    "countmin_heavy_hitters": (countmin_heavy_hitters, COUNTMIN_SQL),
-    "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
-    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
-    "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
-    "semdedup_prune": (semdedup_prune, None),
-    "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
-    "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
-    "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
-    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
-    "neardup_pagerank": (neardup_pagerank, None),
-    "pq_quantize": (pq_quantize, None),
-    # --- r11-certified remainder (positions 51-74: lead r15) ---
+    # entries. Rotated for r15 per the r14 verdict: leads are the 24
+    # r11-certified remainder (multimodal_features ..
+    # corpus_budget_select — last driver cert CORRECTNESS_r11, three
+    # rounds stale), then trend_test + host_triangles (both CHANGED
+    # this round — trend_test's median-rank selection made
+    # integer-exact on both engines, host_triangles degree-ordered —
+    # so they must re-certify inside the window), then 24 of the
+    # remaining 28 r14-new operators (never driver-certified;
+    # oracle-verified locally in r14). Bookkeeping: the registry grew
+    # 173 -> 203 in r14, i.e. 30 new dict entries (the r14 comment's
+    # "29" was off by one; the "32 ops" count includes the streaming
+    # cusum_stream and non-registry work). 24 + 30 = 54 > 50, so FOUR
+    # r14-new SPILL past the window: centroid_distances,
+    # seasonal_decompose, kaplan_meier_retention, cuped_adjustment —
+    # placed at positions 51-54; they MUST lead the r16 window.
+    # After those: the r14-window 50 (freshest certs), the
+    # r12-certified block, the r13-certified block. New r15 operators
+    # append at the very end as always.
+    # --- r11-certified remainder (24): last certs three rounds stale ---
     # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
     # elsewhere: the two share one persisted pair pipeline (see
     # ngram_jaccard_pairs) - bench.py preserves that scheduling.
@@ -12188,6 +12480,92 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "semantic_dedup_keep": (semantic_dedup_keep, None),
     "corpus_budget_select": (corpus_budget_select, _corpus_budget_sql()),
+    # --- CHANGED in r15 (re-certify): integer-exact trend_test median
+    #     ranks; degree-ordered host_triangles wedge join ---
+    "trend_test": (trend_test, TREND_TEST_SQL),
+    "host_triangles": (host_triangles, _host_triangles_sql()),
+    # --- NEW r14 (24 of 30; never driver-certified) ---
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_late_priority_audit": (q12_late_priority_audit, Q12_SQL),
+    "q16_parts_supplier_count": (q16_parts_supplier_count, Q16_SQL),
+    "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
+    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
+    "auc_roc": (auc_roc, AUC_ROC_SQL),
+    "ece_calibration": (ece_calibration, ECE_SQL),
+    "cohen_kappa": (cohen_kappa, COHEN_KAPPA_SQL),
+    "spearman_corr": (spearman_corr, SPEARMAN_SQL),
+    "ks_drift": (ks_drift, KS_DRIFT_SQL),
+    "log_odds_keywords": (log_odds_keywords, LOG_ODDS_SQL),
+    "edit_distance_join": (edit_distance_join, EDIT_DIST_SQL),
+    "mattr_diversity": (mattr_diversity, MATTR_SQL),
+    "cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
+    "curriculum_order": (curriculum_order, CURRICULUM_SQL),
+    "score_quantile_normalize": (score_quantile_normalize, QUANTILE_NORM_SQL),
+    "l_diversity_release": (l_diversity_release, L_DIVERSITY_SQL),
+    "conformal_threshold": (conformal_threshold, CONFORMAL_SQL),
+    "hamilton_allocation": (hamilton_allocation, HAMILTON_SQL),
+    "threshold_sweep": (threshold_sweep, _threshold_sweep_sql()),
+    "balanced_shards": (balanced_shards, BALANCED_SHARDS_SQL),
+    "kwic_extract": (kwic_extract, KWIC_SQL),
+    # ^^^ position 50 — end of the r15 driver window ^^^
+    # --- r14-new SPILL (4): MUST lead the r16 window ---
+    "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
+    "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
+    "kaplan_meier_retention": (kaplan_meier_retention, KAPLAN_MEIER_SQL),
+    "cuped_adjustment": (cuped_adjustment, CUPED_SQL),
+    # --- r14-certified (CORRECTNESS_r14.json, freshest) ---
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "embedding_whiten": (embedding_whiten, None),
+    "flesch_readability": (flesch_readability, FLESCH_SQL),
+    "yule_k_diversity": (yule_k_diversity, YULE_K_SQL),
+    "softdedup_weights": (softdedup_weights, SOFTDEDUP_SQL),
+    "refinedweb_line_filter": (refinedweb_line_filter, REFINEDWEB_SQL),
+    "language_balance_gini": (language_balance_gini, LANG_GINI_SQL),
+    "fellegi_sunter_links": (fellegi_sunter_links, FELLEGI_SUNTER_SQL),
+    "kmv_theta_sketch": (kmv_theta_sketch, KMV_THETA_SQL),
+    "quality_ensemble_rank": (quality_ensemble_rank, QUALITY_ENSEMBLE_SQL),
+    "host_pagerank": (host_pagerank, _host_pagerank_sql()),
+    "minhash_band_tuning": (minhash_band_tuning, _minhash_band_tuning_sql()),
+    "bpe_train_merges": (bpe_train_merges, None),
+    "wimbd_report": (wimbd_report, WIMBD_SQL),
+    "per_source_reservoir": (per_source_reservoir, PER_SOURCE_RESERVOIR_SQL),
+    "unicode_normalize_clean": (unicode_normalize_clean, UNICODE_NORM_SQL),
+    "host_label_propagation": (host_label_propagation, _host_lpa_sql()),
+    "chi2_feature_select": (chi2_feature_select, CHI2_SQL),
+    "psi_drift": (psi_drift, PSI_SQL),
+    "classifier_prf": (classifier_prf, CLASSIFIER_PRF_SQL),
+    "rank_eval_ndcg": (rank_eval_ndcg, RANK_EVAL_SQL),
+    "bootstrap_ci": (bootstrap_ci, BOOTSTRAP_SQL),
+    "mmr_rerank": (mmr_rerank, None),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PPL_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "orders_with_big_items": (orders_with_big_items, SEMI_JOIN_SQL),
+    "user_sessions": (user_sessions, SESSIONS_SQL),
+    "events_alerts": (events_alerts, ALERTS_SQL),
+    "enrich_customer_region": (enrich_customer_region, ENRICH_SQL),
+    "supplier_part_join": (supplier_part_join, SUPPLIER_PART_SQL),
+    "wpl_parse_clf": (wpl_parse_clf, WPL_CLF_SQL),
+    "char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
+    "stupid_backoff_ppl": (stupid_backoff_ppl, STUPID_BACKOFF_SQL),
+    "heaps_law": (heaps_law, HEAPS_LAW_SQL),
+    "countmin_heavy_hitters": (countmin_heavy_hitters, COUNTMIN_SQL),
+    "weighted_sample_aes": (weighted_sample_aes, WEIGHTED_SAMPLE_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
+    "mrl_truncation_eval": (mrl_truncation_eval, MRL_EVAL_SQL),
+    "semdedup_prune": (semdedup_prune, None),
+    "k_anonymity_suppress": (k_anonymity_suppress, K_ANONYMITY_SQL),
+    "cdc_chunking": (cdc_chunking, CDC_CHUNKING_SQL),
+    "tokenizer_fertility": (tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
+    "contrastive_triplets": (contrastive_triplets, CONTRASTIVE_SQL),
+    "neardup_pagerank": (neardup_pagerank, None),
+    "pq_quantize": (pq_quantize, None),
     # --- r12-certified (CORRECTNESS_r12.json) ---
     "good_turing_mass": (good_turing_mass, GOOD_TURING_SQL),
     "distinct_ngrams": (distinct_ngrams, DISTINCT_NGRAMS_SQL),
@@ -12289,36 +12667,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    # --- NEW r14 (at the END: rotate into the r15 window) ---
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "q9_product_profit": (q9_product_profit, Q9_SQL),
-    "q11_important_stock": (q11_important_stock, Q11_SQL),
-    "q12_late_priority_audit": (q12_late_priority_audit, Q12_SQL),
-    "q16_parts_supplier_count": (q16_parts_supplier_count, Q16_SQL),
-    "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
-    "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, Q21_SQL),
-    "auc_roc": (auc_roc, AUC_ROC_SQL),
-    "ece_calibration": (ece_calibration, ECE_SQL),
-    "cohen_kappa": (cohen_kappa, COHEN_KAPPA_SQL),
-    "spearman_corr": (spearman_corr, SPEARMAN_SQL),
-    "ks_drift": (ks_drift, KS_DRIFT_SQL),
-    "log_odds_keywords": (log_odds_keywords, LOG_ODDS_SQL),
-    "host_triangles": (host_triangles, _host_triangles_sql()),
-    "edit_distance_join": (edit_distance_join, EDIT_DIST_SQL),
-    "mattr_diversity": (mattr_diversity, MATTR_SQL),
-    "cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
-    "curriculum_order": (curriculum_order, CURRICULUM_SQL),
-    "score_quantile_normalize": (score_quantile_normalize, QUANTILE_NORM_SQL),
-    "l_diversity_release": (l_diversity_release, L_DIVERSITY_SQL),
-    "conformal_threshold": (conformal_threshold, CONFORMAL_SQL),
-    "hamilton_allocation": (hamilton_allocation, HAMILTON_SQL),
-    "threshold_sweep": (threshold_sweep, _threshold_sweep_sql()),
-    "balanced_shards": (balanced_shards, BALANCED_SHARDS_SQL),
-    "kwic_extract": (kwic_extract, KWIC_SQL),
-    "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
-    "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
-    "trend_test": (trend_test, TREND_TEST_SQL),
-    "kaplan_meier_retention": (kaplan_meier_retention, KAPLAN_MEIER_SQL),
-    "cuped_adjustment": (cuped_adjustment, CUPED_SQL),
 }
 
