@@ -119,6 +119,16 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   max-ts horizon next to the per-user span frame
         "cuped_adjustment": {"NESTED_LOOP"},  # broadcast ONE-row time
         #   bounds + ONE-row (theta, mean-x) constants
+        "mann_whitney_u": {"NESTED_LOOP"},  # broadcast ONE-row global
+        #   (vmin, vmax) binning bounds (the ks_drift shape)
+        "levene_variance": {"NESTED_LOOP"},  # broadcast ONE-row grand
+        #   totals (k, n, s) next to the |groups| frame
+        "benford_screen": {"NESTED_LOOP"},  # broadcast ONE-row total
+        #   count next to the 9-digit frame
+        "market_basket": {"NESTED_LOOP"},  # broadcast ONE-row order
+        #   count (the scale-invariant support floor)
+        "rfm_segments": {"NESTED_LOOP"},  # broadcast ONE-row corpus
+        #   max-date horizon (the kaplan_meier shape)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

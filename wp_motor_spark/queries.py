@@ -12432,6 +12432,1088 @@ FROM adj GROUP BY 1 ORDER BY treated
 """
 
 
+# --------------------------------------------------------------------------
+# NEW r15 operators (registry tail — rotate into the r16 window after the
+# 4-query r14 spill)
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947)
+    per event_type: does the treated arm's value distribution
+    stochastically dominate control? The nonparametric A/B readout an
+    experimentation platform runs when values are skewed and a t-test's
+    normality assumption fails. Arms are the deterministic user_id
+    parity (the cuped_adjustment convention). Values are 1000-bin
+    quantized (the ks_drift discipline), and the statistic is the
+    tie-corrected U over the quantized variable: midranks fold per
+    (type, bin) GROUP — never a per-row sort. z uses the tie-corrected
+    variance; no continuity correction (documented, same both sides).
+
+    Scale shape: one (type, bin, arm) rollup (<=1000 bins x 2 arms per
+    type — bounded), cumulative windows over that bounded frame, and
+    scalar assembly. The one-row min/max frame broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        F.least(
+            F.lit(999),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 1000.0
+            ),
+        ).alias("bin"),
+    )
+    per = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1)).alias("nc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("nt") + F.col("nc")
+    ranked = per.select(
+        "event_type",
+        "nt",
+        "nc",
+        t.alias("t"),
+        (
+            F.coalesce(F.sum(F.col("nt") + F.col("nc")).over(w), F.lit(0))
+            + (t + 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("nt").alias("n1"),
+        F.sum("nc").alias("n2"),
+        F.sum(F.col("nt") * F.col("midrank")).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    u = F.col("r1") - n1 * (n1 + 1) / 2.0
+    var = (
+        n1 * n2 / 12.0
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    z = (u - n1 * n2 / 2.0) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_treated"),
+        F.col("n2").alias("n_control"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+        F.when(z > 1.96, "treated_higher")
+        .when(z < -1.96, "control_higher")
+        .otherwise("no_difference")
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+MANN_WHITNEY_SQL = """
+WITH bounds AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+), binned AS (
+  SELECT event_type, user_id % 2 = 1 AS treated,
+         LEAST(999, CAST(FLOOR((value - vmin) / (vmax - vmin) * 1000.0)
+                         AS BIGINT)) AS bin
+  FROM events, bounds
+), per AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS nc
+  FROM binned GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, nt, nc, nt + nc AS t,
+         COALESCE(SUM(nt + nc) OVER (
+           PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (nt + nc + 1) / 2.0 AS midrank
+  FROM per
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(nt) AS BIGINT) AS n1, CAST(SUM(nc) AS BIGINT) AS n2,
+         SUM(nt * midrank) AS r1,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM ranked GROUP BY 1
+), stat AS (
+  SELECT event_type, n1, n2,
+         r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u,
+         (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+          - CAST(n1 AS DOUBLE) * n2 / 2.0)
+         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                * ((CAST(n1 AS DOUBLE) + n2 + 1)
+                   - CAST(ties AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + n2)
+                        * (CAST(n1 AS DOUBLE) + n2 - 1)))) AS z
+  FROM agg
+)
+SELECT event_type, n1 AS n_treated, n2 AS n_control,
+       round(u, 1) AS u_stat, round(z, 4) AS z,
+       CASE WHEN z > 1.96 THEN 'treated_higher'
+            WHEN z < -1.96 THEN 'control_higher'
+            ELSE 'no_difference' END AS verdict
+FROM stat ORDER BY event_type
+"""
+
+
+def levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (Levene 1960; Brown & Forsythe 1974 —
+    the median-centered variant, robust to non-normality): are the
+    event-type groups' value variances equal? The homoscedasticity
+    screen run before pooling variances in an ANOVA or stacking groups
+    into one control chart. Deviations are |v - median(group)| with the
+    group median EXACT over integer-floored cents (the
+    robust_source_stats histogram-rank discipline: lower median =
+    smallest cent value whose cumulative count reaches ceil(n/2));
+    the one-way ANOVA F over those deviations runs in DECIMAL moments.
+
+    Scale shape: a (type, cents) histogram rollup (bounded by the value
+    domain in cents), a cumulative window over that bounded frame for
+    the median, a broadcast median join back, then one decimal-moment
+    rollup — no per-row sort anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100).alias("vc")
+    )
+    hist = cents.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc")
+    wall = Window.partitionBy("event_type")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .where(F.col("cum") - F.col("cnt") < F.ceil(F.col("n") / 2))
+        .where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .select("event_type", F.col("vc").alias("med"))
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("vc") - F.col("med")).alias("z")
+    )
+    dz = F.col("z").cast("decimal(18,0)")
+    g = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(dz).alias("sz"),
+        F.sum((dz * dz).cast("decimal(38,0)")).alias("szz"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sz").alias("s"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ngd = F.col("ng").cast("double")
+    szd = F.col("sz").cast("double")
+    between = F.sum(
+        ngd
+        * (szd / ngd - F.col("s").cast("double") / F.col("n").cast("double"))
+        * (szd / ngd - F.col("s").cast("double") / F.col("n").cast("double"))
+    )
+    within = F.sum(F.col("szz").cast("double") - szd * szd / ngd)
+    out = j.groupBy("k", "n").agg(
+        between.alias("ssb"), within.alias("ssw")
+    )
+    fstat = (
+        F.col("ssb") / (F.col("k") - 1).cast("double")
+    ) / (
+        F.col("ssw") / (F.col("n") - F.col("k")).cast("double")
+    )
+    return out.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+LEVENE_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events
+), hist AS (
+  SELECT event_type, vc, COUNT(*) AS cnt FROM cents GROUP BY 1, 2
+), med AS (
+  SELECT event_type, vc AS med
+  FROM (
+    SELECT event_type, vc, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+  )
+  WHERE cum - cnt < CAST(CEIL(n / 2.0) AS BIGINT)
+    AND cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+), dev AS (
+  SELECT cents.event_type, ABS(vc - med) AS z
+  FROM cents JOIN med ON cents.event_type = med.event_type
+), g AS (
+  SELECT event_type, COUNT(*) AS ng,
+         SUM(CAST(z AS DECIMAL(18,0))) AS sz,
+         SUM(CAST(CAST(z AS DECIMAL(18,0)) * CAST(z AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS szz
+  FROM dev GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n, SUM(sz) AS s FROM g
+), parts AS (
+  SELECT k, n,
+         SUM(CAST(ng AS DOUBLE)
+             * (CAST(sz AS DOUBLE) / ng - CAST(s AS DOUBLE) / n)
+             * (CAST(sz AS DOUBLE) / ng - CAST(s AS DOUBLE) / n)) AS ssb,
+         SUM(CAST(szz AS DOUBLE)
+             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / ng) AS ssw
+  FROM g, tot GROUP BY 1, 2
+)
+SELECT k AS n_groups, n AS n_obs,
+       round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
+       round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+FROM parts
+"""
+
+
+def wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval (Wilson 1927) for each source's
+    short-document defect rate (n_chars < 200) — the interval a data
+    quality dashboard should quote instead of the Wald interval, which
+    collapses to zero width at p=0 and undercovers at small n. Closed
+    form: (p + z^2/2n +- z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n),
+    z = 1.96.
+
+    Scale shape: one source-keyed rollup, then pure scalar arithmetic —
+    map-only after the agg; output bounded by |sources|."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("k"),
+    )
+    z = 1.96
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("source")
+
+
+WILSON_CI_SQL = """
+WITH agg AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT source, n, k,
+         CAST(k AS DOUBLE) / n AS p,
+         1.0 + 1.96 * 1.96 / n AS denom
+  FROM agg
+)
+SELECT source, n, k, round(p, 6) AS p_hat,
+       round(((p + 1.96 * 1.96 / (2.0 * n))
+              - 1.96 * sqrt(p * (1.0 - p) / n
+                            + 1.96 * 1.96 / (4.0 * n * n))) / denom,
+             6) AS ci_lo,
+       round(((p + 1.96 * 1.96 / (2.0 * n))
+              + 1.96 * sqrt(p * (1.0 - p) / n
+                            + 1.96 * 1.96 / (4.0 * n * n))) / denom,
+             6) AS ci_hi
+FROM s ORDER BY source
+"""
+
+
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (Benford 1938; Nigrini 2012's fraud
+    audit staple) over order totals: observed leading-digit shares vs
+    the log10(1 + 1/d) law, with each digit's standardized deviation —
+    the anomaly read an auditor runs over transaction amounts before
+    drilling in. Leading digit extracted arithmetically
+    (p / 10^floor(log10 p)), never via string formatting.
+
+    Scale shape: map-only digit extraction + a 9-group rollup; the
+    1-row total broadcasts. Output is exactly 9 rows."""
+    od = _t(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    per = (
+        od.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per.agg(F.sum("cnt").alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    obs = F.col("cnt").cast("double") / F.col("n").cast("double")
+    exp_share = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    zdev = (obs - exp_share) / F.sqrt(
+        exp_share * (1.0 - exp_share) / F.col("n").cast("double")
+    )
+    return j.select(
+        "digit",
+        "cnt",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(zdev, 4).alias("z_dev"),
+    ).orderBy("digit")
+
+
+BENFORD_SQL = """
+WITH per AS (
+  SELECT CAST(FLOOR(o_totalprice
+              / POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS INTEGER)
+           AS digit,
+         COUNT(*) AS cnt
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per
+)
+SELECT digit, cnt,
+       round(CAST(cnt AS DOUBLE) / n, 6) AS obs_share,
+       round(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round((CAST(cnt AS DOUBLE) / n - LOG10(1.0 + 1.0 / digit))
+             / sqrt(LOG10(1.0 + 1.0 / digit)
+                    * (1.0 - LOG10(1.0 + 1.0 / digit)) / n), 4) AS z_dev
+FROM per, tot ORDER BY digit
+"""
+
+
+def page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector (Page 1954's CUSUM variant as
+    formulated for stream mining by Mouss et al. 2004 / Gama et al.
+    2014 survey): per event_type, the statistic U_T = sum_t (x_t -
+    xbar_t) over daily mean values (xbar_t = running mean of the first
+    t days), with PH_T = U_T - min_{s<=T} U_s and an alarm when PH
+    exceeds lambda = 3 * stddev of the daily means. Emits each type's
+    peak PH, the day it peaked, lambda, and the drift verdict — the
+    batch readout of the classic online detector (cusum_changepoint's
+    sibling for MEAN shifts in a value metric, not counts).
+
+    Scale shape: the daily rollup bounds everything by the CALENDAR;
+    daily means use DECIMAL(18,2) sums over doubles (the suite-wide
+    determinism discipline), and all windows run over the |days|
+    frame. Output is |types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            (
+                F.sum(_dec(F.col("value"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.withColumn("t", F.row_number().over(wd))
+        .withColumn(
+            "xbar",
+            F.sum("x").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("t").cast("double"),
+        )
+        .withColumn(
+            "u",
+            F.sum(F.col("x") - F.col("xbar")).over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "ph",
+            F.col("u")
+            - F.min("u").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    lam = daily.groupBy("event_type").agg(
+        (3.0 * F.stddev_pop("x")).alias("lambda_")
+    )
+    peak = (
+        cum.groupBy("event_type")
+        .agg(F.max(F.struct("ph", "day")).alias("pk"))
+        .select(
+            "event_type",
+            F.col("pk.ph").alias("ph_max"),
+            F.col("pk.day").alias("peak_day"),
+        )
+    )
+    return (
+        peak.join(lam, "event_type")
+        .select(
+            "event_type",
+            "peak_day",
+            F.round("ph_max", 6).alias("ph_max"),
+            F.round("lambda_", 6).alias("lambda_"),
+            F.when(F.col("ph_max") > F.col("lambda_"), "drift")
+            .otherwise("stable")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day, x,
+         ROW_NUMBER() OVER w AS t,
+         SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), u AS (
+  SELECT event_type, day,
+         SUM(x - sx / t) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+  FROM cum
+), ph AS (
+  SELECT event_type, day,
+         u - MIN(u) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM u
+), peak AS (
+  SELECT event_type, day AS peak_day, ph AS ph_max
+  FROM (
+    SELECT event_type, day, ph,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ph DESC, day DESC) AS rn
+    FROM ph
+  )
+  WHERE rn = 1
+), lam AS (
+  SELECT event_type, 3.0 * stddev_pop(x) AS lambda_ FROM daily GROUP BY 1
+)
+SELECT peak.event_type, peak_day,
+       round(ph_max, 6) AS ph_max, round(lambda_, 6) AS lambda_,
+       CASE WHEN ph_max > lambda_ THEN 'drift' ELSE 'stable' END AS verdict
+FROM peak JOIN lam ON peak.event_type = lam.event_type
+ORDER BY peak.event_type
+"""
+
+
+def exp_smooth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of the daily value level (Brown 1956;
+    Hunter 1986's EWMA chart statistic) per event_type, with a
+    TRUNCATED 14-day kernel at alpha = 0.5: S_t = sum_k 0.5^k x_{t-k}
+    / sum_k 0.5^k over the present lags — the dashboard smoother for a
+    noisy daily metric. Emits the last 28 days per type (day, actual,
+    smoothed). The truncation (documented) is what makes the op
+    EXACTLY reproducible cross-engine: 0.5^k has exactly k decimal
+    digits, so kernel weights are DECIMAL(18,14) literals, daily means
+    quantize to DECIMAL cents, and the weighted sum runs entirely in
+    DECIMAL — no float-order ambiguity. Missing days renormalize by
+    the present weights (numerator and denominator both decimal).
+
+    Scale shape: calendar-bounded daily rollup, 14 LAG terms over the
+    |days| window, bounded output (28 rows x |types|)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            (F.sum(_dec(F.col("value"))) / F.count(F.lit(1)))
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    # each term is EXACT at scale 19 (13 weight digits + 6 value digits),
+    # and 13 chained adds grow precision only to ~37 — below the decimal
+    # cap on BOTH engines, so no mid-sum scale reduction ever rounds
+    num = None
+    den = None
+    for k in range(14):
+        wgt = F.lit(str(0.5**k)).cast("decimal(18,14)")
+        xk = F.lag("x", k).over(wd)
+        tn = F.coalesce(
+            (wgt * xk).cast("decimal(24,19)"),
+            F.lit(0).cast("decimal(24,19)"),
+        )
+        td = F.when(xk.isNotNull(), wgt).otherwise(
+            F.lit(0).cast("decimal(18,14)")
+        )
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    sm = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (num.cast("double") / den.cast("double")).alias("smoothed"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("day"))
+        ).alias("__rn"),
+    )
+    return (
+        sm.where(F.col("__rn") <= 28)
+        .select(
+            "event_type",
+            "day",
+            F.col("x").cast("double").alias("actual"),
+            F.round("smoothed", 6).alias("smoothed"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _exp_smooth_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(CAST(CAST({0.5**k!s} AS DECIMAL(18,14))"
+        f" * LAG(x, {k}) OVER w AS DECIMAL(24,19)),"
+        f" CAST(0 AS DECIMAL(24,19)))"
+        for k in range(14)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(x, {k}) OVER w IS NOT NULL"
+        f" THEN CAST({0.5**k!s} AS DECIMAL(18,14))"
+        f" ELSE CAST(0 AS DECIMAL(18,14)) END"
+        for k in range(14)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*)
+              AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY 1, 2
+), sm AS (
+  SELECT event_type, day, x,
+         CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE) AS smoothed,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC)
+           AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, CAST(x AS DOUBLE) AS actual,
+       round(smoothed, 6) AS smoothed
+FROM sm WHERE rn <= 28 ORDER BY event_type, day
+"""
+
+
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics of daily event counts per type: the Fano
+    factor var/mean (Fano 1947 — 1 for a Poisson process, >1 means
+    overdispersion), the coefficient-of-variation burstiness B =
+    (sigma - mu)/(sigma + mu) (Goh & Barabasi 2008, -1 regular .. +1
+    bursty), and CV^2 — the standard traffic-shape triple a capacity
+    planner reads before sizing for peaks. Integer daily counts give
+    exact DECIMAL moments, so both engines agree bitwise.
+
+    Scale shape: calendar-bounded daily rollup then a |types|-row
+    moment agg — two shuffles of bounded frames."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dc = F.col("c").cast("decimal(18,0)")
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dc).alias("s"),
+        F.sum((dc * dc).cast("decimal(38,0)")).alias("ss"),
+    )
+    n = F.col("n_days").cast("double")
+    mu = F.col("s").cast("double") / n
+    var = F.col("ss").cast("double") / n - mu * mu
+    sd = F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(mu, 6).alias("mean_daily"),
+        F.round(var / mu, 6).alias("fano"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        F.round(var / (mu * mu), 6).alias("cv2"),
+    ).orderBy("event_type")
+
+
+FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS ss
+  FROM daily GROUP BY 1
+), m AS (
+  SELECT event_type, n_days,
+         CAST(s AS DOUBLE) / n_days AS mu,
+         CAST(ss AS DOUBLE) / n_days
+           - (CAST(s AS DOUBLE) / n_days) * (CAST(s AS DOUBLE) / n_days)
+           AS var
+  FROM agg
+)
+SELECT event_type, n_days, round(mu, 6) AS mean_daily,
+       round(var / mu, 6) AS fano,
+       round((sqrt(var) - mu) / (sqrt(var) + mu), 6) AS burstiness,
+       round(var / (mu * mu), 6) AS cv2
+FROM m ORDER BY event_type
+"""
+
+
+def pot_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail read (Pickands 1975; Davison & Smith
+    1990's mean-excess diagnostic) per event_type: the threshold u is
+    the exact P90 of the value in integer cents (histogram-rank — the
+    robust_source_stats discipline: smallest cent value whose
+    cumulative count reaches ceil(0.9 n)), and the op emits the
+    exceedance count, the mean excess E[X - u | X > u] (the GPD
+    scale-vs-shape diagnostic an SRE reads before fitting a tail), and
+    the max excess. Excesses are integers, so moments are DECIMAL
+    exact.
+
+    Scale shape: one (type, cents) histogram rollup (value-domain
+    bounded), a cumulative window over that bounded frame for P90, a
+    broadcast threshold join back, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100).alias("vc")
+    )
+    hist = cents.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc")
+    wall = Window.partitionBy("event_type")
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .where(F.col("cum") - F.col("cnt") < F.ceil(0.9 * F.col("n")))
+        .where(F.col("cum") >= F.ceil(0.9 * F.col("n")))
+        .select("event_type", F.col("vc").alias("u"))
+    )
+    exc = (
+        cents.join(F.broadcast(thr), "event_type")
+        .where(F.col("vc") > F.col("u"))
+        .select(
+            "event_type",
+            "u",
+            (F.col("vc") - F.col("u")).cast("decimal(18,0)").alias("e"),
+        )
+    )
+    return (
+        exc.groupBy("event_type", "u")
+        .agg(
+            F.count(F.lit(1)).alias("n_exceed"),
+            (F.sum("e").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("__me"),
+            F.max("e").cast("long").alias("max_excess_cents"),
+        )
+        .select(
+            "event_type",
+            (F.col("u").cast("double") / 100.0).alias("threshold"),
+            "n_exceed",
+            F.round(F.col("__me") / 100.0, 6).alias("mean_excess"),
+            "max_excess_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+POT_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events
+), hist AS (
+  SELECT event_type, vc, COUNT(*) AS cnt FROM cents GROUP BY 1, 2
+), thr AS (
+  SELECT event_type, vc AS u
+  FROM (
+    SELECT event_type, vc, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+  )
+  WHERE cum - cnt < CEIL(0.9 * n) AND cum >= CEIL(0.9 * n)
+), exc AS (
+  SELECT cents.event_type, u, CAST(vc - u AS DECIMAL(18,0)) AS e
+  FROM cents JOIN thr ON cents.event_type = thr.event_type
+  WHERE vc > u
+)
+SELECT event_type, CAST(u AS DOUBLE) / 100.0 AS threshold,
+       COUNT(*) AS n_exceed,
+       round(CAST(SUM(e) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_excess,
+       CAST(MAX(e) AS BIGINT) AS max_excess_cents
+FROM exc GROUP BY event_type, u ORDER BY event_type
+"""
+
+
+def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal & Srikant
+    1994 Apriori support/confidence framing; lift per Brin et al.
+    1997): for every part PAIR co-purchased in one order, the support
+    count, confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — the classic
+    basket screen, kept at pairs (2-itemsets). The support floor is
+    SCALE-INVARIANT: pairs in >= max(2, 0.01% of orders) baskets.
+
+    Scale shape: the pair generator self-joins DISTINCT (order, part)
+    within each order — quadratic only in BASKET SIZE, which is a
+    data-model invariant (~O(10) items/order at any corpus scale), so
+    pair volume stays linear in orders. Item supports are a bounded
+    |parts| rollup joined back broadcast; the 1-row order count
+    broadcasts. Output is bounded by the support floor (the Apriori
+    argument)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ob = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = (
+        _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    item = ob.groupBy("pk").agg(F.count(F.lit(1)).alias("item_cnt"))
+    a = ob.select("ok", F.col("pk").alias("pa"))
+    b = ob.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(
+            F.col("pair_cnt")
+            >= F.greatest(F.lit(2), F.ceil(0.0001 * F.col("n_orders")))
+        )
+    )
+    ia = item.select(F.col("pk").alias("pa"), F.col("item_cnt").alias("ca"))
+    ib = item.select(F.col("pk").alias("pb"), F.col("item_cnt").alias("cb"))
+    j = pairs.join(F.broadcast(ia), "pa").join(F.broadcast(ib), "pb")
+    nn = F.col("n_orders").cast("double")
+    lift = (
+        F.col("pair_cnt").cast("double")
+        * nn
+        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return j.select(
+        "pa",
+        "pb",
+        "pair_cnt",
+        F.round(F.col("pair_cnt").cast("double") / nn, 6).alias("support"),
+        F.round(
+            F.col("pair_cnt").cast("double") / F.col("ca").cast("double"), 6
+        ).alias("confidence"),
+        F.round(lift, 4).alias("lift"),
+    ).orderBy(F.desc("lift"), "pa", "pb")
+
+
+MARKET_BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (
+  SELECT COUNT(*) AS n_orders FROM orders
+), item AS (
+  SELECT pk, COUNT(*) AS item_cnt FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS pair_cnt
+  FROM ob a JOIN ob b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), kept AS (
+  SELECT pa, pb, pair_cnt, n_orders
+  FROM pairs, n
+  WHERE pair_cnt >= GREATEST(2, CEIL(0.0001 * n_orders))
+)
+SELECT pa, pb, pair_cnt,
+       round(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(pair_cnt AS DOUBLE) / ia.item_cnt, 6) AS confidence,
+       round(CAST(pair_cnt AS DOUBLE) * n_orders
+             / (CAST(ia.item_cnt AS DOUBLE) * ib.item_cnt), 4) AS lift
+FROM kept
+JOIN item ia ON kept.pa = ia.pk
+JOIN item ib ON kept.pb = ib.pk
+ORDER BY lift DESC, pa, pb
+"""
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the clickstream path model of Sarukkai 2000, "Link
+    prediction and path analysis using Markov chains"): P(next type |
+    current type) with transition counts — what powers next-step
+    prediction, funnel leak analysis, and removal-effect attribution.
+    Sequences order by (ts, event_id) within user.
+
+    Scale shape: ONE user-keyed window (users are many and small — the
+    user_sessions discipline; no global sort), then a |types|^2-bounded
+    rollup. Output is at most |types|^2 rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    cnt = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wfrom = Window.partitionBy("from_type")
+    return (
+        cnt.withColumn("from_total", F.sum("cnt").over(wfrom))
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("from_total").cast("double"),
+                6,
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS cnt
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       round(CAST(cnt AS DOUBLE)
+             / SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
+FROM cnt ORDER BY from_type, to_type
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994's Recency/Frequency/Monetary
+    scoring, the classic CRM customer split): per customer, recency =
+    days since last order (vs the corpus max date), frequency = order
+    count, monetary = lifetime spend; each scored into quintiles and
+    rolled up to segment sizes with per-segment averages. Quintile
+    assignment is VALUE-GROUP deterministic (all ties share a
+    quintile: q = 1 + min(4, floor(5 * cum_below / n)) over the
+    bounded value-group frame) — never NTILE, whose tie placement is
+    row-order dependent. Recency scores reverse (recent = 5). Monetary
+    buckets at whole-$100 granularity keep that domain bounded.
+
+    Scale shape: one per-customer rollup, three bounded-domain
+    value-group frames with cumulative windows (days / order-count /
+    $100-bucket domains — all bounded), broadcast joins back, one
+    <=125-group rollup."""
+    od = _t(spark, sf_dir, "orders")
+    mx = od.agg(F.max("o_orderdate").alias("mxd"))
+    per = (
+        od.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("mxd"), F.col("o_orderdate"))
+            ).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.floor(
+                F.sum(_dec(F.col("o_totalprice"))) / 100
+            ).cast("long").alias("mon"),
+        )
+    )
+
+    def quintile(df, col):
+        grp = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        tot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return grp.select(
+            col,
+            (
+                1
+                + F.least(
+                    F.lit(4),
+                    F.floor(
+                        5.0
+                        * F.coalesce(F.sum("n").over(w), F.lit(0))
+                        / F.sum("n").over(tot)
+                    ),
+                )
+            ).cast("int").alias(f"q_{col}"),
+        )
+
+    scored = (
+        per.join(F.broadcast(quintile(per, "rec")), "rec")
+        .join(F.broadcast(quintile(per, "freq")), "freq")
+        .join(F.broadcast(quintile(per, "mon")), "mon")
+        .select(
+            (6 - F.col("q_rec")).alias("r_score"),
+            F.col("q_freq").alias("f_score"),
+            F.col("q_mon").alias("m_score"),
+            "rec",
+            "freq",
+            "mon",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("rec").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum(F.col("mon").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_monetary_hundreds"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH mx AS (
+  SELECT MAX(o_orderdate) AS mxd FROM orders
+), per AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', o_orderdate, mxd)) AS rec,
+         COUNT(*) AS freq,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / 100)
+              AS BIGINT) AS mon
+  FROM orders, mx GROUP BY 1
+), qr AS (
+  SELECT rec, CAST(1 + LEAST(4, FLOOR(5.0 * cb / n)) AS INTEGER) AS q_rec
+  FROM (SELECT rec,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY rec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               SUM(COUNT(*)) OVER () AS n
+        FROM per GROUP BY rec)
+), qf AS (
+  SELECT freq, CAST(1 + LEAST(4, FLOOR(5.0 * cb / n)) AS INTEGER) AS q_freq
+  FROM (SELECT freq,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY freq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               SUM(COUNT(*)) OVER () AS n
+        FROM per GROUP BY freq)
+), qm AS (
+  SELECT mon, CAST(1 + LEAST(4, FLOOR(5.0 * cb / n)) AS INTEGER) AS q_mon
+  FROM (SELECT mon,
+               COALESCE(SUM(COUNT(*)) OVER (ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               SUM(COUNT(*)) OVER () AS n
+        FROM per GROUP BY mon)
+), scored AS (
+  SELECT 6 - q_rec AS r_score, q_freq AS f_score, q_mon AS m_score,
+         rec, mon
+  FROM per JOIN qr USING (rec) JOIN qf USING (freq) JOIN qm USING (mon)
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       round(CAST(SUM(CAST(rec AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_recency_days,
+       round(CAST(SUM(CAST(mon AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_monetary_hundreds
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO-style training (Rafailov
+    et al. 2023, "Direct Preference Optimization"): within each
+    (lang, length-bucket) prompt-proxy group, pair the highest- and
+    lowest-quality document as (chosen, rejected) with the score
+    margin — the standard way a curation pipeline mints preference
+    data from scalar quality signals. The quality score is the
+    deterministic whitespace-token mean word length (chars/token, the
+    gopher-style signal); ties break by doc_id, encoded in the SAME
+    two rank orders on both engines. Groups need >= 2 docs.
+
+    Scale shape: one (lang, bucket)-keyed shuffle; the two rank
+    windows partition by group (groups are many, each bounded); output
+    is |groups| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.token_count_ws(F.col("text"))
+    base = docs.select(
+        "lang",
+        (F.floor(F.col("n_chars") / 200) * 200).alias("len_bucket"),
+        "doc_id",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.greatest(toks, F.lit(1)).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    wg = Window.partitionBy("lang", "len_bucket")
+    best = wg.orderBy(F.desc("score"), F.desc("doc_id"))
+    worst = wg.orderBy(F.asc("score"), F.asc("doc_id"))
+    ranked = base.select(
+        "lang",
+        "len_bucket",
+        "doc_id",
+        "score",
+        F.row_number().over(best).alias("rb"),
+        F.row_number().over(worst).alias("rw"),
+        F.count(F.lit(1)).over(wg).alias("gn"),
+    ).where(F.col("gn") >= 2)
+    chosen = ranked.where(F.col("rb") == 1).select(
+        "lang",
+        "len_bucket",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.where(F.col("rw") == 1).select(
+        "lang",
+        "len_bucket",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, ["lang", "len_bucket"])
+        .select(
+            "lang",
+            "len_bucket",
+            "chosen_id",
+            "rejected_id",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 6
+            ).alias("margin"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+DPO_PAIRS_SQL = r"""
+WITH base AS (
+  SELECT lang,
+         CAST(FLOOR(n_chars / 200) * 200 AS BIGINT) AS len_bucket,
+         doc_id,
+         round(CAST(n_chars AS DOUBLE)
+               / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END,
+                    1), 6) AS score
+  FROM documents
+), ranked AS (
+  SELECT lang, len_bucket, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                            ORDER BY score DESC, doc_id DESC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
+                            ORDER BY score ASC, doc_id ASC) AS rw,
+         COUNT(*) OVER (PARTITION BY lang, len_bucket) AS gn
+  FROM base
+), k AS (SELECT * FROM ranked WHERE gn >= 2)
+SELECT c.lang, c.len_bucket, c.doc_id AS chosen_id,
+       r.doc_id AS rejected_id,
+       round(c.score - r.score, 6) AS margin
+FROM (SELECT * FROM k WHERE rb = 1) c
+JOIN (SELECT * FROM k WHERE rw = 1) r
+  ON c.lang = r.lang AND c.len_bucket = r.len_bucket
+ORDER BY c.lang, c.len_bucket
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -12667,5 +13749,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    # --- NEW r15 (at the END: rotate into the r16 window after the
+    #     4-query r14 spill above) ---
+    "mann_whitney_u": (mann_whitney_u, MANN_WHITNEY_SQL),
+    "levene_variance": (levene_variance, LEVENE_SQL),
+    "wilson_ci": (wilson_ci, WILSON_CI_SQL),
+    "benford_screen": (benford_screen, BENFORD_SQL),
+    "page_hinkley": (page_hinkley, PAGE_HINKLEY_SQL),
+    "exp_smooth_daily": (exp_smooth_daily, _exp_smooth_sql()),
+    "fano_burstiness": (fano_burstiness, FANO_SQL),
+    "pot_mean_excess": (pot_mean_excess, POT_SQL),
+    "market_basket": (market_basket, MARKET_BASKET_SQL),
+    "markov_transitions": (markov_transitions, MARKOV_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
+    "dpo_pairs": (dpo_pairs, DPO_PAIRS_SQL),
 }
 
