@@ -129,6 +129,14 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   count (the scale-invariant support floor)
         "rfm_segments": {"NESTED_LOOP"},  # broadcast ONE-row corpus
         #   max-date horizon (the kaplan_meier shape)
+        "benjamini_hochberg": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   global (n, s, s2) moments next to the |sources| frame
+        "wasserstein_drift": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   global (vmin, vmax, t0, t1) bounds (the ks_drift shape)
+        "cmh_test": {"NESTED_LOOP"},  # broadcast ONE-row pooled
+        #   (sum_ame, sum_v, sum_r, sum_s) terms next to |types| rows
+        "theil_index": {"NESTED_LOOP"},  # broadcast ONE-row corpus
+        #   total (x, m) next to the |sources| frame
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -13514,6 +13514,638 @@ ORDER BY c.lang, c.len_bucket
 """
 
 
+def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
+    the per-source mean-length drift family: each source's mean
+    n_chars is z-tested against the global mean (decimal moments,
+    exact), z maps to a two-sided p through the logistic normal-CDF
+    approximation Phi(x) ~ 1/(1+exp(-0.07056 x^3 - 1.5976 x)) (Bowling
+    et al. 2009 — algebraic, so both engines compute the identical
+    double), and BH rejects the largest prefix of ascending p with
+    p_(i) <= (i/m) q at q = 0.05 — the multiple-testing guard a
+    monitoring suite needs once it runs one test per source.
+
+    Scale shape: one source rollup + one global 1-row broadcast; the
+    rank window runs over the |sources|-bounded p frame. The BH step
+    count (max passing i) folds as a window max over that bounded
+    frame."""
+    docs = _t(spark, sf_dir, "documents")
+    dch = F.col("n_chars").cast("decimal(18,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(dch).alias("ss"),
+    )
+    glob = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dch).alias("s"),
+        F.sum((dch * dch).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sd = F.sqrt(F.col("s2").cast("double") / nd - mu * mu)
+    z = (
+        (F.col("ss").cast("double") / F.col("ns").cast("double") - mu)
+        / (sd / F.sqrt(F.col("ns").cast("double")))
+    )
+    az = F.abs(z)
+    phi = 1.0 / (
+        1.0 + F.exp(-(0.07056 * az * az * az + 1.5976 * az))
+    )
+    pv = j.select(
+        "source",
+        "ns",
+        F.round(z, 4).alias("z"),
+        (2.0 * (1.0 - phi)).alias("p"),
+    )
+    m = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pv.withColumn(
+        "i", F.row_number().over(Window.orderBy("p", "source"))
+    ).withColumn("m", F.count(F.lit(1)).over(m))
+    passing = ranked.withColumn(
+        "pass_i",
+        F.when(
+            F.col("p") <= 0.05 * F.col("i") / F.col("m"), F.col("i")
+        ).otherwise(F.lit(0)),
+    ).withColumn("max_pass", F.max("pass_i").over(m))
+    return passing.select(
+        "source",
+        "ns",
+        "z",
+        F.round("p", 6).alias("p_value"),
+        F.round(0.05 * F.col("i") / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("i") <= F.col("max_pass")).alias("rejected"),
+    ).orderBy("source")
+
+
+BH_FDR_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS ns,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS ss
+  FROM documents GROUP BY 1
+), gtot AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(n_chars AS DECIMAL(18,0))
+                  * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s2
+  FROM documents
+), zf AS (
+  SELECT source, ns,
+         (CAST(ss AS DOUBLE) / ns - CAST(s AS DOUBLE) / n)
+         / (sqrt(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+            / sqrt(CAST(ns AS DOUBLE))) AS z
+  FROM per, gtot
+), pv AS (
+  SELECT source, ns, round(z, 4) AS z,
+         2.0 * (1.0 - 1.0 / (1.0 + exp(-(0.07056 * ABS(z) * ABS(z) * ABS(z)
+                                         + 1.5976 * ABS(z))))) AS p
+  FROM zf
+), ranked AS (
+  SELECT source, ns, z, p,
+         ROW_NUMBER() OVER (ORDER BY p, source) AS i,
+         COUNT(*) OVER () AS m
+  FROM pv
+), passing AS (
+  SELECT *,
+         MAX(CASE WHEN p <= 0.05 * i / m THEN i ELSE 0 END) OVER ()
+           AS max_pass
+  FROM ranked
+)
+SELECT source, ns, z, round(p, 6) AS p_value,
+       round(0.05 * i / m, 6) AS bh_threshold,
+       i <= max_pass AS rejected
+FROM passing ORDER BY source
+"""
+
+
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth mover's) drift distance (Ramdas, Garcia &
+    Cuturi 2017's univariate form: the L1 distance between CDFs) per
+    event_type between the first- and second-half value distributions
+    — the drift metric that, unlike KS, weighs HOW FAR mass moved, not
+    just the worst gap. 1000-bin quantized (the ks_drift discipline);
+    halves split at the time midpoint (the cuped convention).
+
+    Scale shape: one (type, bin, half) rollup bounded by 1000 bins x 2,
+    cumulative windows over that bounded frame, and the cross-bin sum
+    runs over INTEGER cross-multiplied counts (|cumA*Nb - cumB*Na| in
+    DECIMAL), so no float-order ambiguity — the single double division
+    happens once per type."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(999),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 1000.0
+            ),
+        ).alias("bin"),
+        (
+            F.col("ts").cast("long") * 2 <= F.col("t0") + F.col("t1")
+        ).alias("first_half"),
+        ((F.col("vmax") - F.col("vmin")) / 1000.0).alias("binw"),
+    )
+    per = binned.groupBy("event_type", "bin", "binw").agg(
+        F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = per.select(
+        "event_type",
+        "binw",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    term = F.abs(
+        (
+            F.col("cuma").cast("decimal(19,0)")
+            * F.col("nb").cast("decimal(19,0)")
+            - F.col("cumb").cast("decimal(19,0)")
+            * F.col("na").cast("decimal(19,0)")
+        ).cast("decimal(38,0)")
+    )
+    agg = cum.groupBy("event_type", "binw", "na", "nb").agg(
+        F.sum(term).alias("s")
+    )
+    w1 = (
+        F.col("s").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        * F.col("binw")
+    )
+    return agg.select(
+        "event_type",
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        F.round(w1, 6).alias("w1_distance"),
+    ).orderBy("event_type")
+
+
+WASSERSTEIN_SQL = """
+WITH bounds AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+         epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1
+  FROM events
+), binned AS (
+  SELECT event_type,
+         LEAST(999, CAST(FLOOR((value - vmin) / (vmax - vmin) * 1000.0)
+                         AS BIGINT)) AS bin,
+         epoch(ts) * 2 <= t0 + t1 AS first_half,
+         (vmax - vmin) / 1000.0 AS binw
+  FROM events, bounds
+), per AS (
+  SELECT event_type, bin, binw,
+         CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, binw,
+         SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM per
+  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT event_type, binw, na, nb,
+         SUM(ABS(CAST(CAST(cuma AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+                      - CAST(cumb AS DECIMAL(19,0))
+                        * CAST(na AS DECIMAL(19,0)) AS DECIMAL(38,0)))) AS s
+  FROM cum GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_first,
+       CAST(nb AS BIGINT) AS n_second,
+       round(CAST(s AS DOUBLE) / (CAST(na AS DOUBLE) * nb) * binw, 6)
+         AS w1_distance
+FROM agg ORDER BY event_type
+"""
+
+
+def trimmed_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized location estimates (Tukey & McLaughlin
+    1963) of document length per source: the 10%-trimmed mean (drop
+    the g = floor(0.1 n) smallest and largest) and the winsorized mean
+    (clamp those tails to the cut values) — the outlier-robust pair a
+    corpus report quotes next to the raw mean. EXACT via the
+    histogram-rank discipline: per value group, the kept multiplicity
+    is the overlap of its rank span [cum-cnt+1, cum] with the window
+    [g+1, n-g]; the cut values are the groups holding ranks g+1 and
+    n-g. Integer value sums run in DECIMAL.
+
+    Scale shape: one (source, n_chars) histogram rollup (bounded value
+    domain), cumulative windows over that bounded frame, one rollup —
+    no per-row sort."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    wall = Window.partitionBy("source")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("g", F.floor(0.1 * F.col("n")).cast("long"))
+    )
+    lo_r = F.col("g") + 1
+    hi_r = F.col("n") - F.col("g")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), hi_r)
+        - F.greatest(F.col("cum") - F.col("cnt"), lo_r - 1),
+    )
+    dv = F.col("n_chars").cast("decimal(18,0)")
+    stats = cum.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.sum((dv * kept.cast("decimal(18,0)")).cast("decimal(38,0)")).alias(
+            "tsum"
+        ),
+        F.max(
+            F.when(
+                (F.col("cum") >= lo_r) & (F.col("cum") - F.col("cnt") < lo_r),
+                F.col("n_chars"),
+            )
+        ).alias("lo_val"),
+        F.max(
+            F.when(
+                (F.col("cum") >= hi_r) & (F.col("cum") - F.col("cnt") < hi_r),
+                F.col("n_chars"),
+            )
+        ).alias("hi_val"),
+    )
+    nd = (F.col("n") - 2 * F.col("g")).cast("double")
+    tmean = F.col("tsum").cast("double") / nd
+    wsum = (
+        F.col("tsum").cast("double")
+        + F.col("g").cast("double")
+        * (F.col("lo_val") + F.col("hi_val")).cast("double")
+    )
+    return stats.select(
+        "source",
+        "n",
+        F.col("g").alias("n_trimmed_each_side"),
+        F.round(tmean, 6).alias("trimmed_mean"),
+        F.round(wsum / F.col("n").cast("double"), 6).alias("winsorized_mean"),
+        F.col("lo_val").alias("lo_cut"),
+        F.col("hi_val").alias("hi_cut"),
+    ).orderBy("source")
+
+
+TRIMMED_SQL = """
+WITH hist AS (
+  SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM hist
+), k AS (
+  SELECT *, CAST(FLOOR(0.1 * n) AS BIGINT) AS g,
+         GREATEST(0, LEAST(cum, n - CAST(FLOOR(0.1 * n) AS BIGINT))
+                     - GREATEST(cum - cnt,
+                                CAST(FLOOR(0.1 * n) AS BIGINT))) AS kept
+  FROM cum
+), stats AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(g) AS BIGINT) AS g,
+         SUM(CAST(CAST(n_chars AS DECIMAL(18,0))
+                  * CAST(kept AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS tsum,
+         MAX(CASE WHEN cum >= g + 1 AND cum - cnt < g + 1
+                  THEN n_chars END) AS lo_val,
+         MAX(CASE WHEN cum >= n - g AND cum - cnt < n - g
+                  THEN n_chars END) AS hi_val
+  FROM k GROUP BY 1
+)
+SELECT source, n, g AS n_trimmed_each_side,
+       round(CAST(tsum AS DOUBLE) / (n - 2 * g), 6) AS trimmed_mean,
+       round((CAST(tsum AS DOUBLE)
+              + CAST(g AS DOUBLE) * (lo_val + hi_val)) / n, 6)
+         AS winsorized_mean,
+       lo_val AS lo_cut, hi_val AS hi_cut
+FROM stats ORDER BY source
+"""
+
+
+def cohens_d_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size per event_type between the A/B arms
+    (Cohen 1988's d with pooled SD; Hedges 1981's small-sample
+    correction J = 1 - 3/(4 df - 1)) over values in integer cents —
+    the magnitude read that accompanies any significance test, because
+    with big n everything is 'significant'. Arms are the user_id
+    parity (the cuped convention). Moments run in DECIMAL, so d is one
+    deterministic double expression.
+
+    Scale shape: one (type, arm) rollup, then scalar assembly per
+    type. Output |types| rows."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("decimal(18,0)")
+    per = ev.groupBy(
+        "event_type", (F.col("user_id") % 2 == 1).alias("treated")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("s2"),
+    )
+    t = per.where(F.col("treated")).select(
+        "event_type",
+        F.col("n").alias("nt"),
+        F.col("s").alias("st"),
+        F.col("s2").alias("s2t"),
+    )
+    c = per.where(~F.col("treated")).select(
+        "event_type",
+        F.col("n").alias("nc"),
+        F.col("s").alias("sc"),
+        F.col("s2").alias("s2c"),
+    )
+    j = t.join(c, "event_type")
+    ntd = F.col("nt").cast("double")
+    ncd = F.col("nc").cast("double")
+    mt = F.col("st").cast("double") / ntd
+    mc = F.col("sc").cast("double") / ncd
+    sst = F.col("s2t").cast("double") - ntd * mt * mt
+    ssc = F.col("s2c").cast("double") - ncd * mc * mc
+    sp = F.sqrt((sst + ssc) / (ntd + ncd - 2.0))
+    d = (mt - mc) / sp
+    jcorr = 1.0 - 3.0 / (4.0 * (ntd + ncd - 2.0) - 1.0)
+    return j.select(
+        "event_type",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * jcorr, 6).alias("hedges_g"),
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    ).orderBy("event_type")
+
+
+COHENS_D_SQL = """
+WITH per AS (
+  SELECT event_type, user_id % 2 = 1 AS treated, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100) AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  * CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT t.event_type, t.n AS nt, c.n AS nc,
+         CAST(t.s AS DOUBLE) / t.n AS mt, CAST(c.s AS DOUBLE) / c.n AS mc,
+         CAST(t.s2 AS DOUBLE) - t.n * (CAST(t.s AS DOUBLE) / t.n)
+           * (CAST(t.s AS DOUBLE) / t.n) AS sst,
+         CAST(c.s2 AS DOUBLE) - c.n * (CAST(c.s AS DOUBLE) / c.n)
+           * (CAST(c.s AS DOUBLE) / c.n) AS ssc
+  FROM (SELECT * FROM per WHERE treated) t
+  JOIN (SELECT * FROM per WHERE NOT treated) c
+    ON t.event_type = c.event_type
+), d AS (
+  SELECT event_type, nt, nc,
+         (mt - mc) / sqrt((sst + ssc) / (nt + nc - 2.0)) AS d,
+         1.0 - 3.0 / (4.0 * (nt + nc - 2.0) - 1.0) AS jc
+  FROM j
+)
+SELECT event_type, nt AS n_treated, nc AS n_control,
+       round(d, 6) AS cohens_d, round(d * jc, 6) AS hedges_g,
+       CASE WHEN ABS(d) < 0.2 THEN 'negligible'
+            WHEN ABS(d) < 0.5 THEN 'small'
+            WHEN ABS(d) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d ORDER BY event_type
+"""
+
+
+def cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association test (Mantel &
+    Haenszel 1959; Cochran 1954): does the treated arm exceed each
+    event type's own median value more often than control, pooled
+    ACROSS types as strata — the confounder-guarded 2x2 readout
+    (Simpson's-paradox-proof where a naive pooled table is not). Per
+    stratum: exposure = user parity, outcome = value above the
+    stratum's exact cents median (histogram-rank). Emits per-stratum
+    2x2 counts and odds ratios plus the pooled MH odds ratio and CMH
+    chi-square (continuity-corrected) repeated on each row.
+
+    Scale shape: one cents-histogram per type (bounded domain) for the
+    medians, one (type, arm, outcome) rollup, then |types|-row scalar
+    assembly with the pooled terms in a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        F.floor(F.col("value") * 100).alias("vc"),
+    )
+    hist = cents.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc")
+    wall = Window.partitionBy("event_type")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .where(F.col("cum") - F.col("cnt") < F.ceil(F.col("n") / 2))
+        .where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .select("event_type", F.col("vc").alias("med"))
+    )
+    cells = (
+        cents.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("treated") & (F.col("vc") > F.col("med")), 1)
+                .otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("treated") & (F.col("vc") <= F.col("med")), 1)
+                .otherwise(0)
+            ).alias("b"),
+            F.sum(
+                F.when(~F.col("treated") & (F.col("vc") > F.col("med")), 1)
+                .otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when(~F.col("treated") & (F.col("vc") <= F.col("med")), 1)
+                .otherwise(0)
+            ).alias("d"),
+        )
+    )
+    nk = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    ad, bd, cd, dd = (
+        F.col("a").cast("double"),
+        F.col("b").cast("double"),
+        F.col("c").cast("double"),
+        F.col("d").cast("double"),
+    )
+    terms = cells.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        (ad - (ad + bd) * (ad + cd) / nk).alias("amE"),
+        (
+            (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+            / (nk * nk * (nk - 1.0))
+        ).alias("vk"),
+        (ad * dd / nk).alias("rk"),
+        (bd * cd / nk).alias("sk"),
+    )
+    pooled = terms.agg(
+        F.sum("amE").alias("sum_ame"),
+        F.sum("vk").alias("sum_v"),
+        F.sum("rk").alias("sum_r"),
+        F.sum("sk").alias("sum_s"),
+    )
+    chi2 = (
+        (F.abs(F.col("sum_ame")) - 0.5)
+        * (F.abs(F.col("sum_ame")) - 0.5)
+        / F.col("sum_v")
+    )
+    return (
+        terms.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.round(
+                ad * dd / (bd * cd),
+                4,
+            ).alias("stratum_or"),
+            F.round(F.col("sum_r") / F.col("sum_s"), 4).alias("mh_or"),
+            F.round(chi2, 4).alias("cmh_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CMH_SQL = """
+WITH cents AS (
+  SELECT event_type, user_id % 2 = 1 AS treated,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vc
+  FROM events
+), hist AS (
+  SELECT event_type, vc, COUNT(*) AS cnt FROM cents GROUP BY 1, 2
+), med AS (
+  SELECT event_type, vc AS med
+  FROM (
+    SELECT event_type, vc, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+  )
+  WHERE cum - cnt < CAST(CEIL(n / 2.0) AS BIGINT)
+    AND cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT cents.event_type,
+         CAST(SUM(CASE WHEN treated AND vc > med THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN treated AND vc <= med THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT treated AND vc > med THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT treated AND vc <= med THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM cents JOIN med ON cents.event_type = med.event_type
+  GROUP BY 1
+), terms AS (
+  SELECT event_type, a, b, c, d,
+         CAST(a + b + c + d AS DOUBLE) AS nk,
+         a - CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d) AS ame,
+         CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+           / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+              * (a + b + c + d - 1.0)) AS vk,
+         CAST(a AS DOUBLE) * d / (a + b + c + d) AS rk,
+         CAST(b AS DOUBLE) * c / (a + b + c + d) AS sk
+  FROM cells
+), pooled AS (
+  SELECT SUM(ame) AS sum_ame, SUM(vk) AS sum_v,
+         SUM(rk) AS sum_r, SUM(sk) AS sum_s
+  FROM terms
+)
+SELECT event_type, a, b, c, d,
+       round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 4)
+         AS stratum_or,
+       round(sum_r / sum_s, 4) AS mh_or,
+       round((ABS(sum_ame) - 0.5) * (ABS(sum_ame) - 0.5) / sum_v, 4)
+         AS cmh_chi2
+FROM terms, pooled ORDER BY event_type
+"""
+
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index (Theil 1967) of corpus mass across
+    sources, with its between/within additive decomposition collapsed
+    to the source level: T = sum_s (x_s/X) ln((x_s/X)/(1/m)) over
+    char-mass shares — 0 when sources contribute equally, ln(m) at
+    maximal concentration. The corpus-balance read that complements
+    language_balance_gini with a decomposable measure. Also emits each
+    source's share and its term contribution.
+
+    Scale shape: one source rollup (decimal char sums) + a 1-row total
+    broadcast; output |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    dch = F.col("n_chars").cast("decimal(18,0)")
+    per = docs.groupBy("source").agg(F.sum(dch).alias("xs"))
+    tot = per.agg(
+        F.sum("xs").alias("x"), F.count(F.lit(1)).alias("m")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("xs").cast("double") / F.col("x").cast("double")
+    term = share * F.log(share * F.col("m").cast("double"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        j.select(
+            "source",
+            F.round(share, 6).alias("share"),
+            F.round(term, 6).alias("theil_term"),
+            F.round(F.sum(term).over(wall), 6).alias("theil_t"),
+            F.round(
+                F.log(F.col("m").cast("double")), 6
+            ).alias("max_theil"),
+        )
+        .orderBy("source")
+    )
+
+
+THEIL_SQL = """
+WITH per AS (
+  SELECT source, SUM(CAST(n_chars AS DECIMAL(18,0))) AS xs
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(xs) AS x, COUNT(*) AS m FROM per
+), s AS (
+  SELECT source, CAST(xs AS DOUBLE) / CAST(x AS DOUBLE) AS share, m
+  FROM per, tot
+)
+SELECT source, round(share, 6) AS share,
+       round(share * ln(share * m), 6) AS theil_term,
+       round(SUM(share * ln(share * m)) OVER (), 6) AS theil_t,
+       round(ln(CAST(m AS DOUBLE)), 6) AS max_theil
+FROM s ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -13763,5 +14395,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "markov_transitions": (markov_transitions, MARKOV_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "dpo_pairs": (dpo_pairs, DPO_PAIRS_SQL),
+    "benjamini_hochberg": (benjamini_hochberg, BH_FDR_SQL),
+    "wasserstein_drift": (wasserstein_drift, WASSERSTEIN_SQL),
+    "trimmed_source_stats": (trimmed_source_stats, TRIMMED_SQL),
+    "cohens_d_arms": (cohens_d_arms, COHENS_D_SQL),
+    "cmh_test": (cmh_test, CMH_SQL),
+    "theil_index": (theil_index, THEIL_SQL),
 }
 
