@@ -137,6 +137,19 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   (sum_ame, sum_v, sum_r, sum_s) terms next to |types| rows
         "theil_index": {"NESTED_LOOP"},  # broadcast ONE-row corpus
         #   total (x, m) next to the |sources| frame
+        "cem_att": {"NESTED_LOOP"},  # broadcast ONE-row treated-total
+        #   pooling constants next to the |strata| frame
+        "did_estimator": {"NESTED_LOOP"},  # broadcast ONE-row time
+        #   bounds + ONE-row pooled (did, se); the 4-cell crossJoins
+        #   multiply four 1-row frames
+        "sprt_readout": {"NESTED_LOOP"},  # broadcast ONE-row global
+        #   cents median (the cmh_test shape)
+        "jackknife_influence": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   corpus totals next to the |sources| frame
+        "neyman_allocation": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   total weight next to the |sources| frame
+        "logrank_test": {"NESTED_LOOP"},  # broadcast ONE-row horizon +
+        #   ONE-row arm totals next to the 1-row O-E rollup
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -967,3 +967,84 @@ def test_mmr_rerank_matches_python(spark, sf001_dir):
     want = _python_mmr(sf001_dir)
     assert got == want
     assert len(got) == 50
+
+
+def _python_bradley_terry(sf_dir):
+    """Exact duel-minting + MM recompute: top-5 vs bottom-5 per
+    (lang, 200-char bucket) by chars/ws-token score (doc_id tie-break),
+    cross-source wins + 0.5 pseudo-wins, 100 MM rounds normalized to
+    mean 1."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "select lang, n_chars, doc_id, source, text from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    groups = defaultdict(list)
+    allsrc = set()
+    for lang, n_chars, doc_id, source, txt in rows:
+        allsrc.add(source)
+        t = txt.strip()
+        toks = len(re.split(r"\s+", t)) if t else 0
+        score = float(n_chars) / max(toks, 1)
+        groups[(lang, (n_chars // 200) * 200)].append((score, doc_id, source))
+    wins = defaultdict(int)
+    for g in groups.values():
+        top = sorted(g, key=lambda r: (-r[0], -r[1]))[:5]
+        bot = sorted(g, key=lambda r: (r[0], r[1]))[:5]
+        for ws, _, wsrc in top:
+            for ls, _, lsrc in bot:
+                if wsrc != lsrc and ws > ls:
+                    wins[(wsrc, lsrc)] += 1
+    sources = sorted(allsrc | {w for w, _ in wins} | {l for _, l in wins})
+    n_ij = {
+        (i, j): wins.get((i, j), 0) + 0.5
+        for i in sources
+        for j in sources
+        if i != j
+    }
+    p = {s: 1.0 for s in sources}
+    for _ in range(100):
+        newp = {}
+        for i in sources:
+            wi = sum(n_ij[(i, j)] for j in sources if j != i)
+            denom = sum(
+                (n_ij[(i, j)] + n_ij[(j, i)]) / (p[i] + p[j])
+                for j in sources
+                if j != i
+            )
+            newp[i] = wi / denom
+        tot = sum(newp.values())
+        p = {s: v * len(sources) / tot for s, v in newp.items()}
+    order = sorted(sources, key=lambda s: (-p[s], s))
+    rank = {s: i + 1 for i, s in enumerate(order)}
+    return sorted(
+        (
+            s,
+            round(p[s], 6),
+            sum(wins.get((s, j), 0) for j in sources),
+            sum(wins.get((j, s), 0) for j in sources),
+            rank[s],
+        )
+        for s in sources
+    )
+
+
+def test_bradley_terry_matches_exact_mm(spark, sf001_dir):
+    """bradley_terry gate (rows-only — iterative MM fit): the Spark op
+    (bounded duel minting + driver-side MM over the |sources|^2 wins
+    matrix) must reproduce the EXACT python recompute: same duels, same
+    pseudo-count smoothing, same 100-round MM trajectory, same ranks."""
+    from wp_motor_spark.queries import bradley_terry
+
+    got = sorted(
+        (r.source, r.bt_strength, r.wins, r.losses, r.rank)
+        for r in bradley_terry(spark, sf001_dir).collect()
+    )
+    want = _python_bradley_terry(sf001_dir)
+    assert got == want
+    assert len(got) >= 5

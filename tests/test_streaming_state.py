@@ -558,3 +558,77 @@ def test_cusum_stream_matches_driver_recurrence(spark, tmp_path):
         n += 1
     assert want, "fixture must produce at least one changepoint alarm"
     assert got == want
+
+
+def test_page_hinkley_stream_matches_driver_recurrence(spark, tmp_path):
+    """Page-Hinkley drift gate: the streamed per-key alarms EXACTLY
+    match a driver-side pure-python recompute of the same recurrence
+    (running mean INCLUDING the current value, U accumulation, min-U
+    tracking, restart after alarm), across TWO micro-batches so the
+    (n, sum, u, min_u) state genuinely carries over. The fixture
+    shifts the level from ~10 to ~13 mid-stream — gradual drift that
+    point-outlier detectors never flag."""
+    base = [10.0, 10.4, 9.6, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0]
+    shifted = [13.1, 12.9, 13.2, 12.8, 13.0, 13.3, 12.7, 13.1, 12.9, 13.0]
+    vals = base + shifted
+    rows = [
+        {"ts": f"2026-01-01T10:00:{i:02d}", "k": "a", "v": v}
+        for i, v in enumerate(vals)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(os.path.join(src, "b0.json"), rows[:13], order=0)
+    _write(os.path.join(src, "b1.json"), rows[13:], order=1)
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("k", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    from wp_motor_spark.streaming import page_hinkley_stream
+
+    out = page_hinkley_stream(
+        stream, key_col="k", ts_col="ts", val_col="v",
+        delta=0.0, lam=5.0, min_n=10,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ph_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["ts"]), r["v"], r["ph"], r["mean_at_alarm"])
+            for r in spark.sql("select * from ph_out").collect()
+        }
+    finally:
+        q.stop()
+
+    n, s, u, mu = 0, 0.0, 0.0, 0.0
+    want = set()
+    for i, v in enumerate(vals):
+        n += 1
+        s += v
+        mean = s / n
+        u += v - mean - 0.0
+        mu = min(mu, u)
+        ph = u - mu
+        if n >= 10 and ph > 5.0:
+            want.add((f"2026-01-01 10:00:{i:02d}", v, round(ph, 6),
+                      round(mean, 6)))
+            n, s, u, mu = 0, 0.0, 0.0, 0.0
+
+    assert want, "fixture must contain a drift alarm"
+    assert got == want, (got, want)

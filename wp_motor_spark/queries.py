@@ -14146,6 +14146,858 @@ FROM s ORDER BY source
 """
 
 
+def cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching treatment effect (Iacus, King & Porro
+    2012): users match EXACTLY on their activity stratum (total event
+    count), strata missing either arm drop (the CEM prune), and the
+    ATT is the treated-weighted mean of per-stratum outcome gaps —
+    purchase count as the outcome, user parity as the arm. The
+    confounder here is mechanical: heavier users have more purchases,
+    so the naive arm gap is activity-confounded; CEM removes it
+    exactly.
+
+    Scale shape: one per-user rollup, one (stratum, arm) rollup over
+    the bounded activity domain, scalar pooling via a 1-row broadcast.
+    Output is |kept strata| rows (pooled ATT repeated per row, the
+    cmh_test convention)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("stratum"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2 == 1).alias("treated"), "stratum", "y"
+    )
+    cell = per_user.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(18,0)")).alias("sy"),
+    )
+    t = cell.where(F.col("treated")).select(
+        "stratum", F.col("n").alias("nt"), F.col("sy").alias("syt")
+    )
+    c = cell.where(~F.col("treated")).select(
+        "stratum", F.col("n").alias("nc"), F.col("sy").alias("syc")
+    )
+    kept = t.join(c, "stratum")
+    gap = (
+        F.col("syt").cast("double") / F.col("nt").cast("double")
+        - F.col("syc").cast("double") / F.col("nc").cast("double")
+    )
+    wsum = kept.agg(
+        F.sum("nt").alias("tot_t"),
+        F.sum(F.col("nt").cast("double") * gap).alias("wgap"),
+    )
+    att = F.col("wgap") / F.col("tot_t").cast("double")
+    return (
+        kept.crossJoin(F.broadcast(wsum))
+        .select(
+            "stratum",
+            "nt",
+            "nc",
+            F.round(gap, 6).alias("stratum_gap"),
+            F.round(att, 6).alias("pooled_att"),
+        )
+        .orderBy("stratum")
+    )
+
+
+CEM_ATT_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 = 1 AS treated, COUNT(*) AS stratum,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), cell AS (
+  SELECT stratum, treated, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(18,0))) AS sy
+  FROM per_user GROUP BY 1, 2
+), kept AS (
+  SELECT t.stratum, t.n AS nt, c.n AS nc,
+         CAST(t.sy AS DOUBLE) / t.n - CAST(c.sy AS DOUBLE) / c.n AS gap
+  FROM (SELECT * FROM cell WHERE treated) t
+  JOIN (SELECT * FROM cell WHERE NOT treated) c ON t.stratum = c.stratum
+), pool AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS tot_t, SUM(nt * gap) AS wgap FROM kept
+)
+SELECT stratum, nt, nc, round(gap, 6) AS stratum_gap,
+       round(wgap / tot_t, 6) AS pooled_att
+FROM kept, pool ORDER BY stratum
+"""
+
+
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (the Card & Krueger 1994 two-period
+    two-group design): outcome = user-period mean value in cents, arms
+    = user parity, periods split at the time midpoint. Emits the four
+    cell means, the DiD point estimate (gap-in-gaps), and its
+    large-sample SE from the four cell variances — the workhorse
+    quasi-experimental readout when randomization wasn't available.
+    Cell moments run in DECIMAL cents, so the estimate is one
+    deterministic double expression.
+
+    Scale shape: one per-(user, period) rollup, one 4-cell rollup,
+    then pure scalar assembly. Output is 4 rows (cells) with the
+    pooled estimate repeated (the cmh_test convention)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            (
+                F.col("ts").cast("long") * 2 > F.col("t0") + F.col("t1")
+            ).alias("post"),
+            "user_id",
+        )
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 100).cast("decimal(18,0)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+    )
+    cells = per.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    # explicit 4-cell assembly (no pivot — keeps both engines identical)
+    tt = cells.where(F.col("treated") & F.col("post")).select(
+        F.col("m").alias("m_tp"), (F.col("v") / F.col("n")).alias("se_tp")
+    )
+    tb = cells.where(F.col("treated") & ~F.col("post")).select(
+        F.col("m").alias("m_tb"), (F.col("v") / F.col("n")).alias("se_tb")
+    )
+    ct = cells.where(~F.col("treated") & F.col("post")).select(
+        F.col("m").alias("m_cp"), (F.col("v") / F.col("n")).alias("se_cp")
+    )
+    cb = cells.where(~F.col("treated") & ~F.col("post")).select(
+        F.col("m").alias("m_cb"), (F.col("v") / F.col("n")).alias("se_cb")
+    )
+    pooled = (
+        tt.crossJoin(tb).crossJoin(ct).crossJoin(cb).select(
+            (
+                (F.col("m_tp") - F.col("m_tb"))
+                - (F.col("m_cp") - F.col("m_cb"))
+            ).alias("did"),
+            F.sqrt(
+                F.col("se_tp")
+                + F.col("se_tb")
+                + F.col("se_cp")
+                + F.col("se_cb")
+            ).alias("se"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(pooled))
+        .select(
+            "treated",
+            "post",
+            "n",
+            F.round("m", 6).alias("cell_mean_cents"),
+            F.round("did", 6).alias("did_estimate"),
+            F.round("se", 6).alias("did_se"),
+            F.round(F.col("did") / F.col("se"), 4).alias("did_t"),
+        )
+        .orderBy("treated", "post")
+    )
+
+
+DID_SQL = """
+WITH bounds AS (
+  SELECT epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1 FROM events
+), per AS (
+  SELECT user_id % 2 = 1 AS treated,
+         epoch(ts) * 2 > t0 + t1 AS post, user_id,
+         CAST(SUM(CAST(FLOOR(value * 100) AS DECIMAL(18,0))) AS DOUBLE)
+           / COUNT(*) AS y
+  FROM events, bounds GROUP BY 1, 2, 3
+), cells AS (
+  SELECT treated, post, COUNT(*) AS n, AVG(y) AS m, var_samp(y) AS v
+  FROM per GROUP BY 1, 2
+), pooled AS (
+  SELECT ((SELECT m FROM cells WHERE treated AND post)
+          - (SELECT m FROM cells WHERE treated AND NOT post))
+         - ((SELECT m FROM cells WHERE NOT treated AND post)
+            - (SELECT m FROM cells WHERE NOT treated AND NOT post)) AS did,
+         sqrt((SELECT v / n FROM cells WHERE treated AND post)
+              + (SELECT v / n FROM cells WHERE treated AND NOT post)
+              + (SELECT v / n FROM cells WHERE NOT treated AND post)
+              + (SELECT v / n FROM cells WHERE NOT treated AND NOT post))
+           AS se
+)
+SELECT treated, post, n, round(m, 6) AS cell_mean_cents,
+       round(did, 6) AS did_estimate, round(se, 6) AS did_se,
+       round(did / se, 4) AS did_t
+FROM cells, pooled ORDER BY treated, post
+"""
+
+
+def sprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test readout (Wald 1945):
+    per event_type, the cumulative Bernoulli log-likelihood ratio for
+    H1: P(value > global median) = 0.55 vs H0: 0.5, walked day by day
+    with the alpha = beta = 0.05 boundaries +-ln(19) — when COULD this
+    monitor have stopped, and which way? The global median is exact
+    over integer cents (histogram-rank). LLR_T = K ln(p1/p0) + (N - K)
+    ln(q1/q0) with integer (K, N) per prefix, so every day's statistic
+    is an exact-integer combination of two double constants —
+    deterministic cross-engine.
+
+    Scale shape: one global cents histogram (bounded domain) for the
+    median, a calendar-bounded daily rollup, cumulative windows over
+    |days|, and a first-crossing pick via one more bounded window."""
+    ev = _t(spark, sf_dir, "events")
+    import math
+
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.col("value") * 100).alias("vc"),
+    )
+    hist = cents.groupBy("vc").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("vc")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .where(F.col("cum") - F.col("cnt") < F.ceil(F.col("n") / 2))
+        .where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .select(F.col("vc").alias("med"))
+    )
+    l1 = math.log(0.55 / 0.5)
+    l0 = math.log(0.45 / 0.5)
+    bound = math.log(19.0)
+    daily = (
+        cents.crossJoin(F.broadcast(med))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.when(F.col("vc") > F.col("med"), 1).otherwise(0)).alias(
+                "k"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    llr = daily.select(
+        "event_type",
+        "day",
+        (
+            F.sum("k").over(wd).cast("double") * F.lit(l1)
+            + (F.sum("n").over(wd) - F.sum("k").over(wd)).cast("double")
+            * F.lit(l0)
+        ).alias("llr"),
+    )
+    crossed = llr.withColumn(
+        "decision",
+        F.when(F.col("llr") >= bound, "accept_h1")
+        .when(F.col("llr") <= -bound, "accept_h0")
+        .otherwise(None),
+    )
+    first = (
+        crossed.where(F.col("decision").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min(F.struct("day", "decision", "llr")).alias("f"))
+        .select(
+            "event_type",
+            F.col("f.day").alias("decision_day"),
+            F.col("f.decision").alias("decision"),
+            F.round(F.col("f.llr"), 6).alias("llr_at_decision"),
+        )
+    )
+    final = llr.groupBy("event_type").agg(
+        F.max(F.struct("day", "llr")).alias("l")
+    ).select("event_type", F.round(F.col("l.llr"), 6).alias("final_llr"))
+    return (
+        final.join(first, "event_type", "left")
+        .select(
+            "event_type",
+            "final_llr",
+            F.coalesce("decision", F.lit("continue")).alias("decision"),
+            "decision_day",
+            "llr_at_decision",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sprt_sql() -> str:
+    import math
+
+    l1 = repr(math.log(0.55 / 0.5))
+    l0 = repr(math.log(0.45 / 0.5))
+    bound = repr(math.log(19.0))
+    return f"""
+WITH cents AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vc
+  FROM events
+), hist AS (
+  SELECT vc, COUNT(*) AS cnt FROM cents GROUP BY 1
+), med AS (
+  SELECT vc AS med
+  FROM (SELECT vc, cnt, SUM(cnt) OVER (ORDER BY vc) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist)
+  WHERE cum - cnt < CAST(CEIL(n / 2.0) AS BIGINT)
+    AND cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+), daily AS (
+  SELECT event_type, day,
+         CAST(SUM(CASE WHEN vc > med THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         COUNT(*) AS n
+  FROM cents, med GROUP BY 1, 2
+), llr AS (
+  SELECT event_type, day,
+         CAST(SUM(k) OVER w AS DOUBLE) * {l1}
+           + CAST(SUM(n) OVER w - SUM(k) OVER w AS DOUBLE) * {l0} AS llr
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), crossed AS (
+  SELECT event_type, day, llr,
+         CASE WHEN llr >= {bound} THEN 'accept_h1'
+              WHEN llr <= -{bound} THEN 'accept_h0' END AS decision
+  FROM llr
+), first AS (
+  SELECT event_type, day AS decision_day, decision,
+         round(llr, 6) AS llr_at_decision
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS rn
+        FROM crossed WHERE decision IS NOT NULL)
+  WHERE rn = 1
+), final AS (
+  SELECT event_type, round(llr, 6) AS final_llr
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day DESC) AS rn
+        FROM llr)
+  WHERE rn = 1
+)
+SELECT final.event_type, final_llr,
+       COALESCE(decision, 'continue') AS decision,
+       decision_day, llr_at_decision
+FROM final LEFT JOIN first ON final.event_type = first.event_type
+ORDER BY final.event_type
+"""
+
+
+def jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence (Quenouille 1956 / Tukey 1958
+    jackknife, the honest closed-form cousin of influence functions):
+    how much does dropping each entire source shift the corpus mean
+    document length? delta_s = S-minus-s mean - overall mean, exactly
+    computable from per-source aggregates — the first-cut answer to
+    "which source is dragging my length distribution", before anything
+    model-based. Decimal sums make each delta one deterministic double.
+
+    Scale shape: one source rollup + a 1-row total broadcast; output
+    |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    dch = F.col("n_chars").cast("decimal(18,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum(dch).alias("ss")
+    )
+    tot = per.agg(F.sum("ns").alias("n"), F.sum("ss").alias("s"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("s").cast("double") / F.col("n").cast("double")
+    mean_wo = (
+        (F.col("s") - F.col("ss")).cast("double")
+        / (F.col("n") - F.col("ns")).cast("double")
+    )
+    return j.select(
+        "source",
+        "ns",
+        F.round(mean_all, 6).alias("mean_all"),
+        F.round(mean_wo, 6).alias("mean_without"),
+        F.round(mean_wo - mean_all, 6).alias("influence"),
+    ).orderBy("source")
+
+
+JACKKNIFE_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS ns,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS ss
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ns) AS BIGINT) AS n, SUM(ss) AS s FROM per
+)
+SELECT source, ns,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_all,
+       round(CAST(s - ss AS DOUBLE) / (n - ns), 6) AS mean_without,
+       round(CAST(s - ss AS DOUBLE) / (n - ns)
+             - CAST(s AS DOUBLE) / n, 6) AS influence
+FROM per, tot ORDER BY source
+"""
+
+
+def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event counts (Box & Jenkins
+    1970) per event_type at lags 1, 2, 3, 7 and 14 — the weekly-cycle
+    / momentum read behind seasonal_decompose's fixed weekly model:
+    r_k = sum_t (x_t - xbar)(x_{t+k} - xbar) / sum_t (x_t - xbar)^2,
+    expanded so every sum is an EXACT integer (sum x_t x_{t+k}, head
+    and tail sums via LEAD over the calendar-bounded daily frame) and
+    xbar enters once as a rational — one deterministic double per
+    (type, lag).
+
+    Scale shape: daily rollup bounds everything by the calendar; the
+    five lags are LEAD columns over the |days| window; one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    lags = [1, 2, 3, 7, 14]
+    cols = [F.lead("c", k).over(wd).alias(f"l{k}") for k in lags]
+    wide = daily.select("event_type", "c", *cols)
+    dc = F.col("c").cast("decimal(18,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dc).alias("s"),
+        F.sum((dc * dc).cast("decimal(38,0)")).alias("s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"l{k}").cast("decimal(18,0)")
+        aggs += [
+            F.sum((dc * lk).cast("decimal(38,0)")).alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), dc)).alias(f"sh{k}"),
+            F.sum(lk).alias(f"st{k}"),
+            F.sum(F.when(lk.isNotNull(), 1).otherwise(0)).alias(f"m{k}"),
+        ]
+    g = wide.groupBy("event_type").agg(*aggs)
+    xbar = F.col("s").cast("double") / F.col("n").cast("double")
+    den = F.col("s2").cast("double") - F.col("n").cast("double") * xbar * xbar
+    rows = []
+    for k in lags:
+        num = (
+            F.col(f"sxy{k}").cast("double")
+            - xbar
+            * (F.col(f"sh{k}").cast("double") + F.col(f"st{k}").cast("double"))
+            + F.col(f"m{k}").cast("double") * xbar * xbar
+        )
+        rows.append(
+            g.select(
+                "event_type",
+                F.lit(k).alias("lag"),
+                F.round(num / den, 6).alias("acf"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("event_type", "lag")
+
+
+def _acf_sql() -> str:
+    lags = [1, 2, 3, 7, 14]
+    parts = []
+    for k in lags:
+        parts.append(f"""
+  SELECT event_type, {k} AS lag,
+         round((CAST(sxy{k} AS DOUBLE)
+                - (CAST(s AS DOUBLE) / n)
+                  * (CAST(sh{k} AS DOUBLE) + CAST(st{k} AS DOUBLE))
+                + m{k} * (CAST(s AS DOUBLE) / n)
+                       * (CAST(s AS DOUBLE) / n))
+               / (CAST(s2 AS DOUBLE)
+                  - n * (CAST(s AS DOUBLE) / n)
+                      * (CAST(s AS DOUBLE) / n)), 6) AS acf
+  FROM g""")
+    sel = "\n  UNION ALL".join(parts)
+    lagaggs = ",\n".join(
+        f"""         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(l{k} AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxy{k},
+         SUM(CASE WHEN l{k} IS NOT NULL
+                  THEN CAST(c AS DECIMAL(18,0)) END) AS sh{k},
+         SUM(CAST(l{k} AS DECIMAL(18,0))) AS st{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS m{k}"""
+        for k in lags
+    )
+    leads = ",\n".join(
+        f"         LEAD(c, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+        f" AS l{k}"
+        for k in lags
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT event_type, c,
+{leads}
+  FROM daily
+), g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2,
+{lagaggs}
+  FROM wide GROUP BY 1
+)
+SELECT * FROM ({sel}
+) ORDER BY event_type, lag
+"""
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934): how
+    a 10,000-doc annotation budget should split across sources,
+    n_h ~ N_h * S_h (stratum size times stratum SD of doc length) —
+    the design that minimizes the stratified estimator's variance,
+    integerized by largest remainder (the hamilton_allocation
+    discipline: floors, then the K largest fractional remainders get
+    +1, ties by source name).
+
+    Scale shape: one source moment rollup (decimal-exact), a 1-row
+    total broadcast, rank window over the |sources| frame."""
+    docs = _t(spark, sf_dir, "documents")
+    dch = F.col("n_chars").cast("decimal(18,0)")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(dch).alias("s"),
+        F.sum((dch * dch).cast("decimal(38,0)")).alias("s2"),
+    )
+    nh = F.col("nh").cast("double")
+    mu = F.col("s").cast("double") / nh
+    sd = F.sqrt(F.col("s2").cast("double") / nh - mu * mu)
+    wgt = per.select("source", "nh", (nh * sd).alias("w"))
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    j = wgt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        (10000.0 * F.col("w") / F.col("tw")).alias("exact"),
+    )
+    withfloor = j.select(
+        "source",
+        "nh",
+        F.round("exact", 4).alias("exact_share"),
+        F.floor("exact").cast("long").alias("base"),
+        (F.col("exact") - F.floor("exact")).alias("rem"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = withfloor.withColumn(
+        "short", F.lit(10000) - F.sum("base").over(wall)
+    ).withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.desc("rem"), "source")),
+    )
+    return ranked.select(
+        "source",
+        "nh",
+        "exact_share",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        ).alias("allocated"),
+    ).orderBy("source")
+
+
+NEYMAN_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS nh,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(n_chars AS DECIMAL(18,0))
+                  * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s2
+  FROM documents GROUP BY 1
+), wgt AS (
+  SELECT source, nh,
+         nh * sqrt(CAST(s2 AS DOUBLE) / nh
+                   - (CAST(s AS DOUBLE) / nh) * (CAST(s AS DOUBLE) / nh))
+           AS w
+  FROM per
+), j AS (
+  SELECT source, nh, 10000.0 * w / (SELECT SUM(w) FROM wgt) AS exact
+  FROM wgt
+), f AS (
+  SELECT source, nh, round(exact, 4) AS exact_share,
+         CAST(FLOOR(exact) AS BIGINT) AS base,
+         exact - FLOOR(exact) AS rem
+  FROM j
+), r AS (
+  SELECT *, 10000 - SUM(base) OVER () AS short,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+  FROM f
+)
+SELECT source, nh, exact_share,
+       base + CASE WHEN rr <= short THEN 1 ELSE 0 END AS allocated
+FROM r ORDER BY source
+"""
+
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) on
+    time-to-first-purchase — the censoring-aware significance test
+    that belongs next to kaplan_meier_retention's curves: at every
+    distinct conversion day, compare the treated arm's observed
+    conversions to the hypergeometric expectation given both arms'
+    at-risk counts, pool O-E and its variance, and read the chi-square.
+    Users enter at their first event; non-converters censor at the
+    corpus horizon (the kaplan_meier convention); arms are user parity.
+
+    Scale shape: one per-user rollup; the risk table is a cumulative
+    window over the |days|-bounded observed-time frame; conversion
+    days join that bounded frame; one scalar rollup. Output one row."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("hz"))
+    per = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tp"),
+            F.max("hz").alias("hz"),
+        )
+        .select(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.datediff(F.col("tp"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("hz"), F.col("t0")))
+            .alias("time"),
+            F.col("tp").isNotNull().alias("converted"),
+        )
+    )
+    # observed-time frame (bounded by the day calendar): per (time, arm)
+    # totals and conversions
+    tf = per.groupBy("time").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("at"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("ac"),
+        F.sum(
+            F.when(F.col("treated") & F.col("converted"), 1).otherwise(0)
+        ).alias("dt"),
+        F.sum(
+            F.when(~F.col("treated") & F.col("converted"), 1).otherwise(0)
+        ).alias("dc"),
+    )
+    w = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = tf.select(
+        "time",
+        "dt",
+        "dc",
+        (
+            F.sum("at").over(wall) - F.coalesce(F.sum("at").over(w), F.lit(0))
+        ).alias("nt"),
+        (
+            F.sum("ac").over(wall) - F.coalesce(F.sum("ac").over(w), F.lit(0))
+        ).alias("nc"),
+    ).where(F.col("dt") + F.col("dc") > 0)
+    d = (F.col("dt") + F.col("dc")).cast("double")
+    n = (F.col("nt") + F.col("nc")).cast("double")
+    ntd = F.col("nt").cast("double")
+    e = d * ntd / n
+    v = F.when(
+        n > 1.0,
+        d * (ntd / n) * (1.0 - ntd / n) * (n - d) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("dt").alias("obs_t"),
+        F.sum(e).alias("exp_t"),
+        F.sum(v).alias("var_t"),
+        F.sum("dt").alias("o"),
+    )
+    arms = per.groupBy().agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("n_treated"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("n_control"),
+    )
+    chi2 = (
+        (F.col("obs_t").cast("double") - F.col("exp_t"))
+        * (F.col("obs_t").cast("double") - F.col("exp_t"))
+        / F.col("var_t")
+    )
+    return (
+        agg.crossJoin(F.broadcast(arms))
+        .select(
+            "n_treated",
+            "n_control",
+            F.col("obs_t").alias("observed_treated"),
+            F.round("exp_t", 4).alias("expected_treated"),
+            F.round(chi2, 4).alias("logrank_chi2"),
+            F.when(chi2 > 3.841, "different").otherwise("no_difference")
+            .alias("verdict"),
+        )
+    )
+
+
+LOGRANK_SQL = """
+WITH hz AS (
+  SELECT MAX(ts) AS hz FROM events
+), per AS (
+  SELECT user_id % 2 = 1 AS treated,
+         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   IS NOT NULL
+              THEN date_diff('day', MIN(ts),
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+              ELSE date_diff('day', MIN(ts), MAX(hz)) END AS time,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+           AS converted
+  FROM events, hz GROUP BY user_id
+), tf AS (
+  SELECT time,
+         CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS at,
+         CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+         CAST(SUM(CASE WHEN treated AND converted THEN 1 ELSE 0 END)
+              AS BIGINT) AS dt,
+         CAST(SUM(CASE WHEN NOT treated AND converted THEN 1 ELSE 0 END)
+              AS BIGINT) AS dc
+  FROM per GROUP BY 1
+), risk AS (
+  SELECT time, dt, dc,
+         SUM(at) OVER () - COALESCE(SUM(at) OVER (ORDER BY time
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt,
+         SUM(ac) OVER () - COALESCE(SUM(ac) OVER (ORDER BY time
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nc
+  FROM tf
+), kept AS (
+  SELECT * FROM risk WHERE dt + dc > 0
+), agg AS (
+  SELECT CAST(SUM(dt) AS BIGINT) AS obs_t,
+         SUM(CAST(dt + dc AS DOUBLE) * nt / (nt + nc)) AS exp_t,
+         SUM(CASE WHEN nt + nc > 1
+              THEN CAST(dt + dc AS DOUBLE) * (CAST(nt AS DOUBLE) / (nt + nc))
+                   * (1.0 - CAST(nt AS DOUBLE) / (nt + nc))
+                   * (nt + nc - (dt + dc)) / (nt + nc - 1.0)
+              ELSE 0.0 END) AS var_t
+  FROM kept
+), arms AS (
+  SELECT CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treated,
+         CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control
+  FROM per
+)
+SELECT n_treated, n_control, obs_t AS observed_treated,
+       round(exp_t, 4) AS expected_treated,
+       round((obs_t - exp_t) * (obs_t - exp_t) / var_t, 4)
+         AS logrank_chi2,
+       CASE WHEN (obs_t - exp_t) * (obs_t - exp_t) / var_t > 3.841
+            THEN 'different' ELSE 'no_difference' END AS verdict
+FROM agg, arms
+"""
+
+
+def bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength fit (Bradley & Terry 1952) via
+    Hunter's 2004 MM algorithm, over quality duels minted from the
+    corpus: within each (lang, length-bucket) prompt-proxy group the
+    top-5 docs by the dpo_pairs quality score each 'beat' the bottom-5
+    (cross-source duels only), and MM iterates p_i = W_i / sum_j
+    n_ij / (p_i + p_j) for a FIXED 100 rounds with 0.5 pseudo-wins on
+    every ordered source pair (keeps the comparison graph connected) —
+    the same fit that ranks models from pairwise human preferences,
+    here ranking SOURCES from document-quality duels. Rows-only for
+    the driver (iterative fit); the gate recomputes the duels and the
+    exact MM sequence in python (tests/test_quality.py, QUALITY_r{N}).
+
+    Scale shape: rank windows per bounded group mint <=25 duels/group;
+    the wins matrix is |sources|^2-BOUNDED and collects once (the
+    pq_quantize codebook discipline); MM runs driver-side on that tiny
+    matrix; the result is a |sources|-row local frame."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.token_count_ws(F.col("text"))
+    base = docs.select(
+        "lang",
+        (F.floor(F.col("n_chars") / 200) * 200).alias("len_bucket"),
+        "doc_id",
+        "source",
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(toks, F.lit(1)).cast("double")
+        ).alias("score"),
+    )
+    wg = Window.partitionBy("lang", "len_bucket")
+    ranked = base.select(
+        "lang",
+        "len_bucket",
+        "source",
+        "score",
+        F.row_number().over(
+            wg.orderBy(F.desc("score"), F.desc("doc_id"))
+        ).alias("rb"),
+        F.row_number().over(
+            wg.orderBy(F.asc("score"), F.asc("doc_id"))
+        ).alias("rw"),
+    )
+    top = ranked.where(F.col("rb") <= 5).select(
+        "lang",
+        "len_bucket",
+        F.col("source").alias("winner"),
+        F.col("score").alias("ws"),
+    )
+    bot = ranked.where(F.col("rw") <= 5).select(
+        "lang",
+        "len_bucket",
+        F.col("source").alias("loser"),
+        F.col("score").alias("ls"),
+    )
+    duels = (
+        top.join(bot, ["lang", "len_bucket"])
+        .where((F.col("winner") != F.col("loser")) & (F.col("ws") > F.col("ls")))
+        .groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wins = {(r["winner"], r["loser"]): r["w"] for r in duels.collect()}
+    sources = sorted(
+        {w for w, _ in wins} | {l for _, l in wins}
+        | {r["source"] for r in docs.select("source").distinct().collect()}
+    )
+    # pseudo-win smoothing on every ordered pair
+    n_ij = {}
+    for i in sources:
+        for j in sources:
+            if i != j:
+                n_ij[(i, j)] = wins.get((i, j), 0) + 0.5
+    p = {s: 1.0 for s in sources}
+    for _ in range(100):
+        newp = {}
+        for i in sources:
+            wi = sum(n_ij[(i, j)] for j in sources if j != i)
+            denom = sum(
+                (n_ij[(i, j)] + n_ij[(j, i)]) / (p[i] + p[j])
+                for j in sources
+                if j != i
+            )
+            newp[i] = wi / denom
+        tot = sum(newp.values())
+        p = {s: v * len(sources) / tot for s, v in newp.items()}
+    rows = [
+        (
+            s,
+            round(p[s], 6),
+            int(sum(wins.get((s, j), 0) for j in sources)),
+            int(sum(wins.get((j, s), 0) for j in sources)),
+        )
+        for s in sources
+    ]
+    out = spark.createDataFrame(
+        rows, "source string, bt_strength double, wins long, losses long"
+    )
+    rk = Window.orderBy(F.desc("bt_strength"), "source")
+    return out.select(
+        "source",
+        "bt_strength",
+        "wins",
+        "losses",
+        F.row_number().over(rk).alias("rank"),
+    ).orderBy("source")
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -14401,5 +15253,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cohens_d_arms": (cohens_d_arms, COHENS_D_SQL),
     "cmh_test": (cmh_test, CMH_SQL),
     "theil_index": (theil_index, THEIL_SQL),
+    "cem_att": (cem_att, CEM_ATT_SQL),
+    "did_estimator": (did_estimator, DID_SQL),
+    "sprt_readout": (sprt_readout, _sprt_sql()),
+    "jackknife_influence": (jackknife_influence, JACKKNIFE_SQL),
+    "acf_daily": (acf_daily, _acf_sql()),
+    "neyman_allocation": (neyman_allocation, NEYMAN_SQL),
+    "logrank_test": (logrank_test, LOGRANK_SQL),
+    "bradley_terry": (bradley_terry, None),
 }
 

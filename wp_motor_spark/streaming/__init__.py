@@ -6,10 +6,12 @@ sessionization). This package is the Spark-native extension surface the
 north star asks for on top of parity: event-time sessionization with
 bounded state (`applyInPandasWithState`) and watermark-bounded streaming
 dedup, plus SpaceSaving streaming heavy hitters (fixed-memory top-k),
-a bounded-state EWMA point-outlier detector, and a bounded-state CUSUM
-sustained-shift detector (Page 1954). Batch twins live in
+a bounded-state EWMA point-outlier detector, a bounded-state CUSUM
+sustained-shift detector (Page 1954), and a bounded-state Page-Hinkley
+mean-drift detector with restart (Gama et al. 2014). Batch twins live in
 queries.user_sessions / operators.dedup / queries.countmin_heavy_hitters
-/ queries.ewma_anomaly_batch / queries.cusum_changepoint.
+/ queries.ewma_anomaly_batch / queries.cusum_changepoint /
+queries.page_hinkley.
 """
 
 from wp_motor_spark.streaming.state import (
@@ -17,6 +19,7 @@ from wp_motor_spark.streaming.state import (
     dedup_stream,
     ewma_anomaly_stream,
     heavy_hitters_stream,
+    page_hinkley_stream,
     sessionize_stream,
 )
 
@@ -25,5 +28,6 @@ __all__ = [
     "dedup_stream",
     "ewma_anomaly_stream",
     "heavy_hitters_stream",
+    "page_hinkley_stream",
     "sessionize_stream",
 ]

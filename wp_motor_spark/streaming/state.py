@@ -533,3 +533,98 @@ def cusum_stream(
     return stream.groupBy(key_col).applyInPandasWithState(
         _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def page_hinkley_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    delta: float = 0.0,
+    lam: float = 5.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Per-key streaming Page-Hinkley mean-drift detector (Page 1954;
+    the stream-mining formulation surveyed in Gama et al. 2014): the
+    cumulative deviation U_t += x_t - xbar_t - delta (xbar_t = running
+    mean INCLUDING x_t), with PH_t = U_t - min_s U_s; PH_t > lam after
+    ``min_n`` observations raises a drift alarm, and the detector
+    RESTARTS (n, sum, U, minU reset) — the standard adaptive-learning
+    trigger for "the input distribution moved, refit". Complements
+    cusum_stream: CUSUM tracks sigma-scaled shifts against a FROZEN
+    calibration baseline; Page-Hinkley tracks drift against the
+    evolving mean with an absolute margin, no variance estimate
+    needed.
+
+    State is FOUR scalars per key (n, sum, u, min_u) regardless of
+    stream length. Batch twin (exact-oracle): queries.page_hinkley
+    (window-closed-form over daily means, no restart). The gate in
+    tests/test_streaming_state.py recomputes this recurrence
+    driver-side and requires exact agreement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(val_col, DoubleType()),
+            StructField("ph", DoubleType()),
+            StructField("mean_at_alarm", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("u", DoubleType()),
+            StructField("min_u", DoubleType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        kval = key[0]
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, val_col]].copy()
+            sub[ts_col] = pd.to_datetime(sub[ts_col])
+            rows.append(sub)
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(ts_col)
+        if state.exists:
+            n, s, u, mu = state.get
+        else:
+            n, s, u, mu = 0, 0.0, 0.0, 0.0
+        out = {c: [] for c in (ts_col, val_col, "ph", "mean")}
+        for ts, v in zip(batch[ts_col], batch[val_col]):
+            v = float(v)
+            n += 1
+            s += v
+            mean = s / n
+            u += v - mean - delta
+            mu = min(mu, u)
+            ph = u - mu
+            if n >= min_n and ph > lam:
+                out[ts_col].append(ts)
+                out[val_col].append(v)
+                out["ph"].append(round(ph, 6))
+                out["mean"].append(round(mean, 6))
+                n, s, u, mu = 0, 0.0, 0.0, 0.0
+        state.update((int(n), float(s), float(u), float(mu)))
+        if out[ts_col]:
+            yield pd.DataFrame(
+                {
+                    key_col: [kval] * len(out[ts_col]),
+                    ts_col: out[ts_col],
+                    val_col: out[val_col],
+                    "ph": out["ph"],
+                    "mean_at_alarm": out["mean"],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
