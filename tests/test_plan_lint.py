@@ -150,6 +150,10 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   total weight next to the |sources| frame
         "logrank_test": {"NESTED_LOOP"},  # broadcast ONE-row horizon +
         #   ONE-row arm totals next to the 1-row O-E rollup
+        "srm_check": {"NESTED_LOOP"},  # broadcast ONE-row user total
+        #   next to the 100-bucket frame
+        "gini_impurity_split": {"NESTED_LOOP"},  # broadcast ONE-row
+        #   global (vmin, vmax) binning bounds (the ks_drift shape)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -1048,3 +1048,62 @@ def test_bradley_terry_matches_exact_mm(spark, sf001_dir):
     want = _python_bradley_terry(sf001_dir)
     assert got == want
     assert len(got) >= 5
+
+
+def _python_isotonic(sf_dir):
+    """Exact PAVA recompute over the 100-bin (value -> purchase) table."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH bounds AS (
+          SELECT MIN(value) AS vmin, MAX(value) AS vmax
+          FROM read_parquet('{sf_dir}/events.parquet')
+        )
+        SELECT LEAST(99, CAST(FLOOR((value - vmin) / (vmax - vmin) * 100.0)
+                              AS BIGINT)) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM read_parquet('{sf_dir}/events.parquet'), bounds
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    blocks = []
+    for b, n, k in rows:
+        blocks.append([float(k), float(n), [int(b)]])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            k2, n2, b2 = blocks.pop()
+            blocks[-1][0] += k2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(b2)
+    raw = {int(b): (int(k), int(n)) for b, n, k in rows}
+    out = []
+    for k, n, bins in blocks:
+        fit = round(k / n, 6) if n else 0.0
+        for b in bins:
+            rk, rn = raw[b]
+            out.append((b, rn, round(rk / rn, 6) if rn else 0.0, fit))
+    return sorted(out)
+
+
+def test_isotonic_calibration_matches_exact_pava(spark, sf001_dir):
+    """isotonic_calibration gate (rows-only — sequential pooling): the
+    driver-side PAVA over the bounded bin table must reproduce the
+    exact python recompute, and the fitted rates must be MONOTONE
+    nondecreasing in the bin (the defining property)."""
+    from wp_motor_spark.queries import isotonic_calibration
+
+    got = sorted(
+        (r.bin, r.n, r.raw_rate, r.isotonic_rate)
+        for r in isotonic_calibration(spark, sf001_dir).collect()
+    )
+    want = _python_isotonic(sf001_dir)
+    assert got == want
+    fits = [f for (_b, _n, _r, f) in got]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    assert len(got) >= 50

@@ -880,6 +880,42 @@ def main() -> None:
         "sequence over the same top-20 candidate sets",
     }
 
+    # --- bradley_terry: exact agreement with the python MM fit ---
+    from wp_motor_spark.queries import bradley_terry
+
+    got_bt = sorted(
+        (r.source, r.bt_strength, r.wins, r.losses, r.rank)
+        for r in bradley_terry(spark, sf_dir).collect()
+    )
+    want_bt = tq._python_bradley_terry(sf_dir)
+    report["gates"]["bradley_terry"] = {
+        "metric": "exact_mm_fit_agreement",
+        "value": bool(got_bt == want_bt and len(got_bt) >= 5),
+        "n_sources": len(got_bt),
+        "gate": "bounded duel minting + driver-side MM reproduces the exact "
+        "python Bradley-Terry trajectory (duels, smoothing, 100 rounds, ranks)",
+    }
+
+    # --- isotonic_calibration: exact PAVA agreement + monotonicity ---
+    from wp_motor_spark.queries import isotonic_calibration
+
+    got_iso = sorted(
+        (r.bin, r.n, r.raw_rate, r.isotonic_rate)
+        for r in isotonic_calibration(spark, sf_dir).collect()
+    )
+    want_iso = tq._python_isotonic(sf_dir)
+    fits = [f for (_b, _n, _r, f) in got_iso]
+    report["gates"]["isotonic_calibration"] = {
+        "metric": "exact_pava_agreement_and_monotone",
+        "value": bool(
+            got_iso == want_iso
+            and all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+        ),
+        "n_bins": len(got_iso),
+        "gate": "driver-side PAVA over the bounded bin table reproduces the "
+        "exact python pooling and the fit is monotone nondecreasing",
+    }
+
     report["all_pass"] = all(
         (g["value"] is True)
         if isinstance(g["value"], bool)

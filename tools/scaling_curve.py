@@ -173,6 +173,25 @@ DEFAULT_QUERIES = [
     "trend_test",
     "kaplan_meier_retention",
     "cuped_adjustment",
+    # r15 additions: the two chunked scale-out rewrites (per-week
+    # composites + stitch MUST stay linear), bounded-bin rank tests,
+    # integer-exact drift distances, basket pair generation (linear in
+    # orders), per-user transition windows, bounded-domain quintiles,
+    # calendar-bounded sequential readouts
+    "burst_detection",
+    "ewma_anomaly_batch",
+    "mann_whitney_u",
+    "wasserstein_drift",
+    "market_basket",
+    "markov_transitions",
+    "rfm_segments",
+    "dpo_pairs",
+    "trimmed_source_stats",
+    "acf_daily",
+    "sprt_readout",
+    "logrank_test",
+    "exp_smooth_daily",
+    "cem_att",
 ]
 
 SF_DIRS = [

@@ -14998,6 +14998,458 @@ def bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (the experimentation-platform guard
+    popularized by Kohavi, Tang & Xu 2020, "Trustworthy Online
+    Controlled Experiments"): users hash into 100 assignment buckets
+    (user_id mod 100 — deterministic), and the chi-square against the
+    uniform expectation screams if the assignment pipeline is dropping
+    or double-counting anyone — the FIRST check any A/B readout must
+    pass, run before looking at the metric. The statistic folds as
+    sum (100 b_i - n)^2 / (100 n) with an exact-integer numerator (the
+    per-bucket sums run in DECIMAL), so both engines agree bitwise.
+
+    Scale shape: one distinct-user rollup, one 100-row bucket rollup,
+    pure scalar assembly. Output one row."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    per = users.groupBy(F.pmod("user_id", F.lit(100)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    tot = per.agg(
+        F.sum("b").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    dev = (
+        F.lit(100).cast("decimal(18,0)") * F.col("b").cast("decimal(18,0)")
+        - F.col("n").cast("decimal(18,0)")
+    )
+    agg = j.groupBy("n", "k").agg(
+        F.sum((dev * dev).cast("decimal(38,0)")).alias("num"),
+        F.max("b").alias("max_bucket"),
+        F.min("b").alias("min_bucket"),
+    )
+    chi2 = F.col("num").cast("double") / (100.0 * F.col("n").cast("double"))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_buckets"),
+        "min_bucket",
+        "max_bucket",
+        F.round(chi2, 4).alias("srm_chi2"),
+        # chi2_{0.999, df=99} ~ 148.21: the SRM convention is a very
+        # low alpha because a true mismatch is a pipeline bug, not noise
+        F.when(chi2 > 148.21, "mismatch").otherwise("ok").alias("verdict"),
+    )
+
+
+SRM_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), per AS (
+  SELECT user_id % 100 AS bucket, COUNT(*) AS b FROM users GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(b) AS BIGINT) AS n, COUNT(*) AS k FROM per
+), agg AS (
+  SELECT n, k,
+         SUM(CAST((CAST(100 AS DECIMAL(18,0)) * CAST(b AS DECIMAL(18,0))
+                   - CAST(n AS DECIMAL(18,0)))
+                  * (CAST(100 AS DECIMAL(18,0)) * CAST(b AS DECIMAL(18,0))
+                     - CAST(n AS DECIMAL(18,0))) AS DECIMAL(38,0))) AS num,
+         CAST(MAX(b) AS BIGINT) AS max_bucket,
+         CAST(MIN(b) AS BIGINT) AS min_bucket
+  FROM per, tot GROUP BY 1, 2
+)
+SELECT n AS n_users, k AS n_buckets, min_bucket, max_bucket,
+       round(CAST(num AS DOUBLE) / (100.0 * n), 4) AS srm_chi2,
+       CASE WHEN CAST(num AS DOUBLE) / (100.0 * n) > 148.21
+            THEN 'mismatch' ELSE 'ok' END AS verdict
+FROM agg
+"""
+
+
+def gini_impurity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split (CART — Breiman, Friedman, Olshen &
+    Stone 1984): the single value threshold that best separates
+    purchase events from the rest by weighted Gini impurity — the
+    univariate feature screen a feature store runs before anything
+    gradient-boosted, and the exact computation behind 'is this signal
+    worth a tree'. Values quantize to 1000 bins (the ks_drift
+    discipline); every candidate boundary's weighted impurity comes
+    from cumulative class counts over the bounded bin frame; argmin
+    tie-breaks to the smallest threshold via a struct min.
+
+    Scale shape: one (bin) rollup with class counts, cumulative
+    windows over <=1000 rows, a 1-row argmin. Output one row."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(999),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 1000.0
+            ),
+        ).alias("bin"),
+        (F.col("event_type") == "purchase").alias("pos"),
+        ((F.col("vmax") - F.col("vmin")) / 1000.0).alias("binw"),
+        F.col("vmin").alias("vmin"),
+    )
+    per = binned.groupBy("bin", "binw", "vmin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("q"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bin",
+        "binw",
+        "vmin",
+        F.sum("p").over(w).alias("pl"),
+        F.sum("q").over(w).alias("ql"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum("q").over(wall).alias("qt"),
+    ).where(F.col("bin") < 999)
+    nl = (F.col("pl") + F.col("ql")).cast("double")
+    nr = (
+        F.col("pt") + F.col("qt") - F.col("pl") - F.col("ql")
+    ).cast("double")
+    n = (F.col("pt") + F.col("qt")).cast("double")
+    pld = F.col("pl").cast("double")
+    prd = (F.col("pt") - F.col("pl")).cast("double")
+    gl = 1.0 - (pld / nl) * (pld / nl) - ((nl - pld) / nl) * ((nl - pld) / nl)
+    gr = 1.0 - (prd / nr) * (prd / nr) - ((nr - prd) / nr) * ((nr - prd) / nr)
+    wg = (nl / n) * gl + (nr / n) * gr
+    cand = cum.where((nl > 0) & (nr > 0)).select(
+        "bin",
+        "binw",
+        "vmin",
+        "pt",
+        "qt",
+        wg.alias("wgini"),
+    )
+    best = cand.groupBy("pt", "qt").agg(
+        F.min(F.struct("wgini", "bin", "binw", "vmin")).alias("b")
+    )
+    ptd = F.col("pt").cast("double")
+    qtd = F.col("qt").cast("double")
+    base = 1.0 - (ptd / (ptd + qtd)) * (ptd / (ptd + qtd)) - (
+        qtd / (ptd + qtd)
+    ) * (qtd / (ptd + qtd))
+    return best.select(
+        F.round(
+            F.col("b.vmin") + (F.col("b.bin") + 1) * F.col("b.binw"), 6
+        ).alias("best_threshold"),
+        F.round(F.col("b.wgini"), 6).alias("split_gini"),
+        F.round(base, 6).alias("baseline_gini"),
+        F.round(base - F.col("b.wgini"), 6).alias("gini_gain"),
+        F.col("pt").alias("n_positive"),
+        F.col("qt").alias("n_negative"),
+    )
+
+
+GINI_SPLIT_SQL = """
+WITH bounds AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+), binned AS (
+  SELECT LEAST(999, CAST(FLOOR((value - vmin) / (vmax - vmin) * 1000.0)
+                         AS BIGINT)) AS bin,
+         event_type = 'purchase' AS pos,
+         (vmax - vmin) / 1000.0 AS binw, vmin
+  FROM events, bounds
+), per AS (
+  SELECT bin, binw, vmin,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+  FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT bin, binw, vmin,
+         SUM(p) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+         SUM(q) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql,
+         SUM(p) OVER () AS pt, SUM(q) OVER () AS qt
+  FROM per
+  QUALIFY bin < 999
+), cand AS (
+  SELECT bin, binw, vmin, pt, qt,
+         (CAST(pl + ql AS DOUBLE) / (pt + qt))
+           * (1.0 - (CAST(pl AS DOUBLE) / (pl + ql))
+                    * (CAST(pl AS DOUBLE) / (pl + ql))
+                  - (CAST(pl + ql - pl AS DOUBLE) / (pl + ql))
+                    * (CAST(pl + ql - pl AS DOUBLE) / (pl + ql)))
+         + (CAST(pt + qt - pl - ql AS DOUBLE) / (pt + qt))
+           * (1.0 - (CAST(pt - pl AS DOUBLE) / (pt + qt - pl - ql))
+                    * (CAST(pt - pl AS DOUBLE) / (pt + qt - pl - ql))
+                  - (CAST(qt - ql AS DOUBLE) / (pt + qt - pl - ql))
+                    * (CAST(qt - ql AS DOUBLE) / (pt + qt - pl - ql)))
+           AS wgini
+  FROM cum
+  WHERE pl + ql > 0 AND pt + qt - pl - ql > 0
+), best AS (
+  SELECT pt, qt, bin, binw, vmin, wgini
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY wgini, bin) AS rn FROM cand)
+  WHERE rn = 1
+)
+SELECT round(vmin + (bin + 1) * binw, 6) AS best_threshold,
+       round(wgini, 6) AS split_gini,
+       round(1.0 - (CAST(pt AS DOUBLE) / (pt + qt))
+                   * (CAST(pt AS DOUBLE) / (pt + qt))
+                 - (CAST(qt AS DOUBLE) / (pt + qt))
+                   * (CAST(qt AS DOUBLE) / (pt + qt)), 6) AS baseline_gini,
+       round(1.0 - (CAST(pt AS DOUBLE) / (pt + qt))
+                   * (CAST(pt AS DOUBLE) / (pt + qt))
+                 - (CAST(qt AS DOUBLE) / (pt + qt))
+                   * (CAST(qt AS DOUBLE) / (pt + qt)) - wgini, 6)
+         AS gini_gain,
+       CAST(pt AS BIGINT) AS n_positive, CAST(qt AS BIGINT) AS n_negative
+FROM best
+"""
+
+
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend strength (Wang, Smith & Hyndman 2006's
+    variance-ratio features, the measures behind the 'feasts' feature
+    set): F_S = max(0, 1 - Var(R)/Var(S+R)) and F_T = max(0, 1 -
+    Var(R)/Var(T+R)) computed over seasonal_decompose's own output —
+    the one-number-per-series summary that turns a decomposition plot
+    into a rankable signal ('which metrics are actually seasonal').
+    The decomposition's rounded 6-dp components cast EXACTLY to
+    DECIMAL(18,6), so the variance moments are decimal-exact.
+
+    Scale shape: rides the seasonal_decompose plan (calendar-bounded
+    hourly frames), then one |types|-row moment rollup."""
+    dec = seasonal_decompose(spark, sf_dir).where(
+        F.col("trend").isNotNull()
+    )
+    r = F.col("remainder").cast("decimal(18,6)")
+    s = F.col("seasonal").cast("decimal(18,6)")
+    t = F.col("trend").cast("decimal(18,6)")
+    sr = (s + r).cast("decimal(24,6)")
+    tr = (t + r).cast("decimal(24,6)")
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r).alias("s_r"),
+        F.sum((r * r).cast("decimal(38,12)")).alias("s_r2"),
+        F.sum(sr).alias("s_sr"),
+        F.sum((sr * sr).cast("decimal(38,12)")).alias("s_sr2"),
+        F.sum(tr).alias("s_tr"),
+        F.sum((tr * tr).cast("decimal(38,12)")).alias("s_tr2"),
+    )
+    n = F.col("n").cast("double")
+
+    def var(s2c, sc):
+        m = F.col(sc).cast("double") / n
+        return F.col(s2c).cast("double") / n - m * m
+
+    fs = F.greatest(
+        F.lit(0.0), 1.0 - var("s_r2", "s_r") / var("s_sr2", "s_sr")
+    )
+    ft = F.greatest(
+        F.lit(0.0), 1.0 - var("s_r2", "s_r") / var("s_tr2", "s_tr")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(fs, 6).alias("seasonal_strength"),
+        F.round(ft, 6).alias("trend_strength"),
+    ).orderBy("event_type")
+
+
+def _seasonal_strength_sql() -> str:
+    return f"""
+WITH decomp AS ({SEASONAL_SQL}
+), d AS (
+  SELECT event_type,
+         CAST(remainder AS DECIMAL(18,6)) AS r,
+         CAST(CAST(seasonal AS DECIMAL(18,6))
+              + CAST(remainder AS DECIMAL(18,6)) AS DECIMAL(24,6)) AS sr,
+         CAST(CAST(trend AS DECIMAL(18,6))
+              + CAST(remainder AS DECIMAL(18,6)) AS DECIMAL(24,6)) AS tr
+  FROM decomp WHERE trend IS NOT NULL
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(r) AS s_r, SUM(CAST(r * r AS DECIMAL(38,12))) AS s_r2,
+         SUM(sr) AS s_sr, SUM(CAST(sr * sr AS DECIMAL(38,12))) AS s_sr2,
+         SUM(tr) AS s_tr, SUM(CAST(tr * tr AS DECIMAL(38,12))) AS s_tr2
+  FROM d GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       round(GREATEST(0.0,
+         1.0 - (CAST(s_r2 AS DOUBLE) / n
+                - (CAST(s_r AS DOUBLE) / n) * (CAST(s_r AS DOUBLE) / n))
+             / (CAST(s_sr2 AS DOUBLE) / n
+                - (CAST(s_sr AS DOUBLE) / n) * (CAST(s_sr AS DOUBLE) / n))),
+         6) AS seasonal_strength,
+       round(GREATEST(0.0,
+         1.0 - (CAST(s_r2 AS DOUBLE) / n
+                - (CAST(s_r AS DOUBLE) / n) * (CAST(s_r AS DOUBLE) / n))
+             / (CAST(s_tr2 AS DOUBLE) / n
+                - (CAST(s_tr AS DOUBLE) / n) * (CAST(s_tr AS DOUBLE) / n))),
+         6) AS trend_strength
+FROM agg ORDER BY event_type
+"""
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by surface heuristics (the lightweight
+    screen behind code-routing in mixed corpora — CodeParrot /
+    BigScience pile-style filters use exactly these signals before a
+    classifier exists): per doc, braces/semicolons/equals density and
+    code-keyword hits ('def ', 'import ', 'void ', '#include')
+    combine into a score; score >= 3 flags the doc. Emits per-source
+    code rates — the routing table a mixed-corpus pipeline needs
+    before sending docs to a code tokenizer.
+
+    Scale shape: map-only string arithmetic (length-difference char
+    counting, no regex in the hot path), one source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    ln = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def chcount(ch):
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        ).cast("double")
+
+    semi = chcount(";") / ln
+    brace = chcount("{") + chcount("}")
+    eq = chcount("=") / ln
+    kw = (
+        F.when(t.contains("def "), 1).otherwise(0)
+        + F.when(t.contains("import "), 1).otherwise(0)
+        + F.when(t.contains("void "), 1).otherwise(0)
+        + F.when(t.contains("#include"), 1).otherwise(0)
+    )
+    score = (
+        F.when(semi > 0.01, 2).otherwise(0)
+        + F.when(brace >= 2, 2).otherwise(0)
+        + F.when(eq > 0.01, 1).otherwise(0)
+        + kw
+    )
+    scored = docs.select(
+        "source", score.alias("code_score"), (score >= 3).alias("is_code")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0)).alias("n_code"),
+            F.round(
+                F.sum(F.col("code_score").cast("decimal(18,0)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_code",
+            F.round(
+                F.col("n_code").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("code_rate"),
+            "mean_score",
+        )
+        .orderBy("source")
+    )
+
+
+CODE_DETECT_SQL = """
+WITH scored AS (
+  SELECT source,
+         (CASE WHEN (length(text) - length(replace(text, ';', '')))
+                    / GREATEST(length(text), 1) > 0.01 THEN 2 ELSE 0 END
+          + CASE WHEN (length(text) - length(replace(text, '{', '')))
+                      + (length(text) - length(replace(text, '}', '')))
+                      >= 2 THEN 2 ELSE 0 END
+          + CASE WHEN (length(text) - length(replace(text, '=', '')))
+                      / GREATEST(length(text), 1) > 0.01 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%def %' THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%import %' THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%void %' THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%#include%' THEN 1 ELSE 0 END) AS score
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code,
+       round(CAST(SUM(CASE WHEN score >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS code_rate,
+       round(CAST(SUM(CAST(score AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*),
+             6) AS mean_score
+FROM scored GROUP BY 1 ORDER BY source
+"""
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration via pool-adjacent-violators (Ayer et al.
+    1955 PAVA; Zadrozny & Elkan 2002 for classifier calibration):
+    fit the monotone map from value decile to purchase probability —
+    the nonparametric alternative to Platt scaling that
+    ece_calibration's bins feed. The raw per-bin rates need not be
+    monotone; PAVA pools adjacent violators into weighted blocks.
+    Rows-only for the driver (the pooling is sequential); PAVA runs
+    DRIVER-SIDE on the 100-row bounded bin table (the bradley_terry
+    collect discipline), and the gate recomputes it exactly in python
+    (tests/test_quality.py, QUALITY_r{N}).
+
+    Scale shape: one 100-bin rollup (corpus-scale work is one agg);
+    everything after is O(bins) on the driver."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.lit(99),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * 100.0
+                ),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+        )
+        .orderBy("bin")
+    )
+    rows = per.collect()
+    # PAVA over the bounded bin table: pool adjacent violators
+    blocks = []  # [sum_k, sum_n, bins]
+    for r in rows:
+        blocks.append([float(r["k"]), float(r["n"]), [int(r["bin"])]])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1]
+            >= blocks[-1][0] * blocks[-2][1]
+        ):
+            k2, n2, b2 = blocks.pop()
+            blocks[-1][0] += k2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(b2)
+    out = []
+    raw = {int(r["bin"]): (int(r["k"]), int(r["n"])) for r in rows}
+    for k, n, bins in blocks:
+        fit = round(k / n, 6) if n else 0.0
+        for b in bins:
+            rk, rn = raw[b]
+            out.append(
+                (b, rn, round(rk / rn, 6) if rn else 0.0, fit)
+            )
+    return spark.createDataFrame(
+        sorted(out),
+        "bin long, n long, raw_rate double, isotonic_rate double",
+    ).orderBy("bin")
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -15261,5 +15713,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "neyman_allocation": (neyman_allocation, NEYMAN_SQL),
     "logrank_test": (logrank_test, LOGRANK_SQL),
     "bradley_terry": (bradley_terry, None),
+    "srm_check": (srm_check, SRM_SQL),
+    "gini_impurity_split": (gini_impurity_split, GINI_SPLIT_SQL),
+    "seasonal_strength": (seasonal_strength, _seasonal_strength_sql()),
+    "code_detect": (code_detect, CODE_DETECT_SQL),
+    "isotonic_calibration": (isotonic_calibration, None),
 }
 
