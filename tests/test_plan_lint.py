@@ -154,6 +154,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   next to the 100-bucket frame
         "gini_impurity_split": {"NESTED_LOOP"},  # broadcast ONE-row
         #   global (vmin, vmax) binning bounds (the ks_drift shape)
+        "eb_shrinkage": {"NESTED_LOOP"},  # broadcast ONE-row beta prior
+        #   (mu, v, m) next to the |sources| frame
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -15450,6 +15450,321 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences (Tukey 1977 EDA): per event_type, the
+    exact quartiles over integer cents (histogram-rank — lower
+    quartile = smallest cent value whose cumulative count reaches
+    ceil(n/4), upper at ceil(3n/4)), the 1.5*IQR inner and 3*IQR outer
+    fences, and the mild/extreme outlier counts — the first outlier
+    read anyone does, exact instead of approx_percentile.
+
+    Scale shape: one (type, cents) histogram (bounded domain),
+    cumulative windows over that bounded frame, a broadcast fence join
+    back, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100).alias("vc")
+    )
+    hist = cents.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("vc")
+    wall = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def rank_val(frac, name):
+        r = F.ceil(F.lit(frac) * F.col("n"))
+        return (
+            cum.where(F.col("cum") - F.col("cnt") < r)
+            .where(F.col("cum") >= r)
+            .select("event_type", F.col("vc").alias(name))
+        )
+
+    q1 = rank_val(0.25, "q1")
+    q3 = rank_val(0.75, "q3")
+    fences = q1.join(q3, "event_type").select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+    )
+    j = cents.join(F.broadcast(fences), "event_type")
+    lo_in = F.col("q1") - 1.5 * F.col("iqr")
+    hi_in = F.col("q3") + 1.5 * F.col("iqr")
+    lo_out = F.col("q1") - 3.0 * F.col("iqr")
+    hi_out = F.col("q3") + 3.0 * F.col("iqr")
+    return (
+        j.groupBy("event_type", "q1", "q3", "iqr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("vc") < lo_in) | (F.col("vc") > hi_in), 1
+                ).otherwise(0)
+            ).alias("n_mild"),
+            F.sum(
+                F.when(
+                    (F.col("vc") < lo_out) | (F.col("vc") > hi_out), 1
+                ).otherwise(0)
+            ).alias("n_extreme"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("q1") / 100.0).alias("q1"),
+            (F.col("q3") / 100.0).alias("q3"),
+            (F.col("iqr") / 100.0).alias("iqr"),
+            "n_mild",
+            "n_extreme",
+        )
+        .orderBy("event_type")
+    )
+
+
+TUKEY_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events
+), hist AS (
+  SELECT event_type, vc, COUNT(*) AS cnt FROM cents GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, vc, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), q1 AS (
+  SELECT event_type, vc AS q1 FROM cum
+  WHERE cum - cnt < CEIL(0.25 * n) AND cum >= CEIL(0.25 * n)
+), q3 AS (
+  SELECT event_type, vc AS q3 FROM cum
+  WHERE cum - cnt < CEIL(0.75 * n) AND cum >= CEIL(0.75 * n)
+), fences AS (
+  SELECT q1.event_type, q1, q3, q3 - q1 AS iqr
+  FROM q1 JOIN q3 ON q1.event_type = q3.event_type
+)
+SELECT cents.event_type, COUNT(*) AS n,
+       q1 / 100.0 AS q1, q3 / 100.0 AS q3, iqr / 100.0 AS iqr,
+       CAST(SUM(CASE WHEN vc < q1 - 1.5 * iqr OR vc > q3 + 1.5 * iqr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mild,
+       CAST(SUM(CASE WHEN vc < q1 - 3.0 * iqr OR vc > q3 + 3.0 * iqr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+FROM cents JOIN fences ON cents.event_type = fences.event_type
+GROUP BY 1, q1, q3, iqr ORDER BY cents.event_type
+"""
+
+
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams (the clickstream sequential-pattern
+    baseline of Agrawal & Srikant 1995's sequence mining, kept at
+    order-3 paths): the 20 most common 3-step event-type paths across
+    user sessions, with share of all trigrams — the "how do users
+    actually move" table behind funnel design. Steps order by (ts,
+    event_id) within user.
+
+    Scale shape: ONE user-keyed window (two LEADs), a |types|^3-bounded
+    rollup, and a top-20 pick via min(struct) over that bounded frame
+    — no corpus-scale sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .where(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tri.withColumn("tot", F.sum("cnt").over(wall)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), "s1", "s2", "s3")
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") <= 20)
+        .select(
+            F.col("rk").alias("rank"),
+            "s1",
+            "s2",
+            "s3",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+PATH_TRIGRAMS_SQL = """
+WITH steps AS (
+  SELECT event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT s1, s2, s3, COUNT(*) AS cnt
+  FROM steps WHERE s3 IS NOT NULL GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, SUM(cnt) OVER () AS tot,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2, s3) AS rk
+  FROM tri
+)
+SELECT rk AS rank, s1, s2, s3, cnt,
+       round(CAST(cnt AS DOUBLE) / tot, 6) AS share
+FROM ranked WHERE rk <= 20 ORDER BY rk
+"""
+
+
+def eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source defect rates (Efron &
+    Morris 1975; the beta-binomial method-of-moments version of
+    Robbins 1956): small sources' raw short-doc rates shrink toward
+    the corpus prior by exactly the amount their sample size earns —
+    the fix for 'the tiny source tops/bottoms every leaderboard'.
+    Prior (alpha, beta) fits by method of moments on the per-source
+    rate spread; the posterior mean is (k + alpha)/(n + alpha + beta).
+
+    Scale shape: one source rollup, one 1-row prior broadcast
+    (moments of the |sources|-bounded rate frame), map-only posterior.
+    Pairs with wilson_ci: same defect definition, the interval vs the
+    point estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    rates = per.select("source", "n", "k", p.alias("p"))
+    prior = rates.agg(
+        F.avg("p").alias("mu"),
+        F.var_samp("p").alias("v"),
+    ).select(
+        "mu",
+        "v",
+        # method of moments: alpha+beta = mu(1-mu)/v - 1
+        (
+            F.col("mu") * (1.0 - F.col("mu")) / F.col("v") - 1.0
+        ).alias("m"),
+    )
+    j = rates.crossJoin(F.broadcast(prior))
+    alpha = F.col("mu") * F.col("m")
+    beta = (1.0 - F.col("mu")) * F.col("m")
+    post = (F.col("k").cast("double") + alpha) / (
+        F.col("n").cast("double") + alpha + beta
+    )
+    return j.select(
+        "source",
+        "n",
+        "k",
+        F.round("p", 6).alias("raw_rate"),
+        F.round(post, 6).alias("shrunk_rate"),
+        F.round(post - F.col("p"), 6).alias("shift"),
+    ).orderBy("source")
+
+
+EB_SHRINKAGE_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY 1
+), rates AS (
+  SELECT source, n, k, CAST(k AS DOUBLE) / n AS p FROM per
+), prior AS (
+  SELECT AVG(p) AS mu, var_samp(p) AS v,
+         AVG(p) * (1.0 - AVG(p)) / var_samp(p) - 1.0 AS m
+  FROM rates
+)
+SELECT source, n, k, round(p, 6) AS raw_rate,
+       round((k + mu * m) / (n + m), 6) AS shrunk_rate,
+       round((k + mu * m) / (n + m) - p, 6) AS shift
+FROM rates, prior ORDER BY source
+"""
+
+
+def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis per event_type (the standard two-sample
+    normal-approximation sizing of Kohavi, Tang & Xu 2020 ch.17;
+    z_alpha/2 = 1.96, z_power = 0.8416 for 80%): given each type's
+    observed value variance (decimal cents moments) and current arm
+    sizes, the minimum detectable effect TODAY, and the per-arm n
+    needed to detect a 1% relative lift — the two numbers that decide
+    whether an experiment is even worth launching. All closed form:
+    MDE = (z_a + z_b) * sqrt(2 sigma^2 / n), n_needed = 2 ((z_a + z_b)
+    * sigma / (0.01 mu))^2.
+
+    Scale shape: one (type, arm) rollup then scalar math; |types|
+    rows."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("decimal(18,0)")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+        ).alias("n_treated"),
+        F.sum(vc).alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("s2"),
+    )
+    za_zb = 1.96 + 0.8416
+    n = F.col("n_total").cast("double")
+    mu = F.col("s").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    narm = F.col("n_treated").cast("double")
+    mde = za_zb * F.sqrt(2.0 * var / narm)
+    n_needed = 2.0 * (za_zb * F.sqrt(var) / (0.01 * mu)) * (
+        za_zb * F.sqrt(var) / (0.01 * mu)
+    )
+    return per.select(
+        "event_type",
+        "n_total",
+        F.round(mu / 100.0, 6).alias("mean_value"),
+        F.round(mde / 100.0, 6).alias("mde_absolute"),
+        F.round(mde / mu, 6).alias("mde_relative"),
+        F.ceil(n_needed).cast("long").alias("n_per_arm_for_1pct"),
+    ).orderBy("event_type")
+
+
+POWER_MDE_SQL = """
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treated,
+         SUM(CAST(FLOOR(value * 100) AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  * CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n_total, n_treated,
+         CAST(s AS DOUBLE) / n_total AS mu,
+         CAST(s2 AS DOUBLE) / n_total
+           - (CAST(s AS DOUBLE) / n_total) * (CAST(s AS DOUBLE) / n_total)
+           AS var
+  FROM per
+)
+SELECT event_type, n_total,
+       round(mu / 100.0, 6) AS mean_value,
+       round((1.96 + 0.8416) * sqrt(2.0 * var / n_treated) / 100.0, 6)
+         AS mde_absolute,
+       round((1.96 + 0.8416) * sqrt(2.0 * var / n_treated) / mu, 6)
+         AS mde_relative,
+       CAST(CEIL(2.0 * ((1.96 + 0.8416) * sqrt(var) / (0.01 * mu))
+                 * ((1.96 + 0.8416) * sqrt(var) / (0.01 * mu)))
+            AS BIGINT) AS n_per_arm_for_1pct
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -15718,5 +16033,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "seasonal_strength": (seasonal_strength, _seasonal_strength_sql()),
     "code_detect": (code_detect, CODE_DETECT_SQL),
     "isotonic_calibration": (isotonic_calibration, None),
+    "tukey_fences": (tukey_fences, TUKEY_SQL),
+    "path_trigrams": (path_trigrams, PATH_TRIGRAMS_SQL),
+    "eb_shrinkage": (eb_shrinkage, EB_SHRINKAGE_SQL),
+    "power_mde": (power_mde, POWER_MDE_SQL),
 }
 
