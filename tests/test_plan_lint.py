@@ -156,6 +156,14 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   global (vmin, vmax) binning bounds (the ks_drift shape)
         "eb_shrinkage": {"NESTED_LOOP"},  # broadcast ONE-row beta prior
         #   (mu, v, m) next to the |sources| frame
+        "silhouette_labels": {"NESTED_LOOP"},  # broadcast |labels|-row
+        #   centroid frame (bounded by the label vocabulary, 10 here)
+        "dunning_keyness": {"NESTED_LOOP"},  # broadcast ONE-row corpus
+        #   token totals (na, nb)
+        "burrows_delta": {"BCAST_GROWING"},  # false positive: the
+        #   broadcast sides are the rank-LIMITED top-30 vocabulary and
+        #   the |sources|-row token totals — both bounded, they merely
+        #   DERIVE from a growing scan (the rank_eval_ndcg shape)
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

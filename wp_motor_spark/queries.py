@@ -15765,6 +15765,299 @@ FROM m ORDER BY event_type
 """
 
 
+def silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka, de Castro & Campello 2004 —
+    the centroid-based silhouette that drops the O(n^2) pairwise
+    term): per label, how well its vectors sit with their OWN centroid
+    vs the nearest other centroid, s = (b - a)/max(a, b) — the cluster
+    -quality read that tells you whether the label column is worth
+    training on. Centroids reuse centroid_distances' machinery
+    (posexplode + (label, pos) agg, rounded to 6 dp so the broadcast
+    side is a fixed constant), and every distance is a per-row ordered
+    array fold — deterministic cross-engine.
+
+    Scale shape: ONE (label, pos) agg (|labels| x d out); vectors then
+    join the |labels|-row broadcast centroid frame with a bounded x
+    |labels| fan-out (10 here); per-row folds, one label rollup. The
+    embedding column never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("clabel"), "centroid")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    fan = emb.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        dist.alias("d"),
+    )
+    per_vec = fan.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 4).alias("mean_silhouette"),
+            F.sum(F.when(s < 0, 1).otherwise(0)).alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )
+
+
+SILHOUETTE_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+), cen AS (
+  SELECT label AS clabel, pos, round(AVG(x), 6) AS m FROM ex GROUP BY 1, 2
+), cvec AS (
+  SELECT clabel, list(m ORDER BY pos) AS centroid FROM cen GROUP BY 1
+), fan AS (
+  SELECT vec_id, label, clabel,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> (CAST(embedding[i] AS DOUBLE) - centroid[i])
+                   * (CAST(embedding[i] AS DOUBLE) - centroid[i])))) AS d
+  FROM embeddings, cvec
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN label = clabel THEN d END) AS a,
+         MIN(CASE WHEN label != clabel THEN d END) AS b
+  FROM fan GROUP BY 1, 2
+)
+SELECT label, COUNT(*) AS n,
+       round(AVG((b - a) / GREATEST(a, b)), 4) AS mean_silhouette,
+       CAST(SUM(CASE WHEN (b - a) / GREATEST(a, b) < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_misplaced
+FROM per_vec GROUP BY 1 ORDER BY label
+"""
+
+
+def dunning_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, the G^2 statistic
+    corpus linguistics standardized on): which tokens are
+    over/under-represented in English docs vs the rest of the corpus —
+    the classic keyword-contrast companion to log_odds_keywords'
+    Monroe prior-regularized z. G^2 = 2 sum O ln(O/E) over the 2x2
+    token table (zero cells contribute 0); emits the top 50 by G^2
+    with the direction. Integer counts; E is a rational; each G^2 is
+    one deterministic double expression.
+
+    Scale shape: one token-keyed agg with conditional partials (one
+    corpus pass), a 1-row totals broadcast, and the top-50 pick via
+    rank over the vocab-bounded score frame."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").alias("in_en"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).where(F.length("tok") >= 3)
+    per = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("in_en"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("in_en"), 0).otherwise(1)).alias("b"),
+    )
+    tot = per.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = per.crossJoin(F.broadcast(tot))
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ea = nad * (ad + bd) / (nad + nbd)
+    eb = nbd * (ad + bd) / (nad + nbd)
+    g2 = 2.0 * (
+        F.when(F.col("a") > 0, ad * F.log(ad / ea)).otherwise(F.lit(0.0))
+        + F.when(F.col("b") > 0, bd * F.log(bd / eb)).otherwise(F.lit(0.0))
+    )
+    scored = j.select(
+        "tok",
+        "a",
+        "b",
+        F.round(g2, 4).alias("g2"),
+        F.when(ad / nad > bd / nbd, "en_marked")
+        .otherwise("other_marked")
+        .alias("direction"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("g2"), "tok")),
+    )
+    return ranked.where(F.col("rank") <= 50).select(
+        "rank", "tok", F.col("a").alias("en_count"),
+        F.col("b").alias("other_count"), "g2", "direction"
+    ).orderBy("rank")
+
+
+DUNNING_SQL = r"""
+WITH toks AS (
+  SELECT lang = 'en' AS in_en, t.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+  WHERE length(t.tok) >= 3
+), per AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN in_en THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN in_en THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM per
+), scored AS (
+  SELECT tok, a, b,
+         round(2.0 * (
+           CASE WHEN a > 0 THEN a * ln(a / (CAST(na AS DOUBLE) * (a + b)
+                                            / (na + nb)))
+                ELSE 0.0 END
+           + CASE WHEN b > 0 THEN b * ln(b / (CAST(nb AS DOUBLE) * (a + b)
+                                              / (na + nb)))
+                  ELSE 0.0 END), 4) AS g2,
+         CASE WHEN CAST(a AS DOUBLE) / na > CAST(b AS DOUBLE) / nb
+              THEN 'en_marked' ELSE 'other_marked' END AS direction
+  FROM per, tot
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY g2 DESC, tok) AS rank FROM scored
+)
+SELECT rank, tok, a AS en_count, b AS other_count, g2, direction
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance (Burrows 2002; Evert et al.
+    2017's evaluation): between every source pair, the mean absolute
+    difference of z-scored relative frequencies over the corpus's top
+    30 most-frequent tokens — THE attribution/style distance of
+    computational stylometry, here reading which sources write alike
+    (a contamination/provenance screen). z-scores standardize each
+    token's relative frequency across the |sources| population.
+
+    Scale shape: one token agg pass; the top-30 vocabulary picks via
+    rank over the vocab-bounded count frame and broadcasts; the
+    z-score frame is |sources| x 30 and the pair frame |sources|^2/2 —
+    all bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).where(F.length("tok") >= 1)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+        )
+        .where(F.col("rk") <= 30)
+        .select("tok")
+    )
+    st = toks.join(F.broadcast(top), "tok").groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    rel = st.join(F.broadcast(stot), "source").select(
+        "source",
+        "tok",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("f"),
+    )
+    wt = Window.partitionBy("tok")
+    z = rel.select(
+        "source",
+        "tok",
+        (
+            (F.col("f") - F.avg("f").over(wt)) / F.stddev_pop("f").over(wt)
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb")))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("delta"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    rk = Window.orderBy("delta", "src_a", "src_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= 30)
+        .select("rank", "src_a", "src_b", "delta")
+        .orderBy("rank")
+    )
+
+
+BURROWS_SQL = r"""
+WITH toks AS (
+  SELECT source, t.tok
+  FROM documents,
+       UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+  WHERE length(t.tok) >= 1
+), top AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM toks GROUP BY tok
+  ) WHERE rk <= 30
+), st AS (
+  SELECT source, toks.tok, COUNT(*) AS c
+  FROM toks JOIN top ON toks.tok = top.tok GROUP BY 1, 2
+), stot AS (
+  SELECT source, COUNT(*) AS n FROM toks GROUP BY 1
+), rel AS (
+  SELECT st.source, tok, CAST(c AS DOUBLE) / n AS f
+  FROM st JOIN stot ON st.source = stot.source
+), z AS (
+  SELECT source, tok,
+         (f - AVG(f) OVER (PARTITION BY tok))
+           / stddev_pop(f) OVER (PARTITION BY tok) AS z
+  FROM rel
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         round(SUM(ABS(a.z - b.z)) / COUNT(*), 4) AS delta
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ROW_NUMBER() OVER (ORDER BY delta, src_a, src_b) AS rank,
+       src_a, src_b, delta
+FROM pairs QUALIFY rank <= 30 ORDER BY rank
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -16037,5 +16330,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "path_trigrams": (path_trigrams, PATH_TRIGRAMS_SQL),
     "eb_shrinkage": (eb_shrinkage, EB_SHRINKAGE_SQL),
     "power_mde": (power_mde, POWER_MDE_SQL),
+    "silhouette_labels": (silhouette_labels, SILHOUETTE_SQL),
+    "dunning_keyness": (dunning_keyness, DUNNING_SQL),
+    "burrows_delta": (burrows_delta, BURROWS_SQL),
 }
 
