@@ -12487,11 +12487,14 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (t + 1) / 2.0
         ).alias("midrank"),
     )
+    # tie term cubes per-bin counts: at 100 TB a popular bin can hold
+    # ~1e8 rows and t^3 overflows LONG — cube in DECIMAL
+    td = F.col("t").cast("decimal(12,0)")
     agg = ranked.groupBy("event_type").agg(
         F.sum("nt").alias("n1"),
         F.sum("nc").alias("n2"),
         F.sum(F.col("nt") * F.col("midrank")).alias("r1"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum((td * td * td - td).cast("decimal(38,0)")).alias("ties"),
     )
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
