@@ -164,6 +164,8 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   broadcast sides are the rank-LIMITED top-30 vocabulary and
         #   the |sources|-row token totals — both bounded, they merely
         #   DERIVE from a growing scan (the rank_eval_ndcg shape)
+        "abc_analysis": {"NESTED_LOOP"},  # broadcast ONE-row total
+        #   part count next to the 3-class rollup
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

@@ -4435,12 +4435,22 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(
-                    F.log((F.col("c_tgt") + 1.0) / (F.col("T") + F.col("V")))
-                    - F.log((F.col("c_raw") + 1.0) / (F.col("R") + F.col("V")))
-                ),
-                4,
+            # + 0.0 normalizes IEEE negative zero: a doc whose ratio sum
+            # rounds to zero from below would otherwise repr as -0.0 on
+            # one engine and 0.0 on the other (seen at sf0.1, doc 3533)
+            (
+                F.round(
+                    F.sum(
+                        F.log(
+                            (F.col("c_tgt") + 1.0) / (F.col("T") + F.col("V"))
+                        )
+                        - F.log(
+                            (F.col("c_raw") + 1.0) / (F.col("R") + F.col("V"))
+                        )
+                    ),
+                    4,
+                )
+                + 0.0
             ).alias("dsir_logw"),
         )
     )
@@ -4465,7 +4475,7 @@ WITH tok AS (
 SELECT doc_id,
        count(*) AS n_tokens,
        round(sum(ln((c_tgt + 1.0) / (T + V)) - ln((c_raw + 1.0) / (R + V))),
-             4) AS dsir_logw
+             4) + 0.0 AS dsir_logw
 FROM tok JOIN cnt USING (w), tot
 GROUP BY doc_id
 """
@@ -16061,6 +16071,450 @@ FROM pairs QUALIFY rank <= 30 ORDER BY rank
 """
 
 
+def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lead-lag screen between event types' daily
+    series (the CCF of Box & Jenkins 1970 at lags 0/1/3/7): does one
+    metric's movement foreshadow another's — the first causality-ish
+    read (Granger's precondition) a monitoring team runs across
+    metrics. Pearson r between x_t (type a) and y_{t+k} (type b) over
+    the shared calendar, from exact integer lag products (the
+    acf_daily discipline): every sum is an integer or DECIMAL, the
+    correlation is one double expression per (a, b, k).
+
+    Scale shape: one daily rollup; the pair frame joins daily(a) x
+    daily(b) on the shifted DAY key — calendar-bounded (|days| rows
+    per pair), never corpus-sized; output |types|^2 x |lags|."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    out = None
+    for k in [0, 1, 3, 7]:
+        a = daily.select(
+            F.col("event_type").alias("type_a"),
+            F.col("day").alias("day"),
+            F.col("c").alias("x"),
+        )
+        b = daily.select(
+            F.col("event_type").alias("type_b"),
+            # stay timestamp-typed (date_sub would coerce to DATE and
+            # the join key types would diverge from the oracle's)
+            (F.col("day") - F.expr(f"INTERVAL {k} DAYS")).alias("day"),
+            F.col("c").alias("y"),
+        )
+        dx = F.col("x").cast("decimal(18,0)")
+        dy = F.col("y").cast("decimal(18,0)")
+        g = (
+            a.join(b, "day")
+            .where(F.col("type_a") != F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dx).alias("sx"),
+                F.sum(dy).alias("sy"),
+                F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
+                F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+                F.sum((dy * dy).cast("decimal(38,0)")).alias("syy"),
+            )
+            .withColumn("lag", F.lit(k))
+        )
+        out = g if out is None else out.unionByName(g)
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("ccf"),
+    ).orderBy("type_a", "type_b", "lag")
+
+
+def _lead_lag_sql() -> str:
+    parts = []
+    for k in [0, 1, 3, 7]:
+        parts.append(f"""
+  SELECT a.event_type AS type_a, b.event_type AS type_b, {k} AS lag,
+         COUNT(*) AS n,
+         SUM(CAST(a.c AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(b.c AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(CAST(a.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(CAST(a.c AS DECIMAL(18,0)) * CAST(a.c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(b.c AS DECIMAL(18,0)) * CAST(b.c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS syy
+  FROM daily a JOIN daily b
+    ON a.day = b.day - INTERVAL {k} DAY
+   AND a.event_type != b.event_type
+  GROUP BY 1, 2""")
+    un = "\n  UNION ALL".join(parts)
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), g AS ({un}
+)
+SELECT type_a, type_b, lag, n AS n_days,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) AS ccf
+FROM g ORDER BY type_a, type_b, lag
+"""
+
+
+def anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-ensemble anomaly days (the ensemble framing of
+    Chandola, Banerjee & Kumar 2009's survey §9; Aggarwal 2013 ch.1 on
+    model combination): a (type, day) is reported only when at least
+    TWO independent closed-form detectors agree — a global z-score on
+    the daily count (|z| > 2), a Tukey fence (outside Q1/Q3 +- 1.5
+    IQR over the type's daily-count histogram), and a day-over-day
+    spike rule (count > 2x previous day, min 100). Emits every day any
+    detector flags, with the per-detector votes — the triage view; the
+    pager pages at votes >= 2 (the false-positive-starved policy), and
+    the vote columns make that one more filter.
+
+    Scale shape: ONE daily rollup feeds all three detectors
+    (calendar-bounded windows + one bounded histogram-rank for the
+    quartiles); consensus is a row filter. No detector rescans
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dc = F.col("c").cast("decimal(18,0)")
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dc).alias("s"),
+        F.sum((dc * dc).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / n
+    sd = F.sqrt(F.col("s2").cast("double") / n - mu * mu)
+    stats = mom.select("event_type", mu.alias("mu"), sd.alias("sd"))
+    hist = daily.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wq = Window.partitionBy("event_type").orderBy("c")
+    wall = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wq)).withColumn(
+        "tot", F.sum("cnt").over(wall)
+    )
+
+    def quart(frac, name):
+        r = F.ceil(F.lit(frac) * F.col("tot"))
+        return (
+            cum.where(F.col("cum") - F.col("cnt") < r)
+            .where(F.col("cum") >= r)
+            .select("event_type", F.col("c").alias(name))
+        )
+
+    fences = quart(0.25, "q1").join(quart(0.75, "q3"), "event_type")
+    wd = Window.partitionBy("event_type").orderBy("day")
+    flagged = (
+        daily.withColumn("prev", F.lag("c").over(wd))
+        .join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            (
+                F.abs(F.col("c").cast("double") - F.col("mu"))
+                / F.col("sd")
+                > 2.0
+            ).alias("z_vote"),
+            (
+                (
+                    F.col("c")
+                    < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+                )
+                | (
+                    F.col("c")
+                    > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+                )
+            ).alias("fence_vote"),
+            (
+                F.col("prev").isNotNull()
+                & (F.col("c") > 2 * F.col("prev"))
+                & (F.col("c") >= 100)
+            ).alias("spike_vote"),
+        )
+    )
+    votes = (
+        F.when(F.col("z_vote"), 1).otherwise(0)
+        + F.when(F.col("fence_vote"), 1).otherwise(0)
+        + F.when(F.col("spike_vote"), 1).otherwise(0)
+    )
+    return (
+        flagged.withColumn("votes", votes)
+        .where(F.col("votes") >= 1)
+        .select(
+            "event_type", "day", "c", "z_vote", "fence_vote",
+            "spike_vote", "votes",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ANOMALY_CONSENSUS_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM daily GROUP BY 1
+), stats AS (
+  SELECT event_type, CAST(s AS DOUBLE) / n AS mu,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+  FROM mom
+), hist AS (
+  SELECT event_type, c, COUNT(*) AS cnt FROM daily GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+), q1 AS (
+  SELECT event_type, c AS q1 FROM cum
+  WHERE cum - cnt < CEIL(0.25 * tot) AND cum >= CEIL(0.25 * tot)
+), q3 AS (
+  SELECT event_type, c AS q3 FROM cum
+  WHERE cum - cnt < CEIL(0.75 * tot) AND cum >= CEIL(0.75 * tot)
+), flagged AS (
+  SELECT daily.event_type, day, c,
+         ABS(CAST(c AS DOUBLE) - mu) / sd > 2.0 AS z_vote,
+         (c < q1 - 1.5 * (q3 - q1) OR c > q3 + 1.5 * (q3 - q1))
+           AS fence_vote,
+         (LAG(c) OVER (PARTITION BY daily.event_type ORDER BY day)
+            IS NOT NULL
+          AND c > 2 * LAG(c) OVER (PARTITION BY daily.event_type
+                                   ORDER BY day)
+          AND c >= 100) AS spike_vote
+  FROM daily
+  JOIN stats ON daily.event_type = stats.event_type
+  JOIN q1 ON daily.event_type = q1.event_type
+  JOIN q3 ON daily.event_type = q3.event_type
+)
+SELECT event_type, day, c, z_vote, fence_vote, spike_vote,
+       (CASE WHEN z_vote THEN 1 ELSE 0 END
+        + CASE WHEN fence_vote THEN 1 ELSE 0 END
+        + CASE WHEN spike_vote THEN 1 ELSE 0 END) AS votes
+FROM flagged
+WHERE (CASE WHEN z_vote THEN 1 ELSE 0 END
+       + CASE WHEN fence_vote THEN 1 ELSE 0 END
+       + CASE WHEN spike_vote THEN 1 ELSE 0 END) >= 1
+ORDER BY event_type, day
+"""
+
+
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the Pareto analysis Dickie 1951
+    formalized for inventory control): parts rank by lineitem revenue;
+    the top ~80% of cumulative revenue is class A, the next 15% B, the
+    tail C. Emits per-class part counts, revenue share, and the
+    revenue concentration read (what share of parts carries 80% of
+    revenue).
+
+    Scale shape: the FACT table scans once into a |parts|-keyed
+    revenue agg (decimal); ranking the |parts| DIMENSION frame uses
+    the two-phase _global_rank (range partitions + broadcast offsets —
+    never a single-task sort), and the cumulative share runs as one
+    more bounded window over the ranked dimension frame (parts are a
+    catalog, orders of magnitude below facts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (_dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount")))
+            .cast("decimal(38,4)")
+        ).alias("rev")
+    )
+    ranked = _global_rank(
+        rev.select(
+            "l_partkey", "rev", (-F.col("rev")).alias("__negrev")
+        ),
+        ["__negrev", "l_partkey"],
+    ).drop("__negrev")
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shared = ranked.select(
+        "l_partkey",
+        "rev",
+        "rank",
+        (
+            F.sum("rev").over(wcum).cast("double")
+            / F.sum("rev").over(wall).cast("double")
+        ).alias("cumshare"),
+    )
+    cls = (
+        F.when(F.col("cumshare") <= 0.80, "A")
+        .when(F.col("cumshare") <= 0.95, "B")
+        .otherwise("C")
+    )
+    tot = shared.select(F.max("rank").alias("n_parts")).limit(1)
+    return (
+        shared.withColumn("cls", cls)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.max("cumshare"), 6).alias("cum_share_at_boundary"),
+        )
+        .crossJoin(F.broadcast(tot.withColumnRenamed("n_parts", "total_parts")))
+        .select(
+            "cls",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.col("total_parts").cast("double"),
+                6,
+            ).alias("part_share"),
+            "revenue",
+            "cum_share_at_boundary",
+        )
+        .orderBy("cls")
+    )
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank
+  FROM rev
+), shared AS (
+  SELECT l_partkey, rev, rank,
+         CAST(SUM(rev) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+           / CAST(SUM(rev) OVER () AS DOUBLE) AS cumshare
+  FROM ranked
+), cls AS (
+  SELECT *,
+         CASE WHEN cumshare <= 0.80 THEN 'A'
+              WHEN cumshare <= 0.95 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM shared
+)
+SELECT cls, COUNT(*) AS n_parts,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM rev), 6) AS part_share,
+       round(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+       round(MAX(cumshare), 6) AS cum_share_at_boundary
+FROM cls GROUP BY 1 ORDER BY cls
+"""
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount response slope per brand (textbook OLS on the bounded
+    discount grid — the first-cut demand-response read behind price
+    elasticity, Wooldridge's intro-econometrics workhorse): regress
+    mean order quantity on the discount LEVEL (discounts live on a
+    small fixed grid, so x is a bounded domain), slope = cov/var from
+    DECIMAL moments — which brands actually move volume when
+    discounted. Emits slope, intercept, r^2 per brand.
+
+    Scale shape: one (brand, discount-level) rollup over the fact scan
+    (bounded groups: |brands| x |grid|), then per-brand closed-form
+    OLS over that bounded frame. The part dimension broadcasts after
+    pruning to (partkey, brand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        )
+        .agg(
+            (
+                F.sum(_dec(F.col("l_quantity"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_qty")
+        )
+    )
+    dx = F.col("disc_pct").cast("double")
+    dy = F.col("mean_qty")
+    g = cell.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2num = (n * F.col("sxy") - F.col("sx") * F.col("sy")) * (
+        n * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    r2den = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").alias("n_levels"),
+        F.round(slope, 6).alias("qty_per_disc_pct"),
+        F.round(intercept, 6).alias("base_qty"),
+        F.round(r2num / r2den, 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+DISCOUNT_ELASTICITY_SQL = """
+WITH cell AS (
+  SELECT p_brand,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS mean_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(CAST(disc_pct AS DOUBLE)) AS sx, SUM(mean_qty) AS sy,
+         SUM(disc_pct * mean_qty) AS sxy,
+         SUM(CAST(disc_pct AS DOUBLE) * disc_pct) AS sxx,
+         SUM(mean_qty * mean_qty) AS syy
+  FROM cell GROUP BY 1
+)
+SELECT p_brand, n AS n_levels,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         AS qty_per_disc_pct,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS base_qty,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM g ORDER BY p_brand
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r15 per the r14 verdict: leads are the 24
@@ -16336,5 +16790,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "silhouette_labels": (silhouette_labels, SILHOUETTE_SQL),
     "dunning_keyness": (dunning_keyness, DUNNING_SQL),
     "burrows_delta": (burrows_delta, BURROWS_SQL),
+    "lead_lag_corr": (lead_lag_corr, _lead_lag_sql()),
+    "anomaly_consensus": (anomaly_consensus, ANOMALY_CONSENSUS_SQL),
+    "abc_analysis": (abc_analysis, ABC_SQL),
+    "discount_elasticity": (discount_elasticity, DISCOUNT_ELASTICITY_SQL),
 }
 
