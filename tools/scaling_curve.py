@@ -177,9 +177,9 @@ DEFAULT_QUERIES = [
     # composites + stitch MUST stay linear), bounded-bin rank tests,
     # integer-exact drift distances, basket pair generation (linear in
     # orders), per-user transition windows, bounded-domain quintiles,
-    # calendar-bounded sequential readouts
-    "burst_detection",
-    "ewma_anomaly_batch",
+    # calendar-bounded sequential readouts (burst_detection and
+    # ewma_anomaly_batch — the chunked rewrites — are already listed in
+    # the r12 section above)
     "mann_whitney_u",
     "wasserstein_drift",
     "market_basket",
@@ -192,6 +192,15 @@ DEFAULT_QUERIES = [
     "logrank_test",
     "exp_smooth_daily",
     "cem_att",
+    # r15 batches 6-8: broadcast-centroid silhouette, rank-bounded
+    # stylometry pair frame, two-phase dimension ranking, keyness agg,
+    # calendar-bounded CCF/portmanteau
+    "silhouette_labels",
+    "burrows_delta",
+    "abc_analysis",
+    "dunning_keyness",
+    "lead_lag_corr",
+    "ljung_box",
 ]
 
 SF_DIRS = [

@@ -17023,8 +17023,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # seasonal_decompose, kaplan_meier_retention, cuped_adjustment —
     # placed at positions 51-54; they MUST lead the r16 window.
     # After those: the r14-window 50 (freshest certs), the
-    # r12-certified block, the r13-certified block. New r15 operators
-    # append at the very end as always.
+    # r12-certified block, the r13-certified block. The 46 NEW r15
+    # operators append at the very end (mann_whitney_u .. ljung_box);
+    # the r16 window = the 4-query spill + those 46 = EXACTLY 50.
     # --- r11-certified remainder (24): last certs three rounds stale ---
     # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
     # elsewhere: the two share one persisted pair pipeline (see
