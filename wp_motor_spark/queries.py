@@ -17007,26 +17007,74 @@ FROM g ORDER BY event_type
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
-    # entries. Rotated for r15 per the r14 verdict: leads are the 24
-    # r11-certified remainder (multimodal_features ..
-    # corpus_budget_select — last driver cert CORRECTNESS_r11, three
-    # rounds stale), then trend_test + host_triangles (both CHANGED
-    # this round — trend_test's median-rank selection made
-    # integer-exact on both engines, host_triangles degree-ordered —
-    # so they must re-certify inside the window), then 24 of the
-    # remaining 28 r14-new operators (never driver-certified;
-    # oracle-verified locally in r14). Bookkeeping: the registry grew
-    # 173 -> 203 in r14, i.e. 30 new dict entries (the r14 comment's
-    # "29" was off by one; the "32 ops" count includes the streaming
-    # cusum_stream and non-registry work). 24 + 30 = 54 > 50, so FOUR
-    # r14-new SPILL past the window: centroid_distances,
-    # seasonal_decompose, kaplan_meier_retention, cuped_adjustment —
-    # placed at positions 51-54; they MUST lead the r16 window.
-    # After those: the r14-window 50 (freshest certs), the
-    # r12-certified block, the r13-certified block. The 46 NEW r15
-    # operators append at the very end (mann_whitney_u .. ljung_box);
-    # the r16 window = the 4-query spill + those 46 = EXACTLY 50.
-    # --- r11-certified remainder (24): last certs three rounds stale ---
+    # entries. Rotated for r16 exactly as the r15 comment (and the r15
+    # verdict's item 1) pinned: leads are the FOUR r14-new spill
+    # queries (centroid_distances, seasonal_decompose,
+    # kaplan_meier_retention, cuped_adjustment — never
+    # driver-certified, positions 51-54 in the r15 ordering) followed
+    # by the 46 r15-new operators (mann_whitney_u .. ljung_box —
+    # oracle-verified locally at both SFs in r15 but never in a
+    # driver window). 4 + 46 = 50 EXACTLY. After the window: the
+    # r15-certified 50 (freshest certs, CORRECTNESS_r15), then the
+    # r14-, r12-, r13-certified blocks unchanged. NEW r16 operators
+    # append at the very end; at r17 rotation time the window should
+    # take the r16-new tail plus enough of the then-stalest block
+    # (r12-certified, by then five rounds old) to fill 50 — document
+    # the exact split here when rotating.
+    # --- r14-new SPILL (4): lead the r16 window ---
+    "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
+    "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
+    "kaplan_meier_retention": (kaplan_meier_retention, KAPLAN_MEIER_SQL),
+    "cuped_adjustment": (cuped_adjustment, CUPED_SQL),
+    # --- NEW r15 (46): complete the r16 window ---
+    "mann_whitney_u": (mann_whitney_u, MANN_WHITNEY_SQL),
+    "levene_variance": (levene_variance, LEVENE_SQL),
+    "wilson_ci": (wilson_ci, WILSON_CI_SQL),
+    "benford_screen": (benford_screen, BENFORD_SQL),
+    "page_hinkley": (page_hinkley, PAGE_HINKLEY_SQL),
+    "exp_smooth_daily": (exp_smooth_daily, _exp_smooth_sql()),
+    "fano_burstiness": (fano_burstiness, FANO_SQL),
+    "pot_mean_excess": (pot_mean_excess, POT_SQL),
+    "market_basket": (market_basket, MARKET_BASKET_SQL),
+    "markov_transitions": (markov_transitions, MARKOV_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
+    "dpo_pairs": (dpo_pairs, DPO_PAIRS_SQL),
+    "benjamini_hochberg": (benjamini_hochberg, BH_FDR_SQL),
+    "wasserstein_drift": (wasserstein_drift, WASSERSTEIN_SQL),
+    "trimmed_source_stats": (trimmed_source_stats, TRIMMED_SQL),
+    "cohens_d_arms": (cohens_d_arms, COHENS_D_SQL),
+    "cmh_test": (cmh_test, CMH_SQL),
+    "theil_index": (theil_index, THEIL_SQL),
+    "cem_att": (cem_att, CEM_ATT_SQL),
+    "did_estimator": (did_estimator, DID_SQL),
+    "sprt_readout": (sprt_readout, _sprt_sql()),
+    "jackknife_influence": (jackknife_influence, JACKKNIFE_SQL),
+    "acf_daily": (acf_daily, _acf_sql()),
+    "neyman_allocation": (neyman_allocation, NEYMAN_SQL),
+    "logrank_test": (logrank_test, LOGRANK_SQL),
+    "bradley_terry": (bradley_terry, None),
+    "srm_check": (srm_check, SRM_SQL),
+    "gini_impurity_split": (gini_impurity_split, GINI_SPLIT_SQL),
+    "seasonal_strength": (seasonal_strength, _seasonal_strength_sql()),
+    "code_detect": (code_detect, CODE_DETECT_SQL),
+    "isotonic_calibration": (isotonic_calibration, None),
+    "tukey_fences": (tukey_fences, TUKEY_SQL),
+    "path_trigrams": (path_trigrams, PATH_TRIGRAMS_SQL),
+    "eb_shrinkage": (eb_shrinkage, EB_SHRINKAGE_SQL),
+    "power_mde": (power_mde, POWER_MDE_SQL),
+    "silhouette_labels": (silhouette_labels, SILHOUETTE_SQL),
+    "dunning_keyness": (dunning_keyness, DUNNING_SQL),
+    "burrows_delta": (burrows_delta, BURROWS_SQL),
+    "lead_lag_corr": (lead_lag_corr, _lead_lag_sql()),
+    "anomaly_consensus": (anomaly_consensus, ANOMALY_CONSENSUS_SQL),
+    "abc_analysis": (abc_analysis, ABC_SQL),
+    "discount_elasticity": (discount_elasticity, DISCOUNT_ELASTICITY_SQL),
+    "chow_test": (chow_test, CHOW_SQL),
+    "cooks_distance_days": (cooks_distance_days, COOKS_D_SQL),
+    "runs_test": (runs_test, RUNS_TEST_SQL),
+    "ljung_box": (ljung_box, _ljung_box_sql()),
+    # ^^^ position 50 — end of the r16 driver window ^^^
+    # --- r15-certified (CORRECTNESS_r15.json, freshest) ---
     # ngram_jaccard_dups runs BEFORE dedup_clusters in suite order
     # elsewhere: the two share one persisted pair pipeline (see
     # ngram_jaccard_pairs) - bench.py preserves that scheduling.
@@ -17083,13 +17131,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "threshold_sweep": (threshold_sweep, _threshold_sweep_sql()),
     "balanced_shards": (balanced_shards, BALANCED_SHARDS_SQL),
     "kwic_extract": (kwic_extract, KWIC_SQL),
-    # ^^^ position 50 — end of the r15 driver window ^^^
-    # --- r14-new SPILL (4): MUST lead the r16 window ---
-    "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
-    "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),
-    "kaplan_meier_retention": (kaplan_meier_retention, KAPLAN_MEIER_SQL),
-    "cuped_adjustment": (cuped_adjustment, CUPED_SQL),
-    # --- r14-certified (CORRECTNESS_r14.json, freshest) ---
+    # --- r14-certified (CORRECTNESS_r14.json) ---
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "embedding_whiten": (embedding_whiten, None),
@@ -17241,53 +17283,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    # --- NEW r15 (at the END: rotate into the r16 window after the
-    #     4-query r14 spill above) ---
-    "mann_whitney_u": (mann_whitney_u, MANN_WHITNEY_SQL),
-    "levene_variance": (levene_variance, LEVENE_SQL),
-    "wilson_ci": (wilson_ci, WILSON_CI_SQL),
-    "benford_screen": (benford_screen, BENFORD_SQL),
-    "page_hinkley": (page_hinkley, PAGE_HINKLEY_SQL),
-    "exp_smooth_daily": (exp_smooth_daily, _exp_smooth_sql()),
-    "fano_burstiness": (fano_burstiness, FANO_SQL),
-    "pot_mean_excess": (pot_mean_excess, POT_SQL),
-    "market_basket": (market_basket, MARKET_BASKET_SQL),
-    "markov_transitions": (markov_transitions, MARKOV_SQL),
-    "rfm_segments": (rfm_segments, RFM_SQL),
-    "dpo_pairs": (dpo_pairs, DPO_PAIRS_SQL),
-    "benjamini_hochberg": (benjamini_hochberg, BH_FDR_SQL),
-    "wasserstein_drift": (wasserstein_drift, WASSERSTEIN_SQL),
-    "trimmed_source_stats": (trimmed_source_stats, TRIMMED_SQL),
-    "cohens_d_arms": (cohens_d_arms, COHENS_D_SQL),
-    "cmh_test": (cmh_test, CMH_SQL),
-    "theil_index": (theil_index, THEIL_SQL),
-    "cem_att": (cem_att, CEM_ATT_SQL),
-    "did_estimator": (did_estimator, DID_SQL),
-    "sprt_readout": (sprt_readout, _sprt_sql()),
-    "jackknife_influence": (jackknife_influence, JACKKNIFE_SQL),
-    "acf_daily": (acf_daily, _acf_sql()),
-    "neyman_allocation": (neyman_allocation, NEYMAN_SQL),
-    "logrank_test": (logrank_test, LOGRANK_SQL),
-    "bradley_terry": (bradley_terry, None),
-    "srm_check": (srm_check, SRM_SQL),
-    "gini_impurity_split": (gini_impurity_split, GINI_SPLIT_SQL),
-    "seasonal_strength": (seasonal_strength, _seasonal_strength_sql()),
-    "code_detect": (code_detect, CODE_DETECT_SQL),
-    "isotonic_calibration": (isotonic_calibration, None),
-    "tukey_fences": (tukey_fences, TUKEY_SQL),
-    "path_trigrams": (path_trigrams, PATH_TRIGRAMS_SQL),
-    "eb_shrinkage": (eb_shrinkage, EB_SHRINKAGE_SQL),
-    "power_mde": (power_mde, POWER_MDE_SQL),
-    "silhouette_labels": (silhouette_labels, SILHOUETTE_SQL),
-    "dunning_keyness": (dunning_keyness, DUNNING_SQL),
-    "burrows_delta": (burrows_delta, BURROWS_SQL),
-    "lead_lag_corr": (lead_lag_corr, _lead_lag_sql()),
-    "anomaly_consensus": (anomaly_consensus, ANOMALY_CONSENSUS_SQL),
-    "abc_analysis": (abc_analysis, ABC_SQL),
-    "discount_elasticity": (discount_elasticity, DISCOUNT_ELASTICITY_SQL),
-    "chow_test": (chow_test, CHOW_SQL),
-    "cooks_distance_days": (cooks_distance_days, COOKS_D_SQL),
-    "runs_test": (runs_test, RUNS_TEST_SQL),
-    "ljung_box": (ljung_box, _ljung_box_sql()),
 }
 
