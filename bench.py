@@ -73,25 +73,33 @@ def main() -> None:
             try:
                 load0 = os.getloadavg()[0]
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                # force FULL execution of every output column: a bare count()
-                # lets Catalyst prune computed projections entirely (the
-                # projection-only queries would time a parquet row-count scan,
-                # not the operator) — same anti-pruning action as the
-                # throughput probe below
-                df.select(
-                    F.max(F.xxhash64(*[F.col(c).cast("string") for c in df.columns]))
-                ).collect()
-                elapsed = round(time.perf_counter() - t0, 3)
-                # release per-query tracked persists (_global_rank loc,
-                # host_triangles edges, …) now that the result is
-                # materialized — otherwise 200 queries accumulate
-                # InMemoryRelations until eviction pressure. The shared
-                # ngram-jaccard pair pipeline persists in operators/dedup
-                # are NOT tracked, so the cross-query reuse is preserved.
-                from wp_motor_spark.queries import release_persists
+                try:
+                    df = fn(spark, sf_dir)
+                    # force FULL execution of every output column: a bare
+                    # count() lets Catalyst prune computed projections
+                    # entirely (the projection-only queries would time a
+                    # parquet row-count scan, not the operator) — same
+                    # anti-pruning action as the throughput probe below
+                    df.select(
+                        F.max(
+                            F.xxhash64(
+                                *[F.col(c).cast("string") for c in df.columns]
+                            )
+                        )
+                    ).collect()
+                    elapsed = round(time.perf_counter() - t0, 3)
+                finally:
+                    # release per-query tracked persists (_global_rank loc,
+                    # host_triangles edges, …) whether or not the query
+                    # raised (r15 ADVICE: a handle registered before a
+                    # failure must not leak into later timings) —
+                    # otherwise 200 queries accumulate InMemoryRelations
+                    # until eviction pressure. The shared ngram-jaccard
+                    # pair pipeline persists in operators/dedup are NOT
+                    # tracked, so the cross-query reuse is preserved.
+                    from wp_motor_spark.queries import release_persists
 
-                release_persists()
+                    release_persists()
                 if name not in timings or elapsed < timings[name]:
                     timings[name] = elapsed
                 rec = noise.setdefault(name, {"times": [], "loadavg": []})

@@ -32,6 +32,48 @@ def test_lint_flags_payload_shuffle_and_passes_good_plans(spark, sf001_dir):
         assert lint(QUERIES[name][0](spark, sf001_dir)) == [], name
 
 
+def test_lint_flags_growing_key_broadcasts(spark, sf001_dir):
+    """The r16 BCAST_GROWING extension: a broadcast hint on an
+    un-LIMITed aggregate or projection keyed by a growing scan column
+    fires WITHOUT an explode in the subtree (the r15 verdict's
+    market_basket / discount_elasticity blind spot); bounded shapes
+    (categorical groupings, key lookups, one-row aggs, LIMIT caps,
+    fixed catalogs) stay quiet."""
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf001_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    # pre-fix discount_elasticity shape: projection of a scaling dim
+    codes = {c for c, _ in lint(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand").count()
+    )}
+    assert "BCAST_GROWING" in codes
+    # pre-fix market_basket shape: per-part aggregate (aliased key)
+    ob = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    ia = ob.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    assert "BCAST_GROWING" in {c for c, _ in lint(ob.join(F.broadcast(ia), "pk"))}
+    # bounded: categorical grouping over the same scaling scan
+    good = li.join(
+        F.broadcast(li.groupBy("l_returnflag").count()), "l_returnflag"
+    )
+    assert "BCAST_GROWING" not in {c for c, _ in lint(good)}
+    # bounded: key-to-literal lookup filter
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 100).select("doc_id")
+    assert "BCAST_GROWING" not in {c for c, _ in lint(docs.crossJoin(F.broadcast(q)))}
+    # bounded: one-row global aggregate
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    assert "BCAST_GROWING" not in {c for c, _ in lint(docs.crossJoin(F.broadcast(tot)))}
+    # bounded: fixed catalog (nation)
+    nat = spark.read.parquet(f"{sf001_dir}/nation.parquet")
+    assert "BCAST_GROWING" not in {
+        c for c, _ in lint(li.join(F.broadcast(nat), li.l_suppkey == nat.n_nationkey))
+    }
+
+
 def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
     """Regression guard: every driver query's physical plan stays free of
     scale anti-patterns, except the two documented tiny-broadcast
@@ -54,11 +96,10 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   token stream was pre-filtered to the LITERAL 3-term query
         #   set map-side, so the df table is |query terms| rows — the
         #   lint can't see through the literal isin() filter.
-        "hybrid_search": {"NESTED_LOOP", "BCAST_GROWING"},
-        #   NESTED_LOOP: broadcast stats + query set. BCAST_GROWING
-        #   false positive: dfreq derives from tf AFTER the broadcast
-        #   semi-join against the 5 query docs' term set, so it is
-        #   bounded by the query vocabulary, not the corpus vocabulary.
+        "hybrid_search": {"NESTED_LOOP"},
+        #   broadcast stats + query set (the r16 lint's key-lookup
+        #   exemption now sees the query-doc filter, so the old
+        #   BCAST_GROWING false positive no longer fires)
         "q22_dormant_customers": {"NESTED_LOOP"},  # broadcast ONE-row AVG
         "dsir_weights": {"NESTED_LOOP"},      # broadcast ONE-row totals agg
         "stupid_backoff_ppl": {"NESTED_LOOP"},  # broadcast ONE-row N total
@@ -70,9 +111,6 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   total + ONE-row normalizer (exp-gradient step constants)
         "naive_bayes_quality": {"NESTED_LOOP"},  # broadcast ONE-row class
         #   totals + ONE-row log-prior constant
-        "prefix_containment_dedup": {"NESTED_LOOP"},  # broadcast short-doc
-        #   sliver (< 4-char texts — degenerate at any real corpus) vs one
-        #   corpus scan; the r12 short-doc bucket-miss fix
         "unimax_weights": {"NESTED_LOOP"},  # broadcast ONE-row
         #   (cap_sum, k_free) water-filling aggregate over the tiny
         #   |languages| frame
@@ -93,11 +131,9 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   min/max/midpoint bounds
         "classifier_prf": {"NESTED_LOOP"},  # rides naive_bayes_quality's
         #   ONE-row class totals + prior broadcasts
-        "rank_eval_ndcg": {"NESTED_LOOP", "BCAST_GROWING"},
-        #   NESTED_LOOP: broadcast ONE-row BM25 stats + tiny query set.
-        #   BCAST_GROWING: the hybrid_search false positive — dfreq
-        #   derives from tf AFTER the broadcast semi-join against the 5
-        #   query docs' term set (bounded by the query vocabulary)
+        "rank_eval_ndcg": {"NESTED_LOOP"},
+        #   broadcast ONE-row BM25 stats + tiny query set (old
+        #   BCAST_GROWING false positive gone, as in hybrid_search)
         "bootstrap_ci": {"NESTED_LOOP"},  # broadcast ONE-row point
         #   estimate next to the 200-element replicate array
         "mmr_rerank": {"NESTED_LOOP"},  # broadcast tiny query set
@@ -160,10 +196,14 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   centroid frame (bounded by the label vocabulary, 10 here)
         "dunning_keyness": {"NESTED_LOOP"},  # broadcast ONE-row corpus
         #   token totals (na, nb)
-        "burrows_delta": {"BCAST_GROWING"},  # false positive: the
-        #   broadcast sides are the rank-LIMITED top-30 vocabulary and
-        #   the |sources|-row token totals — both bounded, they merely
-        #   DERIVE from a growing scan (the rank_eval_ndcg shape)
+        "prefix_containment_dedup": {"NESTED_LOOP", "BCAST_GROWING"},
+        #   NESTED_LOOP + BCAST_GROWING: the broadcast side is the
+        #   short-doc sliver (text < 4 chars — degenerate at any real
+        #   corpus, see the op's docstring) and the hint pins the
+        #   correct side of a non-equi containment join; the lint's
+        #   lineage detector cannot see the length() filter's
+        #   selectivity, so this is a documented bounded case, not a
+        #   growing broadcast
         "abc_analysis": {"NESTED_LOOP"},  # broadcast ONE-row total
         #   part count next to the 3-class rollup
     }

@@ -22,15 +22,26 @@ Checks:
   WIDE_SHUFFLE  Exchange carrying a text/binary column — document
                 payloads moving through a shuffle; shuffle digests/ids
                 instead.
-  BCAST_GROWING an explicit broadcast HINT on a subtree that explodes
-                document/event content and then group-aggregates it
-                without a LIMIT cap or a one-row global aggregate — a
-                token/n-gram model table whose row count GROWS with the
-                corpus (Heaps' law), over the broadcast ceiling at
-                100 TB. Drop the hint (AQE broadcasts when actually
-                small) or cap the table (top-K + OOV, the vocab_oov
-                pattern). Detected on the ANALYZED logical plan, where
-                ResolvedHint nodes are still visible.
+  BCAST_GROWING an explicit broadcast HINT on a subtree whose row
+                count GROWS with the corpus. Two detectors, both on
+                the ANALYZED logical plan (where ResolvedHint nodes
+                are still visible):
+                (a) the subtree explodes document/event content and
+                    re-aggregates by a token/n-gram-like key (Heaps'
+                    law growth) without a LIMIT cap or one-row global
+                    aggregate;
+                (b) the subtree's output cardinality traces — through
+                    the alias lineage — to a GROWING KEY column of a
+                    scaling base table (partkey/orderkey/custkey/
+                    suppkey/doc_id/user_id/event_id/vec_id), with no
+                    LIMIT, no one-row global aggregate, no grouping by
+                    bounded categoricals only, and no key-to-literal
+                    lookup filter. This is the r15-verdict blind spot:
+                    an un-LIMITed aggregate or projection keyed by a
+                    scan column needs no explode to outgrow the
+                    broadcast ceiling at 100 TB.
+                Drop the hint (AQE broadcasts when actually small) or
+                cap the table (top-K + OOV, the vocab_oov pattern).
 """
 
 from __future__ import annotations
@@ -51,12 +62,90 @@ def _tree_indent(line: str) -> int:
     return i
 
 
+# Key columns whose distinct count grows linearly with corpus scale:
+# the TPC-H fact/dimension keys (part/orders/customer/supplier all
+# scale with SF) plus the events/documents/embeddings row identities.
+_GROWING_KEYS = {
+    "l_partkey", "p_partkey", "ps_partkey", "l_orderkey", "o_orderkey",
+    "l_suppkey", "s_suppkey", "ps_suppkey", "c_custkey", "o_custkey",
+    "doc_id", "event_id", "user_id", "vec_id",
+}
+
+
+def _split_top(payload: str) -> list[str]:
+    """Split a plan-node bracket payload on top-level commas (commas
+    inside function-call parens stay put)."""
+    parts, depth, cur = [], 0, []
+    for ch in payload:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)")
+
+
+def _alias_map(sub: list[str]) -> dict:
+    """target attr (name, id) -> source attrs referenced by its
+    defining expression, from every `expr AS name#id` in the subtree's
+    Project/Aggregate/Window payloads."""
+    amap: dict = {}
+    for ln in sub:
+        for m in re.finditer(r"\[([^\[\]]*)\]", ln):
+            for piece in _split_top(m.group(1)):
+                am = re.search(
+                    r"^(.*) AS ([A-Za-z_][A-Za-z_0-9]*)#(\d+)[A-Za-z]*$",
+                    piece.strip(),
+                )
+                if not am:
+                    continue
+                tgt = (am.group(2), am.group(3))
+                srcs = {
+                    (n, i) for n, i in _ATTR_RE.findall(am.group(1))
+                    if (n, i) != tgt
+                }
+                amap.setdefault(tgt, set()).update(srcs)
+    return amap
+
+
+def _resolve(attr: tuple, amap: dict) -> set:
+    """Terminal (un-aliased) attrs an attribute's lineage reaches."""
+    seen: set = set()
+    term: set = set()
+    stack = [attr]
+    while stack:
+        a = stack.pop()
+        if a in seen:
+            continue
+        seen.add(a)
+        if amap.get(a):
+            stack.extend(amap[a])
+        else:
+            term.add(a)
+    return term
+
+
+def _grows(attrs: list, amap: dict) -> bool:
+    return any(
+        n in _GROWING_KEYS
+        for a in attrs
+        for n, _ in _resolve(a, amap)
+    )
+
+
 def _broadcast_growing(analyzed: str) -> list[str]:
     """ResolvedHint(broadcast) subtrees that build a grow-with-corpus
-    model table: the subtree EXPLODES content (Generate explode/
-    posexplode — token/n-gram streams) and re-aggregates it by key
-    (grouped Aggregate), with no GlobalLimit cap and no one-row global
-    Aggregate on top. Returns a sketch of each offending subtree head."""
+    table — detector (a) explode+token-regroup, detector (b) growing-
+    key lineage. Returns a sketch of each offending subtree head."""
     lines = analyzed.splitlines()
     hits: list[str] = []
     for i, ln in enumerate(lines):
@@ -69,31 +158,65 @@ def _broadcast_growing(analyzed: str) -> list[str]:
                 break
             sub.append(nxt)
         text = "\n".join(sub)
-        if not re.search(r"Generate (pos)?explode", text):
-            continue
         if re.search(r"(Global|Local)Limit", text):
             continue  # top-K capped — bounded by construction
-        # the TOPMOST Aggregate in the hinted subtree decides the
-        # broadcast's cardinality: a global one-row agg ('Aggregate
-        # [sum(...) AS n]', single list) is bounded no matter what
-        # feeds it; a grouped agg is unbounded ONLY when its grouping
-        # key is a token/n-gram-like column (Heaps' law) — grouping by
-        # source/label/bucket-id stays at that key's cardinality
+        has_explode = bool(re.search(r"Generate (pos)?explode", text))
+        amap = _alias_map(sub)
+        # a Filter comparing a growing KEY column to literals (query-
+        # point / query-set lookup: =, IN, <, <=) bounds the subtree to
+        # a fixed key count independent of corpus scale
+        key_lookup = False
+        for fl in sub:
+            st = fl.strip().lstrip(":+- ")
+            if not st.startswith("Filter"):
+                continue
+            for cm in re.finditer(
+                r"([A-Za-z_][A-Za-z_0-9]*)#(\d+)[A-Za-z]*"
+                r" (?:=|IN|<|<=) ([^#\n]*?)(?:[,)]|$)",
+                st,
+            ):
+                if "#" in cm.group(3):
+                    continue  # attr-to-attr comparison, not a lookup
+                if any(
+                    n in _GROWING_KEYS
+                    for n, _ in _resolve((cm.group(1), cm.group(2)), amap)
+                ):
+                    key_lookup = True
+        if key_lookup:
+            continue
+        # the TOPMOST width-deciding node in the hinted subtree sets
+        # the broadcast's cardinality
+        flagged = False
         for s in sub:
             m = re.search(r"Aggregate \[([^\]]*)\](, \[)?", s)
-            if not m:
-                continue
-            if not m.group(2):
-                break  # global one-row aggregate — bounded
-            grouping = m.group(1)
-            if re.search(
-                r"\b(token|tok|term|w|w1|w2|w3|gram|ngram|bigram|trigram"
-                r"|shingle|word|suffix|sfx)#\d",
-                grouping,
-            ):
-                head = s.strip()
-                hits.append(head[:100])
-            break
+            if m:
+                if not m.group(2):
+                    break  # global one-row aggregate — bounded
+                grouping = m.group(1)
+                if has_explode and re.search(
+                    r"\b(token|tok|term|w|w1|w2|w3|gram|ngram|bigram"
+                    r"|trigram|shingle|word|suffix|sfx)#\d",
+                    grouping,
+                ):
+                    flagged = True  # detector (a)
+                elif _grows(_ATTR_RE.findall(grouping), amap):
+                    flagged = True  # detector (b): grouped by a key
+                break
+            dm = re.search(r"Deduplicate \[([^\]]*)\]", s)
+            if dm:
+                if _grows(_ATTR_RE.findall(dm.group(1)), amap):
+                    flagged = True
+                break
+            pm = re.search(r"(?:Project|Relation) ?\[([^\]]*)\]", s)
+            if pm and "] parquet" in text:
+                # no aggregate at all: a projection/scan of a scaling
+                # base table — detector (b)
+                if _grows(_ATTR_RE.findall(pm.group(1)), amap):
+                    flagged = True
+                break
+        if flagged:
+            head = next((x.strip() for x in sub if x.strip()), "")
+            hits.append(head[:100])
     return hits
 
 
@@ -104,9 +227,9 @@ def lint(df) -> list[tuple[str, str]]:
     for head in _broadcast_growing(qe.analyzed().toString()):
         out.append(
             ("BCAST_GROWING",
-             "broadcast hint on an exploded-and-regrouped (token/n-gram) "
-             f"table that grows with the corpus — drop the hint or cap "
-             f"with top-K [{head}]")
+             "broadcast hint on a table that grows with the corpus "
+             "(token/n-gram regroup or growing-key lineage) — drop the "
+             f"hint or cap with top-K [{head}]")
         )
     if "CartesianProduct" in plan:
         out.append(("NESTED_LOOP", "CartesianProduct in plan — unkeyed join"))

@@ -109,6 +109,53 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
     )
 
 
+def _global_cumsum(
+    df: DataFrame, order_cols: list, value_col: str, out_col: str
+) -> DataFrame:
+    """Exact global inclusive prefix sum of ``value_col`` over the
+    total order ``order_cols`` WITHOUT a single-partition window — the
+    _global_rank discipline applied to running sums (r15 verdict item
+    3): repartitionByRange spreads the ordered frame over balanced
+    ranges, each partition folds its local running sum, and broadcast
+    per-partition totals (|partitions| rows) lift local prefixes to
+    global ones. Same persist rationale as _global_rank: both subtrees
+    must read ONE physical range partitioning."""
+    dtype = dict(df.dtypes)[value_col]
+    loc = _track_persist(
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lc",
+            F.sum(value_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    offsets = (
+        loc.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__pt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__pt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast(dtype),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        loc.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__lc") + F.col("__off"))
+        .drop("__pid", "__lc", "__off", "__pt")
+    )
+
+
 def _dec(col, scale: int = 2):
     return col.cast(f"decimal(18,{scale})")
 
@@ -3075,7 +3122,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_limit")
     )
     small = (
-        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        li.join(brand, li.l_partkey == brand.p_partkey)
         .join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_limit"))
     )
@@ -3241,7 +3288,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "cust_nation")
     rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(s_side), li.l_suppkey == s_side.s_suppkey)
+        li.join(s_side, li.l_suppkey == s_side.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(c_side, orders.o_custkey == c_side.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -3288,12 +3335,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("cnk"))
     )
     j = (
-        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+        li.join(part.where(F.col("p_type") == "PROMO"),
                 li.l_partkey == F.col("p_partkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(asia), cust.c_nationkey == F.col("cnk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
     )
     return (
@@ -3379,7 +3426,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = r.agg(F.max("total_revenue").alias("mx"))
     return (
         r.join(F.broadcast(mx), r.total_revenue == mx.mx)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -3452,7 +3499,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec(F.col("l_extendedprice")) * _dec(F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -9920,7 +9967,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
             F.round(
@@ -9932,7 +9979,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        cost.join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+        cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey)
         .withColumn("__min", F.min("supply_cost").over(w))
         .where(F.col("supply_cost") == F.col("__min"))
         .select(
@@ -9995,7 +10042,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.col("l_discount")
     ) - _dec(F.lit(0.6) * F.col("p_retailprice")) * _dec(F.col("l_quantity"))
     return (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        li.join(red, li.l_partkey == red.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
@@ -10054,7 +10101,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.col("l_discount")
     )
     per_part = (
-        li.join(F.broadcast(n7), li.l_suppkey == n7.s_suppkey)
+        li.join(n7, li.l_suppkey == n7.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("__v"))
     )
@@ -10168,9 +10215,9 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(parts, F.col("l_partkey") == parts.p_partkey)
         .join(
-            F.broadcast(flagged),
+            flagged,
             F.col("l_suppkey") == flagged.s_suppkey,
             "left_anti",
         )
@@ -10216,7 +10263,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year("l_shipdate")
     zero = F.lit(0).cast("decimal(18,2)")
     pair = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(
@@ -13173,10 +13220,12 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair generator self-joins DISTINCT (order, part)
     within each order — quadratic only in BASKET SIZE, which is a
     data-model invariant (~O(10) items/order at any corpus scale), so
-    pair volume stays linear in orders. Item supports are a bounded
-    |parts| rollup joined back broadcast; the 1-row order count
-    broadcasts. Output is bounded by the support floor (the Apriori
-    argument)."""
+    pair volume stays linear in orders. Item supports are a |parts|
+    rollup — part SCALES with SF, so the joins back onto the kept
+    pairs carry NO broadcast hint (r15 verdict: a hint there
+    guarantees executor OOM at 100 TB; AQE broadcasts when the rollup
+    is actually small). Only the 1-row order count broadcasts. Output
+    is bounded by the support floor (the Apriori argument)."""
     li = _t(spark, sf_dir, "lineitem")
     ob = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -13200,7 +13249,7 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("pk").alias("pa"), F.col("item_cnt").alias("ca"))
     ib = item.select(F.col("pk").alias("pb"), F.col("item_cnt").alias("cb"))
-    j = pairs.join(F.broadcast(ia), "pa").join(F.broadcast(ib), "pb")
+    j = pairs.join(ia, "pa").join(ib, "pb")
     nn = F.col("n_orders").cast("double")
     lift = (
         F.col("pair_cnt").cast("double")
@@ -13646,7 +13695,14 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative windows over that bounded frame, and the cross-bin sum
     runs over INTEGER cross-multiplied counts (|cumA*Nb - cumB*Na| in
     DECIMAL), so no float-order ambiguity — the single double division
-    happens once per type."""
+    happens once per type. Each occupied bin's |CDF gap| is weighted
+    by its SPAN to the next occupied bin (lead(bin)-bin; the last bin
+    spans to 1000): between occupied bins both CDFs hold constant, so
+    empty interior bins contribute the constant gap times their width
+    — without the span weight W1 is understated whenever the support
+    has gaps (r15 ADVICE). The span product stays integer-exact:
+    |gap| <= na*nb fits DECIMAL(33,0), span <= 1000 fits DECIMAL(5,0),
+    product width 38 on both engines."""
     ev = _t(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min("value").alias("vmin"),
@@ -13679,9 +13735,14 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wall = Window.partitionBy("event_type")
+    wnext = Window.partitionBy("event_type").orderBy("bin")
     cum = per.select(
         "event_type",
         "binw",
+        (
+            F.coalesce(F.lead("bin").over(wnext), F.lit(1000))
+            - F.col("bin")
+        ).alias("span"),
         F.sum("ca").over(w).alias("cuma"),
         F.sum("cb").over(w).alias("cumb"),
         F.sum("ca").over(wall).alias("na"),
@@ -13694,7 +13755,7 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cumb").cast("decimal(19,0)")
             * F.col("na").cast("decimal(19,0)")
         ).cast("decimal(38,0)")
-    )
+    ).cast("decimal(33,0)") * F.col("span").cast("decimal(5,0)")
     agg = cum.groupBy("event_type", "binw", "na", "nb").agg(
         F.sum(term).alias("s")
     )
@@ -13730,6 +13791,8 @@ WITH bounds AS (
   FROM binned GROUP BY 1, 2, 3
 ), cum AS (
   SELECT event_type, binw,
+         COALESCE(LEAD(bin) OVER (PARTITION BY event_type ORDER BY bin),
+                  1000) - bin AS span,
          SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
          SUM(ca) OVER (PARTITION BY event_type) AS na,
          SUM(cb) OVER (PARTITION BY event_type) AS nb
@@ -13738,9 +13801,12 @@ WITH bounds AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), agg AS (
   SELECT event_type, binw, na, nb,
-         SUM(ABS(CAST(CAST(cuma AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
-                      - CAST(cumb AS DECIMAL(19,0))
-                        * CAST(na AS DECIMAL(19,0)) AS DECIMAL(38,0)))) AS s
+         SUM(CAST(ABS(CAST(CAST(cuma AS DECIMAL(19,0))
+                             * CAST(nb AS DECIMAL(19,0))
+                           - CAST(cumb AS DECIMAL(19,0))
+                             * CAST(na AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS DECIMAL(33,0))
+             * CAST(span AS DECIMAL(5,0))) AS s
   FROM cum GROUP BY 1, 2, 3, 4
 )
 SELECT event_type, CAST(na AS BIGINT) AS n_first,
@@ -14551,6 +14617,48 @@ FROM per, tot ORDER BY source
 """
 
 
+def _daily_counts_dense(ev: DataFrame) -> DataFrame:
+    """Per-type daily event counts left-joined onto each type's DENSE
+    calendar (sequence between its min and max day; missing days count
+    0) — so a lag-k column means k CALENDAR days, not k observed rows
+    (r15 ADVICE on ljung_box/acf_daily/lead_lag_corr: a date with zero
+    events must not shift the lag-7/14 weekly alignment). The calendar
+    frame is |types| x |days| — bounded."""
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    return cal.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+
+
+# DuckDB twin of _daily_counts_dense: CTE chain ending in `daily`.
+_DENSE_DAILY_SQL = """daily0 AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), span_ AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily0 GROUP BY 1
+), cal AS (
+  SELECT event_type,
+         UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span_
+), daily AS (
+  SELECT cal.event_type, cal.day, COALESCE(daily0.c, 0) AS c
+  FROM cal LEFT JOIN daily0
+    ON cal.event_type = daily0.event_type AND cal.day = daily0.day
+)"""
+
+
 def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of daily event counts (Box & Jenkins
     1970) per event_type at lags 1, 2, 3, 7 and 14 — the weekly-cycle
@@ -14562,11 +14670,11 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, lag).
 
     Scale shape: daily rollup bounds everything by the calendar; the
-    five lags are LEAD columns over the |days| window; one rollup."""
+    five lags are LEAD columns over the |days| window (DENSE calendar
+    — zero-event days count 0, so lag k is k calendar days); one
+    rollup."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _daily_counts_dense(ev)
     wd = Window.partitionBy("event_type").orderBy("day")
     lags = [1, 2, 3, 7, 14]
     cols = [F.lead("c", k).over(wd).alias(f"l{k}") for k in lags]
@@ -14641,10 +14749,7 @@ def _acf_sql() -> str:
         for k in lags
     )
     return f"""
-WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1, 2
-), wide AS (
+WITH {_DENSE_DAILY_SQL}, wide AS (
   SELECT event_type, c,
 {leads}
   FROM daily
@@ -16081,13 +16186,13 @@ def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     acf_daily discipline): every sum is an integer or DECIMAL, the
     correlation is one double expression per (a, b, k).
 
-    Scale shape: one daily rollup; the pair frame joins daily(a) x
-    daily(b) on the shifted DAY key — calendar-bounded (|days| rows
-    per pair), never corpus-sized; output |types|^2 x |lags|."""
+    Scale shape: one daily rollup (DENSE calendar — zero-event days
+    count 0, so the lag shift is true calendar days); the pair frame
+    joins daily(a) x daily(b) on the shifted DAY key —
+    calendar-bounded (|days| rows per pair), never corpus-sized;
+    output |types|^2 x |lags|."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _daily_counts_dense(ev)
     out = None
     for k in [0, 1, 3, 7]:
         a = daily.select(
@@ -16162,10 +16267,7 @@ def _lead_lag_sql() -> str:
   GROUP BY 1, 2""")
     un = "\n  UNION ALL".join(parts)
     return f"""
-WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1, 2
-), g AS ({un}
+WITH {_DENSE_DAILY_SQL}, g AS ({un}
 )
 SELECT type_a, type_b, lag, n AS n_days,
        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
@@ -16335,11 +16437,12 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue).
 
     Scale shape: the FACT table scans once into a |parts|-keyed
-    revenue agg (decimal); ranking the |parts| DIMENSION frame uses
-    the two-phase _global_rank (range partitions + broadcast offsets —
-    never a single-task sort), and the cumulative share runs as one
-    more bounded window over the ranked dimension frame (parts are a
-    catalog, orders of magnitude below facts)."""
+    revenue agg (decimal); ranking the |parts| frame uses the
+    two-phase _global_rank, and the cumulative share uses the matching
+    two-phase _global_cumsum (range partitions + broadcast offsets) —
+    part SCALES with SF (r15 verdict), so NEITHER the sort NOR the
+    prefix sum may funnel through one task. The grand total comes from
+    a separate 1-row agg, never SUM() OVER ()."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -16353,18 +16456,18 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["__negrev", "l_partkey"],
     ).drop("__negrev")
-    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    shared = ranked.select(
-        "l_partkey",
-        "rev",
-        "rank",
-        (
-            F.sum("rev").over(wcum).cast("double")
-            / F.sum("rev").over(wall).cast("double")
-        ).alias("cumshare"),
+    total = rev.agg(F.sum("rev").alias("__tot"))
+    shared = (
+        _global_cumsum(ranked, ["rank"], "rev", "__cum")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            "rank",
+            (
+                F.col("__cum").cast("double") / F.col("__tot").cast("double")
+            ).alias("cumshare"),
+        )
     )
     cls = (
         F.when(F.col("cumshare") <= 0.80, "A")
@@ -16441,12 +16544,14 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (brand, discount-level) rollup over the fact scan
     (bounded groups: |brands| x |grid|), then per-brand closed-form
-    OLS over that bounded frame. The part dimension broadcasts after
-    pruning to (partkey, brand)."""
+    OLS over that bounded frame. The part side is pruned to
+    (partkey, brand) but carries NO broadcast hint — part scales with
+    SF (r15 verdict); AQE broadcasts it when it is actually small and
+    shuffle-joins it scale-safely when it is not."""
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cell = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(
             "p_brand",
             F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
@@ -16900,12 +17005,11 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence claim quotes Q, not eyeballed bars). r_k from the
     same exact-integer lag-product expansion acf_daily uses.
 
-    Scale shape: calendar-bounded daily rollup, five LEAD columns,
-    one moment rollup, scalar Q — |types| rows."""
+    Scale shape: calendar-bounded daily rollup (DENSE calendar —
+    zero-event days count 0, so lag k means k calendar days), five
+    LEAD columns, one moment rollup, scalar Q — |types| rows."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _daily_counts_dense(ev)
     wd = Window.partitionBy("event_type").orderBy("day")
     lags = [1, 2, 3, 7, 14]
     cols = [F.lead("c", k).over(wd).alias(f"l{k}") for k in lags]
@@ -16982,10 +17086,7 @@ def _ljung_box_sql() -> str:
         for k in lags
     )
     return f"""
-WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1, 2
-), wide AS (
+WITH {_DENSE_DAILY_SQL}, wide AS (
   SELECT event_type, c,
 {leads}
   FROM daily
@@ -17002,6 +17103,471 @@ SELECT event_type, n AS n_days,
        CASE WHEN n * (n + 2.0) * ({terms}) > 11.07
             THEN 'autocorrelated' ELSE 'independent' END AS verdict
 FROM g ORDER BY event_type
+"""
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952): do the sources'
+    document-length distributions share one location? The k-group
+    extension of the rank-sum test — the screen a corpus report runs
+    before quoting 'source X writes longer docs'. n_chars is already
+    integer, so ranks are EXACT: midranks fold per distinct value
+    (the mann_whitney discipline), and the DOUBLED midrank
+    2*cumprior + t + 1 is an integer, so every rank-sum runs in
+    DECIMAL — exact at any corpus size (plain midrank halves would
+    leave exactness at 2^52). Tie correction 1 - sum(t^3-t)/(N^3-N).
+
+    Scale shape: one (value, source) histogram rollup; the rank
+    window is ordered by the VALUE DOMAIN (distinct doc lengths — a
+    data-model invariant, not corpus-sized), per-source rank sums are
+    a bounded rollup, and the H assembly is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        F.col("n_chars").alias("v"), "source"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per = hist.groupBy("v").agg(F.sum("cnt").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    td = F.col("t").cast("decimal(12,0)")
+    ranked = per.select(
+        "v",
+        (
+            2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+        ).alias("mr2"),
+        (td * td * td - td).cast("decimal(38,0)").alias("tie"),
+    )
+    j = hist.join(ranked, "v")
+    g = j.groupBy("source").agg(
+        F.sum("cnt").alias("ng"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(18,0)")
+                * F.col("mr2").cast("decimal(18,0)")
+            ).cast("decimal(38,0)")
+        ).alias("rs2"),
+    )
+    ties = ranked.agg(F.sum("tie").alias("ties"))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("ng").alias("n")
+    ).crossJoin(F.broadcast(ties))
+    jj = g.crossJoin(F.broadcast(tot))
+    nn = F.col("n").cast("double")
+    rbar = F.col("rs2").cast("double") / 2.0 / F.col("ng").cast("double")
+    hterm = F.col("ng").cast("double") * (rbar - (nn + 1) / 2.0) * (
+        rbar - (nn + 1) / 2.0
+    )
+    out = jj.groupBy("k", "n", "ties").agg(F.sum(hterm).alias("sh"))
+    h = 12.0 / (nn * (nn + 1)) * F.col("sh")
+    corr = 1.0 - F.col("ties").cast("double") / (nn * nn * nn - nn)
+    return (
+        jj.select(
+            "source",
+            F.col("ng").alias("n_docs"),
+            F.round(rbar, 4).alias("mean_rank"),
+        )
+        .join(
+            F.broadcast(
+                out.select(
+                    F.round(h, 4).alias("h_stat"),
+                    F.round(h / corr, 4).alias("h_tie_corrected"),
+                    (F.col("k") - 1).alias("df"),
+                )
+            )
+        )
+        .orderBy("source")
+    )
+
+
+KRUSKAL_SQL = """
+WITH hist AS (
+  SELECT n_chars AS v, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+), per AS (
+  SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM hist GROUP BY 1
+), ranked AS (
+  SELECT v,
+         2 * COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS mr2,
+         CAST(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+              * CAST(t AS DECIMAL(12,0)) - t AS DECIMAL(38,0)) AS tie
+  FROM per
+), g AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS ng,
+         SUM(CAST(CAST(cnt AS DECIMAL(18,0)) * CAST(mr2 AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS rs2
+  FROM hist JOIN ranked USING (v) GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+         (SELECT SUM(tie) FROM ranked) AS ties
+  FROM g
+), hsum AS (
+  SELECT k, n, ties,
+         SUM(CAST(ng AS DOUBLE)
+             * (CAST(rs2 AS DOUBLE) / 2.0 / ng - (CAST(n AS DOUBLE) + 1) / 2.0)
+             * (CAST(rs2 AS DOUBLE) / 2.0 / ng - (CAST(n AS DOUBLE) + 1) / 2.0))
+           AS sh
+  FROM g, tot GROUP BY 1, 2, 3
+)
+SELECT source, ng AS n_docs,
+       round(CAST(rs2 AS DOUBLE) / 2.0 / ng, 4) AS mean_rank,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sh, 4) AS h_stat,
+       round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sh
+             / (1.0 - CAST(ties AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - n)), 4) AS h_tie_corrected,
+       k - 1 AS df
+FROM g, hsum ORDER BY source
+"""
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950; the Brown-Mood k-sample form):
+    does each source put the same share of documents above the GRAND
+    median length? Cruder than Kruskal-Wallis but assumption-light —
+    the robustness cross-check quoted next to it. The grand median is
+    the EXACT lower median over the integer n_chars histogram
+    (robust_source_stats discipline); the k x 2 contingency chi2
+    compares observed above-counts to n_g * (above_total / N).
+
+    Scale shape: one value-domain histogram for the median (the
+    window is value-domain-bounded), one (source, above?) rollup,
+    chi2 assembly on |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.orderBy("v")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(
+            F.broadcast(hist.agg(F.sum("cnt").alias("n")))
+        )
+        .where(F.col("cum") - F.col("cnt") < F.ceil(F.col("n") / 2))
+        .where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .select(F.col("v").alias("med"))
+    )
+    per = (
+        docs.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("med"), 1).otherwise(0)
+            ).alias("above"),
+        )
+    )
+    tot = per.agg(
+        F.sum("ng").alias("n"),
+        F.sum("above").alias("above_tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ea = (
+        F.col("ng").cast("double")
+        * F.col("above_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    eb = F.col("ng").cast("double") - ea
+    oa = F.col("above").cast("double")
+    ob = F.col("ng").cast("double") - oa
+    cell = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    chi = j.groupBy("k").agg(F.sum(cell).alias("chi2"))
+    return (
+        j.select(
+            "source",
+            F.col("ng").alias("n_docs"),
+            F.col("above").alias("n_above_median"),
+            F.round(ea, 2).alias("expected_above"),
+        )
+        .join(
+            F.broadcast(
+                chi.select(
+                    F.round("chi2", 4).alias("chi2_stat"),
+                    (F.col("k") - 1).alias("df"),
+                )
+            )
+        )
+        .orderBy("source")
+    )
+
+
+MOOD_MEDIAN_SQL = """
+WITH hist AS (
+  SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1
+), med AS (
+  SELECT v AS med
+  FROM (
+    SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM hist
+  )
+  WHERE cum - cnt < CAST(CEIL(n / 2.0) AS BIGINT)
+    AND cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+), per AS (
+  SELECT source, COUNT(*) AS ng,
+         CAST(SUM(CASE WHEN n_chars > med THEN 1 ELSE 0 END) AS BIGINT)
+           AS above
+  FROM documents, med GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(above) AS BIGINT)
+           AS above_tot, COUNT(*) AS k
+  FROM per
+), chi AS (
+  SELECT k,
+         SUM((above - CAST(ng AS DOUBLE) * above_tot / n)
+             * (above - CAST(ng AS DOUBLE) * above_tot / n)
+             / (CAST(ng AS DOUBLE) * above_tot / n)
+             + ((ng - above) - (ng - CAST(ng AS DOUBLE) * above_tot / n))
+               * ((ng - above) - (ng - CAST(ng AS DOUBLE) * above_tot / n))
+               / (ng - CAST(ng AS DOUBLE) * above_tot / n)) AS chi2
+  FROM per, tot GROUP BY 1
+)
+SELECT source, ng AS n_docs, above AS n_above_median,
+       round(CAST(ng AS DOUBLE) * above_tot / n, 2) AS expected_above,
+       round(chi2, 4) AS chi2_stat, chi.k - 1 AS df
+FROM per, tot, chi ORDER BY source
+"""
+
+
+def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen (Jarque & Bera 1980) on document
+    length per source: JB = n/6 (S^2 + (K-3)^2 / 4) from EXACT integer
+    power sums — skewness and excess kurtosis come from raw moments
+    s1..s4 accumulated in DECIMAL (n_chars^4 fits DECIMAL(38,0) via
+    paired DECIMAL(19,0) squares), expanded to central moments once
+    per source in double. The length-distribution shape gate before a
+    'mean +- sd' claim.
+
+    Scale shape: one decimal power-sum rollup per source; |sources|
+    rows of scalar math."""
+    docs = _t(spark, sf_dir, "documents")
+    dc = F.col("n_chars").cast("decimal(18,0)")
+    p2 = (dc * dc).cast("decimal(19,0)")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dc).alias("s1"),
+        F.sum(p2.cast("decimal(38,0)")).alias("s2"),
+        F.sum((p2 * dc).cast("decimal(38,0)")).alias("s3"),
+        F.sum((p2 * p2).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m * m
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * m * F.col("s2").cast("double") / n
+        + 2 * m * m * m
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * m * F.col("s3").cast("double") / n
+        + 6 * m * m * F.col("s2").cast("double") / n
+        - 3 * m * m * m * m
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4.0)
+    return g.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        # chi2_{0.95, df=2} = 5.991
+        F.when(jb > 5.991, "non_normal").otherwise("normal_ish")
+        .alias("verdict"),
+    ).orderBy("source")
+
+
+JARQUE_BERA_SQL = """
+WITH g AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS s1,
+         SUM(CAST(CAST(CAST(n_chars AS DECIMAL(18,0))
+                       * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(CAST(CAST(n_chars AS DECIMAL(18,0))
+                       * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0))
+                  * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s3,
+         SUM(CAST(CAST(CAST(n_chars AS DECIMAL(18,0))
+                       * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0))
+                  * CAST(CAST(n_chars AS DECIMAL(18,0))
+                         * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS s4
+  FROM documents GROUP BY 1
+), mom AS (
+  SELECT source, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM g
+), cen AS (
+  SELECT source, n, r2 - m * m AS m2,
+         r3 - 3 * m * r2 + 2 * m * m * m AS m3,
+         r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m AS m4
+  FROM mom
+)
+SELECT source, n AS n_docs,
+       round(m3 / sqrt(m2 * m2 * m2), 4) AS skewness,
+       round(m4 / (m2 * m2), 4) AS kurtosis,
+       round(n / 6.0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+             + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0), 4)
+         AS jb_stat,
+       CASE WHEN n / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+                            * (m3 / sqrt(m2 * m2 * m2))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)
+                 > 5.991
+            THEN 'non_normal' ELSE 'normal_ish' END AS verdict
+FROM cen ORDER BY source
+"""
+
+
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test (Bartlett 1937) of
+    document length across sources: T = ((N-k) ln Sp^2 -
+    sum (n_i-1) ln S_i^2) / C with the Bartlett correction C — the
+    classical (normality-assuming) counterpart to the robust
+    levene_variance already in the registry; quoting both is the
+    textbook practice. Per-group variances come from EXACT decimal
+    moments; logs run once per source on the bounded frame.
+
+    Scale shape: one decimal moment rollup per source, a 1-row
+    pooled frame, |sources| rows of scalar math."""
+    docs = _t(spark, sf_dir, "documents")
+    dc = F.col("n_chars").cast("decimal(18,0)")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(dc).alias("s"),
+        F.sum((dc * dc).cast("decimal(38,0)")).alias("s2"),
+    )
+    ngd = F.col("ng").cast("double")
+    # unbiased per-group variance from exact sums
+    vi = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / ngd
+    ) / (ngd - 1)
+    per = g.select("source", "ng", vi.alias("vi"))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum((F.col("ng") - 1).cast("double") * F.col("vi")).alias("ssw"),
+        F.sum(F.log(F.col("vi")) * (F.col("ng") - 1).cast("double"))
+        .alias("sumlog"),
+        F.sum(1.0 / (F.col("ng") - 1).cast("double")).alias("sinv"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    sp2 = F.col("ssw") / (nd - kd)
+    t = (nd - kd) * F.log(sp2) - F.col("sumlog")
+    c = 1.0 + (F.col("sinv") - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round(sp2, 4).alias("pooled_var"),
+        F.round(t / c, 4).alias("bartlett_t"),
+        (F.col("k") - 1).alias("df"),
+    )
+
+
+BARTLETT_SQL = """
+WITH g AS (
+  SELECT source, COUNT(*) AS ng,
+         SUM(CAST(n_chars AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(n_chars AS DECIMAL(18,0))
+                  * CAST(n_chars AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS s2
+  FROM documents GROUP BY 1
+), per AS (
+  SELECT source, ng,
+         (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / ng) / (ng - 1) AS vi
+  FROM g
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+         SUM((ng - 1) * vi) AS ssw,
+         SUM(ln(vi) * (ng - 1)) AS sumlog,
+         SUM(1.0 / (ng - 1)) AS sinv
+  FROM per
+)
+SELECT k AS n_groups, n AS n_obs,
+       round(ssw / (n - k), 4) AS pooled_var,
+       round(((CAST(n AS DOUBLE) - k) * ln(ssw / (n - k)) - sumlog)
+             / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1.0))), 4)
+         AS bartlett_t,
+       k - 1 AS df
+FROM tot
+"""
+
+
+def anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (Fisher 1925) of event value across event types:
+    F = (SSB/(k-1)) / (SSW/(N-k)) over integer-floored cents (the
+    levene_variance domain) — the parametric location test quoted
+    next to kruskal_wallis's rank version, plus eta^2 effect size.
+    All sums of squares come from EXACT decimal moments.
+
+    Scale shape: one decimal moment rollup per type, a 1-row grand
+    frame, |types| rows of scalar math."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("decimal(18,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(vc).alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s").alias("st"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ngd = F.col("ng").cast("double")
+    gm = F.col("st").cast("double") / F.col("n").cast("double")
+    ssb = F.sum(
+        ngd
+        * (F.col("s").cast("double") / ngd - gm)
+        * (F.col("s").cast("double") / ngd - gm)
+    )
+    ssw = F.sum(
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / ngd
+    )
+    out = j.groupBy("k", "n").agg(ssb.alias("ssb"), ssw.alias("ssw"))
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    fstat = (F.col("ssb") / (kd - 1)) / (F.col("ssw") / (nd - kd))
+    return out.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round("ssb", 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+    )
+
+
+ANOVA_F_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS ng,
+         SUM(CAST(FLOOR(value * 100) AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  * CAST(FLOOR(value * 100) AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n, SUM(s) AS st FROM g
+), parts AS (
+  SELECT k, n,
+         SUM(CAST(ng AS DOUBLE)
+             * (CAST(s AS DOUBLE) / ng - CAST(st AS DOUBLE) / n)
+             * (CAST(s AS DOUBLE) / ng - CAST(st AS DOUBLE) / n)) AS ssb,
+         SUM(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / ng) AS ssw
+  FROM g, tot GROUP BY 1, 2
+)
+SELECT k AS n_groups, n AS n_obs,
+       round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within,
+       round((ssb / (k - 1)) / (ssw / (CAST(n AS DOUBLE) - k)), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_squared
+FROM parts
 """
 
 
@@ -17283,5 +17849,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    # --- NEW r16 (at the END: rotate into the r17 window; see the
+    #     header comment for the r17 split math) ---
+    "kruskal_wallis": (kruskal_wallis, KRUSKAL_SQL),
+    "mood_median_test": (mood_median_test, MOOD_MEDIAN_SQL),
+    "jarque_bera": (jarque_bera, JARQUE_BERA_SQL),
+    "bartlett_test": (bartlett_test, BARTLETT_SQL),
+    "anova_f_test": (anova_f_test, ANOVA_F_SQL),
 }
 

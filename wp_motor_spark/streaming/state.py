@@ -383,7 +383,12 @@ def ewma_anomaly_stream(
             rows.append(sub)
         if not rows:
             return
-        batch = pd.concat(rows).sort_values(ts_col)
+        batch = pd.concat(rows).sort_values(
+            # stable + value tiebreak: rows sharing a timestamp replay
+            # in one fixed order, so the running recurrence (and which
+            # row trips the alarm) is deterministic (r15 ADVICE)
+            [ts_col, val_col], kind="stable"
+        )
         if state.exists:
             n, mean, var = state.get
         else:
@@ -485,7 +490,12 @@ def cusum_stream(
             rows.append(sub)
         if not rows:
             return
-        batch = pd.concat(rows).sort_values(ts_col)
+        batch = pd.concat(rows).sort_values(
+            # stable + value tiebreak: rows sharing a timestamp replay
+            # in one fixed order, so the running recurrence (and which
+            # row trips the alarm) is deterministic (r15 ADVICE)
+            [ts_col, val_col], kind="stable"
+        )
         if state.exists:
             n, mean, m2, sp, sn = state.get
         else:
@@ -593,7 +603,12 @@ def page_hinkley_stream(
             rows.append(sub)
         if not rows:
             return
-        batch = pd.concat(rows).sort_values(ts_col)
+        batch = pd.concat(rows).sort_values(
+            # stable + value tiebreak: rows sharing a timestamp replay
+            # in one fixed order, so the running recurrence (and which
+            # row trips the alarm) is deterministic (r15 ADVICE)
+            [ts_col, val_col], kind="stable"
+        )
         if state.exists:
             n, s, u, mu = state.get
         else:
