@@ -17571,6 +17571,457 @@ FROM parts
 """
 
 
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation tau-b (Kendall 1938) between every
+    pair of event types' DENSE daily-count series — the
+    ordinal-association companion to lead_lag_corr's Pearson CCF
+    (monotone co-movement without the linearity assumption).
+    Concordant / discordant / tied day-pairs are EXACT integer counts;
+    tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) is one double per pair.
+
+    Scale shape: the day-pair frame is |type pairs| x |days|^2 / 2 —
+    calendar-bounded, never corpus-sized; counting is one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    a = daily.select(
+        F.col("event_type").alias("ta"), "day", F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"), "day", F.col("c").alias("y")
+    )
+    xy = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    p1 = xy.select("ta", "tb", F.col("day").alias("d1"),
+                   F.col("x").alias("x1"), F.col("y").alias("y1"))
+    p2 = xy.select("ta", "tb", F.col("day").alias("d2"),
+                   F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pr = p1.join(p2, ["ta", "tb"]).where(F.col("d1") < F.col("d2"))
+    sx = F.col("x2") - F.col("x1")
+    sy = F.col("y2") - F.col("y1")
+    g = pr.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("conc"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("disc"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("ty"),
+    )
+    tau = (
+        (F.col("conc") - F.col("disc")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("tx")).cast("double")
+            * (F.col("n0") - F.col("ty")).cast("double")
+        )
+    )
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    ).orderBy("type_a", "type_b")
+
+
+KENDALL_TAU_SQL = f"""
+WITH {_DENSE_DAILY_SQL}, xy AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.day, a.c AS x, b.c AS y
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+), pr AS (
+  SELECT p1.ta, p1.tb,
+         p2.x - p1.x AS sx, p2.y - p1.y AS sy
+  FROM xy p1 JOIN xy p2
+    ON p1.ta = p2.ta AND p1.tb = p2.tb AND p1.day < p2.day
+), g AS (
+  SELECT ta, tb, COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM pr GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, conc AS concordant, disc AS discordant,
+       round((conc - disc) / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)
+         AS tau_b
+FROM g ORDER BY type_a, type_b
+"""
+
+
+def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope estimator (Theil 1950; Sen 1968) of each event
+    type's daily-count trend: the LOWER MEDIAN of all pairwise slopes
+    (c_j - c_i) / (j - i) over the dense calendar — the robust trend
+    line quoted when one launch-day spike would wreck an OLS slope
+    (trend_test gives the direction verdict; this gives the rate).
+    Slopes are IEEE doubles of integer ratios — identical on both
+    engines — and the median pick orders (slope, i, j), so ties
+    resolve deterministically.
+
+    Scale shape: the pair frame is |days|^2 / 2 per type
+    (calendar-bounded); the median is a ROW_NUMBER pick over that
+    bounded frame, partitioned by type — never corpus-sized."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    wi = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        (F.row_number().over(wi) - 1).alias("i"),
+        "c",
+    )
+    a = idx.select("event_type", F.col("i").alias("i1"),
+                   F.col("c").alias("c1"))
+    b = idx.select("event_type", F.col("i").alias("i2"),
+                   F.col("c").alias("c2"))
+    pr = a.join(b, "event_type").where(F.col("i1") < F.col("i2")).select(
+        "event_type", "i1", "i2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("i2") - F.col("i1")).cast("double")
+        ).alias("slope"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("slope", "i1", "i2")
+    wn = Window.partitionBy("event_type")
+    ranked = pr.select(
+        "event_type", "slope",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("np") + 1) / 2)
+    )
+    return med.select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        F.round("slope", 6).alias("sen_slope"),
+        F.when(F.col("slope") > 0, "rising")
+        .when(F.col("slope") < 0, "falling")
+        .otherwise("flat")
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+THEIL_SEN_SQL = f"""
+WITH {_DENSE_DAILY_SQL}, idx AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i,
+         c
+  FROM daily
+), pr AS (
+  SELECT a.event_type, a.i AS i1, b.i AS i2,
+         CAST(b.c - a.c AS DOUBLE) / (b.i - a.i) AS slope
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, i1, i2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pr
+)
+SELECT event_type, np AS n_pairs, round(slope, 6) AS sen_slope,
+       CASE WHEN slope > 0 THEN 'rising'
+            WHEN slope < 0 THEN 'falling' ELSE 'flat' END AS verdict
+FROM ranked
+WHERE rn = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+ORDER BY event_type
+"""
+
+
+def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-deviation outlier test (Grubbs 1950) on each
+    type's dense daily counts: G = max|c - mean| / sd — is the single
+    worst day statistically an outlier, and WHICH day is it? The
+    argmax runs on the EXACT integer deviation |c*n - s| (no float
+    compare), ties broken by earliest day; mean/sd come from decimal
+    moments; the G threshold 3.0 is the fixed screen (the z
+    convention of events_anomaly).
+
+    Scale shape: one decimal moment rollup per type, one ROW_NUMBER
+    argmax over the calendar-bounded daily frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    dc = F.col("c").cast("decimal(18,0)")
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dc).alias("s"),
+        F.sum((dc * dc).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(mom), "event_type").select(
+        "event_type", "day", "c", "n", "s", "s2",
+        F.abs(
+            (
+                F.col("c").cast("decimal(18,0)")
+                * F.col("n").cast("decimal(18,0)")
+            ).cast("decimal(38,0)")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("dev"),
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.desc("dev"), F.asc("day")
+    )
+    top = j.withColumn("rn", F.row_number().over(wa)).where(F.col("rn") == 1)
+    n = F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / n
+        )
+        / (n - 1)
+    )
+    g = F.col("dev").cast("double") / n / sd
+    return top.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("outlier_day"),
+        F.col("c").alias("outlier_count"),
+        F.round(g, 4).alias("g_stat"),
+        F.when(g > 3.0, "outlier").otherwise("within_range").alias("verdict"),
+    ).orderBy("event_type")
+
+
+GRUBBS_SQL = f"""
+WITH {_DENSE_DAILY_SQL}, mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM daily GROUP BY 1
+), j AS (
+  SELECT daily.event_type, day, c, n, s, s2,
+         ABS(CAST(CAST(c AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+                  AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0))) AS dev,
+         ROW_NUMBER() OVER (PARTITION BY daily.event_type
+                            ORDER BY ABS(CAST(CAST(c AS DECIMAL(18,0))
+                                * CAST(n AS DECIMAL(18,0)) AS DECIMAL(38,0))
+                                - CAST(s AS DECIMAL(38,0))) DESC, day) AS rn
+  FROM daily JOIN mom ON daily.event_type = mom.event_type
+)
+SELECT event_type, n AS n_days, day AS outlier_day, c AS outlier_count,
+       round(CAST(dev AS DOUBLE) / n
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1)), 4) AS g_stat,
+       CASE WHEN CAST(dev AS DOUBLE) / n
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                        / (n - 1)) > 3.0
+            THEN 'outlier' ELSE 'within_range' END AS verdict
+FROM j WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937): treating each calendar day
+    as a BLOCK and each event type as a treatment, do the types keep
+    the same rank order of daily volume day after day? The repeated-
+    measures cousin of kruskal_wallis — detects a consistent volume
+    ordering even when absolute levels drift. Blocks use the GLOBAL
+    calendar (types missing a day count 0), within-day midranks are
+    EXACT via the doubled form 2*rank + ties - 1 over the k-row day
+    partition, rank sums accumulate in DECIMAL, and the tie-corrected
+    chi2 divides by 1 - sum(t^3 - t) / (n k (k^2 - 1)).
+
+    Scale shape: the blocked frame is |days| x |types| — calendar-
+    bounded; ranking windows run over k-row day partitions."""
+    ev = _t(spark, sf_dir, "events")
+    daily0 = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = daily0.select("event_type").distinct()
+    full = (
+        cal.crossJoin(F.broadcast(types))
+        .join(daily0, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    wr = Window.partitionBy("day").orderBy("c")
+    wt = Window.partitionBy("day", "c")
+    ranked = full.select(
+        "event_type", "day",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("mr2"),
+        F.count(F.lit(1)).over(wt).alias("t"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("mr2").cast("decimal(18,0)")).alias("rs2"),
+    )
+    # per-(day, c) tie group contributes t^3 - t ONCE: divide the
+    # per-row sum by its own group size t
+    td = F.col("t").cast("decimal(12,0)")
+    ties = ranked.select(
+        ((td * td * td - td) / td).cast("decimal(38,0)").alias("tt")
+    ).agg(F.sum("tt").alias("ties"))
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"), F.max("nb").alias("n")
+    ).crossJoin(F.broadcast(ties))
+    j = g.crossJoin(F.broadcast(tot))
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    rj = F.col("rs2").cast("double") / 2.0
+    chi = j.groupBy("k", "n", "ties").agg(
+        (
+            12.0 / (nd * kd * (kd + 1)) * F.sum(rj * rj)
+            - 3.0 * nd * (kd + 1)
+        ).alias("chi2_raw")
+    )
+    corr = 1.0 - F.col("ties").cast("double") / (
+        F.col("n").cast("double")
+        * F.col("k").cast("double")
+        * (
+            F.col("k").cast("double") * F.col("k").cast("double") - 1
+        )
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("nb").alias("n_days"),
+            F.round(rj / F.col("nb").cast("double"), 4).alias("mean_rank"),
+        )
+        .join(
+            F.broadcast(
+                chi.select(
+                    F.round("chi2_raw", 4).alias("chi2_stat"),
+                    F.round(F.col("chi2_raw") / corr, 4)
+                    .alias("chi2_tie_corrected"),
+                    (F.col("k") - 1).alias("df"),
+                )
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+FRIEDMAN_SQL = """
+WITH daily0 AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), span_ AS (
+  SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events
+), cal AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span_
+), types AS (
+  SELECT DISTINCT event_type FROM daily0
+), full_ AS (
+  SELECT types.event_type, cal.day, COALESCE(daily0.c, 0) AS c
+  FROM cal CROSS JOIN types
+  LEFT JOIN daily0 ON daily0.event_type = types.event_type
+                  AND daily0.day = cal.day
+), ranked AS (
+  SELECT event_type, day,
+         2 * RANK() OVER (PARTITION BY day ORDER BY c)
+           + COUNT(*) OVER (PARTITION BY day, c) - 1 AS mr2,
+         COUNT(*) OVER (PARTITION BY day, c) AS t
+  FROM full_
+), g AS (
+  SELECT event_type, COUNT(*) AS nb,
+         SUM(CAST(mr2 AS DECIMAL(18,0))) AS rs2
+  FROM ranked GROUP BY 1
+), ties AS (
+  SELECT SUM(CAST((CAST(t AS DECIMAL(12,0)) * t * t - t) / t
+                  AS DECIMAL(38,0))) AS ties
+  FROM ranked
+), tot AS (
+  SELECT COUNT(*) AS k, CAST(MAX(nb) AS BIGINT) AS n FROM g
+), chi AS (
+  SELECT k, n, ties,
+         12.0 / (CAST(n AS DOUBLE) * k * (k + 1))
+           * SUM((CAST(rs2 AS DOUBLE) / 2.0) * (CAST(rs2 AS DOUBLE) / 2.0))
+           - 3.0 * CAST(n AS DOUBLE) * (k + 1) AS chi2_raw
+  FROM g, tot, ties GROUP BY 1, 2, 3
+)
+SELECT event_type, nb AS n_days,
+       round(CAST(rs2 AS DOUBLE) / 2.0 / nb, 4) AS mean_rank,
+       round(chi2_raw, 4) AS chi2_stat,
+       round(chi2_raw / (1.0 - CAST(ties AS DOUBLE)
+             / (CAST(n AS DOUBLE) * k
+                * (CAST(k AS DOUBLE) * k - 1))), 4) AS chi2_tie_corrected,
+       k - 1 AS df
+FROM g, chi ORDER BY event_type
+"""
+
+
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association (Cramér 1946) between document source
+    and language: the normalized chi-square V = sqrt(chi2 / (N *
+    (min(r,c) - 1))) — 'how strongly does source determine language'
+    on a 0..1 scale, the effect size a mixture report quotes next to
+    the raw contingency table. Expected counts R_i C_j / N assemble
+    from exact integer marginals; chi2 sums over the bounded
+    |sources| x |langs| cell frame.
+
+    Scale shape: one (source, lang) rollup; marginal rollups;
+    |cells| rows of scalar math."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").alias("ri"))
+    ct = cells.groupBy("lang").agg(F.sum("o").alias("cj"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("lang").alias("c"),
+    )
+    j = (
+        cells.join(rt, "source")
+        .join(ct, "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("ri").cast("double")
+        * F.col("cj").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    out = j.groupBy("n", "r", "c").agg(F.sum(dev).alias("chi2"))
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+        )
+    )
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_sources"),
+        F.col("c").alias("n_langs"),
+        F.round("chi2", 4).alias("chi2_stat"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), rt AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS ri FROM cells GROUP BY 1
+), ct AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS cj FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         COUNT(DISTINCT source) AS r, COUNT(DISTINCT lang) AS c
+  FROM cells
+), dev AS (
+  SELECT n, r, c,
+         SUM((o - CAST(ri AS DOUBLE) * cj / n)
+             * (o - CAST(ri AS DOUBLE) * cj / n)
+             / (CAST(ri AS DOUBLE) * cj / n)) AS chi2
+  FROM cells JOIN rt USING (source) JOIN ct USING (lang), tot
+  GROUP BY 1, 2, 3
+)
+SELECT n AS n_docs, r AS n_sources, c AS n_langs,
+       round(chi2, 4) AS chi2_stat,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE) * (LEAST(r, c) - 1))), 6)
+         AS cramers_v
+FROM dev
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r16 exactly as the r15 comment (and the r15
@@ -17856,5 +18307,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "jarque_bera": (jarque_bera, JARQUE_BERA_SQL),
     "bartlett_test": (bartlett_test, BARTLETT_SQL),
     "anova_f_test": (anova_f_test, ANOVA_F_SQL),
+    "kendall_tau_daily": (kendall_tau_daily, KENDALL_TAU_SQL),
+    "theil_sen_daily": (theil_sen_daily, THEIL_SEN_SQL),
+    "grubbs_test": (grubbs_test, GRUBBS_SQL),
+    "friedman_test": (friedman_test, FRIEDMAN_SQL),
+    "cramers_v": (cramers_v, CRAMERS_V_SQL),
 }
 
