@@ -18022,6 +18022,456 @@ FROM dev
 """
 
 
+_SPECTRAL_PERIODS = [7, 14, 30]
+
+
+def _trig_tables():
+    """Integer-quantized DFT coefficients round(trig(2 pi k / p) * 1e6)
+    for k in 0..p-1, per period. Generated ONCE in Python and inlined
+    as literals on BOTH engines, so the two sides use byte-identical
+    coefficients — no cross-libm cos() drift can enter the parity."""
+    import math
+
+    cos_t, sin_t = {}, {}
+    for p in _SPECTRAL_PERIODS:
+        cos_t[p] = [
+            round(math.cos(2 * math.pi * k / p) * 1e6) for k in range(p)
+        ]
+        sin_t[p] = [
+            round(math.sin(2 * math.pi * k / p) * 1e6) for k in range(p)
+        ]
+    return cos_t, sin_t
+
+
+def spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power at the calendar periods 7 / 14 / 30 days for
+    each event type's dense daily counts (Schuster 1898's periodogram;
+    the Fisher 1929 g-test setting): P(p) = (A_p^2 + B_p^2) / n^2 with
+    A_p = sum c_t cos(2 pi t / p), B_p likewise — 'is there a weekly
+    (or biweekly, or monthly) cycle, and which period dominates'.
+    The trig coefficients are INTEGER-QUANTIZED (x1e6) lookup tables
+    generated once in Python and inlined on both engines, so A/B
+    accumulate as EXACT decimal sums — float summation order and libm
+    cos() differences never touch the result; the only doubles are
+    the final normalization per (type, period).
+
+    Scale shape: the daily frame is calendar-bounded; each period adds
+    one modular-phase column and one decimal rollup; output is
+    |types| x 3 rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    wi = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", (F.row_number().over(wi) - 1).alias("t")
+    )
+    cos_t, sin_t = _trig_tables()
+    out = None
+    for p in _SPECTRAL_PERIODS:
+        cosarr = F.array(*[F.lit(v) for v in cos_t[p]])
+        sinarr = F.array(*[F.lit(v) for v in sin_t[p]])
+        ph = (F.col("t") % p).cast("int")
+        dc = F.col("c").cast("decimal(18,0)")
+        g = (
+            idx.select(
+                "event_type",
+                dc.alias("dc"),
+                F.element_at(cosarr, ph + 1).cast("decimal(8,0)").alias("cq"),
+                F.element_at(sinarr, ph + 1).cast("decimal(8,0)").alias("sq"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("dc") * F.col("cq")).cast("decimal(38,0)"))
+                .alias("a"),
+                F.sum((F.col("dc") * F.col("sq")).cast("decimal(38,0)"))
+                .alias("b"),
+            )
+            .withColumn("period", F.lit(p))
+        )
+        out = g if out is None else out.unionByName(g)
+    n = F.col("n").cast("double")
+    ad = F.col("a").cast("double") / 1e6
+    bd = F.col("b").cast("double") / 1e6
+    power = (ad * ad + bd * bd) / (n * n)
+    res = out.select(
+        "event_type", "period", F.col("n").alias("n_days"),
+        F.round(power, 4).alias("power")
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("power"), "period"
+    )
+    return (
+        res.withColumn(
+            "dominant", F.row_number().over(wbest) == 1
+        )
+        .orderBy("event_type", "period")
+    )
+
+
+def _spectral_sql() -> str:
+    cos_t, sin_t = _trig_tables()
+    parts = []
+    for p in _SPECTRAL_PERIODS:
+        ca = ", ".join(str(v) for v in cos_t[p])
+        sa = ", ".join(str(v) for v in sin_t[p])
+        parts.append(f"""
+  SELECT event_type, {p} AS period, COUNT(*) AS n,
+         SUM(CAST(CAST(c AS DECIMAL(18,0))
+                  * CAST(([{ca}])[CAST(t % {p} AS INTEGER) + 1]
+                         AS DECIMAL(8,0)) AS DECIMAL(38,0))) AS a,
+         SUM(CAST(CAST(c AS DECIMAL(18,0))
+                  * CAST(([{sa}])[CAST(t % {p} AS INTEGER) + 1]
+                         AS DECIMAL(8,0)) AS DECIMAL(38,0))) AS b
+  FROM idx GROUP BY 1""")
+    un = "\n  UNION ALL".join(parts)
+    return f"""
+WITH {_DENSE_DAILY_SQL}, idx AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+  FROM daily
+), g AS ({un}
+), res AS (
+  SELECT event_type, period, n AS n_days,
+         round((CAST(a AS DOUBLE) / 1e6 * (CAST(a AS DOUBLE) / 1e6)
+                + CAST(b AS DOUBLE) / 1e6 * (CAST(b AS DOUBLE) / 1e6))
+               / (CAST(n AS DOUBLE) * n), 4) AS power
+  FROM g
+)
+SELECT event_type, period, n_days, power,
+       ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY power DESC, period) = 1 AS dominant
+FROM res ORDER BY event_type, period
+"""
+
+
+def turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test (Kendall & Stuart's classic
+    form; Bienaymé 1874 for the expectation) on each type's dense
+    daily counts: count strict local peaks and troughs; under
+    randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90, so z =
+    (T-E)/sd reads 'too few turns' (trending/sticky) vs 'too many'
+    (oscillating). Plateaus (ties) are not turning points —
+    documented, same rule both engines. All counts are exact
+    integers; z is one double per type.
+
+    Scale shape: one lag/lead window over the calendar-bounded daily
+    frame, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    wd = Window.partitionBy("event_type").orderBy("day")
+    t = daily.select(
+        "event_type", "c",
+        F.lag("c").over(wd).alias("pv"),
+        F.lead("c").over(wd).alias("nx"),
+    ).where(F.col("pv").isNotNull() & F.col("nx").isNotNull())
+    is_tp = (
+        ((F.col("pv") < F.col("c")) & (F.col("c") > F.col("nx")))
+        | ((F.col("pv") > F.col("c")) & (F.col("c") < F.col("nx")))
+    )
+    g = t.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 2).alias("n"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).alias("tp"),
+    )
+    n = F.col("n").cast("double")
+    e = 2.0 * (n - 2) / 3.0
+    v = (16.0 * n - 29.0) / 90.0
+    z = (F.col("tp").cast("double") - e) / F.sqrt(v)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("turning_points"),
+        F.round(e, 4).alias("expected"),
+        F.round(z, 4).alias("z"),
+        F.when(z < -1.96, "trending")
+        .when(z > 1.96, "oscillating")
+        .otherwise("random_walkish")
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+TURNING_POINTS_SQL = f"""
+WITH {_DENSE_DAILY_SQL}, t AS (
+  SELECT event_type, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+         LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS nx
+  FROM daily
+), g AS (
+  SELECT event_type, COUNT(*) + 2 AS n,
+         CAST(SUM(CASE WHEN (pv < c AND c > nx) OR (pv > c AND c < nx)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM t WHERE pv IS NOT NULL AND nx IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_days, tp AS turning_points,
+       round(2.0 * (n - 2) / 3.0, 4) AS expected,
+       round((tp - 2.0 * (n - 2) / 3.0)
+             / sqrt((16.0 * n - 29.0) / 90.0), 4) AS z,
+       CASE WHEN (tp - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0) < -1.96 THEN 'trending'
+            WHEN (tp - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0) > 1.96 THEN 'oscillating'
+            ELSE 'random_walkish' END AS verdict
+FROM g ORDER BY event_type
+"""
+
+
+def unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-value price index per brand (the Drobisch 1871 unit-value
+    form used in trade statistics): UVI = (sum p2 / sum q2) /
+    (sum p1 / sum q1) between the first and second half of the
+    shipping calendar — did a brand's realized per-unit price move?
+    All four sums accumulate in DECIMAL; the index is one double
+    ratio-of-ratios per brand, so no float-order ambiguity.
+
+    Scale shape: one fact scan with the part join (NO broadcast hint —
+    part scales with SF; AQE decides), one (brand, half) decimal
+    rollup, |brands| rows of assembly."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bounds = li.agg(
+        F.min("l_shipdate").cast("long").alias("t0"),
+        F.max("l_shipdate").cast("long").alias("t1"),
+    )
+    half = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "p_brand",
+            (
+                F.col("l_shipdate").cast("long") * 2
+                <= F.col("t0") + F.col("t1")
+            ).alias("h1"),
+            _dec(F.col("l_extendedprice")).alias("p"),
+            _dec(F.col("l_quantity")).alias("q"),
+        )
+    )
+    g = half.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("h1"), F.col("p"))).alias("p1"),
+        F.sum(F.when(F.col("h1"), F.col("q"))).alias("q1"),
+        F.sum(F.when(~F.col("h1"), F.col("p"))).alias("p2"),
+        F.sum(F.when(~F.col("h1"), F.col("q"))).alias("q2"),
+        F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("h1"), 1).otherwise(0)).alias("n2"),
+    )
+    uv1 = F.col("p1").cast("double") / F.col("q1").cast("double")
+    uv2 = F.col("p2").cast("double") / F.col("q2").cast("double")
+    return g.select(
+        "p_brand",
+        F.col("n1").alias("n_lines_h1"),
+        F.col("n2").alias("n_lines_h2"),
+        F.round(uv1, 4).alias("unit_value_h1"),
+        F.round(uv2, 4).alias("unit_value_h2"),
+        F.round(uv2 / uv1, 6).alias("uvi"),
+    ).orderBy("p_brand")
+
+
+UNIT_VALUE_SQL = """
+WITH bounds AS (
+  SELECT epoch(MIN(l_shipdate)) AS t0, epoch(MAX(l_shipdate)) AS t1
+  FROM lineitem
+), half AS (
+  SELECT p_brand, epoch(l_shipdate) * 2 <= t0 + t1 AS h1,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey, bounds
+), g AS (
+  SELECT p_brand,
+         SUM(CASE WHEN h1 THEN p END) AS p1,
+         SUM(CASE WHEN h1 THEN q END) AS q1,
+         SUM(CASE WHEN NOT h1 THEN p END) AS p2,
+         SUM(CASE WHEN NOT h1 THEN q END) AS q2,
+         CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM half GROUP BY 1
+)
+SELECT p_brand, n1 AS n_lines_h1, n2 AS n_lines_h2,
+       round(CAST(p1 AS DOUBLE) / CAST(q1 AS DOUBLE), 4) AS unit_value_h1,
+       round(CAST(p2 AS DOUBLE) / CAST(q2 AS DOUBLE), 4) AS unit_value_h2,
+       round((CAST(p2 AS DOUBLE) / CAST(q2 AS DOUBLE))
+             / (CAST(p1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 6) AS uvi
+FROM g ORDER BY p_brand
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (the standard growth-accounting
+    triangle): users cohort by the week of their FIRST event; for
+    each (cohort week, week offset) the count of cohort users active
+    that week, and retention vs the cohort size — the churn view a
+    product team reads weekly. Exact distinct-user counts only.
+
+    Scale shape: one per-user min rollup (users are many and small),
+    one distinct (user, week) rollup, then a |weeks|^2-bounded
+    cohort x offset matrix."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    j = active.join(first, "user_id").select(
+        "user_id",
+        "cw",
+        (F.datediff(F.col("week"), F.col("cw")) / 7).cast("long")
+        .alias("offset"),
+    )
+    mat = j.groupBy("cw", "offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    base = mat.where(F.col("offset") == 0).select(
+        "cw", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        mat.join(base, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("offset").alias("week_offset"),
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first_ AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), j AS (
+  SELECT active.user_id, cw,
+         CAST(date_diff('day', cw, week) / 7 AS BIGINT) AS offset_
+  FROM active JOIN first_ ON active.user_id = first_.user_id
+), mat AS (
+  SELECT cw, offset_, COUNT(DISTINCT user_id) AS n_users
+  FROM j GROUP BY 1, 2
+), base AS (
+  SELECT cw, n_users AS cohort_size FROM mat WHERE offset_ = 0
+)
+SELECT mat.cw AS cohort_week, offset_ AS week_offset, n_users, cohort_size,
+       round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention
+FROM mat JOIN base ON mat.cw = base.cw
+ORDER BY cohort_week, week_offset
+"""
+
+
+def interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpurchase-time profile per market segment (the
+    recency-frequency backbone behind RFM and CLV models): the gap in
+    days between a customer's consecutive orders, rolled up per
+    segment — mean (decimal-exact), EXACT lower median and p90 via
+    the histogram-rank discipline (gap days are a bounded integer
+    domain), and the share of gaps over 90 days (the churn-risk
+    read).
+
+    Scale shape: one per-customer lag window (customers are many and
+    small), the customer-dimension join carries NO broadcast hint
+    (customer scales with SF), then a (segment, gap) histogram
+    bounded by the calendar domain."""
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        od.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(wo),
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    hist = gaps.groupBy("c_mktsegment", "gap").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wg = Window.partitionBy("c_mktsegment").orderBy("gap")
+    wall = Window.partitionBy("c_mktsegment")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(wg))
+        .withColumn("n", F.sum("cnt").over(wall))
+    )
+    med = cum.where(
+        (F.col("cum") - F.col("cnt") < F.ceil(F.col("n") / 2))
+        & (F.col("cum") >= F.ceil(F.col("n") / 2))
+    ).select("c_mktsegment", F.col("gap").alias("median_gap"))
+    p90 = cum.where(
+        (F.col("cum") - F.col("cnt") < F.ceil(F.col("n") * 0.9))
+        & (F.col("cum") >= F.ceil(F.col("n") * 0.9))
+    ).select("c_mktsegment", F.col("gap").alias("p90_gap"))
+    mom = gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(18,0)")).alias("s"),
+        F.sum(F.when(F.col("gap") > 90, 1).otherwise(0)).alias("over90"),
+    )
+    return (
+        mom.join(med, "c_mktsegment")
+        .join(p90, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            F.round(
+                F.col("s").cast("double") / F.col("n_gaps").cast("double"), 4
+            ).alias("mean_gap_days"),
+            "median_gap",
+            "p90_gap",
+            F.round(
+                F.col("over90").cast("double")
+                / F.col("n_gaps").cast("double"),
+                4,
+            ).alias("share_over_90d"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+INTERPURCHASE_SQL = """
+WITH gaps AS (
+  SELECT c_mktsegment, gap FROM (
+    SELECT o_custkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap
+    FROM orders
+  ) g JOIN customer ON o_custkey = c_custkey
+  WHERE gap IS NOT NULL
+), hist AS (
+  SELECT c_mktsegment, gap, COUNT(*) AS cnt FROM gaps GROUP BY 1, 2
+), cum AS (
+  SELECT c_mktsegment, gap, cnt,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+  FROM hist
+), med AS (
+  SELECT c_mktsegment, gap AS median_gap FROM cum
+  WHERE cum - cnt < CAST(CEIL(n / 2.0) AS BIGINT)
+    AND cum >= CAST(CEIL(n / 2.0) AS BIGINT)
+), p90 AS (
+  SELECT c_mktsegment, gap AS p90_gap FROM cum
+  WHERE cum - cnt < CAST(CEIL(n * 0.9) AS BIGINT)
+    AND cum >= CAST(CEIL(n * 0.9) AS BIGINT)
+), mom AS (
+  SELECT c_mktsegment, COUNT(*) AS n_gaps,
+         SUM(CAST(gap AS DECIMAL(18,0))) AS s,
+         CAST(SUM(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS BIGINT) AS over90
+  FROM gaps GROUP BY 1
+)
+SELECT c_mktsegment, n_gaps,
+       round(CAST(s AS DOUBLE) / n_gaps, 4) AS mean_gap_days,
+       median_gap, p90_gap,
+       round(CAST(over90 AS DOUBLE) / n_gaps, 4) AS share_over_90d
+FROM mom JOIN med USING (c_mktsegment) JOIN p90 USING (c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r16 exactly as the r15 comment (and the r15
@@ -18312,5 +18762,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "grubbs_test": (grubbs_test, GRUBBS_SQL),
     "friedman_test": (friedman_test, FRIEDMAN_SQL),
     "cramers_v": (cramers_v, CRAMERS_V_SQL),
+    "spectral_peaks": (spectral_peaks, _spectral_sql()),
+    "turning_points_test": (turning_points_test, TURNING_POINTS_SQL),
+    "unit_value_index": (unit_value_index, UNIT_VALUE_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "interpurchase_time": (interpurchase_time, INTERPURCHASE_SQL),
 }
 
