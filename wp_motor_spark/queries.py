@@ -18472,6 +18472,530 @@ ORDER BY c_mktsegment
 """
 
 
+def collocation_tscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength by t-score (Church & Hanks 1990; the
+    t-score column of Manning & Schütze ch.5): t = (c(a,b) -
+    c(a)c(b)/N) / sqrt(c(a,b)) for bigrams seen >= 20 times, top 20 —
+    the FREQUENT-collocation ranking that complements bigram_pmi's
+    rare-pair bias (PMI surfaces 'hapax glued pairs'; t-score surfaces
+    'of the'-class workhorses worth a tokenizer merge). Counts are
+    exact integers; one double per surviving bigram.
+
+    Scale shape: identical to bigram_pmi — one bigram rollup, one
+    unigram rollup, NO broadcast hint on the Heaps-growing unigram
+    table, TakeOrdered caps the output."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(text.tokens(F.col("text")).alias("a")).where(
+        F.size("a") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(a, 1, size(a) - 1)"),
+                F.expr("slice(a, 2, size(a) - 1)"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("z")
+    ).select("z.w1", "z.w2")
+    bg = bg.where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.select(F.explode("a").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    totals = c12.agg(F.sum("c").cast("double").alias("n_bg"))
+    t = (
+        F.col("c").cast("double")
+        - F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+        / F.col("n_bg")
+    ) / F.sqrt(F.col("c").cast("double"))
+    return (
+        c12.where(F.col("c") >= 20)
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .withColumnRenamed("cw", "c1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .withColumnRenamed("cw", "c2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.round(t, 4).alias("t_score"),
+        )
+        .orderBy(F.desc("t_score"), "w1", "w2")
+        .limit(20)
+    )
+
+
+COLLOCATION_T_SQL = r"""
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS a FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), bg AS (
+  SELECT u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS z) u
+), c12 AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS cw FROM (SELECT unnest(a) AS w FROM tok) GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT count(*) FROM bg) AS DOUBLE) AS n_bg
+)
+SELECT c12.w1, c12.w2, c12.c AS pair_count,
+       round((c - CAST(u1.cw AS DOUBLE) * u2.cw / n_bg) / sqrt(CAST(c AS DOUBLE)), 4)
+         AS t_score
+FROM c12 JOIN uni u1 ON c12.w1 = u1.w JOIN uni u2 ON c12.w2 = u2.w, tot
+WHERE c >= 20
+ORDER BY t_score DESC, w1, w2 LIMIT 20
+"""
+
+
+def word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word burstiness of the top-30 vocabulary (Church & Gale
+    1995, "Poisson mixtures"; Katz 1996): the variance-to-mean ratio
+    of a word's per-document count — VMR ~ 1 means the word sprinkles
+    Poisson-like (function words), VMR >> 1 means it clumps into
+    bursts (topical words). The content/function split a stopword
+    list approximates, measured instead of assumed. Documents missing
+    the word contribute ZERO counts: var folds from exact decimal
+    sum(c), sum(c^2) over occurrences plus the document total, so the
+    zeros are exact without materializing them.
+
+    Scale shape: one (doc, word) rollup, a rank-LIMITed top-30 vocab
+    (bounded broadcast — the vocab_oov cap discipline), one decimal
+    rollup per surviving word."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    per = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        per.groupBy("w")
+        .agg(F.sum("c").alias("total"))
+        .orderBy(F.desc("total"), "w")
+        .limit(30)
+    )
+    dc = F.col("c").cast("decimal(18,0)")
+    g = (
+        per.join(F.broadcast(vocab), "w")
+        .groupBy("w", "total")
+        .agg(
+            F.count(F.lit(1)).alias("docs_with"),
+            F.sum(dc).alias("s"),
+            F.sum((dc * dc).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = g.crossJoin(F.broadcast(nd))
+    n = F.col("n_docs").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    vmr = var / mean
+    return j.select(
+        "w",
+        F.col("total").alias("corpus_count"),
+        "docs_with",
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(vmr, 4).alias("vmr"),
+        F.when(vmr > 2.0, "bursty").otherwise("poisson_like")
+        .alias("verdict"),
+    ).orderBy(F.desc("corpus_count"), "w")
+
+
+WORD_BURSTINESS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), per AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), vocab AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS total FROM per GROUP BY 1
+  ORDER BY total DESC, w LIMIT 30
+), g AS (
+  SELECT per.w, total, COUNT(*) AS docs_with,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s,
+         SUM(CAST(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+  FROM per JOIN vocab ON per.w = vocab.w GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT w, total AS corpus_count, docs_with,
+       round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_per_doc,
+       round((CAST(s2 AS DOUBLE) / n_docs
+              - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs))
+             / (CAST(s AS DOUBLE) / n_docs), 4) AS vmr,
+       CASE WHEN (CAST(s2 AS DOUBLE) / n_docs
+                  - (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs))
+                 / (CAST(s AS DOUBLE) / n_docs) > 2.0
+            THEN 'bursty' ELSE 'poisson_like' END AS verdict
+FROM g, nd ORDER BY corpus_count DESC, w
+"""
+
+
+def rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 recall (Lin 2004) of every candidate document
+    against a fixed 5-doc reference set (doc_id < 5): the clipped
+    n-gram overlap eval a summarization/contamination screen runs —
+    here surfacing the 20 candidates that best 'cover' a reference.
+    Overlaps are exact integer sums of min(c_cand, c_ref) per n-gram;
+    recall divides by the reference's n-gram total once per pair.
+
+    Scale shape: the reference side is a key-lookup (doc_id < 5) —
+    bounded broadcast; candidates join it by n-gram (map-side against
+    the tiny ref vocab), roll up per (cand, ref) pair, and
+    TakeOrdered keeps 20."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("a")
+    ).where(F.size("a") >= 2)
+    uni = tok.select("doc_id", F.explode("a").alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bi = tok.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(a, 1, size(a) - 1)"),
+                F.expr("slice(a, 2, size(a) - 1)"),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def recall(grams, name):
+        ref = grams.where(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("ref_id"),
+            "g",
+            F.col("c").alias("cr"),
+        )
+        reftot = ref.groupBy("ref_id").agg(F.sum("cr").alias("rt"))
+        cand = grams.where(F.col("doc_id") >= 5)
+        ov = (
+            cand.join(F.broadcast(ref), "g")
+            .groupBy("doc_id", "ref_id")
+            .agg(F.sum(F.least(F.col("c"), F.col("cr"))).alias("ov"))
+            .join(F.broadcast(reftot), "ref_id")
+            .select(
+                "doc_id",
+                "ref_id",
+                F.round(
+                    F.col("ov").cast("double") / F.col("rt").cast("double"),
+                    6,
+                ).alias(name),
+            )
+        )
+        return ov
+
+    r1 = recall(uni, "rouge1_recall")
+    r2 = recall(bi, "rouge2_recall")
+    return (
+        r1.join(r2, ["doc_id", "ref_id"], "left")
+        .select(
+            "doc_id",
+            "ref_id",
+            "rouge1_recall",
+            F.coalesce("rouge2_recall", F.lit(0.0)).alias("rouge2_recall"),
+        )
+        .orderBy(F.desc("rouge1_recall"), "doc_id", "ref_id")
+        .limit(20)
+    )
+
+
+ROUGE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), uni AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(a) AS g FROM tok) GROUP BY 1, 2
+), bi AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, u.z[1] || ' ' || u.z[2] AS g
+        FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:]))
+                           AS z) u)
+  GROUP BY 1, 2
+), r1 AS (
+  SELECT cand.doc_id, ref.doc_id AS ref_id,
+         CAST(SUM(LEAST(cand.c, ref.c)) AS BIGINT) AS ov
+  FROM uni cand JOIN uni ref ON cand.g = ref.g
+  WHERE ref.doc_id < 5 AND cand.doc_id >= 5
+  GROUP BY 1, 2
+), rt1 AS (
+  SELECT doc_id AS ref_id, CAST(SUM(c) AS BIGINT) AS rt FROM uni
+  WHERE doc_id < 5 GROUP BY 1
+), r2 AS (
+  SELECT cand.doc_id, ref.doc_id AS ref_id,
+         CAST(SUM(LEAST(cand.c, ref.c)) AS BIGINT) AS ov
+  FROM bi cand JOIN bi ref ON cand.g = ref.g
+  WHERE ref.doc_id < 5 AND cand.doc_id >= 5
+  GROUP BY 1, 2
+), rt2 AS (
+  SELECT doc_id AS ref_id, CAST(SUM(c) AS BIGINT) AS rt FROM bi
+  WHERE doc_id < 5 GROUP BY 1
+)
+SELECT r1.doc_id, r1.ref_id,
+       round(CAST(r1.ov AS DOUBLE) / rt1.rt, 6) AS rouge1_recall,
+       COALESCE(round(CAST(r2.ov AS DOUBLE) / rt2.rt, 6), 0.0)
+         AS rouge2_recall
+FROM r1
+JOIN rt1 ON r1.ref_id = rt1.ref_id
+LEFT JOIN r2 ON r1.doc_id = r2.doc_id AND r1.ref_id = r2.ref_id
+LEFT JOIN rt2 ON r2.ref_id = rt2.ref_id
+ORDER BY rouge1_recall DESC, r1.doc_id, r1.ref_id LIMIT 20
+"""
+
+
+def self_bleu_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU diversity probe (Zhu et al. 2018, "Texygen") over a
+    bounded 100-doc sample (doc_id < 100): for each sample doc, the
+    mean modified unigram and bigram precision against every OTHER
+    sample doc — high self-BLEU = the corpus repeats itself (mode
+    collapse in generated data, boilerplate in crawled data). The
+    per-doc means are EXACT rationals: mean p_n = sum_b overlap_b /
+    ((n_sample - 1) * len_a), so only integer sums cross rows; the
+    top-20 most self-similar docs are reported.
+
+    Scale shape: the sample is a key-lookup (doc_id < 100), every
+    join is within the bounded sample vocabulary, and the pair rollup
+    is |sample|^2-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.where(F.col("doc_id") < 100).select(
+        "doc_id", "source", text.tokens(F.col("text")).alias("a")
+    ).where(F.size("a") >= 2)
+    nsamp = tok.agg(F.count(F.lit(1)).alias("ns"))
+
+    def pairsum(grams, lname):
+        ga = grams.select(
+            F.col("doc_id").alias("da"), "g", F.col("c").alias("ca")
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("db"), "g", F.col("c").alias("cb")
+        )
+        ov = (
+            ga.join(gb, "g")
+            .where(F.col("da") != F.col("db"))
+            .groupBy("da", "db")
+            .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("ov"))
+        )
+        tot = grams.groupBy("doc_id").agg(F.sum("c").alias(lname))
+        s = ov.groupBy("da").agg(F.sum("ov").alias(f"s_{lname}"))
+        return s, tot
+
+    uni = tok.select(
+        "doc_id", F.explode("a").alias("g")
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bi = tok.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(a, 1, size(a) - 1)"),
+                F.expr("slice(a, 2, size(a) - 1)"),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    s1, t1 = pairsum(uni, "len1")
+    s2, t2 = pairsum(bi, "len2")
+    base = tok.select("doc_id", "source")
+    j = (
+        base.join(s1.withColumnRenamed("da", "doc_id"), "doc_id", "left")
+        .join(t1, "doc_id", "left")
+        .join(s2.withColumnRenamed("da", "doc_id"), "doc_id", "left")
+        .join(t2, "doc_id", "left")
+        .crossJoin(F.broadcast(nsamp))
+    )
+    p1 = F.coalesce(F.col("s_len1"), F.lit(0)).cast("double") / (
+        (F.col("ns") - 1).cast("double") * F.col("len1").cast("double")
+    )
+    p2 = F.coalesce(F.col("s_len2"), F.lit(0)).cast("double") / (
+        (F.col("ns") - 1).cast("double") * F.col("len2").cast("double")
+    )
+    bleu = F.sqrt(p1 * p2)
+    return (
+        j.select(
+            "doc_id",
+            "source",
+            F.round(p1, 6).alias("mean_p1"),
+            F.round(p2, 6).alias("mean_p2"),
+            F.round(bleu, 6).alias("self_bleu"),
+        )
+        .orderBy(F.desc("self_bleu"), "doc_id")
+        .limit(20)
+    )
+
+
+SELF_BLEU_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS a
+  FROM documents
+  WHERE doc_id < 100
+    AND len(string_split_regex(trim(lower(text)), '\s+')) >= 2
+), ns AS (
+  SELECT COUNT(*) AS ns FROM tok
+), uni AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(a) AS g FROM tok) GROUP BY 1, 2
+), bi AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, u.z[1] || ' ' || u.z[2] AS g
+        FROM tok, LATERAL (SELECT unnest(list_zip(a[1:len(a)-1], a[2:]))
+                           AS z) u)
+  GROUP BY 1, 2
+), s1 AS (
+  SELECT a.doc_id, CAST(SUM(x.ov) AS BIGINT) AS s_len1
+  FROM (SELECT DISTINCT doc_id FROM uni) a
+  JOIN (SELECT ga.doc_id AS da, gb.doc_id AS db,
+               SUM(LEAST(ga.c, gb.c)) AS ov
+        FROM uni ga JOIN uni gb ON ga.g = gb.g AND ga.doc_id != gb.doc_id
+        GROUP BY 1, 2) x ON a.doc_id = x.da
+  GROUP BY 1
+), t1 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len1 FROM uni GROUP BY 1
+), s2 AS (
+  SELECT a.doc_id, CAST(SUM(x.ov) AS BIGINT) AS s_len2
+  FROM (SELECT DISTINCT doc_id FROM bi) a
+  JOIN (SELECT ga.doc_id AS da, gb.doc_id AS db,
+               SUM(LEAST(ga.c, gb.c)) AS ov
+        FROM bi ga JOIN bi gb ON ga.g = gb.g AND ga.doc_id != gb.doc_id
+        GROUP BY 1, 2) x ON a.doc_id = x.da
+  GROUP BY 1
+), t2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len2 FROM bi GROUP BY 1
+)
+SELECT tok.doc_id, source,
+       round(COALESCE(s_len1, 0) / ((ns - 1.0) * len1), 6) AS mean_p1,
+       round(COALESCE(s_len2, 0) / ((ns - 1.0) * len2), 6) AS mean_p2,
+       round(sqrt(COALESCE(s_len1, 0) / ((ns - 1.0) * len1)
+                  * (COALESCE(s_len2, 0) / ((ns - 1.0) * len2))), 6)
+         AS self_bleu
+FROM tok
+LEFT JOIN s1 ON tok.doc_id = s1.doc_id
+LEFT JOIN t1 ON tok.doc_id = t1.doc_id
+LEFT JOIN s2 ON tok.doc_id = s2.doc_id
+LEFT JOIN t2 ON tok.doc_id = t2.doc_id, ns
+ORDER BY self_bleu DESC, tok.doc_id LIMIT 20
+"""
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) of the
+    (source, lang) quasi-identifier groups against the sensitive
+    attribute 'document length decile': the Earth Mover's Distance
+    between each group's bin distribution and the global one, EMD =
+    sum_{i<m} |cumsum(p - q)| / (m - 1) over m = 10 ordered bins —
+    the release gate that k_anonymity_suppress and
+    l_diversity_release don't cover (a group can be k-anonymous and
+    l-diverse yet still leak through a SKEWED sensitive
+    distribution). The cumulative gap runs integer cross-multiplied
+    (|cum_g * N - cum_all * n_g|, the wasserstein_drift discipline),
+    one division per group.
+
+    Scale shape: one (group, bin) rollup bounded by |groups| x 10;
+    the global bin frame broadcasts; cumulative windows run over the
+    bounded bin frame."""
+    docs = _t(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source", "lang",
+        F.least(F.lit(9), F.floor(F.col("n_chars") / 500)).alias("bin"),
+    )
+    per = binned.groupBy("source", "lang", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    allb = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("ca"))
+    # dense 0..9 bins per group so cumulative gaps line up
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    groups = per.select("source", "lang").distinct()
+    dense = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(per, ["source", "lang", "bin"], "left")
+        .join(F.broadcast(allb), "bin", "left")
+        .select(
+            "source", "lang", "bin",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        )
+    )
+    wg = (
+        Window.partitionBy("source", "lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source", "lang")
+    cum = dense.select(
+        "source", "lang", "bin",
+        F.sum("c").over(wg).alias("cg"),
+        F.sum("ca").over(wg).alias("call"),
+        F.sum("c").over(wall).alias("ng"),
+        F.sum("ca").over(wall).alias("n"),
+    ).where(F.col("bin") < 9)
+    gap = F.abs(
+        (
+            F.col("cg").cast("decimal(19,0)")
+            * F.col("n").cast("decimal(19,0)")
+            - F.col("call").cast("decimal(19,0)")
+            * F.col("ng").cast("decimal(19,0)")
+        ).cast("decimal(38,0)")
+    )
+    g = cum.groupBy("source", "lang", "ng", "n").agg(
+        F.sum(gap).alias("s")
+    )
+    emd = F.col("s").cast("double") / (
+        F.col("ng").cast("double") * F.col("n").cast("double") * 9.0
+    )
+    return g.select(
+        "source", "lang",
+        F.col("ng").alias("n_docs"),
+        F.round(emd, 6).alias("emd"),
+        F.when(emd > 0.2, "fails_t_closeness").otherwise("ok")
+        .alias("verdict"),
+    ).orderBy("source", "lang")
+
+
+T_CLOSENESS_SQL = """
+WITH binned AS (
+  SELECT source, lang,
+         LEAST(9, CAST(FLOOR(n_chars / 500.0) AS BIGINT)) AS bin
+  FROM documents
+), per AS (
+  SELECT source, lang, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3
+), allb AS (
+  SELECT bin, COUNT(*) AS ca FROM binned GROUP BY 1
+), bins AS (
+  SELECT UNNEST(range(10)) AS bin
+), groups_ AS (
+  SELECT DISTINCT source, lang FROM per
+), dense AS (
+  SELECT g.source, g.lang, b.bin,
+         COALESCE(per.c, 0) AS c, COALESCE(allb.ca, 0) AS ca
+  FROM groups_ g CROSS JOIN bins b
+  LEFT JOIN per ON per.source = g.source AND per.lang = g.lang
+               AND per.bin = b.bin
+  LEFT JOIN allb ON allb.bin = b.bin
+), cum AS (
+  SELECT source, lang, bin,
+         SUM(c) OVER w AS cg, SUM(ca) OVER w AS call,
+         SUM(c) OVER (PARTITION BY source, lang) AS ng,
+         SUM(ca) OVER (PARTITION BY source, lang) AS n
+  FROM dense
+  WINDOW w AS (PARTITION BY source, lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g AS (
+  SELECT source, lang, CAST(ng AS BIGINT) AS ng, CAST(n AS BIGINT) AS n,
+         SUM(ABS(CAST(CAST(cg AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      - CAST(call AS DECIMAL(19,0))
+                        * CAST(ng AS DECIMAL(19,0)) AS DECIMAL(38,0)))) AS s
+  FROM cum WHERE bin < 9 GROUP BY 1, 2, 3, 4
+)
+SELECT source, lang, ng AS n_docs,
+       round(CAST(s AS DOUBLE) / (CAST(ng AS DOUBLE) * n * 9.0), 6) AS emd,
+       CASE WHEN CAST(s AS DOUBLE) / (CAST(ng AS DOUBLE) * n * 9.0) > 0.2
+            THEN 'fails_t_closeness' ELSE 'ok' END AS verdict
+FROM g ORDER BY source, lang
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r16 exactly as the r15 comment (and the r15
@@ -18767,5 +19291,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unit_value_index": (unit_value_index, UNIT_VALUE_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "interpurchase_time": (interpurchase_time, INTERPURCHASE_SQL),
+    "collocation_tscore": (collocation_tscore, COLLOCATION_T_SQL),
+    "word_burstiness": (word_burstiness, WORD_BURSTINESS_SQL),
+    "rouge_overlap": (rouge_overlap, ROUGE_SQL),
+    "self_bleu_sample": (self_bleu_sample, SELF_BLEU_SQL),
+    "t_closeness_audit": (t_closeness_audit, T_CLOSENESS_SQL),
 }
 
