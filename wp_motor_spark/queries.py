@@ -18996,6 +18996,726 @@ FROM g ORDER BY source, lang
 """
 
 
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Brier 1950; Murphy
+    1973): reliability - resolution + uncertainty over 10 confidence
+    bins, using the ece_calibration scorer (rational sigmoid
+    tok/(tok+50) vs the curated-source label) — the diagnosis behind
+    a bad ECE: is the model MISCALIBRATED (high reliability term) or
+    merely UNINFORMATIVE (low resolution)? Per-bin averages follow
+    the ece precedent; the identity REL - RES + UNC equals the binned
+    Brier score by construction.
+
+    Scale shape: one map-only score pass, one 10-bin rollup, scalar
+    assembly on the bounded bin frame."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count_ws(F.col("text")).cast("double")
+    conf = tok / (tok + F.lit(50.0))
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    per = (
+        docs.select(
+            F.least(F.lit(9), F.floor(conf * 10).cast("int")).alias("bin"),
+            conf.alias("conf"),
+            pos.cast("int").alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("conf").alias("pk"),
+            F.avg("p").alias("ok"),
+            F.sum("p").alias("np"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("np").alias("npos")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    obar = F.col("npos").cast("double") / F.col("nn").cast("double")
+    nk = F.col("n").cast("double")
+    out = j.groupBy("nn", "npos").agg(
+        F.sum(
+            nk * (F.col("pk") - F.col("ok")) * (F.col("pk") - F.col("ok"))
+        ).alias("rel_s"),
+        F.sum(nk * (F.col("ok") - obar) * (F.col("ok") - obar)).alias(
+            "res_s"
+        ),
+    )
+    nn = F.col("nn").cast("double")
+    ob = F.col("npos").cast("double") / nn
+    rel = F.col("rel_s") / nn
+    res = F.col("res_s") / nn
+    unc = ob * (1 - ob)
+    return out.select(
+        F.col("nn").alias("n_docs"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_binned"),
+    )
+
+
+BRIER_DECOMP_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS DOUBLE) END AS tok,
+         source IN ('src0','src1','src2','src3') AS pos
+  FROM documents
+), s AS (
+  SELECT LEAST(9, CAST(floor(tok / (tok + 50.0) * 10) AS INT)) AS bin,
+         tok / (tok + 50.0) AS conf,
+         CASE WHEN pos THEN 1 ELSE 0 END AS p
+  FROM t
+), per AS (
+  SELECT bin, COUNT(*) AS n, AVG(conf) AS pk, AVG(p) AS ok,
+         CAST(SUM(p) AS BIGINT) AS np
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(np) AS BIGINT) AS npos
+  FROM per
+), agg AS (
+  SELECT nn, npos,
+         SUM(n * (pk - ok) * (pk - ok)) AS rel_s,
+         SUM(n * (ok - CAST(npos AS DOUBLE) / nn)
+             * (ok - CAST(npos AS DOUBLE) / nn)) AS res_s
+  FROM per, tot GROUP BY 1, 2
+)
+SELECT nn AS n_docs,
+       round(rel_s / nn, 6) AS reliability,
+       round(res_s / nn, 6) AS resolution,
+       round((CAST(npos AS DOUBLE) / nn) * (1 - CAST(npos AS DOUBLE) / nn), 6)
+         AS uncertainty,
+       round(rel_s / nn - res_s / nn
+             + (CAST(npos AS DOUBLE) / nn)
+               * (1 - CAST(npos AS DOUBLE) / nn), 6) AS brier_binned
+FROM agg
+"""
+
+
+def gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains / lift table (the direct-marketing standard —
+    see Berry & Linoff's classic treatment): rank documents by the
+    deterministic quality score (whitespace token count, the ece
+    scorer's core), split into VALUE-GROUP deciles (every doc with
+    the same score lands in one decile, decided by the group's
+    starting rank — the rfm_segments discipline, never NTILE), and
+    report per decile the positive-label capture, cumulative gain,
+    and lift — 'how deep must the screen go to catch 80% of the good
+    docs'. All counts exact; the decile windows run over the 10-row
+    frame.
+
+    Scale shape: one (score value) histogram rollup (bounded value
+    domain), cumulative windows over it, one bounded join back."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count_ws(F.col("text")).cast("long")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    scored = docs.select(tok.alias("v"), pos.cast("int").alias("p"))
+    hist = scored.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("p").alias("np")
+    )
+    # high score first: decile by the value group's starting rank
+    wv = Window.orderBy(F.desc("v"))
+    tot = hist.agg(F.sum("cnt").alias("n"), F.sum("np").alias("npos"))
+    dec = (
+        hist.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v", "cnt", "np",
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("cum") - F.col("cnt")) * 10 / F.col("n")
+                ).cast("int"),
+            ).alias("decile"),
+            "n", "npos",
+        )
+    )
+    per = dec.groupBy("decile", "n", "npos").agg(
+        F.sum("cnt").alias("n_docs"), F.sum("np").alias("n_pos")
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    overall = F.col("npos").cast("double") / F.col("n").cast("double")
+    return per.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.round(rate, 4).alias("pos_rate"),
+        F.round(
+            F.sum("n_pos").over(wd).cast("double")
+            / F.col("npos").cast("double"),
+            4,
+        ).alias("cum_gain"),
+        F.round(rate / overall, 4).alias("lift"),
+    ).orderBy("decile")
+
+
+GAINS_TABLE_SQL = r"""
+WITH scored AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS v,
+         CASE WHEN source IN ('src0','src1','src2','src3')
+              THEN 1 ELSE 0 END AS p
+  FROM documents
+), hist AS (
+  SELECT v, COUNT(*) AS cnt, CAST(SUM(p) AS BIGINT) AS np
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS npos
+  FROM hist
+), dec AS (
+  SELECT v, cnt, np,
+         LEAST(9, CAST(FLOOR((cum - cnt) * 10.0 / n) AS INT)) AS decile,
+         n, npos
+  FROM (SELECT v, cnt, np, SUM(cnt) OVER (ORDER BY v DESC) AS cum
+        FROM hist), tot
+), per AS (
+  SELECT decile, n, npos,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(np) AS BIGINT) AS n_pos
+  FROM dec GROUP BY 1, 2, 3
+)
+SELECT decile, n_docs, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_docs, 4) AS pos_rate,
+       round(CAST(SUM(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / npos, 4) AS cum_gain,
+       round((CAST(n_pos AS DOUBLE) / n_docs)
+             / (CAST(npos AS DOUBLE) / n), 4) AS lift
+FROM per ORDER BY decile
+"""
+
+
+def mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975; the
+    class-imbalance-robust single number Chicco & Jurman 2020 argue
+    should headline) for the length-score classifier at the 0.5
+    confidence threshold vs the curated-source label: MCC = (TP*TN -
+    FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — complements
+    classifier_prf's precision/recall with the symmetric view. The
+    numerator runs in DECIMAL (counts are ~1e10 at 100 TB, their
+    products need 38 digits); the denominator multiplies four sqrt()
+    factors so nothing overflows double.
+
+    Scale shape: one map-only score pass, ONE 4-cell rollup, scalar
+    math."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = text.token_count_ws(F.col("text")).cast("double")
+    conf = tok / (tok + F.lit(50.0))
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    cells = docs.select(
+        (conf > 0.5).alias("pred"), pos.alias("actual")
+    ).agg(
+        F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = (
+        (d("tp") * d("tn")).cast("decimal(38,0)")
+        - (d("fp") * d("fn")).cast("decimal(38,0)")
+    ).cast("double")
+    den = (
+        F.sqrt((F.col("tp") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tp") + F.col("fn")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fp")).cast("double"))
+        * F.sqrt((F.col("tn") + F.col("fn")).cast("double"))
+    )
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(num / den, 6).alias("mcc"),
+    )
+
+
+MCC_SQL = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS DOUBLE) END AS tok,
+         source IN ('src0','src1','src2','src3') AS actual
+  FROM documents
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN tok / (tok + 50.0) > 0.5 AND actual
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN tok / (tok + 50.0) > 0.5 AND NOT actual
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN tok / (tok + 50.0) <= 0.5 AND actual
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN tok / (tok + 50.0) <= 0.5 AND NOT actual
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       round(CAST(CAST(CAST(tp AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))
+                  - CAST(CAST(fp AS DECIMAL(19,0)) * CAST(fn AS DECIMAL(19,0))
+                         AS DECIMAL(38,0)) AS DOUBLE)
+             / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+                * sqrt(CAST(tn + fp AS DOUBLE))
+                * sqrt(CAST(tn + fn AS DOUBLE))), 6) AS mcc
+FROM cells
+"""
+
+
+def host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2002, eq. 4):
+    the Pearson correlation of endpoint degrees over all edges — do
+    hubs link to hubs (assortative, r > 0) or to leaves
+    (disassortative, r < 0, the scale-free-web signature)? Uses the
+    host_triangles edge set (source-hub + hub-hub co-citation,
+    undirected, deduplicated); each undirected edge contributes BOTH
+    orientations, the standard convention. All moments are EXACT
+    decimal sums of integer degrees.
+
+    Scale shape: degrees are one rollup over the edge list; the
+    moment pass is one more rollup over |edges| rows — no window, no
+    pair blowup."""
+    docs = _t(spark, sf_dir, "documents")
+    hubs = [
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("doc_id") * p, F.lit(37)).cast("string"),
+            F.lit(".example.org"),
+        )
+        for p in _PR_PRIMES
+    ]
+    raw = _host_edges(docs).unionAll(
+        docs.select(hubs[0].alias("src"), hubs[1].alias("dst"))
+    ).unionAll(docs.select(hubs[1].alias("src"), hubs[2].alias("dst")))
+    edges = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("host"))
+        .unionAll(edges.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("host").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("host").alias("v"), F.col("d").alias("dv"))
+    both = edges.join(du, "u").join(dv, "v")
+    ends = both.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(both.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    dx = F.col("x").cast("decimal(18,0)")
+    dy = F.col("y").cast("decimal(18,0)")
+    g = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(dx).alias("sx"),
+        F.sum((dx * dx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dx * dy).cast("decimal(38,0)")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    num = m * F.col("sxy").cast("double") - sx * sx
+    den = m * F.col("sxx").cast("double") - sx * sx
+    r = num / den
+    return g.select(
+        (F.col("m") / 2).alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+        F.when(r > 0.05, "assortative")
+        .when(r < -0.05, "disassortative")
+        .otherwise("neutral")
+        .alias("verdict"),
+    )
+
+
+def _host_assortativity_sql() -> str:
+    primes = ", ".join(str(p) for p in _PR_PRIMES)
+    return f"""
+WITH raw AS (
+  SELECT source || '.example.org' AS src,
+         'h' || CAST((doc_id * p) % 37 AS VARCHAR) || '.example.org' AS dst
+  FROM documents, UNNEST([{primes}]) AS t(p)
+  UNION ALL
+  SELECT 'h' || CAST((doc_id * {_PR_PRIMES[0]}) % 37 AS VARCHAR)
+           || '.example.org',
+         'h' || CAST((doc_id * {_PR_PRIMES[1]}) % 37 AS VARCHAR)
+           || '.example.org'
+  FROM documents
+  UNION ALL
+  SELECT 'h' || CAST((doc_id * {_PR_PRIMES[1]}) % 37 AS VARCHAR)
+           || '.example.org',
+         'h' || CAST((doc_id * {_PR_PRIMES[2]}) % 37 AS VARCHAR)
+           || '.example.org'
+  FROM documents
+), edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src != dst
+), deg AS (
+  SELECT host, COUNT(*) AS d FROM (
+    SELECT u AS host FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+), ends AS (
+  SELECT d1.d AS x, d2.d AS y
+  FROM edges JOIN deg d1 ON edges.u = d1.host
+             JOIN deg d2 ON edges.v = d2.host
+  UNION ALL
+  SELECT d2.d, d1.d
+  FROM edges JOIN deg d1 ON edges.u = d1.host
+             JOIN deg d2 ON edges.v = d2.host
+), g AS (
+  SELECT COUNT(*) AS m,
+         SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS sxy
+  FROM ends
+)
+SELECT m / 2 AS n_edges,
+       round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+         AS assortativity,
+       CASE WHEN (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 > 0.05 THEN 'assortative'
+            WHEN (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                 < -0.05 THEN 'disassortative'
+            ELSE 'neutral' END AS verdict
+FROM g
+"""
+
+
+def host_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence screen for source hosts (the Jaccard
+    link-prediction feature of Liben-Nowell & Kleinberg 2003, applied
+    to neighbor PROFILES): for every pair of source hosts, the
+    Jaccard overlap of their hub-neighbor sets — two sources whose
+    docs cite the same hubs serve interchangeable content (the mirror
+    / syndication signal at host granularity). Counts are exact
+    integers; |union| = |Na| + |Nb| - |intersection|.
+
+    Scale shape: source-host neighbor profiles live in the bounded
+    hub vocabulary; the pair frame is |sources|^2 / 2 — never
+    corpus-sized (the profile rollup is the only pass over edges)."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = _host_edges(docs).distinct()
+    sz = prof.groupBy("src").agg(F.count(F.lit(1)).alias("nsz"))
+    a = prof.select(F.col("src").alias("sa"), "dst")
+    b = prof.select(F.col("src").alias("sb"), "dst")
+    inter = (
+        a.join(b, "dst")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ja = sz.select(F.col("src").alias("sa"), F.col("nsz").alias("na"))
+    jb = sz.select(F.col("src").alias("sb"), F.col("nsz").alias("nb"))
+    out = inter.join(ja, "sa").join(jb, "sb")
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    ).cast("double")
+    return out.select(
+        "sa", "sb",
+        F.col("i").alias("common_hubs"),
+        F.round(jac, 6).alias("jaccard"),
+    ).orderBy(F.desc("jaccard"), "sa", "sb")
+
+
+def _host_neighbor_jaccard_sql() -> str:
+    primes = ", ".join(str(p) for p in _PR_PRIMES)
+    return f"""
+WITH prof AS (
+  SELECT DISTINCT source || '.example.org' AS src,
+         'h' || CAST((doc_id * p) % 37 AS VARCHAR) || '.example.org' AS dst
+  FROM documents, UNNEST([{primes}]) AS t(p)
+), sz AS (
+  SELECT src, COUNT(*) AS nsz FROM prof GROUP BY 1
+), inter AS (
+  SELECT a.src AS sa, b.src AS sb, COUNT(*) AS i
+  FROM prof a JOIN prof b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT sa, sb, i AS common_hubs,
+       round(CAST(i AS DOUBLE) / (za.nsz + zb.nsz - i), 6) AS jaccard
+FROM inter JOIN sz za ON sa = za.src JOIN sz zb ON sb = zb.src
+ORDER BY jaccard DESC, sa, sb
+"""
+
+
+def spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar / R control chart (Shewhart 1931; the A2/D4
+    constants for subgroup size 7 from the standard SPC tables) on
+    weekly subgroups of each type's dense daily counts: center line,
+    UCL/LCL = Xbar +- A2(7) * Rbar, range limits D4(7) * Rbar, and
+    the count of out-of-control weeks — the ops-review chart, with
+    the week as the rational subgroup. Only COMPLETE 7-day weeks
+    enter (documented); subgroup sums and ranges are exact integers.
+
+    Scale shape: a calendar-bounded weekly rollup, one per-type
+    reduce, one bounded re-join to count violations."""
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_counts_dense(ev)
+    wi = Window.partitionBy("event_type").orderBy("day")
+    wk = daily.select(
+        "event_type", "c",
+        F.floor((F.row_number().over(wi) - 1) / 7).alias("wkid"),
+    )
+    sub = wk.groupBy("event_type", "wkid").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("c").alias("s"),
+        (F.max("c") - F.min("c")).alias("r"),
+    ).where(F.col("nd") == 7)
+    per = sub.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum(F.col("s").cast("decimal(18,0)")).alias("ss"),
+        F.sum(F.col("r").cast("decimal(18,0)")).alias("sr"),
+    )
+    nw = F.col("n_weeks").cast("double")
+    xbar = F.col("ss").cast("double") / (7.0 * nw)
+    rbar = F.col("sr").cast("double") / nw
+    # A2 = 0.419, D4 = 1.924 for n = 7
+    ucl = xbar + 0.419 * rbar
+    lcl = xbar - 0.419 * rbar
+    lim = per.select(
+        "event_type", "n_weeks",
+        xbar.alias("xbar"), rbar.alias("rbar"),
+        ucl.alias("ucl"), lcl.alias("lcl"),
+    )
+    ooc = (
+        sub.join(F.broadcast(lim), "event_type")
+        .where(
+            (F.col("s").cast("double") / 7.0 > F.col("ucl"))
+            | (F.col("s").cast("double") / 7.0 < F.col("lcl"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_ooc"))
+    )
+    return (
+        lim.join(ooc, "event_type", "left")
+        .select(
+            "event_type", "n_weeks",
+            F.round("xbar", 4).alias("xbar"),
+            F.round("rbar", 4).alias("rbar"),
+            F.round("ucl", 4).alias("ucl"),
+            F.round("lcl", 4).alias("lcl"),
+            F.coalesce("n_ooc", F.lit(0)).alias("n_out_of_control"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SPC_SQL = f"""
+WITH {_DENSE_DAILY_SQL}, wk AS (
+  SELECT event_type, c,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY day) - 1) / 7.0) AS BIGINT) AS wkid
+  FROM daily
+), sub AS (
+  SELECT event_type, wkid, COUNT(*) AS nd,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(MAX(c) - MIN(c) AS BIGINT) AS r
+  FROM wk GROUP BY 1, 2
+  HAVING COUNT(*) = 7
+), per AS (
+  SELECT event_type, COUNT(*) AS n_weeks,
+         SUM(CAST(s AS DECIMAL(18,0))) AS ss,
+         SUM(CAST(r AS DECIMAL(18,0))) AS sr
+  FROM sub GROUP BY 1
+), lim AS (
+  SELECT event_type, n_weeks,
+         CAST(ss AS DOUBLE) / (7.0 * n_weeks) AS xbar,
+         CAST(sr AS DOUBLE) / n_weeks AS rbar,
+         CAST(ss AS DOUBLE) / (7.0 * n_weeks)
+           + 0.419 * CAST(sr AS DOUBLE) / n_weeks AS ucl,
+         CAST(ss AS DOUBLE) / (7.0 * n_weeks)
+           - 0.419 * CAST(sr AS DOUBLE) / n_weeks AS lcl
+  FROM per
+), ooc AS (
+  SELECT sub.event_type, COUNT(*) AS n_ooc
+  FROM sub JOIN lim ON sub.event_type = lim.event_type
+  WHERE CAST(s AS DOUBLE) / 7.0 > ucl OR CAST(s AS DOUBLE) / 7.0 < lcl
+  GROUP BY 1
+)
+SELECT lim.event_type, n_weeks,
+       round(xbar, 4) AS xbar, round(rbar, 4) AS rbar,
+       round(ucl, 4) AS ucl, round(lcl, 4) AS lcl,
+       COALESCE(n_ooc, 0) AS n_out_of_control
+FROM lim LEFT JOIN ooc ON lim.event_type = ooc.event_type
+ORDER BY lim.event_type
+"""
+
+
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimator (Horvitz & Thompson 1952) of the
+    corpus character total from a size-proportional deterministic
+    sample: inclusion probability pi_i = min(1, n_chars / 5000),
+    membership decided by an integer Knuth-hash coin (doc_id *
+    2654435761 mod 2^32, compared CROSS-MULTIPLIED so no float enters
+    selection), estimate = sum over sampled docs of n_chars / pi_i.
+    Because n_chars / min(1, n_chars/5000) is 5000 for small docs and
+    n_chars for large ones, the estimate is an EXACT integer sum —
+    the design-unbiasedness demo a sampling pipeline ships with its
+    weighted exports (the weighted_sample_aes companion).
+
+    Scale shape: one map-only membership pass, one decimal rollup,
+    one 1-row truth join."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    # include iff h / 2^32 < n_chars / 5000  (cross-multiplied)
+    small = F.col("n_chars") < 5000
+    inc = (h * 5000) < (
+        F.lit(4294967296) * F.least(F.lit(5000), F.col("n_chars"))
+    )
+    samp = docs.select(
+        "n_chars", small.alias("small"), inc.alias("inc")
+    ).where(F.col("inc"))
+    est = samp.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(
+            F.when(F.col("small"), F.lit(5000)).otherwise(F.col("n_chars"))
+            .cast("decimal(18,0)")
+        ).alias("est"),
+    )
+    truth = docs.agg(
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("truth"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    j = est.crossJoin(F.broadcast(truth))
+    rel = (
+        F.col("est").cast("double") - F.col("truth").cast("double")
+    ) / F.col("truth").cast("double")
+    return j.select(
+        "n_docs",
+        "n_sampled",
+        F.col("est").cast("long").alias("ht_estimate"),
+        F.col("truth").cast("long").alias("true_total"),
+        F.round(rel, 6).alias("rel_error"),
+    )
+
+
+HORVITZ_SQL = """
+WITH samp AS (
+  SELECT n_chars, n_chars < 5000 AS small
+  FROM documents
+  WHERE ((doc_id * 2654435761) % 4294967296) * 5000
+        < 4294967296 * LEAST(5000, n_chars)
+), est AS (
+  SELECT COUNT(*) AS n_sampled,
+         SUM(CAST(CASE WHEN small THEN 5000 ELSE n_chars END
+                  AS DECIMAL(18,0))) AS est
+  FROM samp
+), truth AS (
+  SELECT SUM(CAST(n_chars AS DECIMAL(18,0))) AS truth, COUNT(*) AS n_docs
+  FROM documents
+)
+SELECT n_docs, n_sampled,
+       CAST(est AS BIGINT) AS ht_estimate,
+       CAST(truth AS BIGINT) AS true_total,
+       round((CAST(est AS DOUBLE) - CAST(truth AS DOUBLE))
+             / CAST(truth AS DOUBLE), 6) AS rel_error
+FROM est, truth
+"""
+
+
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate (Chapman 1951, the
+    bias-corrected Lincoln-Petersen) of the active-user population:
+    'capture' = users seen in the first half of the time span,
+    'recapture' = users seen in the second; N-hat = (nA+1)(nB+1) /
+    (m+1) - 1 where m is the overlap — the estimator an analytics
+    team uses when either half alone undercounts. Compared against
+    the true distinct-user count (computable here; not at a real
+    registry gap). Exact integer counts; one division.
+
+    Scale shape: per-user half-membership is one rollup (users are
+    many and small); everything after is 1-row math."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.col("ts").cast("long") * 2 <= F.col("t0") + F.col("t1"))
+            .alias("h1"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("h1"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(~F.col("h1"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("in_a").alias("na"),
+        F.sum("in_b").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("m"),
+    )
+    nhat = (
+        (F.col("na") + 1).cast("double")
+        * (F.col("nb") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - 1
+    )
+    return g.select(
+        F.col("na").alias("captured"),
+        F.col("nb").alias("recaptured"),
+        F.col("m").alias("overlap"),
+        F.round(nhat, 2).alias("chapman_estimate"),
+        F.col("n_true").alias("true_users"),
+        F.round(
+            (nhat - F.col("n_true").cast("double"))
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+CAPTURE_RECAPTURE_SQL = """
+WITH bounds AS (
+  SELECT epoch(MIN(ts)) AS t0, epoch(MAX(ts)) AS t1 FROM events
+), per AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch(ts) * 2 <= t0 + t1 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN epoch(ts) * 2 > t0 + t1 THEN 1 ELSE 0 END) AS in_b
+  FROM events, bounds GROUP BY 1
+), g AS (
+  SELECT COUNT(*) AS n_true,
+         CAST(SUM(in_a) AS BIGINT) AS na,
+         CAST(SUM(in_b) AS BIGINT) AS nb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m
+  FROM per
+)
+SELECT na AS captured, nb AS recaptured, m AS overlap,
+       round((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1, 2)
+         AS chapman_estimate,
+       n_true AS true_users,
+       round(((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1 - n_true)
+             / n_true, 6) AS rel_error
+FROM g
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Driver-window ordering: CORRECTNESS_r{N} covers the FIRST 50
     # entries. Rotated for r16 exactly as the r15 comment (and the r15
@@ -19296,5 +20016,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rouge_overlap": (rouge_overlap, ROUGE_SQL),
     "self_bleu_sample": (self_bleu_sample, SELF_BLEU_SQL),
     "t_closeness_audit": (t_closeness_audit, T_CLOSENESS_SQL),
+    "brier_decomposition": (brier_decomposition, BRIER_DECOMP_SQL),
+    "gains_table": (gains_table, GAINS_TABLE_SQL),
+    "mcc_score": (mcc_score, MCC_SQL),
+    "host_assortativity": (host_assortativity, _host_assortativity_sql()),
+    "host_neighbor_jaccard": (
+        host_neighbor_jaccard, _host_neighbor_jaccard_sql()
+    ),
+    "spc_control_limits": (spc_control_limits, SPC_SQL),
+    "horvitz_thompson_total": (horvitz_thompson_total, HORVITZ_SQL),
+    "capture_recapture": (capture_recapture, CAPTURE_RECAPTURE_SQL),
 }
 
