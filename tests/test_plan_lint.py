@@ -206,6 +206,26 @@ def test_entire_query_suite_stays_lint_clean(spark, sf001_dir):
         #   growing broadcast
         "abc_analysis": {"NESTED_LOOP"},  # broadcast ONE-row total
         #   part count next to the 3-class rollup
+        # --- r16 additions: every one a 1-row or catalog-bounded
+        #     broadcast crossJoin (the levene/ks_drift shapes) ---
+        "kruskal_wallis": {"NESTED_LOOP"},  # ONE-row (k, n, ties) totals
+        "mood_median_test": {"NESTED_LOOP"},  # ONE-row grand median +
+        #   ONE-row (n, above_tot, k) totals
+        "anova_f_test": {"NESTED_LOOP"},  # ONE-row grand totals
+        "friedman_test": {"NESTED_LOOP"},  # |types|-row treatment frame
+        #   + ONE-row chi2/ties constants
+        "cramers_v": {"NESTED_LOOP"},  # ONE-row (n, r, c) totals
+        "unit_value_index": {"NESTED_LOOP"},  # ONE-row time bounds
+        "collocation_tscore": {"NESTED_LOOP"},  # ONE-row bigram total
+        "word_burstiness": {"NESTED_LOOP"},  # ONE-row document count
+        #   (the vocab side is a LIMIT-30 equi-join, not flagged)
+        "self_bleu_sample": {"NESTED_LOOP"},  # ONE-row sample size
+        "t_closeness_audit": {"NESTED_LOOP"},  # literal 10-bin frame +
+        #   bounded global-bin rollup
+        "brier_decomposition": {"NESTED_LOOP"},  # ONE-row (n, npos)
+        "gains_table": {"NESTED_LOOP"},  # ONE-row (n, npos) totals
+        "horvitz_thompson_total": {"NESTED_LOOP"},  # ONE-row truth total
+        "capture_recapture": {"NESTED_LOOP"},  # ONE-row time bounds
     }
     bad = {}
     for name, (fn, _sql) in QUERIES.items():

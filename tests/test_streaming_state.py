@@ -632,3 +632,88 @@ def test_page_hinkley_stream_matches_driver_recurrence(spark, tmp_path):
 
     assert want, "fixture must contain a drift alarm"
     assert got == want, (got, want)
+
+
+def test_ewma_chart_stream_matches_driver_recurrence(spark, tmp_path):
+    """EWMA control-chart gate: streamed alarms EXACTLY match a
+    driver-side recompute of the Roberts/Lucas-Saccucci recurrence
+    (frozen 20-obs calibration, z = lam x + (1-lam) z, time-varying
+    limit with the (1-(1-lam)^(2i)) factor, no restart), across TWO
+    micro-batches so the 7-scalar state carries over. The fixture
+    shifts the level from ~10.0 to ~10.6 — a ~1.9 sigma sustained
+    shift that a 3-sigma point test never flags but the EWMA chart
+    must."""
+    calib = [10.0, 10.3, 9.7, 10.2, 9.8, 10.1, 9.9, 10.4, 9.6, 10.0,
+             10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0, 10.2, 9.8, 10.0]
+    shifted = [10.6, 10.7, 10.5, 10.6, 10.8, 10.6, 10.5, 10.7, 10.6, 10.6]
+    vals = calib + shifted
+    rows = [
+        {"ts": f"2026-01-01T10:00:{i:02d}", "k": "a", "v": v}
+        for i, v in enumerate(vals)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(os.path.join(src, "b0.json"), rows[:23], order=0)
+    _write(os.path.join(src, "b1.json"), rows[23:], order=1)
+
+    schema = StructType(
+        [
+            StructField("ts", StringType()),
+            StructField("k", StringType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "k",
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    from wp_motor_spark.streaming import ewma_chart_stream
+
+    out = ewma_chart_stream(
+        stream, key_col="k", ts_col="ts", val_col="v",
+        lam=0.2, l_mult=3.0, calib_n=20,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ewch_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["ts"]), r["v"], r["ewma"], r["limit"], r["side"])
+            for r in spark.sql("select * from ewch_out").collect()
+        }
+    finally:
+        q.stop()
+
+    import math
+
+    n, s, s2, mu, sig, z, i = 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0
+    want = set()
+    for idx, v in enumerate(vals):
+        if n < 20:
+            n += 1
+            s += v
+            s2 += v * v
+            if n == 20:
+                mu = s / n
+                sig = math.sqrt(max(s2 / n - mu * mu, 0.0))
+                z = mu
+            continue
+        i += 1
+        z = 0.2 * v + 0.8 * z
+        width = 3.0 * sig * math.sqrt(0.2 / 1.8 * (1.0 - 0.8 ** (2 * i)))
+        if abs(z - mu) > width:
+            want.add(
+                (f"2026-01-01 10:00:{idx:02d}", v, round(z, 6),
+                 round(width, 6), "high" if z > mu else "low")
+            )
+
+    assert want, "fixture must contain a sustained-shift alarm"
+    assert got == want, (got, want)

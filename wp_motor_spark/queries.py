@@ -19727,11 +19727,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # oracle-verified locally at both SFs in r15 but never in a
     # driver window). 4 + 46 = 50 EXACTLY. After the window: the
     # r15-certified 50 (freshest certs, CORRECTNESS_r15), then the
-    # r14-, r12-, r13-certified blocks unchanged. NEW r16 operators
-    # append at the very end; at r17 rotation time the window should
-    # take the r16-new tail plus enough of the then-stalest block
-    # (r12-certified, by then five rounds old) to fill 50 — document
-    # the exact split here when rotating.
+    # r14-, r12-, r13-certified blocks unchanged. The 28 NEW r16
+    # operators append at the very end (kruskal_wallis ..
+    # capture_recapture); the r17 window should take those 28 plus
+    # the FIRST 22 of the r12-certified block (good_turing_mass ..
+    # minhash_lsh_dups — by then the stalest certs, five rounds old):
+    # 28 + 22 = 50 EXACTLY. Rotate them to the front at r17 start and
+    # update this comment with the r18 plan.
     # --- r14-new SPILL (4): lead the r16 window ---
     "centroid_distances": (centroid_distances, CENTROID_DIST_SQL),
     "seasonal_decompose": (seasonal_decompose, SEASONAL_SQL),

@@ -643,3 +643,125 @@ def page_hinkley_stream(
     return stream.groupBy(key_col).applyInPandasWithState(
         _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ewma_chart_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    lam: float = 0.2,
+    l_mult: float = 3.0,
+    calib_n: int = 20,
+) -> DataFrame:
+    """Per-key streaming EWMA control chart (Roberts 1959; the
+    time-varying control limits of Lucas & Saccucci 1990): the first
+    ``calib_n`` observations CALIBRATE a frozen in-control baseline
+    (mu, sigma) — the cusum_stream discipline — then the EWMA
+    statistic z_i = lam * x + (1 - lam) * z_{i-1} is monitored
+    against mu +- L * sigma * sqrt(lam / (2 - lam) *
+    (1 - (1 - lam)^(2i))); an excursion emits an alarm row with the
+    side. Detects SMALL SUSTAINED shifts the point-outlier
+    ewma_anomaly_stream's z-test misses, without CUSUM's reference-
+    value tuning. The chart keeps running after an alarm (control-
+    chart convention: the excursion itself is the record; no restart).
+
+    State is SEVEN scalars per key regardless of stream length. The
+    gate in tests/test_streaming_state.py recomputes this recurrence
+    driver-side and requires exact agreement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(val_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("limit", DoubleType()),
+            StructField("side", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("s2", DoubleType()),
+            StructField("mu", DoubleType()),
+            StructField("sig", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("i", LongType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        kval = key[0]
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, val_col]].copy()
+            sub[ts_col] = pd.to_datetime(sub[ts_col])
+            rows.append(sub)
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(
+            # stable + value tiebreak: deterministic tie replay (the
+            # page_hinkley_stream discipline)
+            [ts_col, val_col], kind="stable"
+        )
+        if state.exists:
+            n, s, s2, mu, sig, z, i = state.get
+        else:
+            n, s, s2, mu, sig, z, i = 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0
+        out = {c: [] for c in (ts_col, val_col, "ewma", "limit", "side")}
+        for ts, v in zip(batch[ts_col], batch[val_col]):
+            v = float(v)
+            if n < calib_n:
+                n += 1
+                s += v
+                s2 += v * v
+                if n == calib_n:
+                    mu = s / n
+                    sig = math.sqrt(max(s2 / n - mu * mu, 0.0))
+                    z = mu
+                continue
+            i += 1
+            z = lam * v + (1.0 - lam) * z
+            width = (
+                l_mult
+                * sig
+                * math.sqrt(
+                    lam / (2.0 - lam)
+                    * (1.0 - (1.0 - lam) ** (2 * i))
+                )
+            )
+            if abs(z - mu) > width:
+                out[ts_col].append(ts)
+                out[val_col].append(v)
+                out["ewma"].append(round(z, 6))
+                out["limit"].append(round(width, 6))
+                out["side"].append("high" if z > mu else "low")
+        state.update(
+            (
+                int(n), float(s), float(s2), float(mu), float(sig),
+                float(z), int(i),
+            )
+        )
+        if out[ts_col]:
+            yield pd.DataFrame(
+                {
+                    key_col: [kval] * len(out[ts_col]),
+                    ts_col: out[ts_col],
+                    val_col: out[val_col],
+                    "ewma": out["ewma"],
+                    "limit": out["limit"],
+                    "side": out["side"],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
