@@ -201,6 +201,23 @@ DEFAULT_QUERIES = [
     "dunning_keyness",
     "lead_lag_corr",
     "ljung_box",
+    # r16 additions: value-domain rank histograms, calendar-bounded
+    # day-pair frames, blocked within-day ranks, quantized-trig DFT
+    # rollup, fact-join unit values, per-user cohort rollup,
+    # per-customer gap windows, bigram t-score shuffle, (doc, word)
+    # burstiness rollup, reference n-gram joins, edge-moment
+    # assortativity
+    "kruskal_wallis",
+    "kendall_tau_daily",
+    "friedman_test",
+    "spectral_peaks",
+    "unit_value_index",
+    "cohort_retention",
+    "interpurchase_time",
+    "collocation_tscore",
+    "word_burstiness",
+    "rouge_overlap",
+    "host_assortativity",
 ]
 
 SF_DIRS = [
