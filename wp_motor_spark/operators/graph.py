@@ -90,7 +90,7 @@ def pagerank(
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.join(deg, ranks["id"] == deg["u"], "left").select(
         "id", F.round("rank", 8).alias("rank"),

@@ -26,10 +26,18 @@ from wp_motor_spark.operators.stats import windowed_counts
 from wp_motor_spark.wpl import compile_rule, parse_wpl
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load a base table; ``spread=True`` opts the scan into the
+    spread-after-read repartition (sources/tables.py): use it ONLY where
+    the scan feeds heavy per-row JVM compute (WPL/regex parse, text HOFs,
+    blocked levenshtein) — measured 2-3x wins there, 2-5x LOSSES when the
+    consumer is a Python/Arrow stage, a driver-sample loop, or a plain
+    aggregation (the exchange then costs more than it buys)."""
     from wp_motor_spark.sources.tables import load_table
 
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 #: persisted intermediates registered by query builders so a suite harness
@@ -109,50 +117,46 @@ def _global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Dat
     )
 
 
-def _global_cumsum(
-    df: DataFrame, order_cols: list, value_col: str, out_col: str
+def _global_rank_cumsum(
+    df: DataFrame, order_cols: list, value_col: str,
+    rank_col: str = "rank", cum_col: str = "__cum",
 ) -> DataFrame:
-    """Exact global inclusive prefix sum of ``value_col`` over the
-    total order ``order_cols`` WITHOUT a single-partition window — the
-    _global_rank discipline applied to running sums (r15 verdict item
-    3): repartitionByRange spreads the ordered frame over balanced
-    ranges, each partition folds its local running sum, and broadcast
-    per-partition totals (|partitions| rows) lift local prefixes to
-    global ones. Same persist rationale as _global_rank: both subtrees
-    must read ONE physical range partitioning."""
+    """Fused _global_rank + _global_cumsum over the SAME total order: one
+    repartitionByRange, one persist, one offsets frame carrying BOTH the
+    cumulative row-count and the cumulative value total per range
+    partition (r16 optimization: abc_analysis paid two full range
+    exchanges + two persists for the rank pass and the prefix-sum pass;
+    the orders are identical, so both lift from one partitioning).
+    Values are exactly those of the two-pass composition."""
     dtype = dict(df.dtypes)[value_col]
+    w_part = Window.partitionBy("__pid").orderBy(*order_cols)
     loc = _track_persist(
         df.repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_part))
         .withColumn(
             "__lc",
             F.sum(value_col).over(
-                Window.partitionBy("__pid")
-                .orderBy(*order_cols)
-                .rowsBetween(Window.unboundedPreceding, 0)
+                w_part.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
     )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         loc.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__pt"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum(value_col).alias("__pt"))
+        .withColumn("__roff", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
         .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__pt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast(dtype),
-            ),
+            "__voff",
+            F.coalesce(F.sum("__pt").over(w_off), F.lit(0).cast(dtype)),
         )
-        .select("__pid", "__off")
+        .select("__pid", "__roff", "__voff")
     )
     return (
         loc.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__lc") + F.col("__off"))
-        .drop("__pid", "__lc", "__off", "__pt")
+        .withColumn(rank_col, F.col("__lr") + F.col("__roff"))
+        .withColumn(cum_col, F.col("__lc") + F.col("__voff"))
+        .drop("__pid", "__lr", "__lc", "__roff", "__voff")
     )
 
 
@@ -422,7 +426,7 @@ def wpl_parse_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle derives the same fields relationally — equality proves the
     regex extraction + typed casts round-trip."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     line = F.format_string(
         '10.0.%d.%d - - [%s] "GET /e/%d HTTP/1.1" %d %d',
         F.floor(F.col("user_id") / 256).cast("int"),
@@ -478,7 +482,7 @@ def wpl_oml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (typed reads, pipe fns, struct get, match range, default clause)."""
     from wp_motor_spark.oml.compiler import compile_oml
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     line = F.format_string(
         '10.0.%d.%d - - [%s] "GET /e/%d HTTP/1.1" %d %d',
         F.floor(F.col("user_id") / 256).cast("int"),
@@ -701,7 +705,7 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality heuristics, SQL-mirrored."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return docs.select(
         "doc_id",
         text.token_count_ws(F.col("text")).alias("n_tokens"),
@@ -731,7 +735,7 @@ FROM t
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID + punctuation ratio, SQL-mirrored."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return docs.select(
         "doc_id",
         text.detect_language(F.col("text")).alias("lang_detected"),
@@ -773,7 +777,7 @@ FROM scored
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting, SQL-mirrored."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return docs.select(
         "doc_id",
         text.token_count_ws(F.col("text")).alias("n_ws"),
@@ -981,7 +985,7 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     out = dedup.embedding_neardup_pairs(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -1013,7 +1017,7 @@ _EMB_DIM_CACHE: dict = {}
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH ANN (approximate -> rows-only check; recall@5
     gate vs cosine_topk in tests/test_quality.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     dim = _emb_dim(spark, sf_dir)
     out = similarity.lsh_topk(
@@ -1034,7 +1038,7 @@ def wpl_auto_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits a bare integer and asserts tag=float, NOT digit: the reference's
     Float parser (winnow `float`) accepts integer forms and precedes
     Digit, so integers classify float there and here."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     u = F.col("user_id")
     m = F.col("event_id") % 8
     token = (
@@ -1114,7 +1118,7 @@ def wpl_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kvarr container + typed subfield refs (kv.rs/kvarr parsing,
     subfield extraction compiler.py `kvarr` branch): k=v pairs to a map,
     then digit/chars/float-typed pulls out of it."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     line = F.format_string(
         "user=%d type=%s val=%d.5",
         F.col("user_id"),
@@ -1146,7 +1150,7 @@ def wpl_time_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The time parser family on one line: ISO-8601 (T/Z form), RFC 3339
     with numeric offset, and raw epoch micros (physical/time/ parsers;
     the length-sniffed s/ms/us branch of time/timestamp)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     line = F.format_string(
         "%d %s %s %d",
         F.col("event_id"),
@@ -1180,7 +1184,7 @@ def wpl_base64_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-level base64 decode-then-subparse (`base64 | (group)` —
     wpl_preprocessor.rs decode + nested rule): the captured token is
     decoded, then the subgroup's parsers run over the plaintext."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     payload = F.format_string("%d %s", F.col("user_id"), F.col("event_type"))
     line = F.format_string(
         "%d %s", F.col("event_id"), F.base64(F.encode(payload, "UTF-8"))
@@ -1223,7 +1227,7 @@ def oml_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     output relationally from the columns the line was synthesized from."""
     from wp_motor_spark.oml.compiler import compile_oml
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     u = F.col("user_id")
     line = F.format_string(
         "%d http://h%d.example.com/a/b%d?k=%s 10.0.%d.%d %s",
@@ -1292,7 +1296,7 @@ def oml_match_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal arm, never the later alternation)."""
     from wp_motor_spark.oml.compiler import compile_oml
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     line = F.format_string(
         "%d %s %d",
         F.col("event_id"),
@@ -1335,7 +1339,7 @@ def wpl_multirule_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix) routes to miss and is excluded."""
     from wp_motor_spark.wpl import MultiParser
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     u = F.col("user_id")
     is_b = F.col("event_id") % 2 == 1
     line = (
@@ -1383,7 +1387,7 @@ def wpl_net_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     (network/{domain,email,url}.rs, physical/{ip_net,mobile,hex,bool}).
     The oracle reconstructs each token relationally; a successful parse +
     typed cast round-trip proves both the token regexes and the casts."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     u = F.col("user_id")
     line = F.format_string(
         "%d www.ex%d.com u%d@ex.com http://ex.com/p%d 10.0.%d.0/24 138%08d %x %s",
@@ -1432,7 +1436,7 @@ def wpl_miss_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the shape selector."""
     from wp_motor_spark.wpl import MultiParser
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     m = F.col("event_id") % 5
     line = (
         F.when(m == 0, F.format_string("A %d 10.0.0.1 7", F.col("event_id")))
@@ -1611,7 +1615,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The oracle recomputes the same overlap from raw string grams
     (the Spark side joins on xxhash64 gram hashes — count equality proves
     the hashed semi-join loses nothing)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     bench = docs.where(F.col("doc_id") < 50)
     corpus = docs.where(F.col("doc_id") >= 50)
     return dedup.contamination_overlap(corpus, bench, n=3, min_shared=5)
@@ -1675,7 +1679,7 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id as the deterministic tiebreak."""
     from wp_motor_spark.operators import curate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     scored = docs.select(
         "doc_id",
         text.detect_language(F.col("text")).alias("lang"),
@@ -1773,7 +1777,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     part contains a digit run a naive phone pass would half-match)."""
     from wp_motor_spark.operators import pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact u"),
@@ -1897,7 +1901,7 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT algorithm (unnest + group-count vs the Spark side's sorted
     run-length scan) — value equality checks the semantics, not the
     implementation."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     c = F.col("text")
     # materialize each metric ONCE, then flag from the materialized
     # columns: separate metric calls carry fresh lambda-variable ids
@@ -2712,7 +2716,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALITY_r4.json."""
     from wp_motor_spark.operators import bpe
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BPE_MERGES_CACHE:
         _BPE_MERGES_CACHE[key] = bpe.train_bpe(docs, num_merges=200)
@@ -3578,7 +3582,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     was measured SLOWER for the pair at sf0.1 — 8.2 s build + 5.5 s ride
     vs ~1 s + ~2.5 s with both sides O(matches) — so each query filters
     to its own terms below the aggregation instead; see hybrid_search.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = docs.select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).alias("dl"),
@@ -3804,7 +3808,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (status, priority): all four grouping
     combinations in ONE pass — Spark expands the sets map-side and
     aggregates them in a single shuffle, vs four separate scans."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, spread=True, name="orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
@@ -4047,26 +4051,30 @@ def _bm25_query_ranks(docs: DataFrame, K: int) -> DataFrame:
     local top-K; phase 2 ranks the <= K*P survivors. Exact: every
     global top-K row is inside its partition's local top-K, and both
     phases break ties identically (rounded score desc, doc_id asc)."""
+    # tokenize ONCE behind a projection boundary: referencing the split
+    # expression separately for dl and the explode re-ran the regex per
+    # use (r16; same pathology as the curate.py n-gram build)
+    tokd = docs.select("doc_id", text.tokens(F.col("text")).alias("__toks"))
     qterms = (
-        docs.where(F.col("doc_id") < 5)
+        tokd.where(F.col("doc_id") < 5)
         .select(
             F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("term"),
+            F.explode(F.array_distinct(F.col("__toks"))).alias("term"),
         )
     )
     qterm_set = qterms.select("term").distinct()
-    toks = docs.select(
+    toks = tokd.select(
         "doc_id",
-        F.size(text.tokens(F.col("text"))).alias("dl"),
-        F.explode(text.tokens(F.col("text"))).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     ).join(F.broadcast(qterm_set), "term")
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
+    stats = tokd.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(text.tokens(F.col("text")))).alias("avgdl"),
+        F.avg(F.size("__toks")).alias("avgdl"),
     )
     k1, b = _BM25_K1, _BM25_B
     contrib = (
@@ -4115,8 +4123,8 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort on ROUNDED scores (4/6 dp) with doc-id tie-breaks so the
     ordering is reproducible across engines."""
     K, RRF_K, TOP = 20, 60, 10
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
 
     # ---- vector side: exact cosine ranks for the 5 query vectors
     vr = (
@@ -4232,7 +4240,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, so the sort and the run-length equality compare 8-byte ints
     instead of 5-gram strings (equal-count semantics are collision-free
     for any realistic per-doc gram count: ~1e-12 at 5k grams/doc)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = text.tokens(F.col("text"))
 
     def max_run(arr):
@@ -5142,7 +5150,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-types x tokens comparisons per row, bounded by doc
     length), so NOTHING shuffles; the filter flag is a literal
     comparison. At 100 TB this is a single scan with full codegen."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return (
         # n_chars > 0 guards empty docs with a SCAN-column comparison the
         # parquet reader pushes down (a size(a) >= 1 post-split filter
@@ -5603,7 +5611,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k, so no reducer holds one query's full score list.
     Scores round to 6 dp with neighbor tie-break for cross-engine
     rank stability."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
@@ -5670,7 +5678,7 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall joins two <= |dims| x |Q| x 5 frames. Scores round to 6 dp
     with neighbor tie-break for cross-engine rank stability."""
     dims = [8, 16, 32, 64]
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
     )
@@ -5918,7 +5926,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank loop itself: see operators/graph.py::pagerank — per round
     one (long, double) join + dst-keyed agg, localCheckpoint'd lineage,
     one-row dangling-mass broadcast."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     pairs = dedup.cluster_neardup_pairs(
         emb, threshold=0.4, n_cells=8, n_probe=3
     )
@@ -6000,7 +6008,7 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: MAP-ONLY — boundary detection, span assembly and chunk
     hashing all run as array HOFs inside one projection; only the final
     (doc, chunk) explode leaves the row. Nothing shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return (
         docs.where(F.col("n_chars") > 0)
         .select("doc_id", text.tokens(F.col("text")).alias("a"))
@@ -6577,7 +6585,7 @@ def luhn_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per candidate, no shuffle (operators/cleanse.py::luhn_valid)."""
     from wp_motor_spark.operators.cleanse import find_card_candidates
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     synth = ev.select(
         "event_id",
         F.format_string(
@@ -7010,7 +7018,7 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the covered set bounded by the picked docs' union vocab."""
     from wp_motor_spark.operators.curate import coverage_select_greedy
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     return coverage_select_greedy(docs, k=8, ngram=2)
 
 
@@ -7451,7 +7459,7 @@ def burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one groupBy agg. Rows-only for the driver (sequential Viterbi
     semantics); the gate recomputes the exact monolithic python Viterbi
     and must match interval-for-interval (tests/test_quality.py)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, spread=True, name="events")
     s_mult, gamma = 4.0, 1.0
     d10 = F.to_timestamp(F.lit("2024-01-10"))
     in_block = (F.col("ts") >= d10) & (
@@ -8106,7 +8114,7 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     BCAST_GROWING lint rule); the m_min normalizer is a one-row
     broadcast. Docs with <3 tokens have no trigram and drop out, as in
     the paper's n-gram granularity."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     tok = docs.select("doc_id", text.tokens(F.col("text")).alias("a")).where(
         F.size("a") >= 3
     )
@@ -8931,8 +8939,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
         .select(F.split("w", "").alias("sym"), "f")
     )
+    # ONE action per round (r16): the argmax job itself materializes the
+    # round's persisted segmentation as a side effect, so the former
+    # persist-then-count() action per round is gone; the parent frame is
+    # unpersisted only after the argmax has filled the child's cache.
     cur = words.persist()
-    cur.count()
+    prev = None
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pair_counts = (
@@ -8952,10 +8964,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             pair_counts.orderBy(F.desc("c"), "l", "r").limit(1).collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, l, r, c))
+        if rank == n_merges:
+            break  # last round's re-segmentation is never read
         ll, rl = F.lit(l), F.lit(r)
         merged = F.aggregate(
             "sym",
@@ -8971,10 +8988,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(s))),
         )
         nxt = cur.select(merged.alias("sym"), "f").persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
     cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
@@ -9652,8 +9669,8 @@ def rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the broadcast-query brute-force cosine (both already 100
     TB-shaped); the metric join is |Q|x10 vs |Q|x10. IDCG is a
     python-precomputed literal shared with the SQL."""
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
+    emb = _t(spark, sf_dir, spread=True, name="embeddings")
     vr = similarity.brute_force_topk(
         emb, emb.where(F.col("vec_id") < 5), k=10
     ).select(
@@ -9767,7 +9784,7 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replicate means round to 8 dp before ranking so cross-engine
     sum-order ulps cannot reorder the cut."""
     B = 200
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = text.tokens(F.col("text"))
     m = docs.select(
         "doc_id",
@@ -10089,9 +10106,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), ONE per-part agg shuffle; the total is a 1-row cross join
     derived from the SAME aggregated frame (re-aggregating |parts|
     rows, not re-scanning lineitem)."""
-    li = _t(spark, sf_dir, "lineitem")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, spread=True, name="lineitem")
+    su = _t(spark, sf_dir, spread=True, name="supplier")
+    na = _t(spark, sf_dir, spread=True, name="nation")
     n7 = (
         su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .where(F.col("n_name") == "NATION_7")
@@ -10980,7 +10997,7 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes have near-zero out-degree). Each triangle {x,y,z} appears
     exactly once: at its (degree, host)-minimum vertex. Everything
     after the distinct is |hosts+edges|-bounded."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     hubs = [
         F.concat(
             F.lit("h"),
@@ -11127,7 +11144,7 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are <= 4,950 per block — pair volume stays LINEAR in
     the corpus; the verify step is a JVM levenshtein in codegen. One
     self-join shuffle on the block key."""
-    cust = _t(spark, sf_dir, "customer").select(
+    cust = _t(spark, sf_dir, spread=True, name="customer").select(
         "c_custkey",
         "c_name",
         F.floor(F.col("c_custkey") / 100).alias("__blk"),
@@ -11184,7 +11201,7 @@ def mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count run as HOF expressions per row; no explode, no
     shuffle, the text column never moves."""
     W = 25
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
     dsum = F.aggregate(
@@ -11863,7 +11880,7 @@ def kwic_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode until the final <=2-per-doc rows, no shuffle before the
     output sort."""
     term = "data"
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
     hits = F.slice(
@@ -15027,7 +15044,7 @@ def bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wins matrix is |sources|^2-BOUNDED and collects once (the
     pq_quantize codebook discipline); MM runs driver-side on that tiny
     matrix; the result is a |sources|-row local frame."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, spread=True, name="documents")
     toks = text.token_count_ws(F.col("text"))
     base = docs.select(
         "lang",
@@ -16437,28 +16454,32 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue).
 
     Scale shape: the FACT table scans once into a |parts|-keyed
-    revenue agg (decimal); ranking the |parts| frame uses the
-    two-phase _global_rank, and the cumulative share uses the matching
-    two-phase _global_cumsum (range partitions + broadcast offsets) —
-    part SCALES with SF (r15 verdict), so NEITHER the sort NOR the
-    prefix sum may funnel through one task. The grand total comes from
-    a separate 1-row agg, never SUM() OVER ()."""
-    li = _t(spark, sf_dir, "lineitem")
+    revenue agg (decimal); ranking AND the cumulative share come from
+    ONE fused two-phase pass (_global_rank_cumsum: range partitions +
+    broadcast count/value offsets) — part SCALES with SF (r15
+    verdict), so neither the sort nor the prefix sum may funnel
+    through one task. The grand total is the prefix sum's final value
+    (1-row agg over the persisted |parts| frame), never SUM() OVER ()."""
+    li = _t(spark, sf_dir, spread=True, name="lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
             (_dec(F.col("l_extendedprice")) * _dec(1.0 - F.col("l_discount")))
             .cast("decimal(38,4)")
         ).alias("rev")
     )
-    ranked = _global_rank(
+    ranked = _global_rank_cumsum(
         rev.select(
             "l_partkey", "rev", (-F.col("rev")).alias("__negrev")
         ),
         ["__negrev", "l_partkey"],
+        "rev",
     ).drop("__negrev")
-    total = rev.agg(F.sum("rev").alias("__tot"))
+    # grand total = the prefix sum's last value (rev is a sum of positive
+    # prices, so max(__cum) == SUM(rev)): one pass over the persisted
+    # |parts| frame instead of a second full lineitem aggregation
+    total = ranked.agg(F.max("__cum").alias("__tot"))
     shared = (
-        _global_cumsum(ranked, ["rank"], "rev", "__cum")
+        ranked
         .crossJoin(F.broadcast(total))
         .select(
             "l_partkey",

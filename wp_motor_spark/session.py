@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (incl. partition coalescing) for persisted
+        # DataFrames too: off, every _track_persist intermediate keeps the
+        # static shuffle-partition count, so tiny cached tables fan every
+        # downstream stage out to N near-empty tasks (measured: 8-round
+        # greedy loop over a 256k-row cache, 32->AQE-sized partitions cut
+        # the loop wall ~20% locally; at scale AQE sizes from bytes, so
+        # this stays data-driven, guide §2.2).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for the few pandas-UDF paths (batched, columnar transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -20,11 +20,48 @@ Time type (crates/wp-lang/src/eval/value/parser/physical/time/).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 # columns we know carry epoch-nanos when read with nanosAsLong
 _NANO_TS_COLUMNS = {"ts"}
+
+#: Spread-after-read (guide §2.5 "input skew: one huge unsplittable file …
+#: repartition immediately after the read"): the bench testdata ships each
+#: table as ONE single-row-group parquet file, so every scan is one task and
+#: every map-heavy operator runs single-threaded no matter how many cores
+#: the session has. The spread is OPT-IN PER QUERY (load_table(...,
+#: spread=True)): measured per-query A/B at sf0.1 showed it wins 2-3x on
+#: scans feeding heavy per-row JVM compute (WPL regex parse, text HOFs,
+#: levenshtein blocks) but LOSES 2-5x on queries whose scan feeds Python/
+#: Arrow stages or driver-sample loops (ivfpq 4.0s -> 15.4s: 32 near-empty
+#: python tasks per stage across many small jobs) and on plain aggregations
+#: where the exchange costs more than the single-task scan. The condition
+#: is still data-driven, not tuned to local[32]: it fires only when the
+#: scan yields fewer partitions than half the executor parallelism AND the
+#: file is big enough to matter (>= 256 KiB). At 100 TB the scan produces
+#: thousands of splits, the condition is false, and the plan is untouched.
+_SPREAD_MIN_BYTES = int(os.environ.get("WP_SPREAD_MIN_BYTES", str(256 * 1024)))
+_SPREAD_ENABLED = os.environ.get("WP_SPREAD_SMALL_SCANS", "1") != "0"
+
+
+def _spread_small_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    if not _SPREAD_ENABLED:
+        return df
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df
+    if nbytes < _SPREAD_MIN_BYTES:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > par:
+        return df
+    return df.repartition(par)
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -44,12 +81,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
 _CACHE: dict[tuple, DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
     if key in _CACHE:
         return _CACHE[key]
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread:
+        df = _spread_small_scan(spark, df, path)
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             # timestamp[us] parquet (no TZ) → Spark TIMESTAMP_NTZ. Session

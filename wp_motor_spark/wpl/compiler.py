@@ -33,6 +33,23 @@ from wp_motor_spark.wpl.preproc import apply_preprocs
 DELIM = "\x01"
 PAIR_DELIM = "\x02"
 
+
+def _no_pushdown(c: Column) -> Column:
+    """Value-identity wrapper that Catalyst treats as nondeterministic:
+    ``shuffle`` of a 1-element array always yields that element, but its
+    nondeterministic flag stops PushPredicateThroughNonJoin from
+    substituting the wrapped expression into filters below the projection
+    (the optimization guide's §4.4 duplicated-evaluation pathology, JVM
+    expression edition). Without it, a ``_disposition == 'success'``
+    filter above ``extract()`` is rewritten in terms of the tokenizing
+    regex and pushed to the parquet scan stage — re-running the full
+    parse 3-4x per row in whatever (possibly single-partition) layout the
+    scan has, while the materialized ``__parts`` projection runs it once
+    post-spread. Measured on wpl_parse_clf at sf0.1: the pushed copy was
+    the whole remaining single-threaded stage after the spread-scan
+    change."""
+    return F.shuffle(F.array(c)).getItem(0)
+
 # Residue acceptance threshold: unparsed tail <= 20% of line is "partial"
 # (reference: src/core/parser/wpl_engine/parser.rs:55-79).
 RESIDUE_FRAC = 0.2
@@ -1743,7 +1760,7 @@ class CompiledRule:
     def extract(self, df: DataFrame, col: str = "value", keep: list[str] | None = None) -> DataFrame:
         """Parse ``col``; returns typed columns + _rule/_disposition/_residue."""
         value = F.col(col)
-        parts = self.parts_col(value)
+        parts = _no_pushdown(self.parts_col(value))
         tmp = df.withColumn("__parts", parts)
         pcol = F.col("__parts")
         named = self.field_columns(pcol)
@@ -1955,10 +1972,11 @@ class MultiParser:
             return self._label_short_circuit(df, col)
         value = F.col(col)
         # stage 1: one regex evaluation per rule per row, materialized
+        # (behind the _no_pushdown barrier, like extract's __parts)
         tmp = df.select(
             "*",
             *[
-                cr.parts_col(value).alias(f"__parts_{i}")
+                _no_pushdown(cr.parts_col(value)).alias(f"__parts_{i}")
                 for i, cr in enumerate(self.rules)
             ],
         )
