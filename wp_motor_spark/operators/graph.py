@@ -34,14 +34,26 @@ def pagerank(
     sum to 1 exactly (the gate checks this). Deterministic: no RNG, no
     data-dependent iteration count.
 
-    Scale shape: the edge frame is materialized ONCE with per-source
-    degrees attached (|E| rows of three longs); every iteration is one
-    broadcast-or-hash join of ranks onto edges + one dst-keyed agg with
-    map-side partials + a one-row dangling-mass aggregate folded in as a
-    literal-free broadcast — (long, double) tuples move, never payloads.
-    localCheckpoint per round keeps the plan flat (the CC lesson:
-    persist alone nests each round's join+agg and Catalyst analysis
-    explodes by ~8 rounds).
+    Scale shape (r16): the edge frame is materialized ONCE with
+    per-source degrees attached (|E| rows of three longs); the rank
+    frame carries CONNECTED nodes only — in the undirected both-ways
+    edge frame every connected node has >= 1 in-neighbor, so the former
+    per-round |V|-row left join against the full node set never
+    produced a NULL inflow and is gone. Isolated (degree-0) nodes all
+    hold the SAME rank every round (no inflow, same damping/dangling
+    update), so the dangling mass is the scalar recurrence
+    ``dm = n_iso * r_iso`` tracked on the driver — the per-round
+    semi-join + 1-row aggregate over a rank frame that can be mostly
+    isolated nodes is gone too (guide §2.4: remove shuffles outright).
+    Each iteration is now exactly one join of ranks onto edges + one
+    dst-keyed agg with map-side partials; (long, double) tuples move,
+    never payloads. localCheckpoint per round keeps the plan flat (the
+    CC lesson: persist alone nests each round's join+agg and Catalyst
+    analysis explodes by ~8 rounds). ``n_iso * r_iso`` vs the former
+    distributed sum of n_iso identical doubles can differ in the last
+    ulps; the 8-dp output rounding absorbs it (verified identical on
+    the sf0.1 near-dup graph) and no pagerank consumer is value-
+    oracled (neardup_pagerank is rows-only with invariant gates).
     """
     # materialize the loop-invariant frames ONCE: deg, the distinct node
     # set, and the isolated-node set are all referenced every round, and
@@ -62,37 +74,39 @@ def pagerank(
     ).localCheckpoint()
 
     n_nodes = n_frame.count()
-    ranks = n_frame.select(
-        "id", F.lit(1.0 / n_nodes).alias("rank")
+    n_iso = isolated.count()
+    r_iso = 1.0 / n_nodes
+    ranks = deg.select(
+        F.col("u").alias("id"), F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
 
     for _ in range(iters):
-        contrib = (
+        dm = n_iso * r_iso
+        base = (1.0 - damping) / n_nodes
+        ranks = (
             edges.join(ranks, edges["u"] == ranks["id"])
             .select(F.col("v").alias("id"), (F.col("rank") / F.col("degree")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
-        )
-        # dangling mass: rank held by degree-0 nodes, redistributed
-        # uniformly (one-row agg, folded in as a broadcast cross join)
-        # (no broadcast hint: the isolated set can be most of the graph)
-        dangling = ranks.join(isolated, "id", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        ranks = (
-            n_frame.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                    F.lit(base)
+                    + F.lit(damping) * (F.col("inflow") + F.lit(dm / n_nodes))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.join(deg, ranks["id"] == deg["u"], "left").select(
-        "id", F.round("rank", 8).alias("rank"),
-        F.coalesce("degree", F.lit(0)).alias("degree"),
+        # the isolated-rank recurrence mirrors the column formula exactly
+        # (inflow = 0): same IEEE ops, same literals
+        r_iso = base + damping * (0.0 + dm / n_nodes)
+
+    conn = ranks.join(deg, ranks["id"] == deg["u"]).select(
+        "id", F.round("rank", 8).alias("rank"), F.col("degree")
     )
+    iso = isolated.select(
+        "id",
+        F.round(F.lit(r_iso), 8).alias("rank"),
+        F.lit(0).cast("long").alias("degree"),
+    )
+    return conn.unionByName(iso)

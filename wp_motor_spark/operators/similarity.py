@@ -199,22 +199,20 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _kmeans_centroids(
+def _corpus_sample(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
-    n_cells: int,
-    iters: int = 5,
     sample_n: int = 4096,
 ) -> np.ndarray:
-    """Spherical k-means centroids refined over a bounded deterministic
-    sample. Collect is capped at `sample_n` rows (dim-64 float64 x 4096 =
-    2 MB — driver-safe at any corpus size); seeds are the first `n_cells`
-    sample rows in xxhash64 order, so the whole thing is reproducible with
-    no RNG state. Lloyd iterations run on the driver in numpy; the
-    expensive per-row cell assignment over the full corpus stays
-    distributed (Arrow-batched GEMM in the caller).
-    """
+    """The bounded deterministic fit sample shared by every driver-side
+    codebook/centroid fit: first `sample_n` rows in xxhash64(id) order
+    (reproducible, no RNG; a TakeOrdered partial top-k, never a full
+    sort). Returns the RAW (un-normalized) vectors. r16: the fused ANN
+    builders (ivf_pq_topk) used to collect this same sample two to
+    three times per query — callers now collect once and pass it down
+    (guide §5: the driver should do almost no data work, and certainly
+    not the same work twice)."""
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .withColumn("__h", F.xxhash64(F.col("cid")))
@@ -222,7 +220,30 @@ def _kmeans_centroids(
         .limit(sample_n)
         .collect()
     )
-    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    return np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+
+
+def _kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    iters: int = 5,
+    sample_n: int = 4096,
+    X: np.ndarray | None = None,
+) -> np.ndarray:
+    """Spherical k-means centroids refined over a bounded deterministic
+    sample. Collect is capped at `sample_n` rows (dim-64 float64 x 4096 =
+    2 MB — driver-safe at any corpus size); seeds are the first `n_cells`
+    sample rows in xxhash64 order, so the whole thing is reproducible with
+    no RNG state. Lloyd iterations run on the driver in numpy; the
+    expensive per-row cell assignment over the full corpus stays
+    distributed (Arrow-batched GEMM in the caller). Pass `X` (the raw
+    `_corpus_sample` matrix) to skip the collect when the caller already
+    holds the sample.
+    """
+    if X is None:
+        X = _corpus_sample(corpus, vec_col, id_col, sample_n)
     xn = np.linalg.norm(X, axis=1, keepdims=True)
     xn[xn == 0] = 1.0
     X = X / xn
@@ -341,6 +362,7 @@ def _pq_codebooks(
     k: int,
     iters: int = 5,
     sample_n: int = 4096,
+    X: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
     "Product Quantization for Nearest Neighbor Search"): the vector is
@@ -348,15 +370,10 @@ def _pq_codebooks(
     `k`-word L2 k-means codebook trained on the same bounded
     deterministic sample `_kmeans_centroids` uses (first rows in
     xxhash64(id) order — reproducible, driver-safe at any corpus size).
-    Returns an (m, k, d//m) float64 array."""
-    rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid")))
-        .orderBy("__h")
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    Returns an (m, k, d//m) float64 array. Pass `X` to reuse an
+    already-collected `_corpus_sample` matrix."""
+    if X is None:
+        X = _corpus_sample(corpus, vec_col, id_col, sample_n)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -569,18 +586,14 @@ def ivf_pq_topk(
     (d x kwords), the query batch (max_queries)."""
     from pyspark.sql.functions import pandas_udf
 
-    # --- coarse quantizer + residual codebooks from one bounded sample
+    # --- coarse quantizer + residual codebooks from ONE bounded sample
+    # (r16: the centroid fit and the residual fit each collected this
+    # same sample — one TakeOrdered job instead of two)
+    X = _corpus_sample(corpus, vec_col, id_col, sample_n)
     cmat = _kmeans_centroids(
-        corpus, vec_col, id_col, n_cells, iters=kmeans_iters, sample_n=sample_n
+        corpus, vec_col, id_col, n_cells, iters=kmeans_iters,
+        sample_n=sample_n, X=X,
     )
-    rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid")))
-        .orderBy("__h")
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -817,7 +830,9 @@ def kcenter_greedy(
     against the single broadcast new center plus a 1-row argmax collect
     — no pairwise matrix ever materializes (FLOPs k·n·d vs the n²d of
     exact pairwise). localCheckpoint per round keeps lineage flat, the
-    same loop discipline as coverage_select_greedy / pagerank."""
+    same loop discipline as coverage_select_greedy / pagerank; lazy
+    (r16): the round's argmax action materializes the checkpoint, so
+    each round is ONE job instead of two."""
     spark = emb_df.sparkSession
     base = emb_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
@@ -844,7 +859,7 @@ def kcenter_greedy(
     picks = [(1, int(seed["id"]), 0.0)]
     cur = base.where(F.col("id") != int(seed["id"])).withColumn(
         "min_dist", dist_to(seed["v"])
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for rank in range(2, k + 1):
         far = cur.orderBy(F.desc("min_dist"), F.asc("id")).first()
         if far is None:
@@ -853,7 +868,7 @@ def kcenter_greedy(
         cur = (
             cur.where(F.col("id") != int(far["id"]))
             .withColumn("min_dist", F.least("min_dist", dist_to(far["v"])))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return spark.createDataFrame(
         [(r, i, round(d, 6)) for r, i, d in picks], "rank int, id long, dist double"

@@ -3661,9 +3661,14 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w1). AQE still picks a broadcast join automatically whenever the
     built table is in fact under the threshold (it is at test SFs), so
     the small case loses nothing. Text never shuffles; only
-    (doc_id, w1, w2) triples move."""
+    (doc_id, w1, w2) triples move. The bigram stream and the c(w1,w2)
+    model persist (r16): both are referenced twice (model build +
+    scoring join; c1 rollup + join), and without the caches the text
+    tokenization and the bigram agg each ran twice — narrow
+    (long, word, word) / (word, word, long) rows, disk-spillable
+    (guide §5 caching rule: reused AND recompute-expensive)."""
     docs = _t(spark, sf_dir, "documents")
-    bg = (
+    bg = _track_persist(
         docs.select("doc_id", text.tokens(F.col("text")).alias("a"))
         .where(F.size("a") >= 2)
         .select(
@@ -3678,7 +3683,9 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "z.w1", "z.w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c12 = _track_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c").alias("ctx"))
     return (
         bg.join(c12, ["w1", "w2"])
@@ -5219,11 +5226,17 @@ def stupid_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row (N) frame stays an explicit broadcast cross join — it is
     genuinely bounded at one row."""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 2 == 0).alias("train"),
-        text.tokens(F.col("text")).alias("a"),
-    ).where(F.size("a") >= 3)
+    # persisted (r16): the token frame feeds FIVE subtrees (trigram
+    # stream x2, bigram stream, unigram stream x2) — the tokenization
+    # ran five times without the cache; (long, bool, array<word>) rows,
+    # disk-spillable
+    tok = _track_persist(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2 == 0).alias("train"),
+            text.tokens(F.col("text")).alias("a"),
+        ).where(F.size("a") >= 3)
+    )
     tri = tok.select(
         "doc_id",
         "train",
@@ -7262,27 +7275,31 @@ def kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("train"),
         text.tokens(F.col("text")).alias("a"),
     ).where(F.size("a") >= 2)
-    bg = tok.select(
-        "doc_id",
-        "train",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(a) - 1),"
-                " i -> struct(a[i-1] as w1, a[i] as w2))"
-            )
-        ).alias("z"),
-    ).select("doc_id", "train", "z.w1", "z.w2")
+    # persisted (r16): the bigram stream feeds FIVE subtrees (c12, c1,
+    # cont, T on the train half; the test scoring stream) — tokenize +
+    # explode ran five times without the cache; narrow (long, bool,
+    # word, word) rows, disk-spillable
+    bg = _track_persist(
+        tok.select(
+            "doc_id",
+            "train",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(a[i-1] as w1, a[i] as w2))"
+                )
+            ).alias("z"),
+        ).select("doc_id", "train", "z.w1", "z.w2")
+    )
     train = bg.where("train")
     c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = train.groupBy("w1").agg(
         F.count("*").alias("c1"), F.count_distinct("w2").alias("n1p_fw")
     )
-    cont = train.select("w1", "w2").distinct().groupBy("w2").agg(
-        F.count("*").alias("n1p_bw")
-    )
-    t_total = train.select("w1", "w2").distinct().agg(
-        F.count("*").alias("T")
-    )
+    # |bigram types|-bounded distinct, referenced by BOTH cont and T
+    types = _track_persist(train.select("w1", "w2").distinct())
+    cont = types.groupBy("w2").agg(F.count("*").alias("n1p_bw"))
+    t_total = types.agg(F.count("*").alias("T"))
     test = bg.where(~F.col("train"))
     scored = (
         test.join(c12, ["w1", "w2"], "left")
@@ -7860,10 +7877,16 @@ def robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wp_motor_spark.operators import text
 
     toks = text.tokens(F.col("text"))
-    q = docs.select(
-        "source",
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q"),
-    ).where(F.col("q").isNotNull())
+    # persist the narrow (source, q) frame (r16): it feeds the rank-span
+    # branch AND the |q - median| deviation branch, and without the cache
+    # the text tokenization ran twice. ~16 bytes/row, disk-spillable —
+    # caching the metadata proxy, never the text payload (guide §2.3).
+    q = _track_persist(
+        docs.select(
+            "source",
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q"),
+        ).where(F.col("q").isNotNull())
+    )
 
     def _rank_spans(vals: DataFrame, col: str) -> DataFrame:
         """(source, v, cnt, lo, hi, n): value-run rank spans per source."""
@@ -7898,13 +7921,17 @@ def robust_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1,
         F.lit(0).cast("long"),
     )
-    stats = spans.groupBy("source").agg(
-        F.max("n").alias("n_docs"),
-        (
-            F.sum(F.col("q") * overlap.cast("double"))
-            / F.max(F.col("n") - 2 * k).cast("double")
-        ).alias("__tmean"),
-        _median_expr("q").alias("__med"),
+    # |sources|-bounded; persisted because it broadcasts into the
+    # deviation branch AND joins the final output (was planned twice)
+    stats = _track_persist(
+        spans.groupBy("source").agg(
+            F.max("n").alias("n_docs"),
+            (
+                F.sum(F.col("q") * overlap.cast("double"))
+                / F.max(F.col("n") - 2 * k).cast("double")
+            ).alias("__tmean"),
+            _median_expr("q").alias("__med"),
+        )
     )
     devs = q.join(
         F.broadcast(stats.select("source", "__med")), "source"
@@ -8584,10 +8611,15 @@ def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets — no single-partition window anywhere); the three ranked
     frames equi-join on doc_id; the final top-20 is a
     TakeOrderedAndProject. Signals round to 6 dp with doc_id
-    tie-breaks so every rank is engine-reproducible."""
+    tie-breaks so every rank is engine-reproducible. The signal frame
+    persists (r16): the three rank passes each materialize their own
+    range-partitioned copy, and without the persist each copy re-ran
+    the text HOF tokenization — 3 scans of `text` for one 3-double
+    signal row per doc (guide §2.3: shuffle/recompute narrow rows,
+    not payloads)."""
     docs = _t(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    base = docs.select(
+    base = _track_persist(docs.select(
         "doc_id",
         F.round(
             F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
@@ -8597,7 +8629,7 @@ def quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_len"
         ),
         F.round(text.stopword_ratio(F.col("text")), 6).alias("s_stop"),
-    )
+    ))
     r1 = _global_rank(
         base.select("doc_id", "s_div"), [F.desc("s_div"), F.asc("doc_id")], "r_div"
     ).select("doc_id", "r_div")
@@ -8686,12 +8718,20 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay all four iterations exactly; per-iteration ranks round to
     10 dp so cross-engine sum-order noise (~1e-16) cannot cascade.
 
-    Scale shape: the edge list is |hosts|-bounded after DISTINCT and
-    persists across iterations; each iteration is one equi-join shuffle
-    (edges x ranks on src) + a dst-keyed partial agg; dangling mass and
-    |nodes| are one-row broadcasts. No collect, no per-key funnel —
-    the real-web version of this plan shards by dst exactly the same
-    way."""
+    Scale shape (r16 loop slim-down, guide §2.4): the edge list is
+    |hosts|-bounded after DISTINCT and persists across iterations WITH
+    its out-degrees pre-attached (the edges x outdeg join is
+    loop-invariant — it used to run every round); |nodes| is a python
+    literal from one count of the persisted node frame (the former
+    per-round 1-row crossJoin subquery is gone); the dangling-host
+    FLAG is precomputed on the node frame, so the per-round dangling
+    mass is a filter+agg over the rank frame instead of an anti-join.
+    Each iteration is one equi-join shuffle (edges x ranks on src) + a
+    dst-keyed partial agg + the flag filter agg; checkpoints are lazy
+    so all four rounds execute inside one job. Per-iteration float
+    formulas are unchanged (same IEEE ops; (1-d)/n and dm/n now divide
+    by a literal — identical doubles), and the 10-dp per-iteration
+    round keeps the oracle replay exact as before."""
     d = 0.85
     docs = _t(spark, sf_dir, "documents")
     edges = _track_persist(_host_edges(docs))
@@ -8701,40 +8741,49 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "host", (F.lit(1.0) / F.col("n")).alias("r")
+    # loop-invariant: per-edge out-degree attached ONCE; |hosts|-bounded
+    eo = _track_persist(edges.join(outdeg, "src"))
+    # dangling flag precomputed on the static node frame (outdeg.src is
+    # distinct, so the left join is 1:1)
+    nodes_f = _track_persist(
+        nodes.join(
+            outdeg.select(F.col("src").alias("host"), F.lit(False).alias("__d")),
+            "host",
+            "left",
+        ).select("host", F.coalesce("__d", F.lit(True)).alias("__dang"))
+    )
+    n_nodes = nodes.count()
+    ranks = nodes_f.select(
+        "host", "__dang", F.lit(1.0 / n_nodes).alias("r")
     )
     # each iteration references `ranks` TWICE (dangling mass + edge
     # contributions): without materialization the lineage doubles per
     # round (2^4 copies of the base plan — measured 9.6 s at sf0.01 on
-    # plan build alone). localCheckpoint truncates lineage each round;
-    # the frame is |hosts| rows (the neardup_pagerank CC-loop
-    # discipline).
+    # plan build alone). localCheckpoint truncates lineage each round
+    # (lazy: materializes once inside the final action); the frame is
+    # |hosts| rows (the neardup_pagerank CC-loop discipline).
     for _ in range(4):
-        ranks = ranks.localCheckpoint(eager=True)
-        dangling = (
-            ranks.join(outdeg, ranks["host"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        ranks = ranks.localCheckpoint(eager=False)
+        dangling = ranks.where(F.col("__dang")).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
         )
         contrib = (
-            edges.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("host", "src"), "src")
+            eo.join(ranks.select(F.col("host").alias("src"), "r"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
         )
         ranks = (
-            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(nn))
+            nodes_f.join(contrib, nodes_f["host"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "host",
+                "__dang",
                 F.round(
-                    (1 - d) / F.col("n")
+                    F.lit((1 - d) / n_nodes)
                     + d
                     * (
                         F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dm") / F.col("n")
+                        + F.col("dm") / F.lit(n_nodes)
                     ),
                     10,
                 ).alias("r"),
@@ -9298,9 +9347,11 @@ def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the adjacency (both edge directions, distinct) is
     |edges|-bounded and persists across rounds; each round is ONE
     equi-join shuffle (adjacency x labels on the neighbor) + a
-    (v, label) partial-agg + a per-node argmax window (bounded by a
-    node's distinct neighbor labels — never a global sort). No
-    collect; rounds are a fixed 3."""
+    (v, label) partial-agg + a per-node argmax as MIN(struct(-c, lbl))
+    (r16: the former row_number window re-shuffled by v and sorted —
+    the struct-min folds the argmax into one more partial-aggregated
+    agg, guide §2.4; same deterministic winner: largest count, ties to
+    the smallest label). No collect; rounds are a fixed 3."""
     docs = _t(spark, sf_dir, "documents")
     edges = _host_edges(docs)
     adj = _track_persist(
@@ -9317,11 +9368,10 @@ def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("v", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        wv = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
         labels = (
-            cnt.withColumn("__rn", F.row_number().over(wv))
-            .where(F.col("__rn") == 1)
-            .select("v", "lbl")
+            cnt.groupBy("v")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("__b"))
+            .select("v", F.col("__b.lbl").alias("lbl"))
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     return (
@@ -14689,9 +14739,11 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: daily rollup bounds everything by the calendar; the
     five lags are LEAD columns over the |days| window (DENSE calendar
     — zero-event days count 0, so lag k is k calendar days); one
-    rollup."""
+    rollup. The daily frame persists and the five per-lag reads come
+    from ONE explode over lag structs (r16: the former 5-branch union
+    planned the events rollup five times, guide §2.4)."""
     ev = _t(spark, sf_dir, "events")
-    daily = _daily_counts_dense(ev)
+    daily = _track_persist(_daily_counts_dense(ev))
     wd = Window.partitionBy("event_type").orderBy("day")
     lags = [1, 2, 3, 7, 14]
     cols = [F.lead("c", k).over(wd).alias(f"l{k}") for k in lags]
@@ -14713,7 +14765,7 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = wide.groupBy("event_type").agg(*aggs)
     xbar = F.col("s").cast("double") / F.col("n").cast("double")
     den = F.col("s2").cast("double") - F.col("n").cast("double") * xbar * xbar
-    rows = []
+    pairs = []
     for k in lags:
         num = (
             F.col(f"sxy{k}").cast("double")
@@ -14721,17 +14773,16 @@ def acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col(f"sh{k}").cast("double") + F.col(f"st{k}").cast("double"))
             + F.col(f"m{k}").cast("double") * xbar * xbar
         )
-        rows.append(
-            g.select(
-                "event_type",
-                F.lit(k).alias("lag"),
-                F.round(num / den, 6).alias("acf"),
+        pairs.append(
+            F.struct(
+                F.lit(k).alias("lag"), F.round(num / den, 6).alias("acf")
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("event_type", "lag")
+    return (
+        g.select("event_type", F.explode(F.array(*pairs)).alias("__la"))
+        .select("event_type", "__la.lag", "__la.acf")
+        .orderBy("event_type", "lag")
+    )
 
 
 def _acf_sql() -> str:
@@ -16209,7 +16260,9 @@ def lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded (|days| rows per pair), never corpus-sized;
     output |types|^2 x |lags|."""
     ev = _t(spark, sf_dir, "events")
-    daily = _daily_counts_dense(ev)
+    # calendar x |types|-bounded; persisted so the 4 lag branches (x2
+    # sides each) read the rollup once instead of re-planning it 8x
+    daily = _track_persist(_daily_counts_dense(ev))
     out = None
     for k in [0, 1, 3, 7]:
         a = daily.select(
@@ -17601,16 +17654,18 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) is one double per pair.
 
     Scale shape: the day-pair frame is |type pairs| x |days|^2 / 2 —
-    calendar-bounded, never corpus-sized; counting is one rollup."""
+    calendar-bounded, never corpus-sized; counting is one rollup. The
+    daily rollup and the per-pair series persist (r16): both are
+    self-joined, so each used to plan its events aggregation twice."""
     ev = _t(spark, sf_dir, "events")
-    daily = _daily_counts_dense(ev)
+    daily = _track_persist(_daily_counts_dense(ev))
     a = daily.select(
         F.col("event_type").alias("ta"), "day", F.col("c").alias("x")
     )
     b = daily.select(
         F.col("event_type").alias("tb"), "day", F.col("c").alias("y")
     )
-    xy = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    xy = _track_persist(a.join(b, "day").where(F.col("ta") < F.col("tb")))
     p1 = xy.select("ta", "tb", F.col("day").alias("d1"),
                    F.col("x").alias("x1"), F.col("y").alias("y1"))
     p2 = xy.select("ta", "tb", F.col("day").alias("d2"),
@@ -17677,14 +17732,18 @@ def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair frame is |days|^2 / 2 per type
     (calendar-bounded); the median is a ROW_NUMBER pick over that
-    bounded frame, partitioned by type — never corpus-sized."""
+    bounded frame, partitioned by type — never corpus-sized. The
+    indexed daily series persists (r16): it is self-joined for the
+    pairwise slopes, so the events rollup used to plan twice."""
     ev = _t(spark, sf_dir, "events")
     daily = _daily_counts_dense(ev)
     wi = Window.partitionBy("event_type").orderBy("day")
-    idx = daily.select(
-        "event_type",
-        (F.row_number().over(wi) - 1).alias("i"),
-        "c",
+    idx = _track_persist(
+        daily.select(
+            "event_type",
+            (F.row_number().over(wi) - 1).alias("i"),
+            "c",
+        )
     )
     a = idx.select("event_type", F.col("i").alias("i1"),
                    F.col("c").alias("c1"))
@@ -17754,9 +17813,10 @@ def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention of events_anomaly).
 
     Scale shape: one decimal moment rollup per type, one ROW_NUMBER
-    argmax over the calendar-bounded daily frame."""
+    argmax over the calendar-bounded daily frame, which persists
+    (r16: it feeds both the moment rollup and the deviation join)."""
     ev = _t(spark, sf_dir, "events")
-    daily = _daily_counts_dense(ev)
+    daily = _track_persist(_daily_counts_dense(ev))
     dc = F.col("c").cast("decimal(18,0)")
     mom = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
