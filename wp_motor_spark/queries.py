@@ -3878,6 +3878,8 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     small. Text never shuffles — only (w1, w2, count) triples move;
     TakeOrderedAndProject caps the result."""
     docs = _t(spark, sf_dir, "documents")
+    # NOT persisted (r16): interleaved persist A/Bs measured both the
+    # token-array cache and the count-frame caches net-negative locally
     toks = docs.select(text.tokens(F.col("text")).alias("a")).where(
         F.size("a") >= 2
     )
@@ -7275,22 +7277,20 @@ def kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("train"),
         text.tokens(F.col("text")).alias("a"),
     ).where(F.size("a") >= 2)
-    # persisted (r16): the bigram stream feeds FIVE subtrees (c12, c1,
-    # cont, T on the train half; the test scoring stream) — tokenize +
-    # explode ran five times without the cache; narrow (long, bool,
-    # word, word) rows, disk-spillable
-    bg = _track_persist(
-        tok.select(
-            "doc_id",
-            "train",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(a) - 1),"
-                    " i -> struct(a[i-1] as w1, a[i] as w2))"
-                )
-            ).alias("z"),
-        ).select("doc_id", "train", "z.w1", "z.w2")
-    )
+    # NOT persisted (r16 interleaved A/B: caching the exploded string
+    # stream measured 1.59 -> 2.23 s med — the columnar cache encode of
+    # wide string rows costs more than re-deriving; only the bounded
+    # aggregates below cache)
+    bg = tok.select(
+        "doc_id",
+        "train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(a[i-1] as w1, a[i] as w2))"
+            )
+        ).alias("z"),
+    ).select("doc_id", "train", "z.w1", "z.w2")
     train = bg.where("train")
     c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = train.groupBy("w1").agg(
@@ -18566,6 +18566,8 @@ def collocation_tscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram rollup, NO broadcast hint on the Heaps-growing unigram
     table, TakeOrdered caps the output."""
     docs = _t(spark, sf_dir, "documents")
+    # NOT persisted (r16): interleaved persist A/Bs measured both the
+    # token-array cache and the count-frame caches net-negative locally
     toks = docs.select(text.tokens(F.col("text")).alias("a")).where(
         F.size("a") >= 2
     )
@@ -18727,6 +18729,10 @@ def rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny ref vocab), roll up per (cand, ref) pair, and
     TakeOrdered keeps 20."""
     docs = _t(spark, sf_dir, "documents")
+    # NOT persisted (r16): interleaved persist A/Bs measured every
+    # caching variant (tok arrays, gram counts, both) net-negative to
+    # neutral locally — the string-keyed cache encode costs more than
+    # the re-derivation it saves at bench scale; left as planned
     tok = docs.select(
         "doc_id", text.tokens(F.col("text")).alias("a")
     ).where(F.size("a") >= 2)
