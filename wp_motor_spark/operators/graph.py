@@ -60,6 +60,11 @@ def pagerank(
     # without their own checkpoints each of the 10 rounds would re-run
     # the |E|-row degree aggregation and the |V|-row distinct
     n_frame = nodes.select(F.col(id_col).alias("id")).distinct().localCheckpoint()
+    # NOTE (r16): checkpointing the projected pairs before the
+    # both-directions union (the connected_components upairs shape) was
+    # A/B-measured SLOWER here twice — ReuseExchange already dedups the
+    # expensive pair pipeline below the union's identical agg exchange,
+    # so the checkpoint only added a materialization pass. Left as-is.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
