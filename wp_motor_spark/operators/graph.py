@@ -64,11 +64,19 @@ def pagerank(
     # both-directions union (the connected_components upairs shape) was
     # A/B-measured SLOWER here twice — ReuseExchange already dedups the
     # expensive pair pipeline below the union's identical agg exchange,
-    # so the checkpoint only added a materialization pass. Left as-is.
+    # so the checkpoint only added a materialization pass. Checkpointing
+    # the unioned-distinct EDGE frame, by contrast, wins (r16 batch 4):
+    # `deg` below is checkpointed, but edges.join(deg) re-derived the
+    # union+distinct from the raw pair pipeline — the applyInPandas GEMM
+    # ran twice per query. One |E|-row (long,long) checkpoint makes the
+    # pair pipeline execute exactly once (guide §5 localCheckpoint to cut
+    # lineage; interleaved A/B, 5 reps/arm, neardup_pagerank noop at
+    # sf0.1: min 6.06 -> 4.34, med 7.49 -> 6.09).
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).localCheckpoint()
