@@ -50,6 +50,13 @@ def get_spark(
         # Broadcast dims up to 64MB — KnowDB-style enrichment tables are small.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("WP_DRIVER_MEM", "8g"))
+        # local-mode heap sizing (guide §5): in local[N] the ONE driver JVM
+        # hosts all N executor threads, so 8g forced constant GC under the
+        # 32-thread suite — full-bench A/B at sf0.1 (same box, back-to-back):
+        # 8g 270.7 s suite / 38k ev/s/core probe vs 24g 252.8 s / 108.7k.
+        # 24g is ~20% of the 128 GiB box, leaving room for Python workers;
+        # on a real cluster spark.executor.memory is sized separately and
+        # this knob only feeds the (small) driver. Env-overridable as before.
+        .config("spark.driver.memory", os.environ.get("WP_DRIVER_MEM", "24g"))
     )
     return builder.getOrCreate()
