@@ -14,6 +14,7 @@ get the driver's rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark import StorageLevel
@@ -4064,6 +4065,11 @@ def _bm25_query_ranks(docs: DataFrame, K: int) -> DataFrame:
     # expression separately for dl and the explode re-ran the regex per
     # use (r16; same pathology as the curate.py n-gram build)
     tokd = docs.select("doc_id", text.tokens(F.col("text")).alias("__toks"))
+    # NOT persisted (r16 interleaved A/B, 5 reps/arm at sf0.1): caching the
+    # (doc_id, array<token>) frame was neutral on bm25_search/hybrid_search
+    # and ~8% WORSE on rank_eval_ndcg — the spread 32-way re-tokenization is
+    # cheaper than the columnar encode of the token arrays, the same
+    # pattern as the r16 batch-3 persist sweep.
     qterms = (
         tokd.where(F.col("doc_id") < 5)
         .select(
@@ -13294,9 +13300,17 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     is actually small). Only the 1-row order count broadcasts. Output
     is bounded by the support floor (the Apriori argument)."""
     li = _t(spark, sf_dir, "lineitem")
-    ob = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # persisted (r16): ob feeds FOUR subtrees (self-join a/b + item ia/ib);
+    # AQE's ReuseExchange dedups the identical a/b pair but the item
+    # subtree differs by a pushed isnotnull Filter, so without the cache
+    # lineitem scans + the distinct shuffle run 2x extra. (long, long)
+    # rows, disk-spillable. Interleaved A/B at sf0.1: neutral on mins
+    # (1.63 vs 1.71), med 1.99 -> 1.79 — kept for the 100 TB scan count.
+    ob = _track_persist(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     n_orders = (
         _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
     )
