@@ -8521,6 +8521,11 @@ def kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("__r") <= K)
         )
 
+    # NOT persisted (r16 interleaved A/B, 5 reps/arm at sf0.1: min 1.65 vs
+    # 1.68, med 2.05 vs 1.94): sk's two consumers reference IDENTICAL
+    # subtrees, so AQE ReuseExchange already executes the events scan +
+    # md5 + distinct once — a cache adds nothing here, unlike
+    # market_basket's filter-mismatched item subtree.
     sk = _k_smallest(hashed, "event_type")
     per_type = sk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("theta")
@@ -11079,6 +11084,11 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+    # persisted (r16): deg is referenced 3x (du, dv, the final join) and
+    # re-aggregated the cached edge frame each time; |hosts|-bounded
+    # (sources + 37 synthetic hubs). Interleaved A/B at sf0.1: min
+    # neutral (2.10/2.10), med 2.54 -> 2.28.
+    deg = _track_persist(deg)
     # orient each edge low->high in the (degree, host) total order;
     # carry the head's order key so wedge endpoints can be ordered too
     du = deg.select(F.col("host").alias("u"), F.col("degree").alias("du"))
