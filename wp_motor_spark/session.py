@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast dims up to 64MB — KnowDB-style enrichment tables are small.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/IO codec (guide §2.3: "measure both"): full-suite A/B at
+        # sf0.1 — zstd 246.1 s / 72.1k ev/s/core probe vs lz4 236.6 s /
+        # 92.0k. Local shuffles are CPU-bound over tiny partitions, so
+        # zstd's ratio buys nothing here; on a network-bound cluster flip
+        # WP_IO_CODEC=zstd and re-measure.
+        .config("spark.io.compression.codec", os.environ.get("WP_IO_CODEC", "lz4"))
         .config("spark.ui.enabled", "false")
         # local-mode heap sizing (guide §5): in local[N] the ONE driver JVM
         # hosts all N executor threads, so 8g forced constant GC under the
