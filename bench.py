@@ -94,9 +94,10 @@ def main() -> None:
                     # raised (r15 ADVICE: a handle registered before a
                     # failure must not leak into later timings) —
                     # otherwise 200 queries accumulate InMemoryRelations
-                    # until eviction pressure. The shared ngram-jaccard
-                    # pair pipeline persists in operators/dedup are NOT
-                    # tracked, so the cross-query reuse is preserved.
+                    # until eviction pressure. Since r17 this also drains
+                    # the operators/dedup registry, so the ngram-jaccard
+                    # pair pipeline is recomputed per query (no cross-
+                    # query cache reuse flattering the second timing).
                     from wp_motor_spark.queries import release_persists
 
                     release_persists()

@@ -1,5 +1,5 @@
 """Per-query optimization harness (guide §1): time selected queries in
-isolation with the noop sink and dump .explain("formatted") to plans/r16/.
+isolation with the noop sink and dump .explain("formatted") to plans/r17/.
 
     python tools/opt_measure.py [--sf sfdir] [--passes N] [--plans suffix] q1 q2 ...
 
@@ -25,7 +25,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="suffix: write plans/r16/<q>_<suffix>.txt")
+                    help="suffix: write plans/r17/<q>_<suffix>.txt")
     args = ap.parse_args()
 
     from wp_motor_spark.queries import QUERIES, release_persists
@@ -35,7 +35,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r16")
+        os.path.abspath(__file__))), "plans", "r17")
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}

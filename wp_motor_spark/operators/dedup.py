@@ -19,6 +19,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+#: persisted intermediates created inside these operator functions, exposed
+#: so a suite harness (queries.release_persists -> bench.py / oracle_check)
+#: can unpersist them after each query's action. Without the registry the
+#: CacheManager plan-matches a later identical invocation onto the still-
+#: cached frame, so the second query (or the second bench pass) times a
+#: cache replay instead of the pipeline — cross-query amortization the
+#: bench must not report. Library callers that never release simply keep
+#: the persists, same as before.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace, trim."""
@@ -206,10 +222,9 @@ def minhash_lsh_pairs(
     # (id, hash-set) is consumed 3x (signature + both verification sides);
     # persist so the text->shingle->hash pipeline runs once. The persisted
     # slice is ids + long arrays — a small fraction of the document bytes.
-    sets = (
+    sets = _track_persist(
         _spread(df, [id_col, text_col])
         .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh"))
-        .persist()
     )
     sig = sets.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     banded = sig.select(
@@ -254,12 +269,13 @@ def _observe_dropped_grams(grouped: DataFrame, max_df: int) -> DataFrame:
 
     # DETERMINISTIC observation name: an auto-named Observation embeds a
     # fresh uuid in the CollectMetrics node, which makes two otherwise
-    # identical pair pipelines canonicalize differently — defeating
-    # CacheManager plan-matching between ngram_jaccard_dups and
-    # dedup_clusters in one session. With a fixed name the plans match and
-    # the second query rides the first one's persisted pairs. (When a
-    # query replays from cache the metrics never fire and the waiter
-    # thread just parks — it is a daemon, same as the unexecuted case.)
+    # identical pair pipelines canonicalize differently in the
+    # CacheManager. The pair-frame persist that exploited the matching is
+    # gone (r17 — cross-query amortization), but the fixed name stays:
+    # plan canonicalization should not depend on call order, and if a
+    # query ever replays a still-cached upstream the metrics simply never
+    # fire and the waiter thread parks (it is a daemon, same as the
+    # unexecuted case).
     obs = Observation("ngram_df_cap")
     out = grouped.observe(
         obs,
@@ -310,13 +326,11 @@ def ngram_jaccard_pairs(
     completes.
     """
     # consumed by both the size table and the inverted index — persist so
-    # the text->shingle->hash pipeline runs once (ids + long arrays only)
-    # the alias matches minhash_lsh_pairs' persisted plan EXACTLY, so when
-    # both run in one session the CacheManager shares one materialization
-    sh = (
+    # the text->shingle->hash pipeline runs once (ids + long arrays only);
+    # tracked so the harness releases it after the query's action (r17)
+    sh = _track_persist(
         _spread(df, [id_col, text_col])
         .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh"))
-        .persist()
     )
     sizes = sh.select(F.col("__id"), F.size("__sh").alias("n_sh"))
     inv = sh.select("__id", F.explode("__sh").alias("g"))
@@ -353,12 +367,14 @@ def ngram_jaccard_pairs(
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        # persist the (tiny: threshold survivors only) pair frame — with
-        # the deterministic observation name above, ngram_jaccard_dups
-        # and dedup_clusters build byte-identical plans, so whichever
-        # runs first materializes the pipeline once and the other reads
-        # the cached pairs instead of re-running shingle+index+expand
-        .persist()
+        # NOT persisted (r17): the pair frame used to be cached so that
+        # ngram_jaccard_dups and dedup_clusters (byte-identical plans via
+        # the deterministic observation name above) could share one
+        # materialization within a bench pass — cross-query amortization
+        # the r16 verdict flagged as flattering the second query's timing.
+        # Every in-repo caller consumes the pairs exactly once (the bench
+        # action, or connected_components' immediate localCheckpoint), so
+        # within one query the persist bought nothing.
     )
 
 
@@ -438,7 +454,7 @@ def fingerprint_pairs(
     bw = 64 // n_blocks
     mask = (1 << bw) - 1
     # persisted: consumed by all block-join branches (fingerprints only)
-    f = f.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")).persist()
+    f = _track_persist(f.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")))
     blocks = f.select(
         "__id",
         "__fp",
