@@ -36,6 +36,19 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def _no_pushdown(c: Column) -> Column:
+    """Value-identity wrapper Catalyst treats as nondeterministic (twin of
+    wpl/compiler._no_pushdown): ``shuffle`` of a 1-element array always
+    yields that element, but the nondeterministic flag stops
+    InferFiltersFromGenerate + PushPredicateThroughNonJoin from rewriting
+    a filter on the wrapped column in terms of its defining expression and
+    pushing it below the projection — which re-runs the whole shingle
+    tokenizer per row in the pre-spread single-partition scan layout
+    (measured 4x on ngram_jaccard_dups at sf0.1 when the un-persisted
+    shingle frame exposed the pathology)."""
+    return F.shuffle(F.array(c)).getItem(0)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -325,18 +338,29 @@ def ngram_jaccard_pairs(
     observed metric `ngram_df_cap.dropped_grams` and logged when the query
     completes.
     """
-    # consumed by both the size table and the inverted index — persist so
-    # the text->shingle->hash pipeline runs once (ids + long arrays only);
-    # tracked so the harness releases it after the query's action (r17)
-    sh = _track_persist(
+    # r17: the shingle frame is consumed ONCE. Doc sizes ride THROUGH the
+    # inverted index as a (id, n_sh) struct instead of joining back after
+    # the intersection count: the former shape persisted sh and joined a
+    # |docs|-row size table onto the pair frame TWICE (broadcast locally,
+    # but two full |docs|-vs-|pairs| shuffle joins at 100 TB where neither
+    # side broadcasts). Cost of the carry: +4 bytes (one int) per exploded
+    # gram row in the one gram-keyed shuffle; the collect_set sorts by the
+    # struct's leading __id field, so bucket order — and therefore the
+    # emitted pair set — is unchanged. No persist left to track.
+    sh = (
         _spread(df, [id_col, text_col])
-        .select(F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh"))
+        .select(
+            F.col(id_col).alias("__id"),
+            _no_pushdown(shingle_hashes(F.col(text_col), n)).alias("__sh"),
+        )
     )
-    sizes = sh.select(F.col("__id"), F.size("__sh").alias("n_sh"))
-    inv = sh.select("__id", F.explode("__sh").alias("g"))
+    inv = sh.select(
+        F.struct(F.col("__id"), F.size("__sh").alias("n_sh")).alias("m"),
+        F.explode("__sh").alias("g"),
+    )
     # pairwise expansion per gram (not distinct — multiplicity IS the
     # intersection count), then count occurrences of each (id_a, id_b)
-    grouped = inv.groupBy("g").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
+    grouped = inv.groupBy("g").agg(F.sort_array(F.collect_set("m")).alias("ids"))
     if max_df is not None:
         grouped = _observe_dropped_grams(grouped, max_df)
         grouped = grouped.where(F.size("ids") <= max_df)
@@ -348,20 +372,23 @@ def ngram_jaccard_pairs(
                     lambda i: F.transform(
                         F.slice(F.col("ids"), i + 1, F.size("ids")),
                         lambda b: F.struct(
-                            F.element_at(F.col("ids"), i).alias("id_a"), b.alias("id_b")
+                            F.element_at(F.col("ids"), i).alias("a"), b.alias("b")
                         ),
                     ),
                 )
             )
         ).alias("p")
     )
-    inter = pairs.groupBy("p.id_a", "p.id_b").agg(F.count(F.lit(1)).alias("inter"))
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # na/nb are grouping keys (functionally determined by the ids), so the
+    # partial aggregation is exactly as wide as the former (id_a, id_b) one
+    inter = pairs.groupBy(
+        F.col("p.a.__id").alias("id_a"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.__id").alias("id_b"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
