@@ -12,6 +12,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(24g, ~25% of system RAM), floor 2g — the 24g local[32] bench
+    sizing, degraded gracefully on smaller hosts. Detection reads
+    MemTotal (Linux); anything unreadable falls back to the 24g bench
+    default, and WP_DRIVER_MEM always wins (see caller)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(24, int(total_gib // 4)))}g"
+    except OSError:
+        pass
+    return "24g"
+
+
 def get_spark(
     app_name: str = "wp_motor_spark",
     master: str | None = None,
@@ -60,9 +76,13 @@ def get_spark(
         # hosts all N executor threads, so 8g forced constant GC under the
         # 32-thread suite — full-bench A/B at sf0.1 (same box, back-to-back):
         # 8g 270.7 s suite / 38k ev/s/core probe vs 24g 252.8 s / 108.7k.
-        # 24g is ~20% of the 128 GiB box, leaving room for Python workers;
-        # on a real cluster spark.executor.memory is sized separately and
-        # this knob only feeds the (small) driver. Env-overridable as before.
-        .config("spark.driver.memory", os.environ.get("WP_DRIVER_MEM", "24g"))
+        # 24g is ~20% of the 128 GiB bench box, leaving room for Python
+        # workers; on a real cluster spark.executor.memory is sized
+        # separately and this knob only feeds the (small) driver. r17
+        # (ADVICE): the default is capped at ~25% of detected system
+        # memory so a cgroup-limited dev/CI host doesn't fail to start a
+        # 24g JVM; WP_DRIVER_MEM still overrides outright.
+        .config("spark.driver.memory",
+                os.environ.get("WP_DRIVER_MEM", _default_driver_mem()))
     )
     return builder.getOrCreate()

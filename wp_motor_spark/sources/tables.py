@@ -59,7 +59,14 @@ def _spread_small_scan(
     if nbytes < _SPREAD_MIN_BYTES:
         return df
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 > par:
+    try:
+        # JVM-side partition count (same as operators/dedup._spread): the
+        # public df.rdd wrapper builds a javaToPython conversion stage per
+        # call just to ask a number
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # noqa: BLE001 - internal API; fall back to public path
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts * 2 > par:
         return df
     return df.repartition(par)
 
