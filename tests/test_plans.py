@@ -303,3 +303,18 @@ def test_countmin_sketch_is_count_table_rollup(spark, sf001_dir):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("FileScan") == 1, final.count("FileScan")
+
+
+def test_ngram_jaccard_carries_sizes_through_index(spark, sf001_dir):
+    """r17 shape: doc sizes ride the inverted index as a struct, so the
+    plan has NO persisted shingle frame and NO post-aggregation size
+    joins — and the inferred size(__sh)>0 filter must not be rewritten
+    in terms of the shingle tokenizer and pushed below the projection
+    (the _no_pushdown barrier; a pushed copy re-runs the regex per row
+    in the pre-spread single-partition layout)."""
+    plan = _plan(spark, sf001_dir, "ngram_jaccard_dups")
+    assert "InMemoryRelation" not in plan
+    assert "Join" not in plan  # jaccard computed off the count agg alone
+    for line in plan.splitlines():
+        if "Filter" in line and "Scan" not in line:
+            assert "regexp_replace" not in line, line[:160]
